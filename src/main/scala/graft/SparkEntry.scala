@@ -5,11 +5,15 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2 (etl_*) plus
+    * the north-star LLM-pipeline operator families (dedup_*, ann_*,
+    * text_*, events_*, ...). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.EtlQueries.queries
+    graft.queries.EtlQueries.queries ++
+      graft.pipeline.DedupQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.EtlQueries.oracle
+    graft.queries.EtlQueries.oracle ++
+      graft.pipeline.DedupQueries.oracle
 }

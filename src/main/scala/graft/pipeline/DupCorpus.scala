@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup test corpus: `documents` augmented with deterministic synthetic
+  * duplicates, so the dedup operators have real work to do (the base
+  * table's 500 texts are all distinct).
+  *
+  *  - exact dups:  doc_id % 7 == 0  → copy at doc_id + 10000, same text
+  *  - near dups:   doc_id % 11 == 0 → copy at doc_id + 20000 with the
+  *                 first 6 words dropped (high shingle-Jaccard survivor)
+  *
+  * Mirrored byte-for-byte in SQL by [[graft.oracle.OraclePipeline.DupCte]].
+  */
+object DupCorpus {
+
+  /** Shared 60-bit hash: first 15 hex chars of md5, as BIGINT. Identical
+    * in DuckDB as CAST('0x' || substring(md5(s),1,15) AS BIGINT). */
+  def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Seeded variant for minhash permutations. */
+  def h60Seeded(seed: Int, c: Column): Column =
+    h60(concat(lit(s"$seed:"), c))
+
+  /** doc_id, text, lang, source, n_chars — base ∪ exact dups ∪ near dups. */
+  def corpus(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+    val exactDup = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 10000)
+    val nearText = concat_ws(" ",
+      slice(split(col("text"), " "), lit(7), size(split(col("text"), " "))))
+    val nearDup = docs.filter(col("doc_id") % 11 === 0)
+      .withColumn("text", nearText)
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("doc_id", col("doc_id") + 20000)
+    docs.unionAll(exactDup).unionAll(nearDup)
+  }
+
+  /** Word 3-gram shingles of lower(text), position order preserved.
+    * Docs with fewer than 3 tokens yield an empty array. */
+  def shingles(text: Column): Column = {
+    val toks = split(lower(text), " ")
+    when(size(toks) < 3, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+  }
+}
