@@ -1,0 +1,165 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (north-star addition, SURVEY.md §7.2 M6).
+  *
+  * Vector math is pure Catalyst (`zip_with` + `aggregate` left-fold in
+  * DOUBLE — bit-identical to DuckDB's list_dot_product), so the whole
+  * plan stays inside whole-stage codegen; no UDFs.
+  *
+  * Scale posture: the brute-force path broadcasts the (small) query set
+  * and streams the corpus — one pass, no shuffle of the corpus. The IVF
+  * path adds a coarse quantizer (per-label centroids here; k-means
+  * centroids in production) so the candidate join is an equi-join on the
+  * probe list — at 100 TB only nprobe/nlist of the corpus is scanned.
+  */
+object SimilarityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Left-fold dot product in double — mirrors DuckDB list_dot_product. */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def embDouble(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  /** Brute-force cosine top-k=5 for queries vec_id < 10: the exact
+    * baseline every ANN variant is measured against. */
+  private val topkBrute: Q = (s, d) => {
+    val e = embDouble(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val sims = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+  private val topkBruteSql =
+    """WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+), sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    list_dot_product(q.qv, e.v) /
+      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+  FROM q JOIN e ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(row_number() OVER w AS INT) AS rank, round(sim, 6) AS sim
+FROM sims
+WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+QUALIFY row_number() OVER w <= 5
+ORDER BY query_id, rank"""
+
+  /** IVF-style ANN: coarse centroids (per-label mean — the label stands
+    * in for a k-means cell id), nprobe=2 probe lists per query, exact
+    * rerank inside the probed cells only. */
+  private val topkIvf: Q = (s, d) => {
+    val e = embDouble(s, d)
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(avg("x").as("m"))
+      .groupBy("label")
+      .agg(transform(sort_array(collect_list(struct(col("dim"), col("m")))),
+        c => c.getField("m")).as("cv"))
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(cosine(col("qv"), col("cv")).desc, col("label"))
+    val probes = qs.crossJoin(broadcast(cent))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= 2)
+      .select(col("query_id"), col("qv"), col("label").as("probe_label"))
+    val sims = e.join(broadcast(probes),
+        col("label") === col("probe_label") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+  private val topkIvfSql =
+    """WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), dims AS (
+  SELECT label, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e
+), davg AS (
+  SELECT label, dim, avg(x) AS m FROM dims GROUP BY label, dim
+), cent AS (
+  SELECT label, list(m ORDER BY dim) AS cv FROM davg GROUP BY label
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+), qc AS (
+  SELECT query_id, label,
+    row_number() OVER (PARTITION BY query_id ORDER BY
+      list_dot_product(qv, cv) / (sqrt(list_dot_product(qv,qv))*sqrt(list_dot_product(cv,cv))) DESC, label) AS crank
+  FROM q, cent
+), probes AS (
+  SELECT query_id, label FROM qc WHERE crank <= 2
+), sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    list_dot_product(q.qv, e.v) /
+      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+  FROM q
+  JOIN probes p ON p.query_id = q.query_id
+  JOIN e ON e.label = p.label AND e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(row_number() OVER w AS INT) AS rank, round(sim, 6) AS sim
+FROM sims
+WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+QUALIFY row_number() OVER w <= 5
+ORDER BY query_id, rank"""
+
+  /** Embedding-cosine near-dup pairs: label-blocked (IVF-cell-blocked at
+    * scale) pairwise cosine ≥ 0.35 — the embedding leg of the dedup
+    * family. Equi-join on label; no all-pairs materialization. */
+  private val embedDedup: Q = (s, d) => {
+    val e = embDouble(s, d)
+    val a = e.as("a"); val b = e.as("b")
+    a.join(b, col("a.label") === col("b.label") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(col("a.v"), col("b.v")).as("sim"))
+      .filter(col("sim") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), round(col("sim"), 6).as("sim"))
+      .orderBy("vec_a", "vec_b")
+  }
+  private val embedDedupSql =
+    """WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  round(list_dot_product(a.v, b.v) /
+    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS sim
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) /
+    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
+ORDER BY vec_a, vec_b"""
+
+  val queries: Map[String, Q] = Map(
+    "ann_topk_brute" -> topkBrute,
+    "ann_topk_ivf" -> topkIvf,
+    "dedup_embedding" -> embedDedup)
+
+  val oracle: Map[String, String] = Map(
+    "ann_topk_brute" -> topkBruteSql,
+    "ann_topk_ivf" -> topkIvfSql,
+    "dedup_embedding" -> embedDedupSql)
+}
