@@ -11,11 +11,15 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.EtlQueries.queries ++
       graft.pipeline.DedupQueries.queries ++
-      graft.pipeline.SimilarityQueries.queries
+      graft.pipeline.SimilarityQueries.queries ++
+      graft.pipeline.TextQueries.queries ++
+      graft.pipeline.EventQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.EtlQueries.oracle ++
       graft.pipeline.DedupQueries.oracle ++
-      graft.pipeline.SimilarityQueries.oracle
+      graft.pipeline.SimilarityQueries.oracle ++
+      graft.pipeline.TextQueries.oracle ++
+      graft.pipeline.EventQueries.oracle
 }

@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed analytics over the `events` table — the
+  * streaming-shaped operators (SURVEY.md §2.10 notes the reference has
+  * none; these are the north-star additions that make the engine useful
+  * for event streams). Batch expressions here are written exactly as
+  * their Structured Streaming counterparts (`window`, `session_window`
+  * are the same functions on a `readStream` DataFrame + watermark — see
+  * graft.streaming).
+  *
+  * Double sums are computed as exact DECIMAL sums then converted once to
+  * DOUBLE — associative, so the result is shuffle-order-independent
+  * (plain double sums are not, and would flap the oracle hash).
+  */
+object EventQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def valSum = round(
+    sum(col("value").cast("decimal(18,6)")).cast("double"), 4)
+  private val ValSumSql =
+    "round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)"
+
+  // ------------------------------------------------------------ tumbling
+  /** Tumbling 1-hour windows per event_type: count + exact-decimal sum.
+    * Map-side partial agg on (window, type) — the canonical streaming
+    * aggregate, one shuffle. */
+  private val tumbling: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count("*").as("n_events"), valSum.as("val_sum"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"), col("event_type"),
+        col("n_events"), col("val_sum"))
+      .orderBy("window_start_ms", "event_type")
+  private val tumblingSql =
+    s"""SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_ms, event_type,
+  count(*) AS n_events, $ValSumSql AS val_sum
+FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type"""
+
+  // ------------------------------------------------------------- sliding
+  /** Sliding windows (1 hour, slide 15 min) per event_type. Spark emits
+    * each event into size/slide = 4 windows; the oracle mirrors that
+    * fan-out with an explicit unnest([0..3]). */
+  private val sliding: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count("*").as("n_events"), valSum.as("val_sum"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"), col("event_type"),
+        col("n_events"), col("val_sum"))
+      .orderBy("window_start_ms", "event_type")
+  private val slidingSql =
+    s"""SELECT epoch_ms(time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE) AS window_start_ms,
+  event_type, count(*) AS n_events, $ValSumSql AS val_sum
+FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k
+GROUP BY 1, 2 ORDER BY window_start_ms, event_type"""
+
+  // ------------------------------------------------------------- session
+  /** Per-user session windows, 6-hour inactivity gap. Spark's
+    * session_window end = last event + gap; the oracle reproduces the
+    * gaps-and-islands equivalent with lag + cumulative sum. */
+  private val session: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "6 hours").as("w"), col("user_id"))
+      .agg(count("*").as("n_events"), valSum.as("val_sum"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"),
+        unix_millis(col("w.end")).as("session_end_ms"),
+        col("n_events"), col("val_sum"))
+      .orderBy("user_id", "session_start_ms")
+  private val sessionSql =
+    s"""WITH marked AS (
+  SELECT user_id, ts, value,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              <= INTERVAL 6 HOUR THEN 0 ELSE 1 END AS new_session
+  FROM events
+), islands AS (
+  SELECT user_id, ts, value,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, new_session
+      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, epoch_ms(date_trunc('milliseconds', min(ts))) AS session_start_ms,
+  epoch_ms(date_trunc('milliseconds', max(ts) + INTERVAL 6 HOUR)) AS session_end_ms,
+  count(*) AS n_events, $ValSumSql AS val_sum
+FROM islands GROUP BY user_id, sid
+ORDER BY user_id, session_start_ms"""
+
+  // -------------------------------------------------------- heavy users
+  /** Heavy hitters: top-3 users per event_type by event count (count
+    * desc, user asc tie-break) — partial-agg + tiny per-group window. */
+  private val topkUsers: Q = (s, d) => {
+    val counts = Tables.events(s, d)
+      .groupBy("event_type", "user_id").agg(count("*").as("n_events"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("n_events").desc, col("user_id"))
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy("event_type", "rank")
+  }
+  private val topkUsersSql =
+    """SELECT event_type, user_id, count(*) AS n_events,
+  CAST(row_number() OVER w AS INT) AS rank
+FROM events GROUP BY event_type, user_id
+WINDOW w AS (PARTITION BY event_type ORDER BY count(*) DESC, user_id)
+QUALIFY row_number() OVER w <= 3
+ORDER BY event_type, rank"""
+
+  val queries: Map[String, Q] = Map(
+    "events_tumbling" -> tumbling,
+    "events_sliding" -> sliding,
+    "events_session" -> session,
+    "events_topk_users" -> topkUsers)
+
+  val oracle: Map[String, String] = Map(
+    "events_tumbling" -> tumblingSql,
+    "events_sliding" -> slidingSql,
+    "events_session" -> sessionSql,
+    "events_topk_users" -> topkUsersSql)
+}

@@ -1,0 +1,246 @@
+package graft.pipeline
+
+import graft.Tables
+import graft.oracle.OraclePipeline
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` (north-star LLM-pipeline
+  * requirements): language-ID heuristic, quality scoring, token
+  * counting, winnowing fingerprints, per-language profiling.
+  *
+  * Everything is a Catalyst column expression (no UDFs): tokenization is
+  * `split`, scoring is higher-order array functions, ranking is a
+  * window. All single-pass over the scan + one shuffle where a groupBy
+  * is semantically required.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Tiny public stopword lists (top function words per language). */
+  val Stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "zu", "den", "von", "ist", "mit", "nicht"),
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "a", "that", "for", "it"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un", "es", "se", "no"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "不", "人", "这", "中"))
+
+  private def toks: Column = split(lower(col("text")), " ")
+  private def swHits(sw: Seq[String]): Column =
+    size(filter(toks, t => array_contains(typedlit(sw), t)))
+
+  private def swListSql(sw: Seq[String]): String =
+    sw.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val ToksSql = "string_split(lower(text), ' ')"
+  private def swHitsSql(sw: Seq[String]): String =
+    s"len(list_filter($ToksSql, t -> list_contains(${swListSql(sw)}, t)))"
+
+  // -------------------------------------------------------------- langid
+  /** Stopword-vote language ID: score text against each language's
+    * stopword list, argmax with (score desc, lang asc) tie-break;
+    * all-zero votes → 'und'. */
+  private val langid: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val scored = docs.select(col("doc_id"), col("lang").as("actual_lang"),
+      explode(array(Stopwords.map { case (l, sw) =>
+        struct(lit(l).as("cand_lang"), swHits(sw).cast("long").as("score"))
+      }: _*)).as("cs"))
+      .select(col("doc_id"), col("actual_lang"),
+        col("cs.cand_lang").as("cand_lang"), col("cs.score").as("score"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("cand_lang"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"),
+        when(col("score") > 0, col("cand_lang")).otherwise(lit("und"))
+          .as("predicted_lang"),
+        col("score"), col("actual_lang"))
+      .orderBy("doc_id")
+  }
+  private val langidSql = {
+    val structs = Stopwords.map { case (l, sw) =>
+      s"{'cand_lang': '$l', 'score': CAST(${swHitsSql(sw)} AS BIGINT)}"
+    }.mkString(",\n    ")
+    s"""WITH scored AS (
+  SELECT doc_id, lang AS actual_lang, cs.cand_lang AS cand_lang, cs.score AS score
+  FROM documents, unnest([
+    $structs]) AS t(cs)
+)
+SELECT doc_id,
+  CASE WHEN score > 0 THEN cand_lang ELSE 'und' END AS predicted_lang,
+  score, actual_lang
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) = 1
+ORDER BY doc_id"""
+  }
+
+  // ------------------------------------------------------------- quality
+  /** Per-document quality signals: token counts, average token length,
+    * stopword ratio (en), type-token ratio, and a composite score. */
+  private val quality: Q = (s, d) => {
+    val en = Stopwords.toMap.apply("en")
+    val nTok = size(toks).cast("long")
+    val avgTokLen =
+      aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
+        .cast("double") / nTok
+    val swRatio = swHits(en).cast("double") / nTok
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val score = round(
+      lit(0.3) * least(lit(1.0), nTok.cast("double") / 100.0) +
+        lit(0.4) * (lit(1.0) - swRatio) + lit(0.3) * ttr, 6)
+    Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+      nTok.as("n_tokens"), round(avgTokLen, 6).as("avg_token_len"),
+      round(swRatio, 6).as("stopword_ratio"), round(ttr, 6).as("type_token_ratio"),
+      score.as("quality_score"))
+      .orderBy("doc_id")
+  }
+  private val qualitySql = {
+    val en = swListSql(Stopwords.toMap.apply("en"))
+    s"""SELECT doc_id, n_chars,
+  CAST(len($ToksSql) AS BIGINT) AS n_tokens,
+  round(CAST(list_sum(list_transform($ToksSql, t -> CAST(length(t) AS BIGINT))) AS DOUBLE)
+        / len($ToksSql), 6) AS avg_token_len,
+  round(CAST(len(list_filter($ToksSql, t -> list_contains($en, t))) AS DOUBLE)
+        / len($ToksSql), 6) AS stopword_ratio,
+  round(CAST(len(list_distinct($ToksSql)) AS DOUBLE) / len($ToksSql), 6) AS type_token_ratio,
+  round(0.3 * least(1.0, CAST(len($ToksSql) AS DOUBLE) / 100.0)
+      + 0.4 * (1.0 - CAST(len(list_filter($ToksSql, t -> list_contains($en, t))) AS DOUBLE)
+                     / len($ToksSql))
+      + 0.3 * CAST(len(list_distinct($ToksSql)) AS DOUBLE) / len($ToksSql), 6) AS quality_score
+FROM documents ORDER BY doc_id"""
+  }
+
+  // -------------------------------------------------------------- tokens
+  /** Token counting: whitespace tokens, BPE-ish regex tokens
+    * ([a-z]+ | digit runs | single punct), distinct and hapax counts. */
+  private val tokens: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tokCounts = docs
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .groupBy("doc_id", "tok").agg(count("*").as("cnt"))
+      .groupBy("doc_id").agg(
+        count("*").as("distinct_tokens"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax_tokens"))
+    docs.select(col("doc_id"), size(toks).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("re_tokens"))
+      .join(tokCounts, "doc_id")
+      .orderBy("doc_id")
+  }
+  private val tokensSql =
+    s"""WITH tc AS (
+  SELECT doc_id, t.tok, count(*) AS cnt
+  FROM documents, unnest($ToksSql) AS t(tok)
+  GROUP BY doc_id, t.tok
+), agg AS (
+  SELECT doc_id, count(*) AS distinct_tokens,
+    CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_tokens
+  FROM tc GROUP BY doc_id
+)
+SELECT d.doc_id, CAST(len($ToksSql) AS BIGINT) AS ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens,
+  a.distinct_tokens, a.hapax_tokens
+FROM documents d JOIN agg a ON d.doc_id = a.doc_id
+ORDER BY d.doc_id"""
+
+  // --------------------------------------------------------- fingerprint
+  /** Winnowing fingerprint (MOSS-style): 60-bit hashes of token
+    * 4-grams, min per sliding window of 4, distinct + sorted → md5.
+    * The per-doc fingerprint set that plagiarism/near-dup pipelines
+    * index at scale. */
+  private val fingerprint: Q = (s, d) => {
+    val g = when(size(toks) < 4, array().cast("array<bigint>")).otherwise(
+      transform(sequence(lit(1), size(toks) - 3), i =>
+        DupCorpus.h60(concat_ws(" ",
+          element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2), element_at(toks, i + 3)))))
+    Tables.documents(s, d)
+      .select(col("doc_id"), g.as("g"))
+      .select(col("doc_id"),
+        when(size(col("g")) < 4, array().cast("array<bigint>")).otherwise(
+          transform(sequence(lit(1), size(col("g")) - 3),
+            j => array_min(slice(col("g"), j, lit(4))))).as("wins"))
+      .select(col("doc_id"),
+        size(array_distinct(col("wins"))).cast("long").as("n_fingerprints"),
+        md5(array_join(transform(sort_array(array_distinct(col("wins"))),
+          x => x.cast("string")), ",")).as("fp_md5"))
+      .orderBy("doc_id")
+  }
+  private val fingerprintSql = {
+    val t = ToksSql
+    val gram = s"$t[i] || ' ' || $t[i+1] || ' ' || $t[i+2] || ' ' || $t[i+3]"
+    s"""WITH grams AS (
+  SELECT doc_id,
+    CASE WHEN len($t) < 4 THEN CAST([] AS BIGINT[])
+         ELSE list_transform(range(1, len($t) - 2), i -> ${OraclePipeline.h60Sql(gram)})
+    END AS g
+  FROM documents
+), wins AS (
+  SELECT doc_id,
+    CASE WHEN len(g) < 4 THEN CAST([] AS BIGINT[])
+         ELSE list_transform(range(1, len(g) - 2), j -> list_min(list_slice(g, j, j + 3)))
+    END AS w
+  FROM grams
+)
+SELECT doc_id, CAST(len(list_distinct(w)) AS BIGINT) AS n_fingerprints,
+  md5(array_to_string(list_transform(list_sort(list_distinct(w)), x -> CAST(x AS VARCHAR)), ',')) AS fp_md5
+FROM wins ORDER BY doc_id"""
+  }
+
+  // ------------------------------------------------------------- profile
+  /** Per-(lang, source) corpus profile: doc count, char totals, exact
+    * distinct-token cardinality. The exact count(DISTINCT) is the oracle
+    * contract at sf0.01; `profileApprox` below is the HLL variant used
+    * at 100 TB (one pass, mergeable sketches, no token shuffle). */
+  private val profile: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("lang"), col("source"), explode(toks).as("tok"))
+      .groupBy("lang", "source").agg(countDistinct("tok").as("distinct_tokens"))
+    docs.groupBy("lang", "source").agg(
+      count("*").as("n_docs"),
+      sum("n_chars").as("total_chars"),
+      round(sum("n_chars").cast("double") / count("*"), 6).as("avg_chars"))
+      .join(tok, Seq("lang", "source"))
+      .orderBy("lang", "source")
+  }
+  private val profileSql =
+    s"""WITH tok AS (
+  SELECT lang, source, count(DISTINCT t.tok) AS distinct_tokens
+  FROM documents, unnest($ToksSql) AS t(tok)
+  GROUP BY lang, source
+), agg AS (
+  SELECT lang, source, count(*) AS n_docs,
+    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+    round(CAST(sum(n_chars) AS DOUBLE) / count(*), 6) AS avg_chars
+  FROM documents GROUP BY lang, source
+)
+SELECT a.lang, a.source, a.n_docs, a.total_chars, a.avg_chars, t.distinct_tokens
+FROM agg a JOIN tok t ON a.lang = t.lang AND a.source = t.source
+ORDER BY a.lang, a.source"""
+
+  /** HLL variant of `profile` — approx_count_distinct sketches, the
+    * 100 TB path (no oracle: approximate by construction → driver
+    * rows-only check). */
+  private val profileApprox: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), col("source"), explode(toks).as("tok"))
+      .groupBy("lang", "source")
+      .agg(approx_count_distinct("tok", 0.02).as("approx_distinct_tokens"))
+      .orderBy("lang", "source")
+
+  val queries: Map[String, Q] = Map(
+    "text_langid" -> langid,
+    "text_quality" -> quality,
+    "text_tokens" -> tokens,
+    "text_fingerprint" -> fingerprint,
+    "text_profile" -> profile,
+    "text_profile_approx" -> profileApprox)
+
+  val oracle: Map[String, String] = Map(
+    "text_langid" -> langidSql,
+    "text_quality" -> qualitySql,
+    "text_tokens" -> tokensSql,
+    "text_fingerprint" -> fingerprintSql,
+    "text_profile" -> profileSql)
+}
