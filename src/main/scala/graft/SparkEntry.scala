@@ -13,7 +13,8 @@ object SparkEntry {
       graft.pipeline.DedupQueries.queries ++
       graft.pipeline.SimilarityQueries.queries ++
       graft.pipeline.TextQueries.queries ++
-      graft.pipeline.EventQueries.queries
+      graft.pipeline.EventQueries.queries ++
+      graft.pipeline.BlockQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -21,5 +22,6 @@ object SparkEntry {
       graft.pipeline.DedupQueries.oracle ++
       graft.pipeline.SimilarityQueries.oracle ++
       graft.pipeline.TextQueries.oracle ++
-      graft.pipeline.EventQueries.oracle
+      graft.pipeline.EventQueries.oracle ++
+      graft.pipeline.BlockQueries.oracle
 }
