@@ -1,0 +1,93 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (north-star requirement): image/audio/
+  * video as opaque BinaryType columns with typed metadata, features
+  * derived without ever shuffling the payload wider than needed.
+  *
+  * The container has no image/audio codecs, so the DECODE step is a
+  * deterministic stub (clearly marked below); everything around it —
+  * the binary column, schema, per-batch iteration shape, feature
+  * extraction — is real Spark and tested. At scale the stub body is
+  * replaced by a real codec call inside the same mapPartitions batch
+  * loop (or a Python mapInPandas worker); the plan shape is identical.
+  */
+object MultimodalQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Typed record for the decode path: payload + sidecar metadata. */
+  case class MediaRow(doc_id: Long, content: Array[Byte], media_type: String)
+  case class DecodedRow(doc_id: Long, media_type: String,
+                        width: Int, height: Int, n_frames: Int, feat_mean: Double)
+
+  /** Columnar feature extraction over the binary payload — everything
+    * Catalyst: byte length, content hash, magic bytes, a payload slice,
+    * and scalar fake-embedding features (md5-derived, unit-scaled). */
+  private val features: Q = (s, d) => {
+    val bin = encode(col("text"), "UTF-8")
+    def feat(i: Int) = round(
+      DupCorpus.h60(concat(col("text"), lit(s":$i"))) /
+        lit(1152921504606846976.0), 6)  // / 2^60 → [0,1)
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      length(bin).as("byte_len"),
+      md5(bin).as("content_md5"),
+      upper(hex(substring(bin, 1, 4))).as("magic_hex"),
+      upper(hex(substring(bin, 9, 8))).as("frame_sample_hex"),
+      (lit(64) + (col("doc_id") % 16) * 8).cast("int").as("width"),
+      (lit(64) + (col("doc_id") % 9) * 16).cast("int").as("height"),
+      feat(0).as("feat0"), feat(1).as("feat1"))
+      .orderBy("doc_id")
+  }
+  private val featuresSql = {
+    def featSql(i: Int) =
+      s"round(${graft.oracle.OraclePipeline.h60Sql(s"text || ':$i'")} / 1152921504606846976.0, 6)"
+    s"""SELECT doc_id,
+  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+  md5(text) AS content_md5,
+  upper(hex(encode(substring(text, 1, 4)))) AS magic_hex,
+  upper(hex(encode(substring(text, 9, 8)))) AS frame_sample_hex,
+  CAST(64 + (doc_id % 16) * 8 AS INT) AS width,
+  CAST(64 + (doc_id % 9) * 16 AS INT) AS height,
+  ${featSql(0)} AS feat0, ${featSql(1)} AS feat1
+FROM documents ORDER BY doc_id"""
+  }
+
+  /** The decode path: mapPartitions over typed rows, batch-shaped like a
+    * codec worker (one iterator pass per partition, no driver collect).
+    * DECODE IS A DETERMINISTIC STUB — no codec libs in this container;
+    * the "decoded" dimensions/frames are pure functions of the payload
+    * so the plumbing is testable. Rows-only driver check (no SQL
+    * oracle: the stub models an external codec, not a relational op). */
+  private val decodeStub: Q = (s, d) => {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("content"),
+      when(col("doc_id") % 3 === 0, "image/png")
+        .when(col("doc_id") % 3 === 1, "audio/wav")
+        .otherwise("video/mp4").as("media_type"))
+      .as[MediaRow]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        // --- stub decode: replace with a real codec at deployment ---
+        val b0 = if (r.content.nonEmpty) r.content(0) & 0xff else 0
+        val b1 = if (r.content.length > 1) r.content(1) & 0xff else 0
+        DecodedRow(r.doc_id, r.media_type,
+          width = 16 + b0 % 64, height = 16 + b1 % 64,
+          n_frames = if (r.media_type == "video/mp4") 1 + (r.content.length % 30) else 1,
+          feat_mean = (r.content.take(64).map(_ & 0xff).sum: Int) / 64.0)
+      }
+    }.toDF().orderBy("doc_id")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "multimodal_features" -> features,
+    "multimodal_decode_stub" -> decodeStub)
+
+  val oracle: Map[String, String] = Map(
+    "multimodal_features" -> featuresSql)
+}

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** S1/K4 — the streaming entry (SURVEY.md §2.1 S1, §2.8 K4).
+  *
+  * The reference's production path is a Kafka micro-batch loop:
+  * getmany(timeout_ms=1000, max_records=10) → validate JSON →
+  * per-type workflows → Dynamo merge (kafka_event_controller.py:57-81).
+  * Here that is a Structured Streaming query: source → from_json →
+  * foreachBatch{ batch merge }. The batch functions are the SAME code
+  * the batch path uses; checkpointing + an idempotent merge upgrade the
+  * reference's at-most-once delivery to effectively-exactly-once
+  * (SURVEY.md §2.10) — replaying a batch leaves the store unchanged,
+  * which also neutralizes the reference's double-execute defect (O3).
+  */
+object StreamingEtl {
+
+  /** ProcessDocumentRequest (camelCase wire aliases —
+    * process_document.py:5-12). */
+  val requestSchema: StructType = StructType(Seq(
+    StructField("recordId", StringType),
+    StructField("parentId", StringType),
+    StructField("sessionId", StringType),
+    StructField("documentType", StringType),
+    StructField("key", StringType)))
+
+  /** S1 decode/validate: raw JSON value column → typed request columns.
+    * Invalid JSON → null columns, diverted to quarantine by the caller
+    * (the reference logs-and-skips, kafka_event_controller.py:121-124). */
+  def parseRequests(raw: DataFrame): DataFrame =
+    raw.select(from_json(col("value").cast("string"), requestSchema).as("r"))
+      .select(
+        col("r.recordId").as("record_id"),
+        col("r.parentId").as("parent_id"),
+        col("r.sessionId").as("session_id"),
+        col("r.documentType").as("document_type"),
+        col("r.key"))
+
+  /** K2 merge, kv representation: last-writer-wins upsert of `updates`
+    * (id, mkey, mvalue) into `store` — pure function used by both batch
+    * and foreachBatch. Deterministic and idempotent: applying the same
+    * updates twice yields the same store. */
+  def mergeKv(store: DataFrame, updates: DataFrame): DataFrame =
+    store.select(col("id"), col("mkey"), col("mvalue"), lit(0).as("pri"))
+      .unionAll(updates.select(col("id"), col("mkey"), col("mvalue"), lit(1).as("pri")))
+      .groupBy("id", "mkey")
+      .agg(max_by(col("mvalue"), col("pri")).as("mvalue"))
+
+  /** Parquet-backed metadata store with merge-overwrite semantics (the
+    * no-lakehouse K2 plan, SURVEY.md §7.4 risk 1). */
+  final class ParquetMetadataStore(spark: SparkSession, path: String) {
+    def read(): DataFrame = {
+      val dir = new java.io.File(path)
+      if (dir.exists && dir.listFiles != null && dir.listFiles.nonEmpty)
+        spark.read.parquet(path)
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("id", StringType),
+          StructField("mkey", StringType), StructField("mvalue", StringType))))
+    }
+    def merge(updates: DataFrame): Unit = {
+      val merged = mergeKv(read(), updates)
+      // rewrite via a temp dir: the source scan reads the same files the
+      // sink replaces (at scale: partition-scoped dynamic overwrite)
+      val tmp = path + ".tmp"
+      merged.write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    }
+  }
+
+  /** The streaming wrapper: request stream → parse → per-batch typed
+    * extraction updates → idempotent merge. `maxRecords`/trigger mirror
+    * the reference's getmany(1000 ms, ≤10). */
+  def runStream(spark: SparkSession, raw: DataFrame,
+                store: ParquetMetadataStore, checkpoint: String): StreamingQuery =
+    parseRequests(raw).writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime("1 second"))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val updates = batch
+          .filter(col("record_id").isNotNull)
+          .select(concat(lit("item-"), col("record_id")).as("id"),
+            explode(map(
+              lit("document_type"), col("document_type"),
+              lit("key"), col("key"),
+              lit("session_id"), col("session_id"))).as(Seq("mkey", "mvalue")))
+        store.merge(updates)
+        ()
+      }
+      .start()
+}
