@@ -15,6 +15,7 @@ object SparkEntry {
     * text_*, events_*, ...). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.EtlQueries.queries ++
+      graft.queries.SinkQueries.queries ++
       graft.pipeline.DedupQueries.queries ++
       graft.pipeline.SimilarityQueries.queries ++
       graft.pipeline.TextQueries.queries ++
@@ -25,6 +26,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.EtlQueries.oracle ++
+      graft.queries.SinkQueries.oracle ++
       graft.pipeline.DedupQueries.oracle ++
       graft.pipeline.SimilarityQueries.oracle ++
       graft.pipeline.TextQueries.oracle ++
