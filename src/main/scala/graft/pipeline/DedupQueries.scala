@@ -2,6 +2,7 @@ package graft.pipeline
 
 import graft.oracle.OraclePipeline._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` table (north-star
@@ -15,6 +16,25 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
+
+  /** Distinct word-3-gram shingles per doc, built relationally
+    * (posexplode + window lead): every operator here is whole-stage
+    * codegen'd. The equivalent transform(sequence(...)) lambda is a
+    * higher-order function, which Spark always interprets — and the
+    * interpreter re-evaluates the split() subtree per element (measured
+    * 10×+ slower on the bench). */
+  private def shingleRows(corpus: DataFrame): DataFrame = {
+    val toks = corpus.select(col("doc_id"),
+      posexplode(split(lower(col("text")), " ")).as(Seq("idx", "tok")))
+    val w = Window.partitionBy("doc_id").orderBy("idx")
+    toks
+      .withColumn("t1", lead("tok", 1).over(w))
+      .withColumn("t2", lead("tok", 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
+      .distinct()
+  }
 
   // ---------------------------------------------------------------- exact
   /** Exact dedup: hash-groupBy on md5(text), keep min doc_id. One
@@ -36,9 +56,7 @@ FROM dup GROUP BY md5(text) ORDER BY keeper_doc_id"""
     * (band_idx, k1, k2) — pairs never materialize beyond LSH collisions,
     * which is the property that survives 100 TB. */
   private val minhash: Q = (s, d) => {
-    val sh = DupCorpus.corpus(s, d)
-      .select(col("doc_id"), explode(DupCorpus.shingles(col("text"))).as("shingle"))
-      .distinct()
+    val sh = shingleRows(DupCorpus.corpus(s, d))
     val minAggs = (0 to 7).map(i =>
       min(DupCorpus.h60Seeded(i, col("shingle"))).as(s"m$i"))
     val sig = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
@@ -180,9 +198,7 @@ ORDER BY doc_a, doc_b"""
         col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_b_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_b_id").as("doc_b"))
-    val sh = corpus
-      .select(col("doc_id"), explode(DupCorpus.shingles(col("text"))).as("shingle"))
-      .distinct()
+    val sh = shingleRows(corpus)
     val nsh = sh.groupBy("doc_id").agg(count("*").as("n"))
     val inter = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))

@@ -39,13 +39,4 @@ object DupCorpus {
     docs.unionAll(exactDup).unionAll(nearDup)
   }
 
-  /** Word 3-gram shingles of lower(text), position order preserved.
-    * Docs with fewer than 3 tokens yield an empty array. */
-  def shingles(text: Column): Column = {
-    val toks = split(lower(text), " ")
-    when(size(toks) < 3, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ",
-          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-  }
 }

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.Tables
+import graft.functions.VectorExpressions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -21,15 +22,19 @@ import org.apache.spark.sql.functions._
 object SimilarityQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Left-fold dot product in double — mirrors DuckDB list_dot_product. */
+  /** Sequential left-fold dot product in double — the custom codegen'd
+    * graft_dot expression (bit-identical to DuckDB list_dot_product;
+    * see graft.functions.DotProduct for why not aggregate/zip_with). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    call_function("graft_dot", a, b)
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
-  private def embDouble(s: SparkSession, d: String): DataFrame =
+  private def embDouble(s: SparkSession, d: String): DataFrame = {
+    VectorExpressions.register(s)
     Tables.embeddings(s, d).select(col("vec_id"), col("label"),
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+      col("embedding").cast("array<double>").as("v"))
+  }
 
   /** Brute-force cosine top-k=5 for queries vec_id < 10: the exact
     * baseline every ANN variant is measured against. */
