@@ -21,6 +21,14 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing with a parallelism floor: unbounded coalescing
+      // collapses byte-small-but-compute-heavy shuffles (hash fan-outs,
+      // candidate joins) to 1 partition and serializes them; with no
+      // coalescing every tiny stage pays 32-task scheduling overhead.
+      // On a real 100 TB input byte sizes are honest and the floor is
+      // irrelevant.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
+        math.max(4, cpus.toInt / 4).toString)
       // 30+ distinct query plans overflow the default 100-entry codegen
       // cache: the timed pass would recompile what the warmup compiled.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
@@ -28,13 +36,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
-    qs.foreach { case (_, fn) =>
+    qs.foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      System.err.println(f"[bench-warm] $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
     val results = qs.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name $dt%.1fs")
+      name -> dt
     }
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

