@@ -88,5 +88,14 @@ object Corpus {
         when(col("route") === "tasaciones", tasacionBody)
           .when(col("route") === "inscripciones", array_join(col("pages"), "\n\n"))
           .otherwise(polizaBody))
+      // Cache (MB-scale): every ETL query references this corpus 2-6
+      // times, and its synthesis tree is large — cached, downstream
+      // plans analyze/optimize against a small InMemoryRelation instead
+      // of re-canonicalizing the whole concat tree per reference (that
+      // driver-side tree work, not execution, dominated the bench).
+      // CacheManager dedupes by canonical plan across queries; the
+      // repartition pins full parallelism for the cached copy.
+      .repartition(col("doc_id"))
+      .cache()
   }
 }

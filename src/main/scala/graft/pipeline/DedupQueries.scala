@@ -62,11 +62,16 @@ object DedupQueries {
       .select(col("doc_id"),
         concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
       .distinct()
-      // the shingle relation is read 3-4x per query (signatures, sizes,
-      // inverted-index self-join) and by both minhash and ngram_jaccard:
-      // cache it (KB-scale here; at 100 TB materialize to a table).
+      // the shingle relation is read 3-4x per query (signatures,
+      // sketches) and by both minhash and ngram_jaccard: cache it
+      // (KB/MB-scale here; at 100 TB materialize to a table).
       // CacheManager dedupes by canonical plan, so repeated calls share
-      // one cached copy per sfDir.
+      // one cached copy per sfDir. Repartition FIRST: the cache
+      // preserves whatever partitioning it was materialized with, and
+      // AQE coalesces byte-small shuffles to 1-2 partitions — which
+      // would serialize every downstream pass (the 8-hash signature
+      // scan flapped 16-54 s until pinned).
+      .repartition(col("doc_id"))
       .cache()
   }
 
@@ -160,9 +165,14 @@ ORDER BY doc_a, doc_b"""
       sum(expr(s"(h div ${1L << j}L) % 2")).as(s"s$j"))
     val votes = toks.groupBy("doc_id")
       .agg(count("*").as("n"), bitSums: _*)
-    val fpExpr = (0 to 59).map(j =>
-      when(col(s"s$j") * 2 > col("n"), lit(1L << j)).otherwise(0L))
-      .reduce(_ + _)
+    // balanced + tree (depth 6, not a 60-deep left fold): deep
+    // expression chains inflate driver-side canonicalization/optimizer
+    // passes out of proportion to the actual arithmetic
+    def balancedSum(cols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column =
+      if (cols.size == 1) cols.head
+      else balancedSum(cols.grouped(2).map(g => g.reduce(_ + _)).toSeq)
+    val fpExpr = balancedSum((0 to 59).map(j =>
+      when(col(s"s$j") * 2 > col("n"), lit(1L << j)).otherwise(0L)))
     val fp = votes.select(col("doc_id"), fpExpr.as("fp"))
       // one row per doc; both sides of the chunk self-join read it —
       // cache so the vote pipeline runs once

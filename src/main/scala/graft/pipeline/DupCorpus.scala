@@ -38,7 +38,10 @@ object DupCorpus {
       .withColumn("doc_id", col("doc_id") + 20000)
     docs.unionAll(exactDup).unionAll(nearDup)
       // MB-scale; referenced by every dedup query and several times
-      // within one (canonical-plan cache dedupe applies)
+      // within one (canonical-plan cache dedupe applies). Repartition
+      // so the cached copy keeps full parallelism for the explode-heavy
+      // consumers (see DedupQueries.shingleRows note).
+      .repartition(col("doc_id"))
       .cache()
   }
 
