@@ -14,7 +14,15 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    // Single-file tables scan as ONE task, and Catalyst evaluates
+    // scan-stage projections/filters inside that task — any
+    // compute-heavy query over a small table would single-thread its
+    // hottest stage (measured: random 30-90 s stalls). An explicit
+    // repartition count keeps full parallelism (AQE may not undo a
+    // numbered repartition); at 100 TB inputs span many files and the
+    // extra exchange is noise.
     spark.read.parquet(s"$sfDir/$name.parquet")
+      .repartition(spark.sessionState.conf.numShufflePartitions)
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")

@@ -95,7 +95,7 @@ object Corpus {
       // driver-side tree work, not execution, dominated the bench).
       // CacheManager dedupes by canonical plan across queries; the
       // repartition pins full parallelism for the cached copy.
-      .repartition(col("doc_id"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
       .cache()
   }
 }

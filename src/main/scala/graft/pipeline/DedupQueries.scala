@@ -71,7 +71,7 @@ object DedupQueries {
       // AQE coalesces byte-small shuffles to 1-2 partitions — which
       // would serialize every downstream pass (the 8-hash signature
       // scan flapped 16-54 s until pinned).
-      .repartition(col("doc_id"))
+      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions, col("doc_id"))
       .cache()
   }
 

@@ -41,7 +41,7 @@ object DupCorpus {
       // within one (canonical-plan cache dedupe applies). Repartition
       // so the cached copy keeps full parallelism for the explode-heavy
       // consumers (see DedupQueries.shingleRows note).
-      .repartition(col("doc_id"))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
       .cache()
   }
 
