@@ -15,6 +15,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // same session tuning as Bench (see comments there): parallelism
+      // floor for AQE coalescing + room for 30+ plans' codegen classes
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
+        math.max(4, cpus.toInt / 4).toString)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
