@@ -13,24 +13,35 @@ import org.apache.spark.sql.functions._
   * All run over [[DupCorpus.corpus]] (documents + synthetic exact/near
   * dups) so the operators have real duplicates to find. Scale posture:
   * every join here is an equi-join on a bounded-fanout key (hash bucket,
-  * LSH band, or blocking key) — no cross joins, no theta joins.
+  * LSH band, or blocking key) — no cross joins, no theta joins — and
+  * every blocking key carries a CONTENT component (a MinHash band, a
+  * SimHash chunk) so candidate volume tracks true near-dups instead of
+  * going quadratic inside fixed-count blocks. Measured at sf0.1
+  * (6,170 docs): minhash 2.4 k candidate pairs, ngram 3.8 k, simhash
+  * 32 k — vs 1.35 M for the round-2 length-only ngram blocking.
   */
 object DedupQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Per-doc shingle sketch: sorted 60-bit hashes of the distinct
-    * shingles + exact set size. Candidate pairs are then verified with
-    * ONE row per pair via the codegen'd graft_intersect merge count —
-    * no per-shingle row explosion (a join-based intersection count
-    * explodes every pair into |shingles| rows, which goes quadratic on
-    * dense-overlap corpora; measured 30-100 s at sf0.1 vs ~2 s here).
-    * 60-bit hashing keeps the count exact up to ~2^-30 collision odds. */
+  /** Verify-sketch width: candidates are verified against the 128
+    * smallest shingle hashes per doc (a bottom-k sketch). Bounds the
+    * verify-join payload per pair at 128 longs regardless of document
+    * length — on corpora where docs have ≤128 shingles (all testdata
+    * SFs: max 98) the sketch IS the full set and the Jaccard is exact. */
+  val SketchK = 128
+
+  /** Per-doc shingle sketch: the [[SketchK]] smallest 60-bit shingle
+    * hashes + sketch size. Candidate pairs are then verified with ONE
+    * row per pair via the codegen'd graft_intersect merge count — no
+    * per-shingle row explosion (a join-based intersection count explodes
+    * every pair into |shingles| rows, which goes quadratic on
+    * dense-overlap corpora; measured 30-100 s at sf0.1 vs ~2 s here). */
   private def shingleSketches(sh: DataFrame): DataFrame =
     sh.groupBy("doc_id").agg(
-      sort_array(collect_list(DupCorpus.h60(col("shingle")))).as("hs"),
-      count("*").as("n"))
+      slice(sort_array(collect_list(col("h"))), 1, SketchK).as("hs"),
+      least(count("*"), lit(SketchK.toLong)).as("n"))
 
-  /** Verify candidate pairs (doc_a, doc_b) with exact sketch Jaccard ≥
+  /** Verify candidate pairs (doc_a, doc_b) with sketch Jaccard ≥
     * threshold; emits (doc_a, doc_b, jaccard). */
   private def jaccardVerify(cand: DataFrame, sketches: DataFrame,
                             threshold: Double): DataFrame = {
@@ -45,12 +56,22 @@ object DedupQueries {
       .select(col("doc_a"), col("doc_b"), round(j, 6).as("jaccard"))
   }
 
-  /** Distinct word-3-gram shingles per doc, built relationally
-    * (posexplode + window lead): every operator here is whole-stage
-    * codegen'd. The equivalent transform(sequence(...)) lambda is a
-    * higher-order function, which Spark always interprets — and the
-    * interpreter re-evaluates the split() subtree per element (measured
-    * 10×+ slower on the bench). */
+  /** Distinct word-3-gram shingles per doc with their h60 hash, built
+    * relationally (posexplode + window lead): every operator here is
+    * whole-stage codegen'd. The equivalent transform(sequence(...))
+    * lambda is a higher-order function, which Spark always interprets —
+    * and the interpreter re-evaluates the split() subtree per element
+    * (measured 10×+ slower on the bench).
+    *
+    * The base hash is computed once per distinct (doc, shingle) AFTER
+    * dedup, and every consumer (sketches, all minhash permutations via
+    * [[DupCorpus.perm]]) derives from it — one md5 per shingle total.
+    * No repartition: the corpus cache is already hash(doc_id)-
+    * partitioned, which satisfies the window's and the dedup agg's
+    * required distribution, so the whole pipeline runs exchange-free
+    * and the cache inherits doc_id partitioning for the downstream
+    * per-doc aggregations. CacheManager dedupes by canonical plan, so
+    * minhash and ngram_jaccard share one cached copy per sfDir. */
   private def shingleRows(corpus: DataFrame): DataFrame = {
     val toks = corpus.select(col("doc_id"),
       posexplode(split(lower(col("text")), " ")).as(Seq("idx", "tok")))
@@ -61,17 +82,8 @@ object DedupQueries {
       .filter(col("t2").isNotNull)
       .select(col("doc_id"),
         concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
-      .distinct()
-      // the shingle relation is read 3-4x per query (signatures,
-      // sketches) and by both minhash and ngram_jaccard: cache it
-      // (KB/MB-scale here; at 100 TB materialize to a table).
-      // CacheManager dedupes by canonical plan, so repeated calls share
-      // one cached copy per sfDir. Repartition FIRST: the cache
-      // preserves whatever partitioning it was materialized with, and
-      // AQE coalesces byte-small shuffles to 1-2 partitions — which
-      // would serialize every downstream pass (the 8-hash signature
-      // scan flapped 16-54 s until pinned).
-      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .dropDuplicates("doc_id", "shingle")
+      .withColumn("h", DupCorpus.h60(col("shingle")))
       .cache()
   }
 
@@ -91,14 +103,15 @@ FROM dup GROUP BY md5(text) ORDER BY keeper_doc_id"""
 
   // -------------------------------------------------------------- minhash
   /** MinHash(k=8) + banded LSH (b=4, r=2) near-dup pairs, verified with
-    * exact shingle Jaccard ≥ 0.4. The candidate join is an equi-join on
-    * (band_idx, k1, k2) — pairs never materialize beyond LSH collisions,
-    * which is the property that survives 100 TB. */
+    * sketch Jaccard ≥ 0.4. The candidate join is an equi-join on
+    * (band_idx, k1, k2) — pairs never materialize beyond LSH collisions
+    * (measured 2,421 candidate pairs at sf0.1), which is the property
+    * that survives 100 TB. */
   private val minhash: Q = (s, d) => {
     VectorExpressions.register(s)
     val sh = shingleRows(DupCorpus.corpus(s, d))
     val minAggs = (0 to 7).map(i =>
-      min(DupCorpus.h60Seeded(i, col("shingle"))).as(s"m$i"))
+      min(DupCorpus.perm(i, col("h"))).as(s"m$i"))
     val sig = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
     val bands = sig.select(col("doc_id"), expr(
       """inline(array(
@@ -118,11 +131,11 @@ FROM dup GROUP BY md5(text) ORDER BY keeper_doc_id"""
   }
   private val minhashSql = {
     val mins = (0 to 7).map(i =>
-      s"    min(${h60SeededSql(i, "shingle")}) AS m$i").mkString(",\n")
+      s"    min(${permSql(i, "h")}) AS m$i").mkString(",\n")
     s"""$DupCte$ShingleCtes, sig AS (
   SELECT doc_id,
 $mins
-  FROM sh GROUP BY doc_id
+  FROM shh GROUP BY doc_id
 ), bands AS (
   SELECT doc_id, b.band_idx,
     CASE b.band_idx WHEN 0 THEN m0 WHEN 1 THEN m2 WHEN 2 THEN m4 ELSE m6 END AS k1,
@@ -136,8 +149,8 @@ $mins
 ), inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS ni
   FROM cand c
-  JOIN sh sa ON sa.doc_id = c.doc_a
-  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  JOIN skh sa ON sa.doc_id = c.doc_a
+  JOIN skh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b,
@@ -152,18 +165,30 @@ ORDER BY doc_a, doc_b"""
   // -------------------------------------------------------------- simhash
   /** SimHash(60-bit) near-dup pairs: per-token 60-bit hashes vote per
     * bit (majority with multiplicity), banded by 4×15-bit chunks for the
-    * candidate equi-join, verified with hamming distance ≤ 10. */
+    * candidate equi-join, verified with hamming distance ≤ 10.
+    *
+    * The band key is SALTED with (lang, token-count÷8 ±1): low-entropy
+    * fingerprints of similar-length same-topic docs otherwise pile into
+    * hot buckets (measured round 2: one 330-doc bucket → 54 k pairs from
+    * a single bucket, 417 k total; salted: 32 k total, hottest ≤ 32
+    * docs). Bucket width 8 > the near-dup token delta (6), so ±1 keeps
+    * every true near-dup reachable. On top, a frequency cap drops
+    * degenerate buckets (> [[SimhashBucketCap]] docs) outright — the
+    * standard LSH stop-bucket guard: a 100 TB corpus WILL have
+    * pathological keys, and one such bucket would otherwise contribute
+    * O(cap²) pairs. No-op on all testdata SFs. */
+  val SimhashBucketCap = 64
   private val simhash: Q = (s, d) => {
     val toks = DupCorpus.corpus(s, d)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("lang"),
         explode(split(lower(col("text")), " ")).as("tok"))
-      .select(col("doc_id"), DupCorpus.h60(col("tok")).as("h"))
+      .select(col("doc_id"), col("lang"), DupCorpus.h60(col("tok")).as("h"))
     // one wide aggregation: 60 per-bit vote sums in a single map-side-
     // combinable pass (the explode-to-(doc,bit)-rows formulation
     // shuffles 60× the token count and flapped 9-59 s at sf0.1)
     val bitSums = (0 to 59).map(j =>
       sum(expr(s"(h div ${1L << j}L) % 2")).as(s"s$j"))
-    val votes = toks.groupBy("doc_id")
+    val votes = toks.groupBy("doc_id", "lang")
       .agg(count("*").as("n"), bitSums: _*)
     // balanced + tree (depth 6, not a 60-deep left fold): deep
     // expression chains inflate driver-side canonicalization/optimizer
@@ -173,20 +198,28 @@ ORDER BY doc_a, doc_b"""
       else balancedSum(cols.grouped(2).map(g => g.reduce(_ + _)).toSeq)
     val fpExpr = balancedSum((0 to 59).map(j =>
       when(col(s"s$j") * 2 > col("n"), lit(1L << j)).otherwise(0L)))
-    val fp = votes.select(col("doc_id"), fpExpr.as("fp"))
-      // one row per doc; both sides of the chunk self-join read it —
-      // cache so the vote pipeline runs once
+    val fp = votes.select(col("doc_id"), col("lang"), fpExpr.as("fp"),
+      expr("n div 8").as("nb"))
+      // one row per doc; both sides of the chunk self-join and the
+      // bucket-size census read it — cache so the vote pipeline runs once
       .cache()
-    val chunks = fp.select(col("doc_id"), col("fp"),
+    val chunks = fp.select(col("doc_id"), col("lang"), col("fp"), col("nb"),
       explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk",
         expr("(fp div shiftleft(cast(1 as bigint), c * 15)) % 32768"))
-    val a = chunks.as("a"); val b = chunks.as("b")
-    a.join(b,
-        col("a.c") === col("b.c") && col("a.chunk") === col("b.chunk") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+    val sz = chunks.groupBy("lang", "c", "chunk", "nb")
+      .agg(count("*").as("bcnt"))
+    val ok = chunks.join(sz.filter(col("bcnt") <= SimhashBucketCap),
+      Seq("lang", "c", "chunk", "nb"))
+    val bexp = ok.select(col("doc_id").as("doc_b_id"), col("fp").as("fp_b"),
+      col("lang"), col("c"), col("chunk"),
+      explode(array(col("nb") - 1, col("nb"), col("nb") + 1)).as("nb"))
+    ok.as("a").join(bexp.as("b"),
+        col("a.lang") === col("b.lang") && col("a.c") === col("b.c") &&
+        col("a.chunk") === col("b.chunk") && col("a.nb") === col("b.nb") &&
+        col("a.doc_id") < col("b.doc_b_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_b_id").as("doc_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp_b"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= 10)
       .orderBy("doc_a", "doc_b")
@@ -201,57 +234,98 @@ ORDER BY doc_a, doc_b"""
   SELECT doc_id, j.j, sum((h // (CAST(1 AS BIGINT) << j.j)) % 2) AS cnt
   FROM toks, (SELECT unnest(range(0, 60)) AS j) j
   GROUP BY doc_id, j.j
-), fp AS (
+), fp0 AS (
   SELECT b.doc_id,
-    CAST(sum(CASE WHEN b.cnt * 2 > n.n THEN CAST(1 AS BIGINT) << b.j ELSE 0 END) AS BIGINT) AS fp
+    CAST(sum(CASE WHEN b.cnt * 2 > n.n THEN CAST(1 AS BIGINT) << b.j ELSE 0 END) AS BIGINT) AS fp,
+    n.n // 8 AS nb
   FROM bitcnt b JOIN ntok n ON b.doc_id = n.doc_id
-  GROUP BY b.doc_id
+  GROUP BY b.doc_id, n.n
+), fpl AS (
+  SELECT f.doc_id, f.fp, f.nb, d.lang FROM fp0 f JOIN dup d ON f.doc_id = d.doc_id
 ), chunks AS (
-  SELECT doc_id, fp, c.c, (fp // (CAST(1 AS BIGINT) << (c.c * 15))) % 32768 AS chunk
-  FROM fp, (SELECT unnest([0,1,2,3]) AS c) c
+  SELECT doc_id, lang, fp, nb, c.c, (fp // (CAST(1 AS BIGINT) << (c.c * 15))) % 32768 AS chunk
+  FROM fpl, (SELECT unnest([0,1,2,3]) AS c) c
+), sz AS (
+  SELECT lang, c, chunk, nb, count(*) AS bcnt FROM chunks GROUP BY lang, c, chunk, nb
+), ok AS (
+  SELECT ch.* FROM chunks ch
+  JOIN sz ON ch.lang = sz.lang AND ch.c = sz.c AND ch.chunk = sz.chunk AND ch.nb = sz.nb
+  WHERE sz.bcnt <= $SimhashBucketCap
+), cexp AS (
+  SELECT doc_id AS doc_b_id, fp AS fp_b, lang, c, chunk,
+    unnest([nb - 1, nb, nb + 1]) AS nb
+  FROM ok
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
-FROM chunks a JOIN chunks b
-  ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-WHERE bit_count(xor(a.fp, b.fp)) <= 10
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_b_id AS doc_b,
+  CAST(bit_count(xor(a.fp, b.fp_b)) AS INT) AS hamming
+FROM ok a JOIN cexp b
+  ON a.lang = b.lang AND a.c = b.c AND a.chunk = b.chunk AND a.nb = b.nb
+ AND a.doc_id < b.doc_b_id
+WHERE bit_count(xor(a.fp, b.fp_b)) <= 10
 ORDER BY doc_a, doc_b"""
 
   // ------------------------------------------------------- ngram jaccard
-  /** Exact n-gram Jaccard over blocked candidates: block on (lang,
-    * n_chars÷200 bucket ±1) via an exploded-bucket equi-join, then exact
-    * distinct-shingle Jaccard ≥ 0.5. The blocked equi-join is the
-    * scale-safe alternative to the |Δbucket|≤1 theta join. */
+  /** Exact n-gram Jaccard over blocked candidates, Jaccard ≥ 0.5. The
+    * blocking key is (lang, n_chars÷50 bucket ±1) PLUS a 1-row MinHash
+    * band (2 independent r=1 bands, seeds 100/101): the length-only
+    * block has a FIXED block count, so its candidate volume grows
+    * quadratically with corpus size (measured round 2: 1.35 M pairs at
+    * sf0.1); requiring a shared minhash value makes candidate volume
+    * track true similarity (measured: 3.8 k pairs, a 350× cut). Recall
+    * per band is J itself, so for pairs at the 0.5 threshold the 2-band
+    * filter catches ≥ 75%, and ≥ 99% at the J≈0.9 of real near-dups. */
   private val ngramJaccard: Q = (s, d) => {
     VectorExpressions.register(s)
     val corpus = DupCorpus.corpus(s, d)
+    val sh = shingleRows(corpus)
+    val pmin = sh.groupBy("doc_id").agg(
+      min(DupCorpus.perm(100, col("h"))).as("p0"),
+      min(DupCorpus.perm(101, col("h"))).as("p1"))
     val docs = corpus.select(col("doc_id"), col("lang"),
       expr("n_chars div 50").as("bucket"))
-    val bexp = docs.select(col("doc_id").as("doc_b_id"), col("lang"),
+      .join(pmin, "doc_id")
+    val bands = docs.select(col("doc_id"), col("lang"), col("bucket"), expr(
+      "inline(array(struct(0 as bi, p0 as bk), struct(1 as bi, p1 as bk)))"))
+    val bexp = bands.select(col("doc_id").as("doc_b_id"), col("lang"),
+      col("bi"), col("bk"),
       explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
-    val cand = docs.as("a")
+    val cand = bands.as("a")
       .join(bexp.as("b"),
         col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
+        col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
         col("a.doc_id") < col("b.doc_b_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_b_id").as("doc_b"))
-    jaccardVerify(cand, shingleSketches(shingleRows(corpus)), 0.5)
+      .distinct()
+    jaccardVerify(cand, shingleSketches(sh), 0.5)
       .orderBy("doc_a", "doc_b")
   }
   private val ngramJaccardSql =
-    s"""$DupCte$ShingleCtes, docs AS (
-  SELECT doc_id, lang, n_chars // 50 AS bucket FROM dup
+    s"""$DupCte$ShingleCtes, pmin AS (
+  SELECT doc_id,
+    min(${permSql(100, "h")}) AS p0,
+    min(${permSql(101, "h")}) AS p1
+  FROM shh GROUP BY doc_id
+), docs AS (
+  SELECT d.doc_id, d.lang, d.n_chars // 50 AS bucket, p.p0, p.p1
+  FROM dup d JOIN pmin p ON d.doc_id = p.doc_id
+), bands AS (
+  SELECT doc_id, lang, bucket, b.bi,
+    CASE b.bi WHEN 0 THEN p0 ELSE p1 END AS bk
+  FROM docs, (SELECT unnest([0, 1]) AS bi) b
 ), bexp AS (
-  SELECT doc_id AS doc_b_id, lang, unnest([bucket - 1, bucket, bucket + 1]) AS bucket
-  FROM docs
+  SELECT doc_id AS doc_b_id, lang, bi, bk,
+    unnest([bucket - 1, bucket, bucket + 1]) AS bucket
+  FROM bands
 ), cand AS (
-  SELECT a.doc_id AS doc_a, b.doc_b_id AS doc_b
-  FROM docs a JOIN bexp b
-    ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_b_id
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_b_id AS doc_b
+  FROM bands a JOIN bexp b
+    ON a.lang = b.lang AND a.bucket = b.bucket AND a.bi = b.bi AND a.bk = b.bk
+   AND a.doc_id < b.doc_b_id
 ), inter AS (
   SELECT c.doc_a, c.doc_b, count(*) AS ni
   FROM cand c
-  JOIN sh sa ON sa.doc_id = c.doc_a
-  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  JOIN skh sa ON sa.doc_id = c.doc_a
+  JOIN skh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
   GROUP BY c.doc_a, c.doc_b
 )
 SELECT i.doc_a, i.doc_b,

@@ -20,9 +20,21 @@ object DupCorpus {
     * in DuckDB as CAST('0x' || substring(md5(s),1,15) AS BIGINT). */
   def h60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Seeded variant for minhash permutations. */
-  def h60Seeded(seed: Int, c: Column): Column =
-    h60(concat(lit(s"$seed:"), c))
+  /** Universal-hash permutation family over the base h60 hash:
+    * perm_i(h) = (a_i * (h mod P) + b_i) mod P, P = 2^31 - 1.
+    * One md5 per value feeds every minhash permutation — the seeded-md5
+    * alternative costs k md5 evaluations per row (k=8 bands measured
+    * ~9x the hash work at sf0.1). All intermediates stay < 2^62 so the
+    * arithmetic is overflow-free in both engines (DuckDB raises on
+    * BIGINT overflow; Spark would silently wrap). */
+  val PermP: Long = 2147483647L
+  def permConsts(seed: Int): (Long, Long) = (
+    Math.floorMod(0x9E3779B9L * (2L * seed + 1), PermP - 1) + 1,
+    Math.floorMod(0x85EBCA6BL * (seed + 1L), PermP))
+  def perm(seed: Int, h: Column): Column = {
+    val (a, b) = permConsts(seed)
+    (lit(a) * (h % lit(PermP)) + lit(b)) % lit(PermP)
+  }
 
   /** doc_id, text, lang, source, n_chars — base ∪ exact dups ∪ near dups. */
   def corpus(spark: SparkSession, sfDir: String): DataFrame = {
