@@ -13,16 +13,22 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Single-file tables scan as ONE task, and Catalyst evaluates
     // scan-stage projections/filters inside that task — any
     // compute-heavy query over a small table would single-thread its
     // hottest stage (measured: random 30-90 s stalls). An explicit
-    // repartition count keeps full parallelism (AQE may not undo a
-    // numbered repartition); at 100 TB inputs span many files and the
-    // extra exchange is noise.
-    spark.read.parquet(s"$sfDir/$name.parquet")
-      .repartition(spark.sessionState.conf.numShufflePartitions)
+    // repartition count restores parallelism for those (AQE may not
+    // undo a numbered repartition) — but ONLY when the scan would
+    // actually under-parallelize: an unconditional repartition of a
+    // multi-file table is a full-input shuffle AND caps scan
+    // parallelism at numShufflePartitions, which at 100 TB is the
+    // dominant cost of every query. getNumPartitions reflects the
+    // file listing + maxPartitionBytes splitting and runs no job.
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val target = spark.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
