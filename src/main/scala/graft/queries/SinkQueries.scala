@@ -52,14 +52,24 @@ SELECT record_id, s3_key, CAST(octet_length(encode(content)) AS INT) AS byte_len
 FROM un ORDER BY s3_key"""
 
   /** K3+C7+C8: the serialized SQS message bodies — camelCase to_json of
-    * {id, message:{sessionId, type, data:{recordId, parentId}}}
-    * (sqs_notification.py:31, notification.py:5-29), deterministic ids. */
+    * {id, message:{sessionId, type, data:{recordId, parentId,
+    * tasacionDate?}}} (sqs_notification.py:31, notification.py:5-29),
+    * deterministic ids.
+    *
+    * C7 `exclude_none`: the reference's serialization DROPS null fields
+    * (dynamo_loader_document.py:43, model_dump(exclude_none=True)).
+    * Spark's to_json does the same by default
+    * (spark.sql.jsonGenerator.ignoreNullFields=true) — exercised here by
+    * `tasacionDate`, which is only present on the tasaciones route, so
+    * ~2/3 of the bodies must omit the key entirely (not emit null). */
   private val notifyJson: Q = (s, d) =>
     Corpus.requests(s, d)
       .select(
         Refine.deterministicId(col("record_id"), col("parent_id"),
           col("session_id")).as("id"),
-        col("session_id"), col("record_id"), col("parent_id"))
+        col("session_id"), col("record_id"), col("parent_id"),
+        when(col("route") === "tasaciones",
+          Refine.refineDates(col("body"))).as("tasacion_date"))
       .select(col("id"), to_json(struct(
         col("id"),
         struct(
@@ -67,19 +77,25 @@ FROM un ORDER BY s3_key"""
           lit("regulatory-compliance-prompts.insert-metadata").as("type"),
           struct(
             col("record_id").as("recordId"),
-            col("parent_id").as("parentId")).as("data")).as("message")))
+            col("parent_id").as("parentId"),
+            col("tasacion_date").as("tasacionDate")).as("data")).as("message")))
         .as("body"))
       .orderBy("id")
   private val notifyJsonSql =
     s"""$ReqCte, n AS (
   SELECT sha256(record_id || ':' || parent_id || ':' || session_id) AS id,
-    session_id, record_id, parent_id
+    session_id, record_id, parent_id,
+    CASE WHEN route = 'tasaciones'
+         THEN ${refineDatesSql("body")} END AS tasacion_date
   FROM req
 )
 SELECT id,
   '{"id":"' || id || '","message":{"sessionId":"' || session_id
     || '","type":"regulatory-compliance-prompts.insert-metadata","data":{"recordId":"'
-    || record_id || '","parentId":"' || parent_id || '"}}}' AS body
+    || record_id || '","parentId":"' || parent_id || '"'
+    || CASE WHEN tasacion_date IS NOT NULL
+            THEN ',"tasacionDate":"' || tasacion_date || '"' ELSE '' END
+    || '}}}' AS body
 FROM n ORDER BY id"""
 
   /** S1 decode as a batch query: serialize each request to its Kafka

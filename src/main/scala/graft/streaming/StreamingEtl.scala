@@ -28,6 +28,22 @@ object StreamingEtl {
     StructField("documentType", StringType),
     StructField("key", StringType)))
 
+  /** S1 source assembly — the deployable mirror of the reference's
+    * consumer loop (kafka_event_controller.py:44-61): subscribe to the
+    * request topic with a per-micro-batch record cap matching
+    * `getmany(timeout_ms=1000, max_records=10)`. Not exercisable in the
+    * broker-less test env (StreamingSpec drives [[runStream]] through a
+    * MemoryStream instead — same DataFrame contract), but with a broker
+    * this one-liner plugs straight into [[runStream]]. */
+  def kafkaSource(spark: SparkSession, bootstrapServers: String,
+                  topic: String, maxRecordsPerTrigger: Int = 10): DataFrame =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", maxRecordsPerTrigger.toLong)
+      .load()
+
   /** S1 decode/validate: raw JSON value column → typed request columns.
     * Invalid JSON → null columns, diverted to quarantine by the caller
     * (the reference logs-and-skips, kafka_event_controller.py:121-124). */
@@ -51,24 +67,52 @@ object StreamingEtl {
       .agg(max_by(col("mvalue"), col("pri")).as("mvalue"))
 
   /** Parquet-backed metadata store with merge-overwrite semantics (the
-    * no-lakehouse K2 plan, SURVEY.md §7.4 risk 1). */
-  final class ParquetMetadataStore(spark: SparkSession, path: String) {
-    def read(): DataFrame = {
+    * no-lakehouse K2 plan, SURVEY.md §7.4 risk 1).
+    *
+    * The store is hash-partitioned on the item id into `pid=N/`
+    * directories, and [[merge]] is PARTITION-SCOPED: only the pids that
+    * the batch's update ids hash into are read, merged, and replaced
+    * (dynamic partition overwrite — untouched pids' files are never
+    * listed, read, or rewritten). A micro-batch therefore costs
+    * O(batch ∩ touched partitions), not O(store): the property that
+    * keeps a long-lived 100 TB store mergeable. The touched-pid list is
+    * a ≤numPartitions-element driver collect, not a data collect. */
+  final class ParquetMetadataStore(spark: SparkSession, path: String,
+                                   numPartitions: Int = 16) {
+    private val emptyKv = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("id", StringType),
+        StructField("mkey", StringType), StructField("mvalue", StringType))))
+    private def pidOf(id: org.apache.spark.sql.Column) =
+      pmod(xxhash64(id), lit(numPartitions.toLong)).cast("int")
+    private def exists: Boolean = {
       val dir = new java.io.File(path)
-      if (dir.exists && dir.listFiles != null && dir.listFiles.nonEmpty)
-        spark.read.parquet(path)
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("id", StringType),
-          StructField("mkey", StringType), StructField("mvalue", StringType))))
+      dir.exists && dir.listFiles != null && dir.listFiles.nonEmpty
     }
+    def read(): DataFrame =
+      if (exists) spark.read.parquet(path).select("id", "mkey", "mvalue")
+      else emptyKv
     def merge(updates: DataFrame): Unit = {
-      val merged = mergeKv(read(), updates)
-      // rewrite via a temp dir: the source scan reads the same files the
-      // sink replaces (at scale: partition-scoped dynamic overwrite)
+      val touched = updates.select(pidOf(col("id")).as("pid"))
+        .distinct().collect().map(_.getInt(0)).sorted
+      if (touched.isEmpty) return // empty micro-batch: nothing to merge
+      val current =
+        if (exists)
+          // partition pruning: only the touched pid dirs are scanned
+          spark.read.parquet(path)
+            .filter(col("pid").isin(touched.map(Integer.valueOf): _*))
+            .select("id", "mkey", "mvalue")
+        else emptyKv
+      val merged = mergeKv(current, updates)
+        .withColumn("pid", pidOf(col("id")))
+      // stage via a temp dir (the merge reads the same files its commit
+      // replaces), then dynamic-overwrite: only partitions present in
+      // the staged data — exactly the touched pids — are replaced
       val tmp = path + ".tmp"
-      merged.write.mode("overwrite").parquet(tmp)
-      spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+      merged.write.mode("overwrite").partitionBy("pid").parquet(tmp)
+      spark.read.parquet(tmp).write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("pid").parquet(path)
     }
   }
 

@@ -19,6 +19,24 @@ class PipelineSpec extends SparkSpec {
       "REGISTRATION" -> "inscripciones", "APPRAISAL" -> "tasaciones"))
   }
 
+  test("P6 truncation: defaults to the reference's 20 pages; fixture override observable") {
+    // textract_extractor_document.py:59-60 truncates to the FIRST 20
+    // pages. Testdata docs have <=3 pages, so with the default the
+    // truncated md5 must equal the full md5 on every row...
+    val dflt = graft.queries.EtlQueries.pageAggTrunc()(spark, Sf)
+      .select("record_id", "n_pages", "full_md5", "first_pages_md5").collect()
+    assert(dflt.nonEmpty)
+    assert(graft.queries.EtlQueries.PageTruncateDefault === 20)
+    dflt.foreach(r => assert(r.getString(2) === r.getString(3)))
+    // ...and the registered N=2 variant must differ exactly on 3-page docs
+    val two = graft.queries.EtlQueries.queries("etl_page_agg")(spark, Sf)
+      .select("record_id", "n_pages", "full_md5", "first_pages_md5").collect()
+    two.foreach { r =>
+      if (r.getInt(1) <= 2) assert(r.getString(2) === r.getString(3))
+      else assert(r.getString(2) !== r.getString(3))
+    }
+  }
+
   test("A2/A3 order stability: page_agg identical under different partitioning") {
     def run(parts: String): Seq[String] = {
       spark.conf.set("spark.sql.shuffle.partitions", parts)

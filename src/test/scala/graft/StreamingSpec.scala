@@ -30,6 +30,36 @@ class StreamingSpec extends SparkSpec {
     assert(snap(twice) === snap(once))
   }
 
+  test("K2 partition-scoped merge: untouched pid dirs are not rewritten") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-store").toString + "/meta"
+    val store = new StreamingEtl.ParquetMetadataStore(spark, dir)
+    store.merge((0 until 40).map(i => (s"item-$i", "status", "ingested"))
+      .toDF("id", "mkey", "mvalue"))
+    def snapshot(): Map[String, Seq[(String, Long, Long)]] =
+      new java.io.File(dir).listFiles.filter(_.getName.startsWith("pid="))
+        .map { d =>
+          d.getName ->
+            d.listFiles.map(f => (f.getName, f.length, f.lastModified))
+              .sortBy(_._1).toSeq
+        }.toMap
+    val before = snapshot()
+    store.merge(Seq(("item-7", "status", "loaded")).toDF("id", "mkey", "mvalue"))
+    val after = snapshot()
+    // same hash the store uses: pid = pmod(xxhash64(id), 16)
+    val touched = "pid=" + spark.range(1)
+      .select(pmod(xxhash64(lit("item-7")), lit(16L)).cast("int"))
+      .head.getInt(0)
+    assert(before.contains(touched))
+    assert(after(touched) !== before(touched)) // touched pid rewritten
+    (before.keySet - touched).foreach(p => assert(after(p) === before(p)))
+    // and the merge itself took effect with everything else intact
+    val rows = store.read().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(rows.contains(("item-7", "status", "loaded")))
+    assert(rows.size === 40)
+  }
+
   test("S1/K4 streaming wrapper: MemoryStream -> foreachBatch merge, replay-idempotent") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
