@@ -116,9 +116,35 @@ object StreamingEtl {
     }
   }
 
+  /** U4 — bounded exponential-backoff retry, the reference's policy
+    * around every external call (bed_rock_transformer_document.py:
+    * 108-146: max_retries=5, base 1 s, factor 2, cap 30 s, uniform
+    * jitter). Inside the engine Spark already retries failed TASKS with
+    * its own policy; the surface the reference's wrapper maps to is
+    * DRIVER-side sink commits (store merges), guarded here the same
+    * way. Deviations: no random jitter (determinism is an engine
+    * invariant; irrelevant without contending clients) and a pluggable
+    * transient-fault predicate instead of boto3 exception classes. */
+  def withRetry[T](maxRetries: Int = 5, backoffBaseMs: Long = 1000,
+                   backoffFactor: Double = 2.0, maxBackoffMs: Long = 30000,
+                   isTransient: Throwable => Boolean = _.isInstanceOf[java.io.IOException],
+                   sleep: Long => Unit = Thread.sleep)(f: => T): T = {
+    var retries = 0
+    while (true) {
+      try return f
+      catch {
+        case e: Throwable if isTransient(e) && retries < maxRetries =>
+          sleep(math.min(backoffBaseMs * math.pow(backoffFactor, retries),
+            maxBackoffMs.toDouble).toLong)
+          retries += 1
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** The streaming wrapper: request stream → parse → per-batch typed
-    * extraction updates → idempotent merge. `maxRecords`/trigger mirror
-    * the reference's getmany(1000 ms, ≤10). */
+    * extraction updates → idempotent merge (retry-guarded, U4).
+    * `maxRecords`/trigger mirror the reference's getmany(1000 ms, ≤10). */
   def runStream(spark: SparkSession, raw: DataFrame,
                 store: ParquetMetadataStore, checkpoint: String): StreamingQuery =
     parseRequests(raw).writeStream
@@ -132,7 +158,7 @@ object StreamingEtl {
               lit("document_type"), col("document_type"),
               lit("key"), col("key"),
               lit("session_id"), col("session_id"))).as(Seq("mkey", "mvalue")))
-        store.merge(updates)
+        withRetry()(store.merge(updates))
         ()
       }
       .start()

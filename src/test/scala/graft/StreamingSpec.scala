@@ -30,6 +30,38 @@ class StreamingSpec extends SparkSpec {
     assert(snap(twice) === snap(once))
   }
 
+  test("U4 withRetry: transient faults retried with capped exponential backoff") {
+    val waits = scala.collection.mutable.ArrayBuffer[Long]()
+    var calls = 0
+    // two transient faults, then success — reference policy 1s, 2s, ...
+    val out = StreamingEtl.withRetry(sleep = waits.append(_)) {
+      calls += 1
+      if (calls <= 2) throw new java.io.IOException(s"transient $calls")
+      "ok"
+    }
+    assert(out === "ok" && calls === 3)
+    assert(waits.toSeq === Seq(1000L, 2000L))
+    // backoff caps at 30s and the 6th failure (maxRetries=5) is rethrown
+    waits.clear(); calls = 0
+    val ex = intercept[java.io.IOException] {
+      StreamingEtl.withRetry(sleep = waits.append(_)) {
+        calls += 1
+        throw new java.io.IOException("always")
+      }: Unit
+    }
+    assert(ex.getMessage === "always" && calls === 6)
+    assert(waits.toSeq === Seq(1000L, 2000L, 4000L, 8000L, 16000L))
+    // non-transient faults propagate immediately
+    calls = 0
+    intercept[IllegalArgumentException] {
+      StreamingEtl.withRetry(sleep = _ => ()) {
+        calls += 1
+        throw new IllegalArgumentException("fatal")
+      }: Unit
+    }
+    assert(calls === 1)
+  }
+
   test("K2 partition-scoped merge: untouched pid dirs are not rewritten") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-store").toString + "/meta"
