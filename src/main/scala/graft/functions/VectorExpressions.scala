@@ -1,8 +1,8 @@
 package graft.functions
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -134,7 +134,9 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
 object VectorExpressions {
   /** Idempotently register graft_dot in the session's function registry
-    * so `expr("graft_dot(a, b)")` resolves. */
+    * so `expr("graft_dot(a, b)")` resolves. Belt-and-braces for
+    * sessions built without [[GraftExtensions]]; a no-op overwrite
+    * otherwise. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_dot"),
@@ -145,5 +147,23 @@ object VectorExpressions {
       (children: Seq[Expression]) =>
         SortedIntersectCount(children(0), children(1)): Expression,
       "internal")
+  }
+}
+
+/** Build-time injection of the graft function library — the idiomatic
+  * deployment path for a Spark-native library: users add
+  * `spark.sql.extensions=graft.functions.GraftExtensions` to their
+  * session/cluster conf and `graft_dot`/`graft_intersect` resolve in
+  * every session (SQL, DataFrame `expr`, thrift) with no per-session
+  * registration call. The engine's own Bench/Verify/test sessions run
+  * through this path. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_intersect"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getCanonicalName, "graft_intersect"),
+      (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
   }
 }

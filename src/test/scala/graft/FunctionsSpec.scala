@@ -1,0 +1,32 @@
+package graft
+
+/** The custom-expression layer's deployment path: GraftExtensions must
+  * make graft_dot/graft_intersect resolve in a session that never calls
+  * VectorExpressions.register. `newSession()` builds a fresh
+  * FunctionRegistry from the extensions alone, so explicit register
+  * calls made elsewhere in the suite cannot mask a broken injection. */
+class FunctionsSpec extends SparkSpec {
+
+  test("GraftExtensions injects graft_dot/graft_intersect at session build") {
+    val fresh = spark.newSession()
+    val r = fresh.sql(
+      """SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d,
+                graft_intersect(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS i""").head()
+    assert(r.getDouble(0) === 11.0)
+    assert(r.getInt(1) === 2)
+  }
+
+  test("graft_dot matches the interpreted HOF formulation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(42)
+    import spark.implicits._
+    val rows = Seq.fill(50)((
+      Seq.fill(64)(rnd.nextDouble() * 2 - 1),
+      Seq.fill(64)(rnd.nextDouble() * 2 - 1))).toDF("a", "b")
+    val cmp = rows.select(
+      call_function("graft_dot", col("a"), col("b")).as("fast"),
+      expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (s, x) -> s + x)").as("hof"))
+      .collect()
+    cmp.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
+}
