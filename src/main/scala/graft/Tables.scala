@@ -30,6 +30,13 @@ object Tables {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** Raw scan without the parallelism guard — for consumers that
+    * immediately impose their own partitioning (the cached corpora
+    * repartition by doc_id before materializing; a round-robin exchange
+    * in front of that is a pure waste, observed in the plan audit). */
+  def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame   = apply(s, d, "customer")

@@ -33,7 +33,10 @@ object Corpus {
     * page — the F2 fan-out shape, textract_extractor_document.py:46-56).
     */
   def requests(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    // raw scan: the repartition(doc_id) below is this corpus's
+    // parallelism source; Tables' round-robin guard would just add an
+    // extra exchange in front of it
+    val docs = Tables.raw(spark, sfDir, "documents")
     val id = col("doc_id")
     val dtype = element_at(typedlit(DocTypes), (id % 6 + 1).cast("int"))
     val route = when(col("document_type") === "REGISTRATION", lit("inscripciones"))

@@ -38,7 +38,9 @@ object DupCorpus {
 
   /** doc_id, text, lang, source, n_chars — base ∪ exact dups ∪ near dups. */
   def corpus(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
+    // raw scan: the repartition(doc_id) below supplies parallelism
+    // (see Corpus.requests note)
+    val docs = Tables.raw(spark, sfDir, "documents")
       .select("doc_id", "text", "lang", "source", "n_chars")
     val exactDup = docs.filter(col("doc_id") % 7 === 0)
       .withColumn("doc_id", col("doc_id") + 10000)
