@@ -28,13 +28,18 @@ object EventQueries {
   // ------------------------------------------------------------ tumbling
   /** Tumbling 1-hour windows per event_type: count + exact-decimal sum.
     * Map-side partial agg on (window, type) — the canonical streaming
-    * aggregate, one shuffle. */
-  private val tumbling: Q = (s, d) =>
-    Tables.events(s, d)
+    * aggregate, one shuffle. Takes the events relation as an argument so
+    * the SAME expressions run batch (here) and streaming
+    * ([[graft.streaming.StreamingEvents.tumblingStream]]) — parity by
+    * construction, proven by StreamingSpec. */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count("*").as("n_events"), valSum.as("val_sum"))
       .select(unix_millis(col("w.start")).as("window_start_ms"), col("event_type"),
         col("n_events"), col("val_sum"))
+  private val tumbling: Q = (s, d) =>
+    tumblingAgg(Tables.events(s, d))
       .orderBy("window_start_ms", "event_type")
   private val tumblingSql =
     s"""SELECT epoch_ms(time_bucket(INTERVAL 1 HOUR, ts)) AS window_start_ms, event_type,

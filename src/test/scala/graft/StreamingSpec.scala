@@ -30,6 +30,48 @@ class StreamingSpec extends SparkSpec {
     assert(snap(twice) === snap(once))
   }
 
+  test("streaming tumbling agg: watermark finalizes windows, batch parity") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_ms", "event_type", "value")
+      .select(timestamp_millis(col("ts_ms")).as("ts"),
+        col("event_type"), col("value"))
+    val q = StreamingEvents.tumblingStream(typed(mem.toDF()), "1 hour")
+      .writeStream.format("memory").queryName("tumb").outputMode("append").start()
+    val h0 = 3600L * 1000
+    val batch1 = Seq((h0 + 60000, "click", 1.5), (h0 + 120000, "view", 2.0),
+      (h0 + 180000, "click", 0.5))
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      // watermark hasn't passed the window end: nothing finalized
+      assert(spark.table("tumb").count() === 0)
+      // advance event time 4h (watermark -> h0+3h at batch end), then 8h:
+      // each watermark advance lets the engine run state-eviction
+      // batches, so every window whose end <= final watermark (h0+7h)
+      // is emitted — hour-1 AND the hour-5 click window; only the last
+      // event's window stays open
+      val batch2 = Seq((h0 + 4 * 3600000, "click", 9.0))
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      mem.addData((h0 + 8 * 3600000, "noop", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("tumb").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got === Set((h0, "click", 2L, 2.0), (h0, "view", 1L, 2.0),
+        (h0 + 4 * 3600000, "click", 1L, 9.0)))
+      // parity: identical rows from the batch expression over the same
+      // (closed-window) events
+      val batch = graft.pipeline.EventQueries.tumblingAgg(typed((batch1 ++ batch2).toDF()))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("U4 withRetry: transient faults retried with capped exponential backoff") {
     val waits = scala.collection.mutable.ArrayBuffer[Long]()
     var calls = 0
