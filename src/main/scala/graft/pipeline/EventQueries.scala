@@ -66,14 +66,18 @@ GROUP BY 1, 2 ORDER BY window_start_ms, event_type"""
   // ------------------------------------------------------------- session
   /** Per-user session windows, 6-hour inactivity gap. Spark's
     * session_window end = last event + gap; the oracle reproduces the
-    * gaps-and-islands equivalent with lag + cumulative sum. */
-  private val session: Q = (s, d) =>
-    Tables.events(s, d)
+    * gaps-and-islands equivalent with lag + cumulative sum. Shared
+    * batch/stream expression like [[tumblingAgg]]
+    * ([[graft.streaming.StreamingEvents.sessionStream]]). */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
       .groupBy(session_window(col("ts"), "6 hours").as("w"), col("user_id"))
       .agg(count("*").as("n_events"), valSum.as("val_sum"))
       .select(col("user_id"), unix_millis(col("w.start")).as("session_start_ms"),
         unix_millis(col("w.end")).as("session_end_ms"),
         col("n_events"), col("val_sum"))
+  private val session: Q = (s, d) =>
+    sessionAgg(Tables.events(s, d))
       .orderBy("user_id", "session_start_ms")
   private val sessionSql =
     s"""WITH marked AS (

@@ -23,4 +23,11 @@ object StreamingEvents {
     * `delay` is the max accepted event-time lateness. */
   def tumblingStream(events: DataFrame, delay: String = "2 hours"): DataFrame =
     EventQueries.tumblingAgg(events.withWatermark("ts", delay))
+
+  /** Per-user session windows (6-hour gap) over a streaming relation
+    * (needs `ts: timestamp`, `user_id`, `value`). Session state merges
+    * across micro-batches until the watermark passes last-event + gap,
+    * then the session emits once (append). */
+  def sessionStream(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    EventQueries.sessionAgg(events.withWatermark("ts", delay))
 }

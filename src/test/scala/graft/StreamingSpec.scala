@@ -72,6 +72,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows: cross-batch merge, watermark emission, batch parity") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_ms", "user_id", "value")
+      .select(timestamp_millis(col("ts_ms")).as("ts"),
+        col("user_id"), col("value"))
+    val q = StreamingEvents.sessionStream(typed(mem.toDF()), "1 hour")
+      .writeStream.format("memory").queryName("sess").outputMode("append").start()
+    val t0 = 1000L * 3600 * 24
+    val h = 3600L * 1000
+    try {
+      // one session fed across TWO micro-batches (state must merge)
+      mem.addData((t0, "u1", 1.0))
+      q.processAllAvailable()
+      mem.addData((t0 + h, "u1", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess").count() === 0) // still open
+      // far-future event pushes the watermark past session end + gap
+      mem.addData((t0 + 20 * h, "u1", 0.5))
+      q.processAllAvailable()
+      val got = spark.table("sess").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+      assert(got === Set(("u1", t0, t0 + h + 6 * h, 2L, 3.0)))
+      // parity with the batch expression over the same events
+      val batch = graft.pipeline.EventQueries.sessionAgg(
+        typed(Seq((t0, "u1", 1.0), (t0 + h, "u1", 2.0)).toDF())).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSet
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("U4 withRetry: transient faults retried with capped exponential backoff") {
     val waits = scala.collection.mutable.ArrayBuffer[Long]()
     var calls = 0
