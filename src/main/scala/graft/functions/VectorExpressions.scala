@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 
 /** `graft_dot(array<double>, array<double>) -> double` — a native
   * Catalyst expression with whole-stage codegen.
@@ -132,6 +132,129 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def prettyName: String = "graft_intersect"
 }
 
+/** `graft_count_in(array<string>, array<string>) -> int` — number of
+  * elements of the first array present in the second (occurrences, not
+  * distinct matches; null elements never match).
+  *
+  * Why custom: the built-in formulation
+  * `size(filter(toks, t => array_contains(SET, t)))` is a higher-order
+  * function — interpreted per row, with the interpreter re-evaluating
+  * the tokenization subtree per element. This is the stopword-scoring
+  * hot path of text_langid/text_quality (a map-only operation whose
+  * right cost is one codegen'd pass over the tokens). The set side is
+  * a small constant list (≤10 stopwords), so the inner scan beats any
+  * hash setup. */
+case class CountInSet(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_count_in expects (array<string>, array<string>), " +
+          s"got (${left.dataType.sql}, ${right.dataType.sql})")
+    }
+  override def dataType: DataType = IntegerType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (nx, ny) = (x.numElements(), y.numElements())
+    var c = 0
+    var i = 0
+    while (i < nx) {
+      if (!x.isNullAt(i)) {
+        val s = x.getUTF8String(i)
+        var j = 0
+        var found = false
+        while (j < ny && !found) {
+          if (!y.isNullAt(j) && s.equals(y.getUTF8String(j))) found = true
+          j += 1
+        }
+        if (found) c += 1
+      }
+      i += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val s = ctx.freshName("s")
+      val found = ctx.freshName("found")
+      s"""
+        int $nx = $x.numElements(); int $ny = $y.numElements();
+        int $c = 0;
+        for (int $i = 0; $i < $nx; $i++) {
+          if ($x.isNullAt($i)) continue;
+          org.apache.spark.unsafe.types.UTF8String $s = $x.getUTF8String($i);
+          boolean $found = false;
+          for (int $j = 0; $j < $ny && !$found; $j++) {
+            if (!$y.isNullAt($j) && $s.equals($y.getUTF8String($j))) { $found = true; }
+          }
+          if ($found) $c++;
+        }
+        ${ev.value} = $c;
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountInSet =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_count_in"
+}
+
+/** `graft_sum_len(array<string>) -> bigint` — total character length of
+  * the array's elements (null elements contribute 0). Replaces the
+  * interpreted `aggregate(transform(toks, length), 0, +)` HOF chain in
+  * text_quality with one codegen'd pass. */
+case class SumStringLength(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_sum_len expects array<string>, got ${other.sql}")
+    }
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (!x.isNullAt(i)) acc += x.getUTF8String(i).numChars()
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+        int $n = $x.numElements();
+        long $acc = 0L;
+        for (int $i = 0; $i < $n; $i++) {
+          if (!$x.isNullAt($i)) $acc += $x.getUTF8String($i).numChars();
+        }
+        ${ev.value} = $acc;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SumStringLength =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_sum_len"
+}
+
 object VectorExpressions {
   /** Idempotently register graft_dot in the session's function registry
     * so `expr("graft_dot(a, b)")` resolves. Belt-and-braces for
@@ -146,6 +269,14 @@ object VectorExpressions {
       FunctionIdentifier("graft_intersect"),
       (children: Seq[Expression]) =>
         SortedIntersectCount(children(0), children(1)): Expression,
+      "internal")
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_count_in"),
+      (children: Seq[Expression]) => CountInSet(children(0), children(1)): Expression,
+      "internal")
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_sum_len"),
+      (children: Seq[Expression]) => SumStringLength(children(0)): Expression,
       "internal")
   }
 }
@@ -165,5 +296,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_intersect"),
       new ExpressionInfo(classOf[SortedIntersectCount].getCanonicalName, "graft_intersect"),
       (children: Seq[Expression]) => SortedIntersectCount(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_count_in"),
+      new ExpressionInfo(classOf[CountInSet].getCanonicalName, "graft_count_in"),
+      (children: Seq[Expression]) => CountInSet(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_sum_len"),
+      new ExpressionInfo(classOf[SumStringLength].getCanonicalName, "graft_sum_len"),
+      (children: Seq[Expression]) => SumStringLength(children(0))))
   }
 }

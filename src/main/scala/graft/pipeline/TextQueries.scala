@@ -27,8 +27,12 @@ object TextQueries {
     "zh" -> Seq("的", "是", "在", "了", "和", "有", "不", "人", "这", "中"))
 
   private def toks: Column = split(lower(col("text")), " ")
+  /** Stopword occurrence count via the codegen'd graft_count_in — the
+    * `size(filter(...))` HOF formulation is interpreted per row and
+    * re-evaluates the tokenization per element (see
+    * [[graft.functions.CountInSet]]). Same semantics, same oracle. */
   private def swHits(sw: Seq[String]): Column =
-    size(filter(toks, t => array_contains(typedlit(sw), t)))
+    call_function("graft_count_in", toks, typedlit(sw))
 
   private def swListSql(sw: Seq[String]): String =
     sw.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -41,6 +45,7 @@ object TextQueries {
     * stopword list, argmax with (score desc, lang asc) tie-break;
     * all-zero votes → 'und'. */
   private val langid: Q = (s, d) => {
+    graft.functions.VectorExpressions.register(s)
     val docs = Tables.documents(s, d)
     val scored = docs.select(col("doc_id"), col("lang").as("actual_lang"),
       explode(array(Stopwords.map { case (l, sw) =>
@@ -79,11 +84,13 @@ ORDER BY doc_id"""
   /** Per-document quality signals: token counts, average token length,
     * stopword ratio (en), type-token ratio, and a composite score. */
   private val quality: Q = (s, d) => {
+    graft.functions.VectorExpressions.register(s)
     val en = Stopwords.toMap.apply("en")
     val nTok = size(toks).cast("long")
+    // codegen'd one-pass total token length (the aggregate/transform
+    // HOF chain is interpreted — see graft.functions.SumStringLength)
     val avgTokLen =
-      aggregate(transform(toks, t => length(t).cast("long")), lit(0L), (a, x) => a + x)
-        .cast("double") / nTok
+      call_function("graft_sum_len", toks).cast("double") / nTok
     val swRatio = swHits(en).cast("double") / nTok
     val ttr = size(array_distinct(toks)).cast("double") / nTok
     val score = round(

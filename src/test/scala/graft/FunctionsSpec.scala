@@ -16,6 +16,27 @@ class FunctionsSpec extends SparkSpec {
     assert(r.getInt(1) === 2)
   }
 
+  test("graft_count_in / graft_sum_len match the interpreted HOF formulations") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(7)
+    import spark.implicits._
+    val words = Vector("the", "of", "and", "él", "München", "", "x1", "a")
+    val rows = Seq.fill(80)(Seq.fill(rnd.nextInt(30))(words(rnd.nextInt(words.size))))
+      .toDF("a")
+    val set = typedlit(Seq("the", "and", "él", ""))
+    val cmp = rows.select(
+      call_function("graft_count_in", col("a"), set).as("fast_cnt"),
+      size(filter(col("a"), t => array_contains(set, t))).as("hof_cnt"),
+      call_function("graft_sum_len", col("a")).as("fast_len"),
+      aggregate(transform(col("a"), t => length(t).cast("long")), lit(0L), (s, x) => s + x)
+        .as("hof_len"))
+      .collect()
+    cmp.foreach { r =>
+      assert(r.getInt(0) === r.getInt(1))
+      assert(r.getLong(2) === r.getLong(3))
+    }
+  }
+
   test("graft_dot matches the interpreted HOF formulation bit-for-bit") {
     import org.apache.spark.sql.functions._
     val rnd = new scala.util.Random(42)
