@@ -107,8 +107,9 @@ FROM dup GROUP BY md5(text) ORDER BY keeper_doc_id"""
     * (band_idx, k1, k2) — pairs never materialize beyond LSH collisions
     * (measured 2,421 candidate pairs at sf0.1), which is the property
     * that survives 100 TB. */
-  private val minhash: Q = (s, d) => {
-    VectorExpressions.register(s)
+  /** The LSH-band candidate pairs — exposed so DedupSpec can pin the
+    * scale property (candidate volume ∝ true near-dups, not corpus²). */
+  private[graft] def minhashCandidates(s: SparkSession, d: String): DataFrame = {
     val sh = shingleRows(DupCorpus.corpus(s, d))
     val minAggs = (0 to 7).map(i =>
       min(DupCorpus.perm(i, col("h"))).as(s"m$i"))
@@ -120,13 +121,17 @@ FROM dup GROUP BY md5(text) ORDER BY keeper_doc_id"""
         struct(2 as band_idx, m4 as k1, m5 as k2),
         struct(3 as band_idx, m6 as k1, m7 as k2)))"""))
     val a = bands.as("a"); val b = bands.as("b")
-    val cand = a.join(b,
+    a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
         col("a.k1") === col("b.k1") && col("a.k2") === col("b.k2") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    jaccardVerify(cand, shingleSketches(sh), 0.4)
+  }
+  private val minhash: Q = (s, d) => {
+    VectorExpressions.register(s)
+    val sh = shingleRows(DupCorpus.corpus(s, d))
+    jaccardVerify(minhashCandidates(s, d), shingleSketches(sh), 0.4)
       .orderBy("doc_a", "doc_b")
   }
   private val minhashSql = {
@@ -178,7 +183,9 @@ ORDER BY doc_a, doc_b"""
     * pathological keys, and one such bucket would otherwise contribute
     * O(cap²) pairs. No-op on all testdata SFs. */
   val SimhashBucketCap = 64
-  private val simhash: Q = (s, d) => {
+  /** Salted + capped band-collision pairs with their hamming distance —
+    * exposed for DedupSpec's candidate-volume bound. */
+  private[graft] def simhashCandidates(s: SparkSession, d: String): DataFrame = {
     val toks = DupCorpus.corpus(s, d)
       .select(col("doc_id"), col("lang"),
         explode(split(lower(col("text")), " ")).as("tok"))
@@ -221,9 +228,11 @@ ORDER BY doc_a, doc_b"""
       .select(col("a.doc_id").as("doc_a"), col("b.doc_b_id").as("doc_b"),
         bit_count(col("a.fp").bitwiseXOR(col("b.fp_b"))).as("hamming"))
       .distinct()
+  }
+  private val simhash: Q = (s, d) =>
+    simhashCandidates(s, d)
       .filter(col("hamming") <= 10)
       .orderBy("doc_a", "doc_b")
-  }
   private val simhashSql =
     s"""$DupCte, toks AS (
   SELECT doc_id, ${h60Sql("t.tok")} AS h
@@ -274,8 +283,9 @@ ORDER BY doc_a, doc_b"""
     * track true similarity (measured: 3.8 k pairs, a 350× cut). Recall
     * per band is J itself, so for pairs at the 0.5 threshold the 2-band
     * filter catches ≥ 75%, and ≥ 99% at the J≈0.9 of real near-dups. */
-  private val ngramJaccard: Q = (s, d) => {
-    VectorExpressions.register(s)
+  /** The (lang, length-bucket, minhash-band) blocked candidate pairs —
+    * exposed for DedupSpec's candidate-volume bound. */
+  private[graft] def ngramCandidates(s: SparkSession, d: String): DataFrame = {
     val corpus = DupCorpus.corpus(s, d)
     val sh = shingleRows(corpus)
     val pmin = sh.groupBy("doc_id").agg(
@@ -289,14 +299,18 @@ ORDER BY doc_a, doc_b"""
     val bexp = bands.select(col("doc_id").as("doc_b_id"), col("lang"),
       col("bi"), col("bk"),
       explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
-    val cand = bands.as("a")
+    bands.as("a")
       .join(bexp.as("b"),
         col("a.lang") === col("b.lang") && col("a.bucket") === col("b.bucket") &&
         col("a.bi") === col("b.bi") && col("a.bk") === col("b.bk") &&
         col("a.doc_id") < col("b.doc_b_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_b_id").as("doc_b"))
       .distinct()
-    jaccardVerify(cand, shingleSketches(sh), 0.5)
+  }
+  private val ngramJaccard: Q = (s, d) => {
+    VectorExpressions.register(s)
+    val sh = shingleRows(DupCorpus.corpus(s, d))
+    jaccardVerify(ngramCandidates(s, d), shingleSketches(sh), 0.5)
       .orderBy("doc_a", "doc_b")
   }
   private val ngramJaccardSql =

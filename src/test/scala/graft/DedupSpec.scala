@@ -24,6 +24,20 @@ class DedupSpec extends SparkSpec {
       .filter(col("doc_a") < 10000 && col("doc_b") - col("doc_a") === 20000)
       .count()
 
+  test("candidate volume tracks true duplicates, not corpus size") {
+    // the round-2 scale defect was fixed-count blocks going quadratic
+    // (length-only ngram blocking: 1.35M candidate pairs at sf0.1).
+    // With content-bearing keys the candidate count must stay a small
+    // multiple of the planted duplicates (measured: 1.4x / 1.5x / 3.4x
+    // at sf0.001 — bounds below leave headroom, not slack for
+    // quadratic behavior, which would blow past them by orders of
+    // magnitude even at this scale)
+    val planted = nNear + nExact
+    assert(DedupQueries.minhashCandidates(spark, Sf).count() <= 5 * planted)
+    assert(DedupQueries.ngramCandidates(spark, Sf).count() <= 5 * planted)
+    assert(DedupQueries.simhashCandidates(spark, Sf).count() <= 10 * planted)
+  }
+
   test("dedup_exact finds every planted exact-duplicate group") {
     val groups = DedupQueries.queries("dedup_exact")(spark, Sf)
       .filter(col("dup_count") > 1).count()
