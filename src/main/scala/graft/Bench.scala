@@ -36,6 +36,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // corpora are cached per query and deduped by canonical plan —
+    // CacheManager's "already cached" WARN per query is by design here
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.CacheManager",
+      org.apache.logging.log4j.Level.ERROR)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
     qs.foreach { case (name, fn) =>
       val t0 = System.nanoTime()
