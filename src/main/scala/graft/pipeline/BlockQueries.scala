@@ -64,19 +64,11 @@ object BlockQueries {
   }
 
   /** J2: per-page closure summary — block/line/word counts plus an
-    * order-independent md5 over the sorted closure set. */
-  private val blockClosure: Q = (sp, d) => {
-    val b = blocks(sp, d)
-    val reach = BlockClosure.closure(sp, b)
-    reach.join(b.select(col("doc_id"), col("id").as("block_id"), col("block_type")),
-        Seq("doc_id", "block_id"))
-      .groupBy("doc_id", "page_id")
-      .agg(count("*").as("n_blocks"),
-        sum(when(col("block_type") === "LINE", 1L).otherwise(0L)).as("n_lines"),
-        sum(when(col("block_type") === "WORD", 1L).otherwise(0L)).as("n_words"),
-        md5(array_join(sort_array(collect_list(col("block_id"))), ",")).as("closure_md5"))
+    * order-independent md5 over the sorted closure set, emitted in one
+    * pass by the per-doc DFS (no join-back, blocks scanned once). */
+  private val blockClosure: Q = (sp, d) =>
+    BlockClosure.pageSummaries(sp, blocks(sp, d))
       .orderBy("doc_id", "page_id")
-  }
 
   private val blockClosureSql = {
     val pid = "'d' || CAST(doc_id AS VARCHAR) || '-p' || CAST(p AS VARCHAR)"
