@@ -132,6 +132,116 @@ WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
 QUALIFY row_number() OVER w <= 5
 ORDER BY query_id, rank"""
 
+  /** IVF with a REAL k-means coarse quantizer (vs [[topkIvf]]'s
+    * per-label stand-in): deterministic init (centroids = vectors
+    * 0..k-1), two Lloyd iterations, final assignment = the IVF cells,
+    * then nprobe=2 probe + exact cosine rerank inside probed cells.
+    *
+    * Distributed shape: each iteration is one broadcast of the k×dim
+    * centroid table against a single corpus pass (argmin by squared-L2
+    * expansion ‖c‖² − 2·v·c; v·v is constant per vector and drops out
+    * of the argmin), then a map-side-combinable (cid, dim) aggregation
+    * for the update — exactly MLlib's plan: model state (k·dim doubles)
+    * lives on the driver between iterations, the corpus never shuffles.
+    * Collecting k=8 centroid rows is constant-size model state, not a
+    * driver-side data loop.
+    *
+    * Cross-engine determinism: distances via the same left-fold dot
+    * (graft_dot ≡ list_dot_product, bit-identical), ties broken by cid;
+    * centroid means are decimal-exact sums (order-independent) cast to
+    * double once, divided in double — so Spark and DuckDB walk
+    * identical centroid trajectories. */
+  private val KmK = 8; private val KmIters = 2; private val KmProbe = 2
+  private val topkKmeans: Q = (s, d) => {
+    import s.implicits._
+    val e = embDouble(s, d).select(col("vec_id"), col("v")).cache()
+    def assign(cents: Seq[(Int, Seq[Double])]): DataFrame = {
+      val cdf = cents.toDF("cid", "cv")
+      val wn = Window.partitionBy("vec_id")
+        .orderBy(dot(col("cv"), col("cv")) - lit(2) * dot(col("v"), col("cv")), col("cid"))
+      e.crossJoin(broadcast(cdf))
+        .withColumn("rn", row_number().over(wn))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cid"))
+    }
+    val init = e.filter(col("vec_id") < KmK)
+      .select(col("vec_id").cast("int"), col("v"))
+      .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
+    val cents = (1 to KmIters).foldLeft(init) { (c, _) =>
+      assign(c)
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim")
+        .agg((sum(col("x").cast("decimal(25,15)")).cast("double") /
+          count(lit(1))).as("m"))
+        .as[(Int, Int, Double)].collect().toSeq
+        .groupBy(_._1).map { case (cid, xs) =>
+          (cid, xs.sortBy(_._2).map(_._3).toSeq) }.toSeq.sortBy(_._1)
+    }
+    val cells = assign(cents)
+    val cdf = cents.toDF("cid", "cv")
+    val qs = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(dot(col("cv"), col("cv")) - lit(2) * dot(col("qv"), col("cv")), col("cid"))
+    val probes = qs.crossJoin(broadcast(cdf))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= KmProbe)
+      .select(col("query_id"), col("qv"), col("cid").as("probe_cid"))
+    val sims = cells.join(broadcast(probes),
+        col("cid") === col("probe_cid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+  private val topkKmeansSql = {
+    def assignSql(e: String, c: String) = s"""
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv), c.cid) AS rn
+    FROM $e e, $c c) WHERE rn = 1"""
+    def updateSql(a: String) = s"""
+  SELECT cid, list(m ORDER BY dim) AS cv FROM (
+    SELECT cid, dim, CAST(sum(CAST(x AS DECIMAL(25,15))) AS DOUBLE) / count(*) AS m
+    FROM (SELECT cid, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM $a)
+    GROUP BY cid, dim) GROUP BY cid"""
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $KmK
+), a1 AS (${assignSql("e", "c0")}
+), c1 AS (${updateSql("a1")}
+), a2 AS (${assignSql("e", "c1")}
+), c2 AS (${updateSql("a2")}
+), cells AS (${assignSql("e", "c2")}
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+), probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        list_dot_product(c.cv, c.cv) - 2 * list_dot_product(q.qv, c.cv), c.cid) AS rn
+    FROM q, c2 c) WHERE rn <= $KmProbe
+), sims AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+    list_dot_product(q.qv, a.v) /
+      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))) AS sim
+  FROM q
+  JOIN probes p ON p.query_id = q.query_id
+  JOIN cells a ON a.cid = p.cid AND a.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(row_number() OVER w AS INT) AS rank, round(sim, 6) AS sim
+FROM sims
+WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+QUALIFY row_number() OVER w <= 5
+ORDER BY query_id, rank"""
+  }
+
   /** Embedding-cosine near-dup pairs: label-blocked (IVF-cell-blocked at
     * scale) pairwise cosine ≥ 0.35 — the embedding leg of the dedup
     * family. Equi-join on label; no all-pairs materialization. */
@@ -161,10 +271,12 @@ ORDER BY vec_a, vec_b"""
   val queries: Map[String, Q] = Map(
     "ann_topk_brute" -> topkBrute,
     "ann_topk_ivf" -> topkIvf,
+    "ann_topk_ivf_kmeans" -> topkKmeans,
     "dedup_embedding" -> embedDedup)
 
   val oracle: Map[String, String] = Map(
     "ann_topk_brute" -> topkBruteSql,
     "ann_topk_ivf" -> topkIvfSql,
+    "ann_topk_ivf_kmeans" -> topkKmeansSql,
     "dedup_embedding" -> embedDedupSql)
 }
