@@ -32,7 +32,11 @@ object Profile {
       org.apache.logging.log4j.Level.ERROR)
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
-      (1 to reps).foreach { r =>
+      if (reps == 0) { // explain mode: dump the formatted physical plan
+        println(s"===== $name =====")
+        println(fn(spark, sfDir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      } else (1 to reps).foreach { r =>
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
         println(f"[profile] $name rep$r ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")

@@ -16,6 +16,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.EtlQueries.queries ++
       graft.queries.SinkQueries.queries ++
+      graft.queries.AnalyticsQueries.queries ++
       graft.pipeline.DedupQueries.queries ++
       graft.pipeline.SimilarityQueries.queries ++
       graft.pipeline.TextQueries.queries ++
@@ -27,6 +28,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.queries.EtlQueries.oracle ++
       graft.queries.SinkQueries.oracle ++
+      graft.queries.AnalyticsQueries.oracle ++
       graft.pipeline.DedupQueries.oracle ++
       graft.pipeline.SimilarityQueries.oracle ++
       graft.pipeline.TextQueries.oracle ++

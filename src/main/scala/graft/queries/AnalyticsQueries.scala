@@ -1,0 +1,176 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Analytical scan/join/agg family over the TPC-H-shaped tables —
+  * the warehouse-style workload a training-data pipeline runs next to
+  * its ETL (corpus accounting, billing rollups, source-mix reports).
+  * Not part of the reference surface (which is document ETL); added as
+  * first-class scale demonstrations on the only multi-hundred-k-row
+  * tables in the testdata.
+  *
+  * Scale posture, per query:
+  *  - pricing_summary: single scan, filter pushed to parquet, map-side
+  *    partial agg into a 6-row result — the canonical "aggregate 100 TB
+  *    down to a screenful" plan; no repartition, no wide shuffle.
+  *  - top_orders / region_revenue: the fact-fact join
+  *    (lineitem ⋈ orders) shuffles on the join key — the honest plan at
+  *    100 TB — while every dimension (customer, supplier, nation,
+  *    region) is broadcast, so the big side never shuffles twice.
+  *  - order_priority: EXISTS → left-semi join; the semi form ships no
+  *    lineitem payload columns and short-circuits per key.
+  *
+  * Money columns are DOUBLE in the source; every sum casts the per-row
+  * product (IEEE-identical in both engines) to DECIMAL(25,10) so the
+  * aggregate is order-independent — shuffle schedules can't change the
+  * result — then casts to double once at the end (same trick as the
+  * events family; see graft-build-workflow memory note).
+  */
+object AnalyticsQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Order-independent exact sum of a double expression. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(25,10)")).cast("double")
+  private def ts(s: String): Column = expr(s"TIMESTAMP '$s 00:00:00'")
+
+  private val revenueExpr: Column =
+    col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  // ------------------------------------------------- pricing summary (Q1)
+  private val pricingSummary: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= ts("2001-06-30"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        round(dsum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(dsum(revenueExpr), 4).as("sum_disc_price"),
+        round(dsum(revenueExpr * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(dsum(col("l_quantity")) / count(lit(1)), 6).as("avg_qty"),
+        round(dsum(col("l_extendedprice")) / count(lit(1)), 6).as("avg_price"),
+        round(dsum(col("l_discount")) / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  private val pricingSummarySql =
+    """SELECT l_returnflag, l_linestatus,
+  CAST(sum(CAST(l_quantity AS DECIMAL(25,10))) AS DOUBLE) AS sum_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,10))) AS DOUBLE), 4) AS sum_base_price,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))) AS DOUBLE), 4) AS sum_disc_price,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(25,10))) AS DOUBLE), 4) AS sum_charge,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(25,10))) AS DOUBLE) / count(*), 6) AS avg_qty,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,10))) AS DOUBLE) / count(*), 6) AS avg_price,
+  round(CAST(sum(CAST(l_discount AS DECIMAL(25,10))) AS DOUBLE) / count(*), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-06-30 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
+  // ------------------------------------------------- top orders (Q3 shape)
+  private val topOrders: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") < ts("1998-01-01"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") > ts("1998-01-01"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_orderpriority"))
+      .agg(round(dsum(revenueExpr), 4).as("revenue"))
+      .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+  private val topOrdersSql =
+    """SELECT l_orderkey,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))) AS DOUBLE), 4) AS revenue,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10"""
+
+  // -------------------------------------------- region revenue (Q5 shape)
+  private val regionRevenue: Q = (s, d) => {
+    val nat = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nationkey", "n_name")
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1998-01-01"))
+      .select("o_orderkey", "o_custkey")
+    Tables.lineitem(s, d)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .groupBy("n_name")
+      .agg(round(dsum(revenueExpr), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+  private val regionRevenueSql =
+    """SELECT n_name,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))) AS DOUBLE), 4) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name"""
+
+  // -------------------------------------------- order priority (Q4 shape)
+  private val orderPriority: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1997-01-01"))
+    ord.join(Tables.lineitem(s, d).select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+  private val orderPrioritySql =
+    """SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority"""
+
+  val queries: Map[String, Q] = Map(
+    "tpch_pricing_summary" -> pricingSummary,
+    "tpch_top_orders" -> topOrders,
+    "tpch_region_revenue" -> regionRevenue,
+    "tpch_order_priority" -> orderPriority)
+
+  val oracle: Map[String, String] = Map(
+    "tpch_pricing_summary" -> pricingSummarySql,
+    "tpch_top_orders" -> topOrdersSql,
+    "tpch_region_revenue" -> regionRevenueSql,
+    "tpch_order_priority" -> orderPrioritySql)
+}
