@@ -117,15 +117,60 @@ WINDOW w AS (PARTITION BY event_type ORDER BY count(*) DESC, user_id)
 QUALIFY row_number() OVER w <= 3
 ORDER BY event_type, rank"""
 
+  // ---------------------------------------------------------- as-of join
+  /** As-of join — an operator Spark has no native form of (the oracle
+    * uses DuckDB's ASOF JOIN): each purchase matched to the same
+    * user's latest click at-or-before it. Composed from existing ops
+    * per the preference order (no custom plan needed): tag both sides,
+    * union, ONE shuffle on user_id, and a running last(click,
+    * ignoreNulls) window carries the most recent click forward onto
+    * each purchase row. Equal timestamps sort clicks first (tag 0 < 1),
+    * matching ASOF's ts_purchase >= ts_click inclusivity. The
+    * alternatives are strictly worse at 100 TB: a per-row "latest
+    * earlier" subquery is O(n²) inside hot users, and a range cross-
+    * join materializes every (purchase, earlier-click) pair before
+    * aggregating them away; the carry-forward form ships each event
+    * exactly once and sorts once per user partition. */
+  private val asofJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    def side(typ: String, tag: Int) =
+      ev.filter(col("event_type") === typ)
+        .select(col("user_id"), col("ts"), lit(tag).as("tag"),
+          col("event_id"), col("value"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "tag")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    side("click", 0).unionAll(side("purchase", 1))
+      .withColumn("last_click", last(
+        when(col("tag") === 0, struct(col("event_id"), col("ts"), col("value"))),
+        ignoreNulls = true).over(w))
+      .filter(col("tag") === 1 && col("last_click").isNotNull)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_millis(col("ts")).as("purchase_ms"),
+        col("last_click.event_id").as("click_id"),
+        unix_millis(col("last_click.ts")).as("click_ms"),
+        col("last_click.value").as("click_value"))
+      .orderBy("purchase_id")
+  }
+  private val asofJoinSql =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+  epoch_ms(p.ts) AS purchase_ms, c.event_id AS click_id,
+  epoch_ms(c.ts) AS click_ms, c.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY purchase_id"""
+
   val queries: Map[String, Q] = Map(
     "events_tumbling" -> tumbling,
     "events_sliding" -> sliding,
     "events_session" -> session,
-    "events_topk_users" -> topkUsers)
+    "events_topk_users" -> topkUsers,
+    "events_asof_join" -> asofJoin)
 
   val oracle: Map[String, String] = Map(
     "events_tumbling" -> tumblingSql,
     "events_sliding" -> slidingSql,
     "events_session" -> sessionSql,
-    "events_topk_users" -> topkUsersSql)
+    "events_topk_users" -> topkUsersSql,
+    "events_asof_join" -> asofJoinSql)
 }
