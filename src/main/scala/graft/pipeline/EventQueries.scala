@@ -131,8 +131,11 @@ ORDER BY event_type, rank"""
     * join materializes every (purchase, earlier-click) pair before
     * aggregating them away; the carry-forward form ships each event
     * exactly once and sorts once per user partition. */
-  private val asofJoin: Q = (s, d) => {
-    val ev = Tables.events(s, d)
+  /** The as-of operator over any events relation (needs ts, user_id,
+    * event_type, event_id, value) — shared by the batch query below and
+    * the streaming parity test against
+    * [[graft.streaming.StreamingEvents.asofStream]]. */
+  def asofAgg(ev: DataFrame): DataFrame = {
     def side(typ: String, tag: Int) =
       ev.filter(col("event_type") === typ)
         .select(col("user_id"), col("ts"), lit(tag).as("tag"),
@@ -151,6 +154,7 @@ ORDER BY event_type, rank"""
         col("last_click.value").as("click_value"))
       .orderBy("purchase_id")
   }
+  private val asofJoin: Q = (s, d) => asofAgg(Tables.events(s, d))
   private val asofJoinSql =
     """SELECT p.event_id AS purchase_id, p.user_id,
   epoch_ms(p.ts) AS purchase_ms, c.event_id AS click_id,

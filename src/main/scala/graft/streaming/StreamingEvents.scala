@@ -1,7 +1,9 @@
 package graft.streaming
 
 import graft.pipeline.EventQueries
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Streaming face of the windowed event analytics (SURVEY.md §2.10):
   * the batch operators in [[graft.pipeline.EventQueries]] are written as
@@ -30,4 +32,67 @@ object StreamingEvents {
     * then the session emits once (append). */
   def sessionStream(events: DataFrame, delay: String = "2 hours"): DataFrame =
     EventQueries.sessionAgg(events.withWatermark("ts", delay))
+
+  case class AsofEv(tsMs: Long, tag: Int, eventId: Long, value: Double)
+  case class AsofState(pending: List[AsofEv], clickId: Long, clickMs: Long,
+    clickValue: Double, hasClick: Boolean)
+  case class AsofMatch(purchase_id: Long, user_id: Long, purchase_ms: Long,
+    click_id: Long, click_ms: Long, click_value: Double)
+
+  /** Streaming as-of join (the unbounded face of
+    * [[EventQueries]]'s `events_asof_join`): each purchase matched to
+    * the same user's latest click at-or-before it, over an out-of-order
+    * event stream. The batch form's carry-forward window needs the
+    * whole partition sorted, which a stream never has — so this is the
+    * custom-state case SURVEY §2.10 reserves for
+    * `flatMapGroupsWithState`:
+    *
+    *  - events buffer per user until the watermark passes their event
+    *    time (every click that could precede them has then arrived);
+    *  - ready events replay in (ts, click-before-purchase, id) order
+    *    against the carried last-click, emitting matches append-only;
+    *  - state is the in-flight buffer (bounded by the watermark delay ×
+    *    per-user rate) plus ONE remembered click — O(1) per user after
+    *    the buffer drains, so a forever-running stream holds state
+    *    proportional to active users, not history.
+    *
+    * An event-time timeout on the earliest pending event guarantees
+    * buffered events emit even if the user's traffic stops.
+    *
+    * Note the watermark is effectively derived from the click/purchase
+    * sub-stream: Catalyst pushes the type filter below the watermark
+    * node (the predicate doesn't touch `ts`), so other event types
+    * never advance it — conservative (no premature emission), and a
+    * stream of only-other-types holds results rather than corrupting
+    * them. */
+  def asofStream(events: DataFrame, delay: String = "2 hours"): Dataset[AsofMatch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", delay)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("ts"),
+        when(col("event_type") === "click", 0).otherwise(1).as("tag"),
+        col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Int, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AsofState, AsofMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, it, state) =>
+          val prev = state.getOption.getOrElse(
+            AsofState(Nil, 0L, 0L, 0.0, hasClick = false))
+          val incoming = it.map(e => AsofEv(e._2.getTime, e._3, e._4, e._5)).toList
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, pending) = (prev.pending ++ incoming).partition(_.tsMs <= wm)
+          var (cid, cms, cv, has) =
+            (prev.clickId, prev.clickMs, prev.clickValue, prev.hasClick)
+          val out = List.newBuilder[AsofMatch]
+          ready.sortBy(e => (e.tsMs, e.tag, e.eventId)).foreach { e =>
+            if (e.tag == 0) { cid = e.eventId; cms = e.tsMs; cv = e.value; has = true }
+            else if (has) out += AsofMatch(e.eventId, user, e.tsMs, cid, cms, cv)
+          }
+          state.update(AsofState(pending, cid, cms, cv, has))
+          if (pending.nonEmpty) state.setTimeoutTimestamp(pending.map(_.tsMs).min)
+          out.result().iterator
+      }
+  }
 }

@@ -106,6 +106,53 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of join: out-of-order buffering, timeout drain, batch parity") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Long, Double)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_ms", "user_id", "event_type", "event_id", "value")
+      .select(timestamp_millis(col("ts_ms")).as("ts"), col("user_id"),
+        col("event_type"), col("event_id"), col("value"))
+    val q = StreamingEvents.asofStream(typed(mem.toDF()), "1 hour")
+      .writeStream.format("memory").queryName("asof").outputMode("append").start()
+    val t0 = 1000L * 3600 * 24
+    val m = 60000L
+    // arrival order deliberately scrambles event time: the purchase
+    // arrives first, then an OLDER click in a later micro-batch — the
+    // buffer must hold the purchase until the watermark proves no
+    // earlier click can still arrive
+    val b1 = Seq((t0 + 120 * m, 1L, "purchase", 10L, 5.0),
+      (t0 + 60 * m, 1L, "click", 11L, 1.0))
+    val b2 = Seq((t0 + 90 * m, 1L, "click", 12L, 2.0), // between click 11 and purchase 10
+      (t0 + 600 * m, 2L, "click", 13L, 0.0)) // advances the watermark
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      assert(spark.table("asof").count() === 0) // everything still buffered
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      // watermark is now t0+540m; user 1's timeout fires on the next
+      // batch even though user 1 gets no more events. (The advancing
+      // events must be clicks/purchases: the type filter is pushed
+      // below the watermark node, so other types don't move it.)
+      mem.addData((t0 + 700 * m, 2L, "click", 14L, 0.0))
+      q.processAllAvailable()
+      val got = spark.table("asof").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).toSet
+      // purchase 10 matches click 12 (latest <= its ts), not click 11
+      assert(got === Set((10L, 1L, t0 + 120 * m, 12L, t0 + 90 * m, 2.0)))
+      // parity: the batch as-of operator over the same events
+      val batchRows = graft.pipeline.EventQueries
+        .asofAgg(typed((b1 ++ b2).toDF())).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getDouble(5))).toSet
+      assert(batchRows === got)
+    } finally q.stop()
+  }
+
   test("U4 withRetry: transient faults retried with capped exponential backoff") {
     val waits = scala.collection.mutable.ArrayBuffer[Long]()
     var calls = 0
