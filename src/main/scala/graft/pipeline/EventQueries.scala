@@ -164,17 +164,71 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
   ON p.user_id = c.user_id AND p.ts >= c.ts
 ORDER BY purchase_id"""
 
+  // --------------------------------------------------------- range join
+  /** Binned range join — the scale-safe form of an interval join (an
+    * operator Spark's optimizer has no native strategy for; the oracle
+    * uses a plain BETWEEN theta-join): how many error events (any user)
+    * fall inside each user session's time interval. Naive evaluation is
+    * a cartesian filtered by the range (sessions × errors pairs); the
+    * binned form explodes each session onto fixed-width time buckets,
+    * equi-joins errors on their single bucket, and applies the range
+    * residual — candidate pairs are localized to co-bucketed rows, so
+    * cost tracks temporal density, not |sessions|·|errors|. Bucket
+    * width = the 6 h session gap: a session spans few buckets (its
+    * length is bounded-ish by activity), an error exactly one. */
+  private val rangeJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val w = 6L * 3600 * 1000
+    val sess = sessionAgg(ev)
+      .select("user_id", "session_start_ms", "session_end_ms")
+      .withColumn("bucket", explode(expr(
+        s"sequence(session_start_ms div $w, session_end_ms div $w)")))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(unix_millis(col("ts")).as("ems"))
+      .withColumn("bucket", expr(s"ems div $w"))
+    sess.join(errors, Seq("bucket"))
+      .filter(col("ems").between(col("session_start_ms"), col("session_end_ms")))
+      .groupBy("user_id", "session_start_ms", "session_end_ms")
+      .agg(count(lit(1)).as("n_errors"))
+      .orderBy("user_id", "session_start_ms")
+  }
+  private val rangeJoinSql =
+    """WITH marked AS (
+  SELECT user_id, ts, event_id,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              <= INTERVAL 6 HOUR THEN 0 ELSE 1 END AS new_session
+  FROM events
+), islands AS (
+  SELECT user_id, ts,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, new_session
+      ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+), sessions AS (
+  SELECT user_id, epoch_ms(date_trunc('milliseconds', min(ts))) AS session_start_ms,
+    epoch_ms(date_trunc('milliseconds', max(ts) + INTERVAL 6 HOUR)) AS session_end_ms
+  FROM islands GROUP BY user_id, sid
+), errors AS (
+  SELECT epoch_ms(date_trunc('milliseconds', ts)) AS ems FROM events
+  WHERE event_type = 'error'
+)
+SELECT s.user_id, s.session_start_ms, s.session_end_ms, count(*) AS n_errors
+FROM sessions s JOIN errors e ON e.ems BETWEEN s.session_start_ms AND s.session_end_ms
+GROUP BY 1, 2, 3
+ORDER BY 1, 2"""
+
   val queries: Map[String, Q] = Map(
     "events_tumbling" -> tumbling,
     "events_sliding" -> sliding,
     "events_session" -> session,
     "events_topk_users" -> topkUsers,
-    "events_asof_join" -> asofJoin)
+    "events_asof_join" -> asofJoin,
+    "events_range_join" -> rangeJoin)
 
   val oracle: Map[String, String] = Map(
     "events_tumbling" -> tumblingSql,
     "events_sliding" -> slidingSql,
     "events_session" -> sessionSql,
     "events_topk_users" -> topkUsersSql,
-    "events_asof_join" -> asofJoinSql)
+    "events_asof_join" -> asofJoinSql,
+    "events_range_join" -> rangeJoinSql)
 }
