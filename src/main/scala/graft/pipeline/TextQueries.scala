@@ -246,18 +246,93 @@ ORDER BY a.lang, a.source"""
       .agg(approx_count_distinct("tok", 0.02).as("approx_distinct_tokens"))
       .orderBy("lang", "source")
 
+  // -------------------------------------------------------- clean corpus
+  /** The end-to-end prep pass a training-data pipeline actually runs,
+    * composed from this file's signals and the dedup family's corpus:
+    * quality gate (score ≥ 0.6, ≥ 20 tokens) → exact dedup among the
+    * survivors (keep min doc_id per md5) → per-(lang, source)
+    * accounting of what survived each stage. One pass computes the
+    * per-doc signals, one shuffle per aggregation stage, and the dedup
+    * is the same hash-groupBy shape as `dedup_exact` — the whole
+    * pipeline is the composition of already-scale-audited pieces, which
+    * is the point: prep at 100 TB is these operators chained, not a new
+    * kind of operator. */
+  private val cleanCorpus: Q = (s, d) => {
+    graft.functions.VectorExpressions.register(s)
+    val en = Stopwords.toMap.apply("en")
+    val nTok = size(toks).cast("long")
+    val swRatio = swHits(en).cast("double") / nTok
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val score = round(
+      lit(0.3) * least(lit(1.0), nTok.cast("double") / 100.0) +
+        lit(0.4) * (lit(1.0) - swRatio) + lit(0.3) * ttr, 6)
+    val sig = DupCorpus.corpus(s, d).select(col("doc_id"), col("lang"),
+      col("source"), col("text"), nTok.as("n_tokens"), score.as("q"))
+    val pass = sig.filter(col("q") >= 0.6 && col("n_tokens") >= 20)
+    val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+    val kept = pass.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    val tot = sig.groupBy("lang", "source").agg(count(lit(1)).as("n_docs"))
+    val pa = pass.groupBy("lang", "source").agg(count(lit(1)).as("np"))
+    val ka = kept.groupBy("lang", "source").agg(count(lit(1)).as("nk"),
+      sum("n_tokens").as("tk"))
+    tot.join(pa, Seq("lang", "source"), "left")
+      .join(ka, Seq("lang", "source"), "left")
+      .select(col("lang"), col("source"), col("n_docs"),
+        coalesce(col("np"), lit(0L)).as("n_quality_pass"),
+        coalesce(col("nk"), lit(0L)).as("n_kept"),
+        (coalesce(col("np"), lit(0L)) - coalesce(col("nk"), lit(0L)))
+          .as("n_dups_removed"),
+        coalesce(col("tk"), lit(0L)).as("tokens_kept"))
+      .orderBy("lang", "source")
+  }
+  private val cleanCorpusSql = {
+    val t = ToksSql
+    val en = swListSql(Stopwords.toMap.apply("en"))
+    s"""${OraclePipeline.DupCte}, sig AS (
+  SELECT doc_id, lang, source, text, CAST(len($t) AS BIGINT) AS n_tokens,
+    round(0.3 * least(1.0, CAST(len($t) AS DOUBLE) / 100.0)
+        + 0.4 * (1.0 - CAST(len(list_filter($t, x -> list_contains($en, x))) AS DOUBLE)
+                       / len($t))
+        + 0.3 * CAST(len(list_distinct($t)) AS DOUBLE) / len($t), 6) AS q
+  FROM dup
+), pass AS (
+  SELECT * FROM sig WHERE q >= 0.6 AND n_tokens >= 20
+), kept AS (
+  SELECT * FROM pass
+  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+), tot AS (
+  SELECT lang, source, count(*) AS n_docs FROM sig GROUP BY lang, source
+), pa AS (
+  SELECT lang, source, count(*) AS np FROM pass GROUP BY lang, source
+), ka AS (
+  SELECT lang, source, count(*) AS nk, CAST(sum(n_tokens) AS BIGINT) AS tk
+  FROM kept GROUP BY lang, source
+)
+SELECT t.lang, t.source, t.n_docs,
+  coalesce(p.np, 0) AS n_quality_pass,
+  coalesce(k.nk, 0) AS n_kept,
+  coalesce(p.np, 0) - coalesce(k.nk, 0) AS n_dups_removed,
+  coalesce(k.tk, 0) AS tokens_kept
+FROM tot t
+LEFT JOIN pa p ON t.lang = p.lang AND t.source = p.source
+LEFT JOIN ka k ON t.lang = k.lang AND t.source = k.source
+ORDER BY t.lang, t.source"""
+  }
+
   val queries: Map[String, Q] = Map(
     "text_langid" -> langid,
     "text_quality" -> quality,
     "text_tokens" -> tokens,
     "text_fingerprint" -> fingerprint,
     "text_profile" -> profile,
-    "text_profile_approx" -> profileApprox)
+    "text_profile_approx" -> profileApprox,
+    "text_clean_corpus" -> cleanCorpus)
 
   val oracle: Map[String, String] = Map(
     "text_langid" -> langidSql,
     "text_quality" -> qualitySql,
     "text_tokens" -> tokensSql,
     "text_fingerprint" -> fingerprintSql,
-    "text_profile" -> profileSql)
+    "text_profile" -> profileSql,
+    "text_clean_corpus" -> cleanCorpusSql)
 }
