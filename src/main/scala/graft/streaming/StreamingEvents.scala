@@ -33,6 +33,21 @@ object StreamingEvents {
   def sessionStream(events: DataFrame, delay: String = "2 hours"): DataFrame =
     EventQueries.sessionAgg(events.withWatermark("ts", delay))
 
+  /** Streaming exact dedup — the unbounded face of `dedup_exact`: keep
+    * the first document seen per md5(text), where "first" is arrival
+    * order (a stream has no total order to take min doc_id over, unlike
+    * the batch form). `dropDuplicatesWithinWatermark` bounds the dedup
+    * state: a key is remembered only until the watermark passes its
+    * event time + delay, so state is O(docs per watermark window) —
+    * the trade a forever-running 100 TB/day ingest needs, and exactly
+    * how production dedup-at-ingest behaves (a re-crawl months later
+    * re-admits the page; the batch dedup downstream catches it).
+    * Needs `ts: timestamp` and `text` columns. */
+  def dedupStream(docs: DataFrame, delay: String = "2 hours"): DataFrame =
+    docs.withWatermark("ts", delay)
+      .withColumn("text_md5", md5(col("text")))
+      .dropDuplicatesWithinWatermark("text_md5")
+
   case class AsofEv(tsMs: Long, tag: Int, eventId: Long, value: Double)
   case class AsofState(pending: List[AsofEv], clickId: Long, clickMs: Long,
     clickValue: Double, hasClick: Boolean)

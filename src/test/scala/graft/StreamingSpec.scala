@@ -153,6 +153,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: first arrival wins, state bounded by watermark") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_ms", "doc_id", "text")
+      .select(timestamp_millis(col("ts_ms")).as("ts"), col("doc_id"), col("text"))
+    val q = StreamingEvents.dedupStream(typed(mem.toDF()), "1 hour")
+      .writeStream.format("memory").queryName("ddup").outputMode("append").start()
+    val t0 = 1000L * 3600 * 24
+    val m = 60000L
+    try {
+      mem.addData((t0, 1L, "alpha"), (t0 + m, 2L, "beta"), (t0 + 2 * m, 3L, "alpha"))
+      q.processAllAvailable()
+      // duplicate within one batch suppressed
+      assert(spark.table("ddup").select("doc_id").as[Long].collect().toSet
+        === Set(1L, 2L))
+      // duplicate across batches, still inside the watermark: suppressed
+      mem.addData((t0 + 30 * m, 4L, "beta"))
+      q.processAllAvailable()
+      assert(spark.table("ddup").count() === 2)
+      // advance the watermark far past the remembered keys, then replay
+      // "alpha": the key has been evicted, so it re-admits — the
+      // documented state-bounding trade
+      mem.addData((t0 + 600 * m, 5L, "gamma"))
+      q.processAllAvailable()
+      mem.addData((t0 + 610 * m, 6L, "alpha"))
+      q.processAllAvailable()
+      val docs = spark.table("ddup").select("doc_id").as[Long].collect().toSet
+      assert(docs === Set(1L, 2L, 5L, 6L))
+    } finally q.stop()
+  }
+
   test("U4 withRetry: transient faults retried with capped exponential backoff") {
     val waits = scala.collection.mutable.ArrayBuffer[Long]()
     var calls = 0
