@@ -319,6 +319,55 @@ LEFT JOIN ka k ON t.lang = k.lang AND t.source = k.source
 ORDER BY t.lang, t.source"""
   }
 
+  // ------------------------------------------------------- sequence pack
+  /** Sequence packing — fill fixed 512-token training bins per
+    * (lang, shard) with documents in doc_id order: bin = floor(running
+    * token count before the doc / 512), the deterministic first-fit-in-
+    * order approximation every packing pipeline ships (a doc spanning a
+    * boundary stays in the bin it started in). The running sum is one
+    * window per partition key; sharding by hash(doc_id) % 8 is the
+    * scale-honest part — packing "per language" alone would sort each
+    * language's entire corpus in ONE task at 100 TB, while shards keep
+    * the sort parallel and each still packs densely. Emits per-bin
+    * accounting (docs, tokens, utilization vs the 512 target). */
+  private val seqPack: Q = (s, d) => {
+    val bin = 512L
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+      pmod(DupCorpus.h60(col("doc_id").cast("string")), lit(8L)).as("shard"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      // integer div, not double-divide-then-cast: token sums at 100 TB
+      // can pass 2^53 where double division stops being exact
+      .withColumn("cum_before", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("bin_id", expr(s"cum_before div $bin"))
+      .drop("cum_before")
+      .groupBy("lang", "shard", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+        round(sum("n_tokens").cast("double") / bin, 6).as("utilization"))
+      .orderBy("lang", "shard", "bin_id")
+  }
+  private val seqPackSql = {
+    val h = OraclePipeline.h60Sql("CAST(doc_id AS VARCHAR)")
+    s"""WITH docs AS (
+  SELECT doc_id, lang, $h % 8 AS shard,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), binned AS (
+  SELECT lang, shard, n_tokens,
+    (CAST(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 512 AS bin_id
+  FROM docs
+)
+SELECT lang, shard, bin_id, count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+  round(CAST(sum(n_tokens) AS DOUBLE) / 512, 6) AS utilization
+FROM binned
+GROUP BY lang, shard, bin_id
+ORDER BY lang, shard, bin_id"""
+  }
+
   val queries: Map[String, Q] = Map(
     "text_langid" -> langid,
     "text_quality" -> quality,
@@ -326,7 +375,8 @@ ORDER BY t.lang, t.source"""
     "text_fingerprint" -> fingerprint,
     "text_profile" -> profile,
     "text_profile_approx" -> profileApprox,
-    "text_clean_corpus" -> cleanCorpus)
+    "text_clean_corpus" -> cleanCorpus,
+    "text_seq_pack" -> seqPack)
 
   val oracle: Map[String, String] = Map(
     "text_langid" -> langidSql,
@@ -334,5 +384,6 @@ ORDER BY t.lang, t.source"""
     "text_tokens" -> tokensSql,
     "text_fingerprint" -> fingerprintSql,
     "text_profile" -> profileSql,
-    "text_clean_corpus" -> cleanCorpusSql)
+    "text_clean_corpus" -> cleanCorpusSql,
+    "text_seq_pack" -> seqPackSql)
 }
