@@ -368,6 +368,40 @@ GROUP BY lang, shard, bin_id
 ORDER BY lang, shard, bin_id"""
   }
 
+  // -------------------------------------------------------- sample split
+  /** Deterministic train/val/test split (80/10/10) by content-free id
+    * hash — the split op a training pipeline needs at 100 TB: no RNG
+    * (reruns and backfills land every doc in the same split), no
+    * sampling shuffle (the split is a projected column, computed at
+    * scan), and salting the hash input ("split:" prefix) decorrelates
+    * it from every other doc_id-derived hash in the pipeline. Emits
+    * per-(split, lang) accounting. */
+  private val sampleSplit: Q = (s, d) => {
+    val bucket = pmod(DupCorpus.h60(concat(lit("split:"),
+      col("doc_id").cast("string"))), lit(100L))
+    Tables.documents(s, d)
+      .select(col("lang"),
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+          .as("split"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .groupBy("split", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .orderBy("split", "lang")
+  }
+  private val sampleSplitSql = {
+    val h = OraclePipeline.h60Sql("'split:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH docs AS (
+  SELECT lang,
+    CASE WHEN $h % 100 < 80 THEN 'train'
+         WHEN $h % 100 < 90 THEN 'val' ELSE 'test' END AS split,
+    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT split, lang, count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM docs GROUP BY split, lang ORDER BY split, lang"""
+  }
+
   val queries: Map[String, Q] = Map(
     "text_langid" -> langid,
     "text_quality" -> quality,
@@ -376,7 +410,8 @@ ORDER BY lang, shard, bin_id"""
     "text_profile" -> profile,
     "text_profile_approx" -> profileApprox,
     "text_clean_corpus" -> cleanCorpus,
-    "text_seq_pack" -> seqPack)
+    "text_seq_pack" -> seqPack,
+    "text_sample_split" -> sampleSplit)
 
   val oracle: Map[String, String] = Map(
     "text_langid" -> langidSql,
@@ -385,5 +420,6 @@ ORDER BY lang, shard, bin_id"""
     "text_fingerprint" -> fingerprintSql,
     "text_profile" -> profileSql,
     "text_clean_corpus" -> cleanCorpusSql,
-    "text_seq_pack" -> seqPackSql)
+    "text_seq_pack" -> seqPackSql,
+    "text_sample_split" -> sampleSplitSql)
 }
