@@ -141,13 +141,23 @@ GROUP BY n_name
 ORDER BY revenue DESC, n_name"""
 
   // -------------------------------------------- order priority (Q4 shape)
+  /** EXISTS(lineitem later than the order) evaluated as an aggregate
+    * pushdown: ∃ l with l_shipdate > o_orderdate ⇔ max(l_shipdate) per
+    * orderkey > o_orderdate, so lineitem collapses to one (key, max)
+    * row per order — map-side partial max, |orders| rows shuffled —
+    * before any join. The direct left-semi form ships every lineitem
+    * row into the join build (measured: the planner broadcast-built a
+    * 600 k-row hash table twice per bench query at sf0.1, ~4.6 s —
+    * the slowest query in the suite); the oracle keeps the EXISTS
+    * formulation, which proves the rewrite semantics. */
   private val orderPriority: Q = (s, d) => {
     val ord = Tables.orders(s, d)
       .filter(col("o_orderdate") >= ts("1996-01-01") &&
         col("o_orderdate") < ts("1997-01-01"))
-    ord.join(Tables.lineitem(s, d).select("l_orderkey", "l_shipdate"),
-        col("l_orderkey") === col("o_orderkey") &&
-        col("l_shipdate") > col("o_orderdate"), "left_semi")
+    val lastShip = Tables.lineitem(s, d)
+      .groupBy("l_orderkey").agg(max("l_shipdate").as("max_ship"))
+    ord.join(lastShip, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("max_ship") > col("o_orderdate"))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("order_count"))
       .orderBy("o_orderpriority")
