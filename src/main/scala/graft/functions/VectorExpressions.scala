@@ -255,6 +255,69 @@ case class SumStringLength(child: Expression)
   override def prettyName: String = "graft_sum_len"
 }
 
+/** `graft_cosine(array<double>, array<double>) -> double` — fused
+  * cosine similarity: one traversal accumulating a·b, a·a and b·b,
+  * then `s_ab / (sqrt(s_aa) * sqrt(s_bb))`.
+  *
+  * Why custom: every ANN rerank evaluates cosine per candidate pair,
+  * and the composed form `graft_dot(a,b) / (sqrt(graft_dot(a,a)) *
+  * sqrt(graft_dot(b,b)))` walks both arrays three times. Fusing keeps
+  * the arithmetic bit-identical — each accumulator sees exactly the
+  * add/multiply sequence of its standalone left fold, and the final
+  * sqrt/multiply/divide matches the composed expression — so results
+  * still hash-match DuckDB's `list_dot_product` formulation while the
+  * inner loop reads each element once. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_cosine expects (array<double>, array<double>), " +
+          s"got (${left.dataType.sql}, ${right.dataType.sql})")
+    }
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var ab = 0.0; var aa = 0.0; var bb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i); val yv = y.getDouble(i)
+      ab += xv * yv; aa += xv * xv; bb += yv * yv
+      i += 1
+    }
+    ab / (math.sqrt(aa) * math.sqrt(bb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val ab = ctx.freshName("ab"); val aa = ctx.freshName("aa")
+      val bb = ctx.freshName("bb")
+      val xv = ctx.freshName("xv"); val yv = ctx.freshName("yv")
+      s"""
+        int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+        double $ab = 0.0; double $aa = 0.0; double $bb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double $xv = $x.getDouble($i); double $yv = $y.getDouble($i);
+          $ab += $xv * $yv; $aa += $xv * $xv; $bb += $yv * $yv;
+        }
+        ${ev.value} = $ab / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_cosine"
+}
+
 object VectorExpressions {
   /** Idempotently register graft_dot in the session's function registry
     * so `expr("graft_dot(a, b)")` resolves. Belt-and-braces for
@@ -277,6 +340,11 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_sum_len"),
       (children: Seq[Expression]) => SumStringLength(children(0)): Expression,
+      "internal")
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_cosine"),
+      (children: Seq[Expression]) =>
+        CosineSimilarity(children(0), children(1)): Expression,
       "internal")
   }
 }
@@ -302,5 +370,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_sum_len"),
       new ExpressionInfo(classOf[SumStringLength].getCanonicalName, "graft_sum_len"),
       (children: Seq[Expression]) => SumStringLength(children(0))))
+    ext.injectFunction((FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, "graft_cosine"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
   }
 }

@@ -28,8 +28,11 @@ object SimilarityQueries {
     * see graft.functions.DotProduct for why not aggregate/zip_with). */
   private def dot(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
+  /** Fused single-traversal cosine (graft_cosine) — bit-identical to
+    * the 3-dot composition and so to the oracle's list_dot_product
+    * formulation (see graft.functions.CosineSimilarity). */
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    call_function("graft_cosine", a, b)
 
   private def embDouble(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.register(s)

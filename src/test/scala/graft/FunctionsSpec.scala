@@ -50,4 +50,23 @@ class FunctionsSpec extends SparkSpec {
       .collect()
     cmp.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
+
+  test("graft_cosine matches the 3-dot composition bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    import spark.implicits._
+    val rows = Seq.fill(50)((
+      Seq.fill(64)(rnd.nextDouble() * 2 - 1),
+      Seq.fill(64)(rnd.nextDouble() * 2 - 1))).toDF("a", "b")
+    def dot(a: String, b: String) =
+      call_function("graft_dot", col(a), col(b))
+    val cmp = rows.select(
+      call_function("graft_cosine", col("a"), col("b")).as("fused"),
+      (dot("a", "b") / (sqrt(dot("a", "a")) * sqrt(dot("b", "b")))).as("composed"))
+      .collect()
+    // exact equality: the fused accumulators see the same IEEE op
+    // sequence as the standalone folds — this is what lets the ANN
+    // oracle SQL keep the list_dot_product formulation
+    cmp.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
+  }
 }
