@@ -114,6 +114,17 @@ object StreamingEtl {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("pid").parquet(path)
     }
+    /** Housekeeping: collapse each pid directory's shuffle-width file
+      * fan-out (every overwrite leaves one file per writing task)
+      * toward `targetBytes` files via [[graft.sources.Compactor]] —
+      * run off the merge path, partition-by-partition, so a long-lived
+      * store keeps scan-efficient file sizes without ever pausing
+      * merges globally. */
+    def compact(targetBytes: Long = 128L * 1024 * 1024): Unit =
+      (0 until numPartitions)
+        .map(i => new java.io.File(s"$path/pid=$i"))
+        .filter(d => d.exists && d.listFiles != null && d.listFiles.nonEmpty)
+        .foreach(d => graft.sources.Compactor.compact(spark, d.toString, targetBytes))
   }
 
   /** U4 — bounded exponential-backoff retry, the reference's policy

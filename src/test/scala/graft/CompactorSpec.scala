@@ -32,4 +32,38 @@ class CompactorSpec extends SparkSpec {
     assert(b2 === nAfter && a2 <= nAfter)
     assert(spark.read.parquet(dir).count() === 2000)
   }
+
+  test("metadata store compaction collapses per-pid fan-out, read unchanged") {
+    import spark.implicits._
+    import graft.streaming.StreamingEtl
+    val dir = Files.createTempDirectory("graft-store-compact").toString + "/meta"
+    val store = new StreamingEtl.ParquetMetadataStore(spark, dir)
+    // disable AQE for the merge so the shuffle keeps its full task
+    // width and every pid receives files from several writer tasks —
+    // the fan-out shape a real (non-coalesced) store accretes
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      store.merge((0 until 600).map(i => (s"item-$i", "status", "ingested"))
+        .toDF("id", "mkey", "mvalue").repartition(4))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    def files(): Int = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("pid="))
+      .map(_.listFiles.count(_.getName.endsWith(".parquet"))).sum
+    val before = store.read().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val filesBefore = files()
+    store.compact()
+    val pidDirs = new java.io.File(dir).listFiles
+      .filter(_.getName.startsWith("pid=")).length
+    assert(files() === pidDirs, "each pid collapses to one file at this size")
+    assert(files() < filesBefore)
+    val after = store.read().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(after === before)
+    // the store still merges correctly post-compaction
+    store.merge(Seq(("item-7", "status", "loaded")).toDF("id", "mkey", "mvalue"))
+    assert(store.read().filter(col("id") === "item-7")
+      .select("mvalue").as[String].collect().toSeq === Seq("loaded"))
+  }
 }
