@@ -84,10 +84,49 @@ FROM documents ORDER BY doc_id"""
     }.toDF().orderBy("doc_id")
   }
 
+  /** Frame sampling over the binary payload: treat the payload as
+    * fixed 64-byte strides, keep every 4th frame, and slice each
+    * sampled frame's prefix — the offset/stride/slice plumbing a video
+    * frame-sampler needs, done relationally (sequence + explode +
+    * binary substring, all codegen'd; the payload is sliced at the
+    * scan, never shuffled whole). A real deployment swaps the stride
+    * table for codec-reported frame offsets and the hex prefix for a
+    * decoded tensor — the plan shape (explode bounded by payload size,
+    * per-frame rows carrying only the slice) is what matters at scale. */
+  private val frameSample: Q = (s, d) => {
+    val bin = encode(col("text"), "UTF-8")
+    Tables.documents(s, d)
+      .select(col("doc_id"), bin.as("content"), length(bin).as("n_bytes"))
+      .select(col("doc_id"), col("content"), col("n_bytes"),
+        explode(expr("sequence(0, (n_bytes - 1) div 64)")).as("frame_idx"))
+      .filter(col("frame_idx") % 4 === 0)
+      .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        least(lit(64), col("n_bytes") - col("frame_idx") * 64)
+          .cast("long").as("frame_len"),
+        upper(hex(expr("substring(content, frame_idx * 64 + 1, 8)")))
+          .as("frame_hex"))
+      .orderBy("doc_id", "frame_idx")
+  }
+  private val frameSampleSql =
+    """WITH b AS (
+  SELECT doc_id, text, octet_length(encode(text)) AS n_bytes FROM documents
+), f AS (
+  SELECT doc_id, text, n_bytes, unnest(range(0, (n_bytes - 1) // 64 + 1)) AS frame_idx
+  FROM b
+)
+SELECT doc_id, frame_idx,
+  CAST(least(64, n_bytes - frame_idx * 64) AS BIGINT) AS frame_len,
+  upper(hex(encode(substring(text, CAST(frame_idx * 64 + 1 AS INT), 8)))) AS frame_hex
+FROM f
+WHERE frame_idx % 4 = 0
+ORDER BY doc_id, frame_idx"""
+
   val queries: Map[String, Q] = Map(
     "multimodal_features" -> features,
-    "multimodal_decode_stub" -> decodeStub)
+    "multimodal_decode_stub" -> decodeStub,
+    "multimodal_frame_sample" -> frameSample)
 
   val oracle: Map[String, String] = Map(
-    "multimodal_features" -> featuresSql)
+    "multimodal_features" -> featuresSql,
+    "multimodal_frame_sample" -> frameSampleSql)
 }
