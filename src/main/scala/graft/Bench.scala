@@ -47,23 +47,24 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
       System.err.println(f"[bench-warm] $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
     }
-    // Two timed passes per query, report the min: this host class shows
-    // multi-second contention windows that inflate even 500-row selects
-    // 10-30x (measured: 5 identical bench runs spanned 34-272 s total
-    // with trivial queries at 0.4 s in quiet runs and 13 s inside a
-    // window). Min-of-2 rejects a window that hits one pass; the
-    // steady-state per-byte cost is the number that extrapolates to a
-    // long-lived cluster.
-    val results = qs.map { case (name, fn) =>
-      val times = (1 to 2).map { p =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench p$p] $name $dt%.1fs")
-        dt
-      }
-      name -> times.min
+    // Two timed sweeps over the FULL query list, per-query min across
+    // sweeps: this host class shows multi-second contention windows that
+    // inflate even 500-row selects 10-30x (measured: 5 identical bench
+    // runs spanned 34-272 s total with trivial queries at 0.4 s in quiet
+    // runs and 13 s inside a window). Back-to-back min-of-2 per query
+    // cannot reject a window longer than both passes (round 4 recorded
+    // dedup_simhash at 78.6 s vs 2-3 s profiled steady-state on
+    // byte-identical code); with interleaved sweeps a window must span
+    // the entire suite twice to poison any single query's min.
+    val mins = Array.fill(qs.size)(Double.MaxValue)
+    for (p <- 1 to 2; ((name, fn), i) <- qs.zipWithIndex) {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench sweep$p] $name $dt%.1fs")
+      mins(i) = math.min(mins(i), dt)
     }
+    val results = qs.map(_._1).zip(mins)
     val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -140,7 +140,11 @@ ORDER BY event_type, rank"""
       ev.filter(col("event_type") === typ)
         .select(col("user_id"), col("ts"), lit(tag).as("tag"),
           col("event_id"), col("value"))
-    val w = Window.partitionBy("user_id").orderBy("ts", "tag")
+    // event_id completes the total order: with two clicks at the same
+    // (user_id, ts), last() must not depend on shuffle arrival order —
+    // the carried click is the max-(ts, event_id) one, matching
+    // asofStream's replay order exactly.
+    val w = Window.partitionBy("user_id").orderBy("ts", "tag", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     side("click", 0).unionAll(side("purchase", 1))
       .withColumn("last_click", last(
@@ -155,13 +159,20 @@ ORDER BY event_type, rank"""
       .orderBy("purchase_id")
   }
   private val asofJoin: Q = (s, d) => asofAgg(Tables.events(s, d))
+  /** LATERAL top-1 rather than DuckDB's native ASOF JOIN: ASOF picks an
+    * arbitrary click among equal timestamps, while this formulation pins
+    * the same max-(ts, event_id) tie-break the Spark window uses — both
+    * engines are deterministic and agree by construction. */
   private val asofJoinSql =
     """SELECT p.event_id AS purchase_id, p.user_id,
   epoch_ms(p.ts) AS purchase_ms, c.event_id AS click_id,
   epoch_ms(c.ts) AS click_ms, c.value AS click_value
-FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
-  ON p.user_id = c.user_id AND p.ts >= c.ts
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p,
+LATERAL (
+  SELECT event_id, ts, value FROM events c
+  WHERE c.event_type = 'click' AND c.user_id = p.user_id AND c.ts <= p.ts
+  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+) c
 ORDER BY purchase_id"""
 
   // --------------------------------------------------------- range join

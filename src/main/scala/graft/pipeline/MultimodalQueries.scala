@@ -60,8 +60,10 @@ FROM documents ORDER BY doc_id"""
     * codec worker (one iterator pass per partition, no driver collect).
     * DECODE IS A DETERMINISTIC STUB — no codec libs in this container;
     * the "decoded" dimensions/frames are pure functions of the payload
-    * so the plumbing is testable. Rows-only driver check (no SQL
-    * oracle: the stub models an external codec, not a relational op). */
+    * so the plumbing is testable. Because the stub body is pure byte
+    * arithmetic, it IS oracle-expressible (hex-string byte indexing in
+    * DuckDB below) — the mapPartitions batch shape stays the codec
+    * boundary, but the answers are hash-checked end-to-end. */
   private val decodeStub: Q = (s, d) => {
     import s.implicits._
     val media = Tables.documents(s, d).select(
@@ -84,6 +86,32 @@ FROM documents ORDER BY doc_id"""
     }.toDF().orderBy("doc_id")
   }
 
+  /** DuckDB mirror of the stub decode: no BLOB substring in DuckDB, so
+    * hex the payload once and index bytes as 2-char slices of the hex
+    * string. byte_sum over the first 64 bytes reproduces feat_mean via
+    * the same integer-sum-then-one-IEEE-division as the Scala stub. */
+  private val decodeStubSql =
+    """WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n,
+    CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+         WHEN doc_id % 3 = 1 THEN 'audio/wav'
+         ELSE 'video/mp4' END AS media_type
+  FROM documents
+), bytes AS (
+  SELECT doc_id, unnest(range(1, CAST(least(n, 64) AS BIGINT) + 1)) AS i FROM b
+), fm AS (
+  SELECT bytes.doc_id,
+    sum(CAST('0x' || substring(b.h, CAST(2 * i - 1 AS INT), 2) AS INT)) AS byte_sum
+  FROM bytes JOIN b USING (doc_id) GROUP BY bytes.doc_id
+)
+SELECT b.doc_id, b.media_type,
+  CAST(16 + (CASE WHEN n >= 1 THEN CAST('0x' || substring(b.h, 1, 2) AS INT) ELSE 0 END) % 64 AS INT) AS width,
+  CAST(16 + (CASE WHEN n >= 2 THEN CAST('0x' || substring(b.h, 3, 2) AS INT) ELSE 0 END) % 64 AS INT) AS height,
+  CAST(CASE WHEN b.media_type = 'video/mp4' THEN 1 + n % 30 ELSE 1 END AS INT) AS n_frames,
+  CAST(coalesce(fm.byte_sum, 0) AS DOUBLE) / 64.0 AS feat_mean
+FROM b LEFT JOIN fm ON b.doc_id = fm.doc_id
+ORDER BY b.doc_id"""
+
   /** Frame sampling over the binary payload: treat the payload as
     * fixed 64-byte strides, keep every 4th frame, and slice each
     * sampled frame's prefix — the offset/stride/slice plumbing a video
@@ -97,6 +125,10 @@ FROM documents ORDER BY doc_id"""
     val bin = encode(col("text"), "UTF-8")
     Tables.documents(s, d)
       .select(col("doc_id"), bin.as("content"), length(bin).as("n_bytes"))
+      // empty payloads emit no frames; also dodges a cross-engine trap:
+      // Spark's `div` truncates (-1 div 64 = 0 → a phantom frame 0)
+      // while DuckDB's `//` floors (-1 // 64 = -1 → empty range)
+      .filter(col("n_bytes") > 0)
       .select(col("doc_id"), col("content"), col("n_bytes"),
         explode(expr("sequence(0, (n_bytes - 1) div 64)")).as("frame_idx"))
       .filter(col("frame_idx") % 4 === 0)
@@ -110,6 +142,7 @@ FROM documents ORDER BY doc_id"""
   private val frameSampleSql =
     """WITH b AS (
   SELECT doc_id, text, octet_length(encode(text)) AS n_bytes FROM documents
+  WHERE octet_length(encode(text)) > 0
 ), f AS (
   SELECT doc_id, text, n_bytes, unnest(range(0, (n_bytes - 1) // 64 + 1)) AS frame_idx
   FROM b
@@ -128,5 +161,6 @@ ORDER BY doc_id, frame_idx"""
 
   val oracle: Map[String, String] = Map(
     "multimodal_features" -> featuresSql,
+    "multimodal_decode_stub" -> decodeStubSql,
     "multimodal_frame_sample" -> frameSampleSql)
 }

@@ -159,14 +159,22 @@ ORDER BY query_id, rank"""
   private val topkKmeans: Q = (s, d) => {
     import s.implicits._
     val e = embDouble(s, d).select(col("vec_id"), col("v")).cache()
+    /** Assignment as a PURE PROJECTION: the k centroids are driver-side
+      * model state, so the argmin is `least()` over k (distance, cid)
+      * structs built from literals — no crossJoin, no window, zero
+      * shuffle of the corpus (the earlier row_number-over-vec_id form
+      * shuffled corpus×k rows every Lloyd iteration). ‖c‖² is folded on
+      * the driver with the same sequential left fold as graft_dot /
+      * DuckDB's list_dot_product, so distances stay bit-identical to
+      * the oracle's runtime-computed ones; struct comparison breaks
+      * distance ties by cid exactly as the window's orderBy did. */
     def assign(cents: Seq[(Int, Seq[Double])]): DataFrame = {
-      val cdf = cents.toDF("cid", "cv")
-      val wn = Window.partitionBy("vec_id")
-        .orderBy(dot(col("cv"), col("cv")) - lit(2) * dot(col("v"), col("cv")), col("cid"))
-      e.crossJoin(broadcast(cdf))
-        .withColumn("rn", row_number().over(wn))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("v"), col("cid"))
+      val best = least(cents.map { case (cid, cv) =>
+        val norm2 = cv.foldLeft(0.0)((acc, x) => acc + x * x)
+        struct((lit(norm2) - lit(2) * dot(col("v"), array(cv.map(lit): _*))).as("d"),
+          lit(cid).as("cid"))
+      }: _*)
+      e.select(col("vec_id"), col("v"), best.getField("cid").as("cid"))
     }
     val init = e.filter(col("vec_id") < KmK)
       .select(col("vec_id").cast("int"), col("v"))
@@ -196,11 +204,16 @@ ORDER BY query_id, rank"""
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cosine(col("qv"), col("v")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w))
+    val out = sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("sim"), 6).as("sim"))
       .orderBy("query_id", "rank")
+    // the cache existed for the Lloyd-iteration collects, which have all
+    // run by now — release it so a long-lived session doesn't accrete
+    // cached relations (the returned plan just re-reads the parquet)
+    e.unpersist()
+    out
   }
   private val topkKmeansSql = {
     def assignSql(e: String, c: String) = s"""
