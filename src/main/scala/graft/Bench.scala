@@ -33,6 +33,9 @@ object Bench {
       // 30+ distinct query plans overflow the default 100-entry codegen
       // cache: the timed pass would recompile what the warmup compiled.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // managed-table home for the bucketed-store queries (kept out of
+      // the repo working dir, which is the default warehouse location)
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse-bench")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -69,6 +72,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","passes":2}""")
+    graft.pipeline.CachePool.release() // suite boundary: drop pinned corpora
     spark.stop()
   }
 }

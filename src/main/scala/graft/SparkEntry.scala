@@ -22,7 +22,8 @@ object SparkEntry {
       graft.pipeline.TextQueries.queries ++
       graft.pipeline.EventQueries.queries ++
       graft.pipeline.BlockQueries.queries ++
-      graft.pipeline.MultimodalQueries.queries
+      graft.pipeline.MultimodalQueries.queries ++
+      graft.queries.InfraQueries.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -34,5 +35,6 @@ object SparkEntry {
       graft.pipeline.TextQueries.oracle ++
       graft.pipeline.EventQueries.oracle ++
       graft.pipeline.BlockQueries.oracle ++
-      graft.pipeline.MultimodalQueries.oracle
+      graft.pipeline.MultimodalQueries.oracle ++
+      graft.queries.InfraQueries.oracle
 }

@@ -22,6 +22,9 @@ object Verify {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
         math.max(4, cpus.toInt / 4).toString)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // managed-table home for the bucketed-store queries (kept out of
+      // the repo working dir, which is the default warehouse location)
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse-verify")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -54,6 +57,7 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.pipeline.CachePool.release() // suite boundary: drop pinned corpora
     spark.stop()
   }
 }

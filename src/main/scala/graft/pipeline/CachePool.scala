@@ -1,0 +1,35 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+
+/** Explicit lifecycle for the MB-scale relations the dedup/ANN family
+  * pins in memory (dedup corpus, shingle rows, simhash fingerprints).
+  *
+  * Within one query — and across queries in one bench/verify run —
+  * the caches are load-bearing: subplans referenced several times are
+  * otherwise recomputed per reference, and CacheManager dedupes the
+  * cached copies by canonical plan. But a cache pinned forever is a
+  * leak in a long-lived session: a 100 TB deployment running many
+  * corpora through the same SparkSession would accrete cached
+  * relations until eviction pressure hurts unrelated queries. Every
+  * `.cache()` on those paths therefore registers here, and the session
+  * owner calls [[release]] at corpus-lifecycle boundaries (end of a
+  * verify/bench suite, corpus switch). Double-registration of the same
+  * canonical plan is fine — unpersist is idempotent.
+  */
+object CachePool {
+  private val pool = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Cache `df` and register it for a later [[release]]. */
+  def cached(df: DataFrame): DataFrame = synchronized {
+    val c = df.cache()
+    pool += c
+    c
+  }
+
+  /** Unpersist every registered relation (non-blocking) and forget it. */
+  def release(): Unit = synchronized {
+    pool.foreach(_.unpersist(false))
+    pool.clear()
+  }
+}

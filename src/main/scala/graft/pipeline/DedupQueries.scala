@@ -76,15 +76,14 @@ object DedupQueries {
     val toks = corpus.select(col("doc_id"),
       posexplode(split(lower(col("text")), " ")).as(Seq("idx", "tok")))
     val w = Window.partitionBy("doc_id").orderBy("idx")
-    toks
+    CachePool.cached(toks
       .withColumn("t1", lead("tok", 1).over(w))
       .withColumn("t2", lead("tok", 2).over(w))
       .filter(col("t2").isNotNull)
       .select(col("doc_id"),
         concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
       .dropDuplicates("doc_id", "shingle")
-      .withColumn("h", DupCorpus.h60(col("shingle")))
-      .cache()
+      .withColumn("h", DupCorpus.h60(col("shingle"))))
   }
 
   // ---------------------------------------------------------------- exact
@@ -205,11 +204,10 @@ ORDER BY doc_a, doc_b"""
       else balancedSum(cols.grouped(2).map(g => g.reduce(_ + _)).toSeq)
     val fpExpr = balancedSum((0 to 59).map(j =>
       when(col(s"s$j") * 2 > col("n"), lit(1L << j)).otherwise(0L)))
-    val fp = votes.select(col("doc_id"), col("lang"), fpExpr.as("fp"),
-      expr("n div 8").as("nb"))
+    val fp = CachePool.cached(votes.select(col("doc_id"), col("lang"),
+      fpExpr.as("fp"), expr("n div 8").as("nb")))
       // one row per doc; both sides of the chunk self-join and the
       // bucket-size census read it — cache so the vote pipeline runs once
-      .cache()
     val chunks = fp.select(col("doc_id"), col("lang"), col("fp"), col("nb"),
       explode(sequence(lit(0), lit(3))).as("c"))
       .withColumn("chunk",

@@ -50,13 +50,13 @@ object DupCorpus {
       .withColumn("text", nearText)
       .withColumn("n_chars", length(col("text")).cast("long"))
       .withColumn("doc_id", col("doc_id") + 20000)
-    docs.unionAll(exactDup).unionAll(nearDup)
+    CachePool.cached(docs.unionAll(exactDup).unionAll(nearDup)
       // MB-scale; referenced by every dedup query and several times
       // within one (canonical-plan cache dedupe applies). Repartition
       // so the cached copy keeps full parallelism for the explode-heavy
-      // consumers (see DedupQueries.shingleRows note).
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
-      .cache()
+      // consumers (see DedupQueries.shingleRows note). Lifecycle:
+      // registered with CachePool, released at suite/corpus boundaries.
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id")))
   }
 
 }

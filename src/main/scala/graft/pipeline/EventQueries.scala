@@ -49,13 +49,17 @@ FROM events GROUP BY 1, 2 ORDER BY window_start_ms, event_type"""
   // ------------------------------------------------------------- sliding
   /** Sliding windows (1 hour, slide 15 min) per event_type. Spark emits
     * each event into size/slide = 4 windows; the oracle mirrors that
-    * fan-out with an explicit unnest([0..3]). */
-  private val sliding: Q = (s, d) =>
-    Tables.events(s, d)
+    * fan-out with an explicit unnest([0..3]). Shared batch/stream
+    * expression like [[tumblingAgg]]
+    * ([[graft.streaming.StreamingEvents.slidingStream]]). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
       .agg(count("*").as("n_events"), valSum.as("val_sum"))
       .select(unix_millis(col("w.start")).as("window_start_ms"), col("event_type"),
         col("n_events"), col("val_sum"))
+  private val sliding: Q = (s, d) =>
+    slidingAgg(Tables.events(s, d))
       .orderBy("window_start_ms", "event_type")
   private val slidingSql =
     s"""SELECT epoch_ms(time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE) AS window_start_ms,

@@ -1,0 +1,99 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.SkewJoin
+import graft.sources.BucketedStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked faces of the infra layer: the bucketed storage
+  * primitive and the salted skew join run END-TO-END here — written,
+  * read back, joined, aggregated, and hash-compared against DuckDB —
+  * not just unit-tested. A user adopting the storage layer exercises
+  * exactly this path first.
+  */
+object InfraQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The two relations the bucketed query persists — also the spec's
+    * subject (BucketedSpec asserts their join is exchange- and
+    * sort-free in the non-broadcast regime). Split so profile carries
+    * the group/measure columns and fingerprint the md5: the join must
+    * actually combine columns from both buckets to produce the output. */
+  def bucketedRelations(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val docs = Tables.documents(s, d)
+    (docs.select(col("doc_id"), col("lang"), col("n_chars")),
+      docs.select(col("doc_id"), md5(col("text")).as("text_md5")))
+  }
+
+  /** Bucketed-storage round trip: write both relations through
+    * [[BucketedStore]] (one shuffle each, at write time), read them
+    * back, join on the bucket key, and aggregate. At 100 TB the join
+    * and the per-key aggregation both ride the catalog's bucket spec —
+    * no exchange, no sort (plan shape pinned by BucketedSpec; values
+    * pinned here by the DuckDB oracle, which sees through the
+    * write/read round trip as identity). */
+  private val bucketedJoin: Q = (s, d) => {
+    val (profile, fingerprint) = bucketedRelations(s, d)
+    BucketedStore.write(profile, "graft_doc_profile", "doc_id", 8)
+    BucketedStore.write(fingerprint, "graft_doc_fp", "doc_id", 8)
+    BucketedStore.read(s, "graft_doc_profile")
+      .join(BucketedStore.read(s, "graft_doc_fp"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        min("text_md5").as("min_md5"))
+      .orderBy("lang")
+  }
+  private val bucketedJoinSql =
+    """SELECT lang, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  min(md5(text)) AS min_md5
+FROM documents GROUP BY lang ORDER BY lang"""
+
+  /** Deterministically skewed fact relation: ~75% of event traffic
+    * collapses onto user 0 — the one-hot-key shape that melts a single
+    * shuffle partition in a plain join. Shared with SkewJoinSpec. */
+  def skewedFact(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      when(col("user_id") % 4 =!= 0, lit(0L))
+        .otherwise(col("user_id")).as("user_id"),
+      col("value"))
+
+  /** Salted skew join, end-to-end: scatter the hot key across 8
+    * deterministic sub-keys, replicate the dim side ×8, join, then
+    * aggregate per dim attribute. The oracle runs the PLAIN join — the
+    * salted form must be row-identical to it by construction, and the
+    * hash compare proves it on real data. Decimal-exact value sums keep
+    * the result shuffle-order-independent. */
+  private val skewJoin: Q = (s, d) => {
+    val fact = skewedFact(s, d)
+    val dim = fact.select("user_id").distinct()
+      .withColumn("tier", col("user_id") % 5)
+    SkewJoin.saltedJoin(fact, dim, "user_id", 8)
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4)
+          .as("val_sum"))
+      .orderBy("tier")
+  }
+  private val skewJoinSql =
+    """WITH fact AS (
+  SELECT CASE WHEN user_id % 4 <> 0 THEN 0 ELSE user_id END AS user_id, value
+  FROM events
+), dim AS (
+  SELECT DISTINCT user_id, user_id % 5 AS tier FROM fact
+)
+SELECT d.tier, count(*) AS n_events,
+  round(CAST(sum(CAST(f.value AS DECIMAL(18,6))) AS DOUBLE), 4) AS val_sum
+FROM fact f JOIN dim d USING (user_id)
+GROUP BY d.tier ORDER BY d.tier"""
+
+  val queries: Map[String, Q] = Map(
+    "infra_bucketed_join" -> bucketedJoin,
+    "infra_skew_join" -> skewJoin)
+
+  val oracle: Map[String, String] = Map(
+    "infra_bucketed_join" -> bucketedJoinSql,
+    "infra_skew_join" -> skewJoinSql)
+}

@@ -17,11 +17,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object BucketedStore {
 
   /** Persist `df` as a managed bucketed table (overwriting), bucketed
-    * and sorted by `key` into `buckets` files per partition. */
-  def write(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    * and sorted by `key` into `buckets` files per partition. A restarted
+    * session's in-memory catalog forgets the table while its managed
+    * LOCATION survives on disk, and `saveAsTable` then refuses with
+    * LOCATION_ALREADY_EXISTS — so clear both first; rewriting the store
+    * is this API's contract. */
+  def write(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, table.toLowerCase)
+    loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+  }
 
   def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
 }

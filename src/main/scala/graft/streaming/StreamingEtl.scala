@@ -85,10 +85,17 @@ object StreamingEtl {
         StructField("mkey", StringType), StructField("mvalue", StringType))))
     private def pidOf(id: org.apache.spark.sql.Column) =
       pmod(xxhash64(id), lit(numPartitions.toLong)).cast("int")
-    private def exists: Boolean = {
-      val dir = new java.io.File(path)
-      dir.exists && dir.listFiles != null && dir.listFiles.nonEmpty
+    // Hadoop FileSystem resolved from the store path: the store works on
+    // local disk, HDFS, or S3A alike (java.io.File would be local-only)
+    private def fs: org.apache.hadoop.fs.FileSystem =
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    private def nonEmptyDir(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val f = fs
+      f.exists(hp) && f.listStatus(hp).nonEmpty
     }
+    private def exists: Boolean = nonEmptyDir(path)
     def read(): DataFrame =
       if (exists) spark.read.parquet(path).select("id", "mkey", "mvalue")
       else emptyKv
@@ -122,9 +129,9 @@ object StreamingEtl {
       * merges globally. */
     def compact(targetBytes: Long = 128L * 1024 * 1024): Unit =
       (0 until numPartitions)
-        .map(i => new java.io.File(s"$path/pid=$i"))
-        .filter(d => d.exists && d.listFiles != null && d.listFiles.nonEmpty)
-        .foreach(d => graft.sources.Compactor.compact(spark, d.toString, targetBytes))
+        .map(i => s"$path/pid=$i")
+        .filter(nonEmptyDir)
+        .foreach(d => graft.sources.Compactor.compact(spark, d, targetBytes))
   }
 
   /** U4 — bounded exponential-backoff retry, the reference's policy

@@ -26,6 +26,14 @@ object StreamingEvents {
   def tumblingStream(events: DataFrame, delay: String = "2 hours"): DataFrame =
     EventQueries.tumblingAgg(events.withWatermark("ts", delay))
 
+  /** Sliding 1-hour/15-minute windows over a streaming `events`
+    * relation — same expression tree as the batch `events_sliding`
+    * query; each event lands in 4 open windows, and state is
+    * O(open windows × event types) like the tumbling face (a window
+    * closes when the watermark passes its end). */
+  def slidingStream(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    EventQueries.slidingAgg(events.withWatermark("ts", delay))
+
   /** Per-user session windows (6-hour gap) over a streaming relation
     * (needs `ts: timestamp`, `user_id`, `value`). Session state merges
     * across micro-batches until the watermark passes last-event + gap,

@@ -10,14 +10,12 @@ import org.apache.spark.sql.functions._
 class BucketedSpec extends SparkSpec {
 
   test("bucketed tables join without exchange or sort") {
-    val e = Tables.embeddings(spark, Sf)
-      .select(col("vec_id"), col("label"),
-        size(col("embedding")).cast("long").as("dim"))
-    // embeddings + a per-vector stats relation, both bucketed by vec_id
-    BucketedStore.write(e, "emb_bucketed", "vec_id", 8)
-    BucketedStore.write(
-      e.select(col("vec_id"), (col("vec_id") % 10).as("grp")),
-      "stats_bucketed", "vec_id", 8)
+    // the SAME relations the registered infra_bucketed_join query
+    // persists — this pins the plan shape of the oracle-checked path
+    val (profile, fingerprint) =
+      graft.queries.InfraQueries.bucketedRelations(spark, Sf)
+    BucketedStore.write(profile, "emb_bucketed", "doc_id", 8)
+    BucketedStore.write(fingerprint, "stats_bucketed", "doc_id", 8)
     // bucketing matters in the non-broadcast regime (at scale neither
     // side fits a broadcast); on these test-sized tables the planner
     // would broadcast and skip the bucketed scan entirely, so pin the
@@ -28,7 +26,7 @@ class BucketedSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       val joined = BucketedStore.read(spark, "emb_bucketed")
-        .join(BucketedStore.read(spark, "stats_bucketed"), "vec_id")
+        .join(BucketedStore.read(spark, "stats_bucketed"), "doc_id")
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
       assert(plan.contains("Bucketed: true"), s"scan must use buckets:\n$plan")
@@ -37,11 +35,11 @@ class BucketedSpec extends SparkSpec {
       assert(!plan.contains("+- Sort"),
         s"sortBy buckets must also kill the join sort:\n$plan")
       // and it is not vacuous: the join actually matches every row
-      assert(joined.count() === e.count())
+      assert(joined.count() === profile.count())
       // same property for an aggregation on the bucket key: no exchange
       // in front of the partial/final aggregate pair
       val agg = BucketedStore.read(spark, "emb_bucketed")
-        .groupBy("vec_id").agg(sum("dim"))
+        .groupBy("doc_id").agg(sum("n_chars"))
       val aplan = agg.queryExecution.executedPlan.toString
       assert(!aplan.contains("Exchange"),
         s"bucketed aggregation must not shuffle:\n$aplan")

@@ -60,4 +60,20 @@ class DedupSpec extends SparkSpec {
     // the salt never excludes one
     assert(plantedNearPairs("dedup_simhash") >= math.ceil(nNear * 0.7).toLong)
   }
+
+  test("CachePool.release drops every pinned corpus relation") {
+    // run queries that pin corpus + shingle + fingerprint caches, then
+    // release: a long-lived session must end the corpus lifecycle
+    // without accreted relations. (Asserted per-relation, not via a
+    // global cacheManager.isEmpty — suites share the session and run
+    // concurrently, so other suites' caches may be live. sf0.01 keeps
+    // this test's canonical plans disjoint from every other suite's, so
+    // no concurrent query re-pins them mid-assertion.)
+    val sf = "/root/testdata/sf0.01"
+    DedupQueries.queries("dedup_minhash")(spark, sf).count()
+    val corpus = graft.pipeline.DupCorpus.corpus(spark, sf)
+    assert(corpus.storageLevel.useMemory) // pinned while in use
+    graft.pipeline.CachePool.release()
+    assert(corpus.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
+  }
 }

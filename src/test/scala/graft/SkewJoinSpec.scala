@@ -28,4 +28,21 @@ class SkewJoinSpec extends SparkSpec {
       .filter(col("k") === 1).select("__salt").distinct().count()
     assert(spread === 8)
   }
+
+  test("salting balances the hot key's task input on the registered query's fact") {
+    // the infra_skew_join relation: ~75% of events collapse onto user 0.
+    // After salting, the hot key's rows must spread near-uniformly over
+    // the 8 sub-keys — each join task gets ~1/8 of the hot volume, the
+    // whole point of the operator (bound: no sub-key above 2x the mean).
+    val fact = graft.queries.InfraQueries.skewedFact(spark, Sf)
+    val hot = fact.filter(col("user_id") === 0)
+    val sizes = hot.withColumn("__salt",
+      pmod(hash(fact.columns.map(col): _*), lit(8)))
+      .groupBy("__salt").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length === 8)
+    val mean = sizes.sum.toDouble / sizes.length
+    assert(sizes.max <= 2 * mean,
+      s"hot-key sub-partitions unbalanced: ${sizes.mkString(",")}")
+  }
 }

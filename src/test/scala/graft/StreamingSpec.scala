@@ -72,6 +72,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding agg: 4-window fan-out, watermark finalizes, batch parity") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_ms", "event_type", "value")
+      .select(timestamp_millis(col("ts_ms")).as("ts"),
+        col("event_type"), col("value"))
+    val q = StreamingEvents.slidingStream(typed(mem.toDF()), "1 hour")
+      .writeStream.format("memory").queryName("slide").outputMode("append").start()
+    val h0 = 3600L * 1000
+    val m = 60000L
+    val batch1 = Seq((h0 + m, "click", 1.5), (h0 + 2 * m, "view", 2.0),
+      (h0 + 16 * m, "click", 0.5))
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(spark.table("slide").count() === 0) // no window closed yet
+      // advance event time so the watermark (h0+7h) passes every window
+      // end from batch1; the advancing event's own 4 windows stay open
+      mem.addData((h0 + 8 * 3600000, "noop", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("slide").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      // each event fans out into size/slide = 4 windows; the two clicks
+      // share 3 of them (15-min slide, 15 min apart)
+      assert(got.count(_._2 == "click") === 5)
+      assert(got.count(_._2 == "view") === 4)
+      // parity: identical rows from the batch expression over the same
+      // (closed-window) events
+      val batch = graft.pipeline.EventQueries.slidingAgg(typed(batch1.toDF()))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("streaming session windows: cross-batch merge, watermark emission, batch parity") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
