@@ -83,7 +83,7 @@ object Corpus {
       lit("\nel titulo fue presentado el "), col("d1"),
       lit("\n\n"), substring(col("text"), 1 + 60 * (p - 1), 60))
 
-    withKey
+    graft.pipeline.CachePool.cached(withKey
       .withColumn("npages", (id % 3 + 1).cast("int"))
       .withColumn("pages",
         slice(array(inscPage(1), inscPage(2), inscPage(3)), lit(1), col("npages")))
@@ -98,7 +98,8 @@ object Corpus {
       // driver-side tree work, not execution, dominated the bench).
       // CacheManager dedupes by canonical plan across queries; the
       // repartition pins full parallelism for the cached copy.
-      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id"))
-      .cache()
+      // Lifecycle: registered with CachePool like the dedup corpora,
+      // released at suite/corpus boundaries.
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("doc_id")))
   }
 }
