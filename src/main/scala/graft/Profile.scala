@@ -24,6 +24,7 @@ object Profile {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
         math.max(4, cpus.toInt / 4).toString)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse-profile")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -33,6 +33,34 @@ class CompactorSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 2000)
   }
 
+  test("compaction recovers from a crashed predecessor's leftovers") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-compact-crash").toString
+    val dir = base + "/store"
+    (0 until 10).foreach { i =>
+      Seq.tabulate(20)(j => (i * 20L + j, s"r-$i-$j")).toDF("id", "v")
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+    val rows = spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // simulate a compactor that died mid-swap: a stale tmp dir with
+    // garbage data and a stale old dir both survive
+    Seq(1L -> "stale").toDF("id", "v").write
+      .parquet(base + "/.store.compact-tmp")
+    Seq(2L -> "staler").toDF("id", "v").write
+      .parquet(base + "/.store.compact-old")
+    val (nb, na) = Compactor.compact(spark, dir, targetBytes = 16 * 1024)
+    assert(nb === 10 && na >= 1)
+    // the rewrite used the LIVE store, not the stale tmp, and both
+    // leftover dirs are gone
+    assert(spark.read.parquet(dir).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === rows)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(base + "/.store.compact-tmp")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(base + "/.store.compact-old")))
+  }
+
   test("metadata store compaction collapses per-pid fan-out, read unchanged") {
     import spark.implicits._
     import graft.streaming.StreamingEtl
