@@ -156,31 +156,36 @@ ORDER BY query_id, rank"""
     * double once, divided in double — so Spark and DuckDB walk
     * identical centroid trajectories. */
   private val KmK = 8; private val KmIters = 2; private val KmProbe = 2
-  private val topkKmeans: Q = (s, d) => {
+
+  /** Assignment as a PURE PROJECTION: the k centroids are driver-side
+    * model state, so the argmin is `least()` over k (distance, cid)
+    * structs built from literals — no crossJoin, no window, zero
+    * shuffle of the corpus (the earlier row_number-over-vec_id form
+    * shuffled corpus×k rows every Lloyd iteration). ‖c‖² is folded on
+    * the driver with the same sequential left fold as graft_dot /
+    * DuckDB's list_dot_product, so distances stay bit-identical to
+    * the oracle's runtime-computed ones; struct comparison breaks
+    * distance ties by cid exactly as the window's orderBy did. */
+  private def assignCells(e: DataFrame,
+                          cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val best = least(cents.map { case (cid, cv) =>
+      val norm2 = cv.foldLeft(0.0)((acc, x) => acc + x * x)
+      struct((lit(norm2) - lit(2) * dot(col("v"), array(cv.map(lit): _*))).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+    e.select(col("vec_id"), col("v"), best.getField("cid").as("cid"))
+  }
+
+  /** KmIters Lloyd iterations over `e` (vec_id, v) → final centroids.
+    * Deterministic init = vectors 0..k-1; per-iteration state is k×dim
+    * doubles on the driver (constant-size model, not a data collect). */
+  private def kmeansCentroids(s: SparkSession, e: DataFrame): Seq[(Int, Seq[Double])] = {
     import s.implicits._
-    val e = embDouble(s, d).select(col("vec_id"), col("v")).cache()
-    /** Assignment as a PURE PROJECTION: the k centroids are driver-side
-      * model state, so the argmin is `least()` over k (distance, cid)
-      * structs built from literals — no crossJoin, no window, zero
-      * shuffle of the corpus (the earlier row_number-over-vec_id form
-      * shuffled corpus×k rows every Lloyd iteration). ‖c‖² is folded on
-      * the driver with the same sequential left fold as graft_dot /
-      * DuckDB's list_dot_product, so distances stay bit-identical to
-      * the oracle's runtime-computed ones; struct comparison breaks
-      * distance ties by cid exactly as the window's orderBy did. */
-    def assign(cents: Seq[(Int, Seq[Double])]): DataFrame = {
-      val best = least(cents.map { case (cid, cv) =>
-        val norm2 = cv.foldLeft(0.0)((acc, x) => acc + x * x)
-        struct((lit(norm2) - lit(2) * dot(col("v"), array(cv.map(lit): _*))).as("d"),
-          lit(cid).as("cid"))
-      }: _*)
-      e.select(col("vec_id"), col("v"), best.getField("cid").as("cid"))
-    }
     val init = e.filter(col("vec_id") < KmK)
       .select(col("vec_id").cast("int"), col("v"))
       .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
-    val cents = (1 to KmIters).foldLeft(init) { (c, _) =>
-      assign(c)
+    (1 to KmIters).foldLeft(init) { (c, _) =>
+      assignCells(e, c)
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy("cid", "dim")
         .agg((sum(col("x").cast("decimal(25,15)")).cast("double") /
@@ -189,31 +194,78 @@ ORDER BY query_id, rank"""
         .groupBy(_._1).map { case (cid, xs) =>
           (cid, xs.sortBy(_._2).map(_._3).toSeq) }.toSeq.sortBy(_._1)
     }
-    val cells = assign(cents)
+  }
+
+  /** nprobe coarse cells per query vector: (query_id, qv, probe_cid). */
+  private def probeList(s: SparkSession, e: DataFrame,
+                        cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    import s.implicits._
     val cdf = cents.toDF("cid", "cv")
     val qs = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val wc = Window.partitionBy("query_id")
       .orderBy(dot(col("cv"), col("cv")) - lit(2) * dot(col("qv"), col("cv")), col("cid"))
-    val probes = qs.crossJoin(broadcast(cdf))
+    qs.crossJoin(broadcast(cdf))
       .withColumn("crank", row_number().over(wc))
       .filter(col("crank") <= KmProbe)
       .select(col("query_id"), col("qv"), col("cid").as("probe_cid"))
-    val sims = cells.join(broadcast(probes),
-        col("cid") === col("probe_cid") && col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("v")).as("sim"))
+  }
+
+  /** Exact cosine rerank of candidate (query, neighbor) rows → top-5. */
+  private def rerankTop5(cand: DataFrame): DataFrame = {
+    val sims = cand.select(col("query_id"), col("vec_id").as("neighbor_id"),
+      cosine(col("qv"), col("v")).as("sim"))
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    val out = sims.withColumn("rank", row_number().over(w))
+    sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("sim"), 6).as("sim"))
       .orderBy("query_id", "rank")
+  }
+
+  private val topkKmeans: Q = (s, d) => {
+    val e = embDouble(s, d).select(col("vec_id"), col("v")).cache()
+    val cents = kmeansCentroids(s, e)
+    val cells = assignCells(e, cents)
+    val probes = probeList(s, e, cents)
+    val out = rerankTop5(cells.join(broadcast(probes),
+      col("cid") === col("probe_cid") && col("vec_id") =!= col("query_id")))
     // the cache existed for the Lloyd-iteration collects, which have all
     // run by now — release it so a long-lived session doesn't accrete
     // cached relations (the returned plan just re-reads the parquet)
     e.unpersist()
     out
+  }
+
+  /** The SERVING shape of the IVF index: cell assignments persisted
+    * through [[graft.sources.BucketedStore]], bucketed + sorted by cid.
+    * At 100 TB the index is exactly this table — built once (one
+    * write-time shuffle), probed forever: a query's nprobe cells become
+    * a literal IN filter on the bucket column, so the scan opens only
+    * the matching buckets (`SelectedBucketsCount` pinned in AnnSpec)
+    * and never re-shuffles the corpus. Same math as
+    * [[topkKmeans]] — the oracle SQL is shared verbatim — but the
+    * candidate fetch rides the storage layout instead of a runtime
+    * join. The probe-cid collect is ≤ k×queries ints of model state. */
+  def buildIvfIndex(s: SparkSession, d: String): Seq[(Int, Seq[Double])] = {
+    val e = embDouble(s, d).select(col("vec_id"), col("v")).cache()
+    val cents = kmeansCentroids(s, e)
+    graft.sources.BucketedStore.write(
+      assignCells(e, cents), "graft_ivf_cells", "cid", 8)
+    e.unpersist()
+    cents
+  }
+  private val topkKmeansBucketed: Q = (s, d) => {
+    val cents = buildIvfIndex(s, d)
+    val e = embDouble(s, d).select(col("vec_id"), col("v"))
+    val probes = probeList(s, e, cents)
+    val probeCids = probes.select("probe_cid").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cand = graft.sources.BucketedStore.read(s, "graft_ivf_cells")
+      .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
+      .join(broadcast(probes),
+        col("cid") === col("probe_cid") && col("vec_id") =!= col("query_id"))
+    rerankTop5(cand)
   }
   private val topkKmeansSql = {
     def assignSql(e: String, c: String) = s"""
@@ -376,6 +428,7 @@ ORDER BY vec_a, vec_b"""
     "ann_topk_brute" -> topkBrute,
     "ann_topk_ivf" -> topkIvf,
     "ann_topk_ivf_kmeans" -> topkKmeans,
+    "ann_topk_ivf_bucketed" -> topkKmeansBucketed,
     "ann_topk_lsh" -> topkLsh,
     "dedup_embedding" -> embedDedup)
 
@@ -383,6 +436,8 @@ ORDER BY vec_a, vec_b"""
     "ann_topk_brute" -> topkBruteSql,
     "ann_topk_ivf" -> topkIvfSql,
     "ann_topk_ivf_kmeans" -> topkKmeansSql,
+    // same math, different physical path (persisted bucket-pruned index)
+    "ann_topk_ivf_bucketed" -> topkKmeansSql,
     "ann_topk_lsh" -> topkLshSql,
     "dedup_embedding" -> embedDedupSql)
 }

@@ -47,6 +47,42 @@ class AnnSpec extends SparkSpec {
     assert(perQuery.filter(col("count") =!= 5).count() === 0)
   }
 
+  test("persisted IVF index: probe filter prunes buckets; bucketed variant = in-plan variant") {
+    // the serving-shape property: once the cell assignment is a table
+    // bucketed by cid, a probe (literal IN on cid) must open only the
+    // matching bucket files — probing cost scales with nprobe/nlist of
+    // the index, not its total size
+    SimilarityQueries.buildIvfIndex(spark, Sf)
+    // DisableUnnecessaryBucketedScan turns bucketed reading off for a
+    // filter-only scan (no downstream distribution requirement) and
+    // loses the pruning with it — pin the bucketed path to assert the
+    // property the layout exists for
+    val auto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try {
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val probe = graft.sources.BucketedStore.read(spark, "graft_ivf_cells")
+        .filter(col("cid").isin(1, 3))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"probe must ride buckets:\n$plan")
+      // two probe cids open at most two buckets (one if murmur3 maps
+      // both cids to the same bucket) — never the full index
+      val selected = "SelectedBucketsCount: (\\d+) out of 8".r
+        .findFirstMatchIn(plan).map(_.group(1).toInt)
+      assert(selected.exists(n => n >= 1 && n <= 2),
+        s"IN(1,3) must open <=2 of 8 buckets:\n$plan")
+      // and the pruned read is not vacuous: exactly the two cells' rows
+      assert(probe.select("cid").distinct().collect()
+        .map(_.getInt(0)).toSet.subsetOf(Set(1, 3)))
+    } finally
+      spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", auto)
+    // end-to-end: the bucketed serving path returns the identical
+    // ranked answer as the in-plan k-means query (same math, different
+    // physical path)
+    val a = SimilarityQueries.queries("ann_topk_ivf_kmeans")(spark, Sf).collect().toSeq
+    val b = SimilarityQueries.queries("ann_topk_ivf_bucketed")(spark, Sf).collect().toSeq
+    assert(a === b)
+  }
+
   test("analytics plans: pushdown + broadcast dims + partial aggregates") {
     val q1 = AnalyticsQueries.queries("tpch_pricing_summary")(spark, Sf)
       .queryExecution.executedPlan.toString
