@@ -231,12 +231,52 @@ FROM sessions s JOIN errors e ON e.ems BETWEEN s.session_start_ms AND s.session_
 GROUP BY 1, 2, 3
 ORDER BY 1, 2"""
 
+  // ------------------------------------------------------ interval join
+  /** Per-user time-band join: every (purchase, click) pair of the same
+    * user with the click inside the hour before the purchase. Unlike
+    * the as-of join (latest match only) this keeps ALL in-band pairs —
+    * the attribution-window shape. The equi-key (user_id) does the
+    * heavy lifting: one shuffle on user_id, band predicate as the join
+    * residual, so cost tracks per-user traffic, never |clicks|·
+    * |purchases|. (The binned form, [[rangeJoin]], is the fallback when
+    * no equi-key exists.) Written against any events relation so the
+    * streaming face ([[graft.streaming.StreamingEvents.intervalJoinStream]])
+    * shares the expression verbatim — there it is Spark's canonical
+    * watermarked stream-stream join, state bounded by band + delay. */
+  def intervalPairs(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id"), col("ts").as("click_ts"),
+      col("event_id").as("click_id"))
+    val p = purchases.select(col("user_id"), col("ts").as("purchase_ts"),
+      col("event_id").as("purchase_id"))
+    p.join(c, Seq("user_id")).where(
+      col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR") &&
+      col("click_ts") <= col("purchase_ts"))
+      .select(col("purchase_id"), col("user_id"),
+        unix_millis(col("purchase_ts")).as("purchase_ms"),
+        col("click_id"), unix_millis(col("click_ts")).as("click_ms"))
+  }
+  private val intervalJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    intervalPairs(ev.filter(col("event_type") === "click"),
+      ev.filter(col("event_type") === "purchase"))
+      .orderBy("purchase_id", "click_id")
+  }
+  private val intervalJoinSql =
+    """SELECT p.event_id AS purchase_id, p.user_id,
+  epoch_ms(p.ts) AS purchase_ms, c.event_id AS click_id, epoch_ms(c.ts) AS click_ms
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON c.user_id = p.user_id
+ AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+ORDER BY purchase_id, click_id"""
+
   val queries: Map[String, Q] = Map(
     "events_tumbling" -> tumbling,
     "events_sliding" -> sliding,
     "events_session" -> session,
     "events_topk_users" -> topkUsers,
     "events_asof_join" -> asofJoin,
+    "events_interval_join" -> intervalJoin,
     "events_range_join" -> rangeJoin)
 
   val oracle: Map[String, String] = Map(
@@ -245,5 +285,6 @@ ORDER BY 1, 2"""
     "events_session" -> sessionSql,
     "events_topk_users" -> topkUsersSql,
     "events_asof_join" -> asofJoinSql,
+    "events_interval_join" -> intervalJoinSql,
     "events_range_join" -> rangeJoinSql)
 }

@@ -56,6 +56,23 @@ object StreamingEvents {
       .withColumn("text_md5", md5(col("text")))
       .dropDuplicatesWithinWatermark("text_md5")
 
+  /** Streaming interval (time-band) join — the unbounded face of
+    * `events_interval_join`, and Spark's canonical watermarked
+    * stream-stream join: clicks and purchases are both streams, the
+    * equi-key (user_id) plus the band condition on the two event-time
+    * columns let the engine bound each side's join state (a click can
+    * be dropped once the watermark proves no purchase within an hour
+    * after it can still arrive; a purchase once its band has passed).
+    * State is O(in-flight band windows × delay), independent of stream
+    * length. Same expression tree as the batch operator
+    * ([[EventQueries.intervalPairs]]) — parity by construction. */
+  def intervalJoinStream(events: DataFrame, delay: String = "2 hours"): DataFrame = {
+    val wm = events.withWatermark("ts", delay)
+    EventQueries.intervalPairs(
+      wm.filter(col("event_type") === "click"),
+      wm.filter(col("event_type") === "purchase"))
+  }
+
   case class AsofEv(tsMs: Long, tag: Int, eventId: Long, value: Double)
   case class AsofState(pending: List[AsofEv], clickId: Long, clickMs: Long,
     clickValue: Double, hasClick: Boolean)

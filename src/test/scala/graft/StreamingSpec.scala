@@ -191,6 +191,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming interval join: cross-batch band matches, batch parity") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Long, Double)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_ms", "user_id", "event_type", "event_id", "value")
+      .select(timestamp_millis(col("ts_ms")).as("ts"), col("user_id"),
+        col("event_type"), col("event_id"), col("value"))
+    val q = StreamingEvents.intervalJoinStream(typed(mem.toDF()), "1 hour")
+      .writeStream.format("memory").queryName("band").outputMode("append").start()
+    val t0 = 1000L * 3600 * 24
+    val m = 60000L
+    // clicks at t0+10m and t0+50m; purchase at t0+65m arrives in a
+    // LATER micro-batch — the join state must hold the clicks across
+    // batches; the t0+10m click is 55m before the purchase (in band),
+    // a click at t0-30m... use one out-of-band click too
+    val b1 = Seq((t0 + 10 * m, 1L, "click", 1L, 0.0),
+      (t0 + 50 * m, 1L, "click", 2L, 0.0),
+      (t0 - 120 * m, 1L, "click", 3L, 0.0)) // 2h before: out of band
+    val b2 = Seq((t0 + 65 * m, 1L, "purchase", 10L, 9.0),
+      (t0 + 30 * m, 2L, "click", 4L, 0.0)) // other user: no match
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      val got = spark.table("band").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      // purchase 10 pairs with clicks 1 and 2 (both within its hour),
+      // not click 3 (out of band) or click 4 (other user)
+      assert(got === Set(
+        (10L, 1L, t0 + 65 * m, 1L, t0 + 10 * m),
+        (10L, 1L, t0 + 65 * m, 2L, t0 + 50 * m)))
+      // parity with the batch expression over the same events
+      val ev = typed((b1 ++ b2).toDF())
+      val batch = graft.pipeline.EventQueries.intervalPairs(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("streaming exact dedup: first arrival wins, state bounded by watermark") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
