@@ -133,7 +133,10 @@ FROM dup GROUP BY md5(text) ORDER BY keeper_doc_id"""
     jaccardVerify(minhashCandidates(s, d), shingleSketches(sh), 0.4)
       .orderBy("doc_a", "doc_b")
   }
-  private val minhashSql = {
+  /** The minhash pipeline's CTE chain + pair select, split so the
+    * cluster oracle below can reuse them (pairs become a CTE feeding a
+    * recursive closure). */
+  private val minhashCtes = {
     val mins = (0 to 7).map(i =>
       s"    min(${permSql(i, "h")}) AS m$i").mkString(",\n")
     s"""$DupCte$ShingleCtes, sig AS (
@@ -156,15 +159,76 @@ $mins
   JOIN skh sa ON sa.doc_id = c.doc_a
   JOIN skh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
   GROUP BY c.doc_a, c.doc_b
-)
-SELECT i.doc_a, i.doc_b,
+)"""
+  }
+  private val minhashPairSelect =
+    """SELECT i.doc_a, i.doc_b,
   round(CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni), 6) AS jaccard
 FROM inter i
 JOIN nsh na ON na.doc_id = i.doc_a
 JOIN nsh nb ON nb.doc_id = i.doc_b
-WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= 0.4
-ORDER BY doc_a, doc_b"""
+WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= 0.4"""
+  private val minhashSql =
+    s"$minhashCtes\n$minhashPairSelect\nORDER BY doc_a, doc_b"
+
+  // -------------------------------------------------------------- cluster
+  /** Canonical-document selection — the step that turns near-dup PAIRS
+    * into a keep/drop decision: connected components over the verified
+    * minhash pair graph, every doc labeled with its component's min
+    * doc_id (`is_canonical` marks the keeper).
+    *
+    * Spark side is Pregel-style min-label propagation: each round takes
+    * min(own label, neighbors' labels) and converges in
+    * graph-diameter rounds; `localCheckpoint` after every round keeps
+    * the plan CONSTANT-size (the round-3 lesson: iterative frontier
+    * joins whose lineage embeds all previous levels drown the driver in
+    * plan analysis — 78-185 s vs seconds). The label relation is
+    * |dup-graph nodes| — orders of magnitude below corpus scale at
+    * 100 TB — and the convergence check is one count per round; this is
+    * GraphX connectedComponents' shape on relational ops. Oracle:
+    * recursive-CTE transitive closure over the same pairs. */
+  private val cluster: Q = (s, d) => {
+    VectorExpressions.register(s)
+    val sh = shingleRows(DupCorpus.corpus(s, d))
+    val pairs = jaccardVerify(minhashCandidates(s, d), shingleSketches(sh), 0.4)
+      .select("doc_a", "doc_b")
+    val edges = pairs.unionAll(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var labels = edges.select(col("doc_a").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      require(rounds < 50, "CC propagation did not converge in 50 rounds")
+      val nbr = edges.join(labels, edges("doc_b") === labels("doc_id"))
+        .select(edges("doc_a").as("doc_id"), col("label"))
+      val next = labels.unionAll(nbr)
+        .groupBy("doc_id").agg(min("label").as("label")).localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("label", "prev"), "doc_id")
+        .filter(col("label") =!= col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("doc_id"), col("label").as("cluster_id"),
+      (col("doc_id") === col("label")).as("is_canonical"))
+      .orderBy("doc_id")
   }
+  private val clusterSql =
+    minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s""", pairs AS (
+$minhashPairSelect
+), sym AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+), reach(a, b) AS (
+  SELECT doc_a, doc_b FROM sym
+  UNION
+  SELECT r.a, s.doc_b FROM reach r JOIN sym s ON r.b = s.doc_a
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id,
+  (least(a, min(b)) = a) AS is_canonical
+FROM reach GROUP BY a ORDER BY doc_id"""
 
   // -------------------------------------------------------------- simhash
   /** SimHash(60-bit) near-dup pairs: per-token 60-bit hashes vote per
@@ -352,11 +416,13 @@ ORDER BY doc_a, doc_b"""
     "dedup_exact" -> exact,
     "dedup_minhash" -> minhash,
     "dedup_simhash" -> simhash,
-    "dedup_ngram_jaccard" -> ngramJaccard)
+    "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_cluster" -> cluster)
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
     "dedup_minhash" -> minhashSql,
     "dedup_simhash" -> simhashSql,
-    "dedup_ngram_jaccard" -> ngramJaccardSql)
+    "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_cluster" -> clusterSql)
 }

@@ -61,6 +61,20 @@ class DedupSpec extends SparkSpec {
     assert(plantedNearPairs("dedup_simhash") >= math.ceil(nNear * 0.7).toLong)
   }
 
+  test("cluster labels: every verified pair co-clusters, canonical = component min") {
+    val cl = DedupQueries.queries("dedup_cluster")(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = DedupQueries.queries("dedup_minhash")(spark, Sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // the defining CC property: both ends of every edge share a label
+    pairs.foreach { case (a, b) =>
+      assert(cl(a) === cl(b), s"pair ($a,$b) split across clusters") }
+    // labels are well-formed: each label is a member of its own cluster
+    // and the minimum of the members that point at it
+    cl.foreach { case (d, c) => assert(c <= d && cl(c) === c) }
+  }
+
   test("CachePool.release drops every pinned corpus relation") {
     // run queries that pin corpus + shingle + fingerprint caches, then
     // release: a long-lived session must end the corpus lifecycle
