@@ -231,6 +231,32 @@ FROM sessions s JOIN errors e ON e.ems BETWEEN s.session_start_ms AND s.session_
 GROUP BY 1, 2, 3
 ORDER BY 1, 2"""
 
+  // ----------------------------------------------------- running total
+  /** Per-user running aggregate — the ordered-window analytic face
+    * (cumulative spend, session position): one shuffle on user_id, one
+    * in-partition sort, then a single forward pass computes both the
+    * running decimal-exact sum and the event sequence number. (ts,
+    * event_id) is a total order, so the running values are
+    * deterministic; at 100 TB a per-user window is the honest plan —
+    * partitions are user-bounded, never global. */
+  private val runningTotal: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d).select(col("user_id"), col("event_id"),
+      unix_millis(col("ts")).as("ts_ms"),
+      round(sum(col("value").cast("decimal(18,6)")).over(w)
+        .cast("double"), 4).as("running_value"),
+      row_number().over(w).as("event_seq"))
+      .orderBy("user_id", "event_seq")
+  }
+  private val runningTotalSql =
+    """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 4) AS running_value,
+  CAST(row_number() OVER w AS INT) AS event_seq
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+ORDER BY user_id, event_seq"""
+
   // ------------------------------------------------------ interval join
   /** Per-user time-band join: every (purchase, click) pair of the same
     * user with the click inside the hour before the purchase. Unlike
@@ -277,7 +303,8 @@ ORDER BY purchase_id, click_id"""
     "events_topk_users" -> topkUsers,
     "events_asof_join" -> asofJoin,
     "events_interval_join" -> intervalJoin,
-    "events_range_join" -> rangeJoin)
+    "events_range_join" -> rangeJoin,
+    "events_running_total" -> runningTotal)
 
   val oracle: Map[String, String] = Map(
     "events_tumbling" -> tumblingSql,
@@ -286,5 +313,6 @@ ORDER BY purchase_id, click_id"""
     "events_topk_users" -> topkUsersSql,
     "events_asof_join" -> asofJoinSql,
     "events_interval_join" -> intervalJoinSql,
-    "events_range_join" -> rangeJoinSql)
+    "events_range_join" -> rangeJoinSql,
+    "events_running_total" -> runningTotalSql)
 }

@@ -172,15 +172,44 @@ WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority"""
 
+  // ------------------------------------------ customer distribution (Q13 shape)
+  /** Left-outer join + double aggregation: orders-per-customer counts
+    * INCLUDING zero-order customers (the left join's whole point), then
+    * the distribution of those counts. The outer join shuffles both
+    * sides on the key once (at TPC-H scale neither side broadcasts);
+    * count(o_orderkey) skips the null-padded rows so empty customers
+    * land in bucket 0. (TPC-H Q13 filters on o_comment; this testdata
+    * has no comment column, so the stand-in filter drops urgent orders
+    * — same shape, different predicate, declared here.) */
+  private val customerDist: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_custkey", "o_orderkey")
+    Tables.customer(s, d).select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count("o_orderkey").as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+  private val customerDistSql =
+    """SELECT c_count, count(*) AS custdist FROM (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN (SELECT * FROM orders WHERE o_orderpriority <> '1-URGENT') o
+    ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+
   val queries: Map[String, Q] = Map(
     "tpch_pricing_summary" -> pricingSummary,
     "tpch_top_orders" -> topOrders,
     "tpch_region_revenue" -> regionRevenue,
-    "tpch_order_priority" -> orderPriority)
+    "tpch_order_priority" -> orderPriority,
+    "tpch_customer_dist" -> customerDist)
 
   val oracle: Map[String, String] = Map(
     "tpch_pricing_summary" -> pricingSummarySql,
     "tpch_top_orders" -> topOrdersSql,
     "tpch_region_revenue" -> regionRevenueSql,
-    "tpch_order_priority" -> orderPrioritySql)
+    "tpch_order_priority" -> orderPrioritySql,
+    "tpch_customer_dist" -> customerDistSql)
 }
