@@ -231,6 +231,31 @@ FROM sessions s JOIN errors e ON e.ems BETWEEN s.session_start_ms AND s.session_
 GROUP BY 1, 2, 3
 ORDER BY 1, 2"""
 
+  // ------------------------------------------------------------- pivot
+  /** Wide-format hourly matrix: one row per hour, one count column per
+    * event type — Spark's `pivot` with an EXPLICIT value list (the
+    * implicit form runs a distinct-scan job first and can't be planned
+    * in one pass; with pinned values the pivot is a single map-side
+    * combinable aggregate, and the schema is stable when hours carry no
+    * traffic for a type). Oracle: conditional aggregation, which is
+    * exactly what the pivot compiles to. */
+  private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
+  private val pivotHourly: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("hour_ms", unix_millis(date_trunc("hour", col("ts"))))
+      .groupBy("hour_ms")
+      .pivot("event_type", PivotTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, PivotTypes)
+      .orderBy("hour_ms")
+  private val pivotHourlySql = {
+    val cols = PivotTypes.map(t =>
+      s"""  count(*) FILTER (WHERE event_type = '$t') AS "$t"""").mkString(",\n")
+    s"""SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms,
+$cols
+FROM events GROUP BY 1 ORDER BY hour_ms"""
+  }
+
   // ----------------------------------------------------- running total
   /** Per-user running aggregate — the ordered-window analytic face
     * (cumulative spend, session position): one shuffle on user_id, one
@@ -304,7 +329,8 @@ ORDER BY purchase_id, click_id"""
     "events_asof_join" -> asofJoin,
     "events_interval_join" -> intervalJoin,
     "events_range_join" -> rangeJoin,
-    "events_running_total" -> runningTotal)
+    "events_running_total" -> runningTotal,
+    "events_pivot_hourly" -> pivotHourly)
 
   val oracle: Map[String, String] = Map(
     "events_tumbling" -> tumblingSql,
@@ -314,5 +340,6 @@ ORDER BY purchase_id, click_id"""
     "events_asof_join" -> asofJoinSql,
     "events_interval_join" -> intervalJoinSql,
     "events_range_join" -> rangeJoinSql,
-    "events_running_total" -> runningTotalSql)
+    "events_running_total" -> runningTotalSql,
+    "events_pivot_hourly" -> pivotHourlySql)
 }
