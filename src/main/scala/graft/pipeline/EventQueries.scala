@@ -321,6 +321,89 @@ JOIN (SELECT * FROM events WHERE event_type = 'click') c
  AND c.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
 ORDER BY purchase_id, click_id"""
 
+  // ------------------------------------------------------------- rollup
+  /** Multi-level daily rollup — GROUPING SETS as ONE aggregate: the
+    * (type, day), (type), and grand-total levels come out of a single
+    * shuffle (Spark expands the grouping set in the map side, partial
+    * aggs stay combinable), not three scans unioned. The grouping_id
+    * bitmask disambiguates levels; rolled-up keys are pinned to
+    * sentinels so null never reaches the sort or the hash compare. */
+  private val rollupDaily: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("day_ms", unix_millis(date_trunc("day", col("ts"))))
+      .rollup("event_type", "day_ms")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4)
+          .as("val_sum"),
+        grouping_id().cast("int").as("lvl"))
+      .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("day_ms"), lit(-1L)).as("day_ms"),
+        col("lvl"), col("n_events"), col("val_sum"))
+      .orderBy("lvl", "event_type", "day_ms")
+  private val rollupDailySql =
+    """SELECT coalesce(event_type, '(all)') AS event_type,
+  coalesce(epoch_ms(date_trunc('day', ts)), -1) AS day_ms,
+  CAST(GROUPING(event_type, date_trunc('day', ts)) AS INT) AS lvl,
+  count(*) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS val_sum
+FROM events
+GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+ORDER BY lvl, event_type, day_ms"""
+
+  // ---------------------------------------------------------- quantiles
+  /** Exact interpolated percentiles of event value per type — the
+    * latency/spend-distribution report. Spark's `percentile` and
+    * DuckDB's `quantile_cont` share the (n-1)·p linear-interpolation
+    * definition, so the oracle is exact (modulo the pinned rounding).
+    * Exact percentile sorts each group once; at 100 TB the same query
+    * swaps in `percentile_approx` (mergeable t-digest-style sketch, no
+    * per-group sort) — the exact form is the oracle contract at sf0.01,
+    * same pattern as text_profile vs text_profile_approx. */
+  private val quantiles: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        percentile(col("value"), array(lit(0.5), lit(0.9), lit(0.99)))
+          .as("qs"))
+      .select(col("event_type"), col("n_events"),
+        round(col("qs").getItem(0), 4).as("p50"),
+        round(col("qs").getItem(1), 4).as("p90"),
+        round(col("qs").getItem(2), 4).as("p99"))
+      .orderBy("event_type")
+  private val quantilesSql =
+    """WITH q AS (
+  SELECT event_type, count(*) AS n_events,
+    quantile_cont(value, [0.5, 0.9, 0.99]) AS qs
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_events,
+  round(qs[1], 4) AS p50, round(qs[2], 4) AS p90, round(qs[3], 4) AS p99
+FROM q ORDER BY event_type"""
+
+  // --------------------------------------------------------- json props
+  /** Semi-structured column handling: `props` is a JSON payload; the
+    * path extraction (`get_json_object`, codegen'd, schema-on-read)
+    * happens at the scan and only the extracted integer travels through
+    * the aggregate — the payload column itself is pruned out before the
+    * shuffle. The 100 TB posture for ragged event properties: never
+    * shuffle the raw JSON, extract then aggregate. */
+  private val jsonProps: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("k").as("k_sum"), min("k").as("k_min"), max("k").as("k_max"),
+        count_distinct(col("k")).as("k_distinct"))
+      .orderBy("event_type")
+  private val jsonPropsSql =
+    """SELECT event_type, count(*) AS n_events,
+  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max,
+  count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_distinct
+FROM events GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, Q] = Map(
     "events_tumbling" -> tumbling,
     "events_sliding" -> sliding,
@@ -330,7 +413,10 @@ ORDER BY purchase_id, click_id"""
     "events_interval_join" -> intervalJoin,
     "events_range_join" -> rangeJoin,
     "events_running_total" -> runningTotal,
-    "events_pivot_hourly" -> pivotHourly)
+    "events_pivot_hourly" -> pivotHourly,
+    "events_rollup_daily" -> rollupDaily,
+    "events_quantiles" -> quantiles,
+    "events_json_props" -> jsonProps)
 
   val oracle: Map[String, String] = Map(
     "events_tumbling" -> tumblingSql,
@@ -341,5 +427,8 @@ ORDER BY purchase_id, click_id"""
     "events_interval_join" -> intervalJoinSql,
     "events_range_join" -> rangeJoinSql,
     "events_running_total" -> runningTotalSql,
-    "events_pivot_hourly" -> pivotHourlySql)
+    "events_pivot_hourly" -> pivotHourlySql,
+    "events_rollup_daily" -> rollupDailySql,
+    "events_quantiles" -> quantilesSql,
+    "events_json_props" -> jsonPropsSql)
 }

@@ -402,6 +402,64 @@ SELECT split, lang, count(*) AS n_docs,
 FROM docs GROUP BY split, lang ORDER BY split, lang"""
   }
 
+  // ------------------------------------------------------- decontaminate
+  /** Benchmark decontamination — the prep step every LLM training run
+    * needs: flag corpus documents sharing any token 8-gram with a held
+    * eval set (here a deterministic doc_id slice standing in for the
+    * benchmark suite). Both sides hash their 8-grams to 60-bit ints
+    * (same posexplode + window-lead build as [[fingerprint]], kept
+    * codegen'd); the eval side is distinct per (gram, eval_doc) and
+    * BROADCAST — benchmark suites are MBs while the corpus is TBs, so
+    * the contamination check is a map-side hash probe per corpus gram,
+    * no corpus shuffle before the per-doc count. Output: contaminated
+    * doc → how many distinct grams leaked and from how many eval docs. */
+  private val GramLen = 8
+  private def grams8(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("idx")
+    val leads = (1 until GramLen).map(i => lead("tok", i).over(w).as(s"t$i"))
+    df.select(col("doc_id"), posexplode(toks).as(Seq("idx", "tok")))
+      .select(Seq(col("doc_id"), col("tok")) ++ leads: _*)
+      .filter(col(s"t${GramLen - 1}").isNotNull)
+      .select(col("doc_id"), DupCorpus.h60(concat_ws(" ",
+        Seq(col("tok")) ++ (1 until GramLen).map(i => col(s"t$i")): _*)).as("gh"))
+  }
+  /** Core contamination check over any (doc_id, text) relation — the
+    * registered query binds it to `documents` with a doc_id-slice eval
+    * set; specs bind it to planted fixtures. */
+  def contamination(docs: DataFrame, isEval: Column): DataFrame = {
+    val evalGrams = grams8(docs.filter(isEval))
+      .select(col("doc_id").as("eval_id"), col("gh")).distinct()
+    grams8(docs.filter(!isEval))
+      .join(broadcast(evalGrams), "gh")
+      .groupBy("doc_id")
+      .agg(count_distinct(col("gh")).as("n_shared_grams"),
+        count_distinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+  private val decontaminate: Q = (s, d) =>
+    contamination(Tables.documents(s, d), col("doc_id") % 23 === 0)
+  private val decontaminateSql = {
+    val t = ToksSql
+    val gram = (0 until GramLen).map(j => s"$t[i+$j]").mkString(" || ' ' || ")
+    s"""WITH g AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len($t) < $GramLen THEN CAST([] AS BIGINT[])
+         ELSE list_transform(range(1, len($t) - ${GramLen - 2}),
+                             i -> ${OraclePipeline.h60Sql(gram)})
+    END) AS gh
+  FROM documents
+), ev AS (
+  SELECT DISTINCT doc_id AS eval_id, gh FROM g WHERE doc_id % 23 = 0
+), corpus AS (
+  SELECT doc_id, gh FROM g WHERE doc_id % 23 <> 0
+)
+SELECT c.doc_id,
+  count(DISTINCT c.gh) AS n_shared_grams,
+  count(DISTINCT e.eval_id) AS n_eval_docs
+FROM corpus c JOIN ev e USING (gh)
+GROUP BY c.doc_id ORDER BY c.doc_id"""
+  }
+
   val queries: Map[String, Q] = Map(
     "text_langid" -> langid,
     "text_quality" -> quality,
@@ -411,7 +469,8 @@ FROM docs GROUP BY split, lang ORDER BY split, lang"""
     "text_profile_approx" -> profileApprox,
     "text_clean_corpus" -> cleanCorpus,
     "text_seq_pack" -> seqPack,
-    "text_sample_split" -> sampleSplit)
+    "text_sample_split" -> sampleSplit,
+    "text_decontaminate" -> decontaminate)
 
   val oracle: Map[String, String] = Map(
     "text_langid" -> langidSql,
@@ -421,5 +480,6 @@ FROM docs GROUP BY split, lang ORDER BY split, lang"""
     "text_profile" -> profileSql,
     "text_clean_corpus" -> cleanCorpusSql,
     "text_seq_pack" -> seqPackSql,
-    "text_sample_split" -> sampleSplitSql)
+    "text_sample_split" -> sampleSplitSql,
+    "text_decontaminate" -> decontaminateSql)
 }

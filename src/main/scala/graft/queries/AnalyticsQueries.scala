@@ -199,17 +199,65 @@ ORDER BY o_orderpriority"""
   GROUP BY c.c_custkey)
 GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
 
+  // -------------------------------------------- returned items (Q10 shape)
+  /** Revenue lost to returns, per customer, top 20: the classic
+    * fact-fact join + dimension-decorated report. The aggregation runs
+    * BEFORE the customer/nation joins — lineitem ⋈ orders collapses to
+    * one (custkey, revenue) row per customer first, so the dimension
+    * joins (both broadcast) see |customers| rows, not |lineitem|. The
+    * SQL-literal form joins customer into the pre-agg fact stream and
+    * groups on five columns; pushing the agg below the join is the
+    * rewrite Catalyst can't always prove safe on its own (it changes
+    * grouping keys), so it's done in the plan — the oracle keeps the
+    * canonical formulation and proves the rewrite right. */
+  private val returnedItems: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("1997-01-01") &&
+        col("o_orderdate") < ts("1997-07-01"))
+      .select("o_orderkey", "o_custkey")
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_custkey")
+      .agg(round(dsum(revenueExpr), 4).as("revenue"))
+    rev
+      .join(broadcast(Tables.customer(s, d)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+  private val returnedItemsSql =
+    """SELECT c_custkey, c_name,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))) AS DOUBLE), 4) AS revenue,
+  c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20"""
+
   val queries: Map[String, Q] = Map(
     "tpch_pricing_summary" -> pricingSummary,
     "tpch_top_orders" -> topOrders,
     "tpch_region_revenue" -> regionRevenue,
     "tpch_order_priority" -> orderPriority,
-    "tpch_customer_dist" -> customerDist)
+    "tpch_customer_dist" -> customerDist,
+    "tpch_returned_items" -> returnedItems)
 
   val oracle: Map[String, String] = Map(
     "tpch_pricing_summary" -> pricingSummarySql,
     "tpch_top_orders" -> topOrdersSql,
     "tpch_region_revenue" -> regionRevenueSql,
     "tpch_order_priority" -> orderPrioritySql,
-    "tpch_customer_dist" -> customerDistSql)
+    "tpch_customer_dist" -> customerDistSql,
+    "tpch_returned_items" -> returnedItemsSql)
 }
