@@ -239,15 +239,22 @@ ORDER BY 1, 2"""
     * combinable aggregate, and the schema is stable when hours carry no
     * traffic for a type). Oracle: conditional aggregation, which is
     * exactly what the pivot compiles to. */
-  private val PivotTypes = Seq("click", "error", "purchase", "signup", "view")
-  private val pivotHourly: Q = (s, d) =>
-    Tables.events(s, d)
+  val PivotTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+  /** The pivot over any events relation — shared by the batch query
+    * below and the streaming parity test against
+    * [[graft.streaming.StreamingEvents.pivotHourlyStream]] (which writes
+    * the conditional-agg form the pivot compiles to, since a streaming
+    * aggregate must key on the event-time `window` for the watermark to
+    * finalize rows). */
+  def pivotHourlyAgg(events: DataFrame): DataFrame =
+    events
       .withColumn("hour_ms", unix_millis(date_trunc("hour", col("ts"))))
       .groupBy("hour_ms")
       .pivot("event_type", PivotTypes)
       .agg(count(lit(1)))
       .na.fill(0L, PivotTypes)
-      .orderBy("hour_ms")
+  private val pivotHourly: Q = (s, d) =>
+    pivotHourlyAgg(Tables.events(s, d)).orderBy("hour_ms")
   private val pivotHourlySql = {
     val cols = PivotTypes.map(t =>
       s"""  count(*) FILTER (WHERE event_type = '$t') AS "$t"""").mkString(",\n")
@@ -404,6 +411,59 @@ FROM q ORDER BY event_type"""
   count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_distinct
 FROM events GROUP BY event_type ORDER BY event_type"""
 
+  // -------------------------------------------------------------- funnel
+  /** Ordered conversion funnel — signup → first click after it → first
+    * purchase after that click, per user. Each stage is a conditional
+    * min over the SAME user_id partitioning: the first groupBy shuffles
+    * events once, and every later join/agg keys on user_id too, so
+    * co-partitioning carries through (no re-shuffle of the fact side at
+    * 100 TB — verified in the plan: one Exchange on the events scan per
+    * stage input, reused downstream). Stage timestamps are pinned to -1
+    * sentinels where the user never converted, keeping the output
+    * null-free for the cross-engine hash. */
+  private val funnel: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    def stage(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), col("ts"))
+    val signup = stage("signup").groupBy("user_id")
+      .agg(min("ts").as("t_signup"))
+    val click = signup.join(stage("click"), Seq("user_id"))
+      .filter(col("ts") >= col("t_signup"))
+      .groupBy("user_id").agg(min("ts").as("t_click"))
+    val purchase = click.join(stage("purchase"), Seq("user_id"))
+      .filter(col("ts") >= col("t_click"))
+      .groupBy("user_id").agg(min("ts").as("t_purchase"))
+    signup
+      .join(click, Seq("user_id"), "left")
+      .join(purchase, Seq("user_id"), "left")
+      .select(col("user_id"),
+        unix_millis(col("t_signup")).as("signup_ms"),
+        coalesce(unix_millis(col("t_click")), lit(-1L)).as("click_ms"),
+        coalesce(unix_millis(col("t_purchase")), lit(-1L)).as("purchase_ms"))
+      .orderBy("user_id")
+  }
+  private val funnelSql =
+    """WITH s AS (
+  SELECT user_id, min(ts) AS t_signup FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), c AS (
+  SELECT s.user_id, min(e.ts) AS t_click
+  FROM s JOIN events e ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND e.ts >= s.t_signup
+  GROUP BY s.user_id
+), p AS (
+  SELECT c.user_id, min(e.ts) AS t_purchase
+  FROM c JOIN events e ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+  GROUP BY c.user_id
+)
+SELECT s.user_id, epoch_ms(date_trunc('milliseconds', s.t_signup)) AS signup_ms,
+  coalesce(epoch_ms(date_trunc('milliseconds', c.t_click)), -1) AS click_ms,
+  coalesce(epoch_ms(date_trunc('milliseconds', p.t_purchase)), -1) AS purchase_ms
+FROM s LEFT JOIN c ON c.user_id = s.user_id
+LEFT JOIN p ON p.user_id = s.user_id
+ORDER BY s.user_id"""
+
   val queries: Map[String, Q] = Map(
     "events_tumbling" -> tumbling,
     "events_sliding" -> sliding,
@@ -414,6 +474,7 @@ FROM events GROUP BY event_type ORDER BY event_type"""
     "events_range_join" -> rangeJoin,
     "events_running_total" -> runningTotal,
     "events_pivot_hourly" -> pivotHourly,
+    "events_funnel" -> funnel,
     "events_rollup_daily" -> rollupDaily,
     "events_quantiles" -> quantiles,
     "events_json_props" -> jsonProps)
@@ -428,6 +489,7 @@ FROM events GROUP BY event_type ORDER BY event_type"""
     "events_range_join" -> rangeJoinSql,
     "events_running_total" -> runningTotalSql,
     "events_pivot_hourly" -> pivotHourlySql,
+    "events_funnel" -> funnelSql,
     "events_rollup_daily" -> rollupDailySql,
     "events_quantiles" -> quantilesSql,
     "events_json_props" -> jsonPropsSql)

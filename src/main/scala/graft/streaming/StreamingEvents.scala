@@ -73,6 +73,26 @@ object StreamingEvents {
       wm.filter(col("event_type") === "purchase"))
   }
 
+  /** Streaming pivot — the unbounded face of `events_pivot_hourly`:
+    * one wide row per closed hour, one count column per event type.
+    * A pivot with an explicit value list compiles to conditional
+    * aggregation, and that form is written directly here because the
+    * streaming aggregate must key on the event-time `window` (not a
+    * derived hour column) for the watermark to finalize each row once.
+    * Same explicit [[EventQueries.PivotTypes]] list — the schema is
+    * identical to the batch face and stable when an hour carries no
+    * traffic for a type (count of an empty predicate set is 0, so no
+    * null fill is needed). Parity proven in StreamingSpec. */
+  def pivotHourlyStream(events: DataFrame, delay: String = "2 hours"): DataFrame = {
+    val counts = EventQueries.PivotTypes.map(t =>
+      count(when(col("event_type") === t, 1)).as(t))
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(counts.head, counts.tail: _*)
+      .select(unix_millis(col("w.start")).as("hour_ms") +:
+        EventQueries.PivotTypes.map(col): _*)
+  }
+
   case class AsofEv(tsMs: Long, tag: Int, eventId: Long, value: Double)
   case class AsofState(pending: List[AsofEv], clickId: Long, clickMs: Long,
     clickValue: Double, hasClick: Boolean)

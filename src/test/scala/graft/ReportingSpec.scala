@@ -87,6 +87,21 @@ class ReportingSpec extends SparkSpec {
       s"eval grams must broadcast — the corpus side never shuffles for the probe:\n$plan")
   }
 
+  test("funnel stages are time-ordered and strictly nested") {
+    val rows = EventQueries.queries("events_funnel")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, c, p) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      if (c >= 0) assert(c >= s, "first click must be at/after signup")
+      if (p >= 0) assert(c >= 0 && p >= c,
+        "purchase stage requires the click stage and follows it in time")
+    }
+    val nClick = rows.count(_.getLong(2) >= 0)
+    val nPurchase = rows.count(_.getLong(3) >= 0)
+    assert(rows.length >= nClick && nClick >= nPurchase,
+      "stage populations must be non-increasing")
+  }
+
   test("json props: payload pruned to the extracted value before the aggregate") {
     val df = EventQueries.queries("events_json_props")(spark, Sf)
     val rows = df.collect()

@@ -110,6 +110,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming pivot: closed hours emit wide rows once, batch parity") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_ms", "event_type", "value")
+      .select(timestamp_millis(col("ts_ms")).as("ts"),
+        col("event_type"), col("value"))
+    val q = StreamingEvents.pivotHourlyStream(typed(mem.toDF()), "1 hour")
+      .writeStream.format("memory").queryName("pvt").outputMode("append").start()
+    val h0 = 3600L * 1000
+    val m = 60000L
+    // two event types in hour 1, one in hour 2 — the hour-1 row must
+    // carry zero counts for the three absent types
+    val batch1 = Seq((h0 + m, "click", 1.0), (h0 + 2 * m, "click", 1.0),
+      (h0 + 3 * m, "view", 1.0), (h0 + 3600000 + m, "purchase", 2.0))
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      assert(spark.table("pvt").count() === 0) // no hour closed yet
+      mem.addData((h0 + 8 * 3600000, "view", 0.0)) // watermark -> h0+7h
+      q.processAllAvailable()
+      val cols = Seq("hour_ms") ++ graft.pipeline.EventQueries.PivotTypes
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val got = spark.table("pvt").select(cols.head, cols.tail: _*)
+        .collect().map(key).toSet
+      // (hour, click, error, purchase, signup, view)
+      assert(got === Set(
+        (h0, 2L, 0L, 0L, 0L, 1L),
+        (h0 + 3600000, 0L, 0L, 1L, 0L, 0L)))
+      // parity: the batch pivot over the same closed-hour events
+      val batch = graft.pipeline.EventQueries.pivotHourlyAgg(typed(batch1.toDF()))
+        .select(cols.head, cols.tail: _*).collect().map(key).toSet
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("streaming session windows: cross-batch merge, watermark emission, batch parity") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
