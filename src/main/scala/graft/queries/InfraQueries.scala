@@ -89,11 +89,71 @@ SELECT d.tier, count(*) AS n_events,
 FROM fact f JOIN dim d USING (user_id)
 GROUP BY d.tier ORDER BY d.tier"""
 
+  /** Hive-style partitioned layout for the partition-pruning query —
+    * written once per run (overwrite), read back filtered. Shared with
+    * the spec that pins the pruning in the plan. */
+  def partitionedEventsPath = "/tmp/graft-partitioned-events"
+  def writePartitionedEvents(s: SparkSession, d: String): Unit =
+    Tables.events(s, d)
+      .write.mode("overwrite").partitionBy("event_type")
+      .parquet(partitionedEventsPath)
+
+  /** Partition-pruned scan — THE 100 TB storage primitive: events land
+    * partitioned by type (hive-style directory keys), and a query for
+    * one type opens only that directory — the other partitions are
+    * pruned at PLANNING time from the file listing, before any I/O
+    * (`PartitionFilters` in the scan node; pinned by InfraSpec). The
+    * oracle reads the unpartitioned source with a plain filter — the
+    * layout must be semantics-free. */
+  private val partitionedScan: Q = (s, d) => {
+    writePartitionedEvents(s, d)
+    s.read.parquet(partitionedEventsPath)
+      .filter(col("event_type") === "click")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4)
+          .as("val_sum"))
+      .orderBy("user_id")
+  }
+  private val partitionedScanSql =
+    """SELECT user_id, count(*) AS n_clicks,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS val_sum
+FROM events WHERE event_type = 'click'
+GROUP BY user_id ORDER BY user_id"""
+
+  /** CSV source round trip with an EXPLICIT schema — the format-breadth
+    * face: integer/string columns survive text serialization losslessly,
+    * and the declared schema means no inference pass (schema inference
+    * reads the data twice; at 100 TB the second read is the whole cost).
+    * The oracle aggregates the original parquet — the round trip must be
+    * identity. */
+  private val csvRoundtrip: Q = (s, d) => {
+    val path = "/tmp/graft-csv-docs"
+    Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").option("header", "true").csv(path)
+    s.read.option("header", "true")
+      .schema("doc_id LONG, lang STRING, n_chars LONG")
+      .csv(path)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("lang")
+  }
+  private val csvRoundtripSql =
+    """SELECT lang, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM documents GROUP BY lang ORDER BY lang"""
+
   val queries: Map[String, Q] = Map(
     "infra_bucketed_join" -> bucketedJoin,
-    "infra_skew_join" -> skewJoin)
+    "infra_skew_join" -> skewJoin,
+    "infra_partitioned_scan" -> partitionedScan,
+    "infra_csv_roundtrip" -> csvRoundtrip)
 
   val oracle: Map[String, String] = Map(
     "infra_bucketed_join" -> bucketedJoinSql,
-    "infra_skew_join" -> skewJoinSql)
+    "infra_skew_join" -> skewJoinSql,
+    "infra_partitioned_scan" -> partitionedScanSql,
+    "infra_csv_roundtrip" -> csvRoundtripSql)
 }
