@@ -460,6 +460,45 @@ FROM corpus c JOIN ev e USING (gh)
 GROUP BY c.doc_id ORDER BY c.doc_id"""
   }
 
+  // --------------------------------------------------------- ngram top-k
+  /** Per-language top-3 bigrams by corpus frequency — the n-gram
+    * statistics pass (vocabulary drift, boilerplate detection) a corpus
+    * pipeline runs per snapshot. Same posexplode + window-lead bigram
+    * build as [[fingerprint]] (codegen'd; one sort per doc partition),
+    * then ONE shuffle on (lang, bigram) with map-side partial counts —
+    * the aggregate sees |distinct bigrams| rows, not |tokens| — and a
+    * tiny per-language top-k window over the counted relation. */
+  private val ngramTopk: Q = (s, d) => {
+    val w = Window.partitionBy("doc_id").orderBy("idx")
+    val bigrams = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), posexplode(toks).as(Seq("idx", "tok")))
+      .withColumn("nxt", lead("tok", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("lang"), concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+    val counts = bigrams.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+    val rank = Window.partitionBy("lang").orderBy(col("n").desc, col("bigram"))
+    counts.withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= 3)
+      .orderBy("lang", "rank")
+  }
+  private val ngramTopkSql = {
+    val t = ToksSql
+    s"""WITH b AS (
+  SELECT lang, unnest(
+    CASE WHEN len($t) < 2 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(range(1, len($t)), i -> $t[i] || ' ' || $t[i+1])
+    END) AS bigram
+  FROM documents
+), c AS (
+  SELECT lang, bigram, count(*) AS n FROM b GROUP BY lang, bigram
+)
+SELECT lang, bigram, n, CAST(row_number() OVER w AS INT) AS rank
+FROM c
+WINDOW w AS (PARTITION BY lang ORDER BY n DESC, bigram)
+QUALIFY row_number() OVER w <= 3
+ORDER BY lang, rank"""
+  }
+
   val queries: Map[String, Q] = Map(
     "text_langid" -> langid,
     "text_quality" -> quality,
@@ -470,7 +509,8 @@ GROUP BY c.doc_id ORDER BY c.doc_id"""
     "text_clean_corpus" -> cleanCorpus,
     "text_seq_pack" -> seqPack,
     "text_sample_split" -> sampleSplit,
-    "text_decontaminate" -> decontaminate)
+    "text_decontaminate" -> decontaminate,
+    "text_ngram_topk" -> ngramTopk)
 
   val oracle: Map[String, String] = Map(
     "text_langid" -> langidSql,
@@ -481,5 +521,6 @@ GROUP BY c.doc_id ORDER BY c.doc_id"""
     "text_clean_corpus" -> cleanCorpusSql,
     "text_seq_pack" -> seqPackSql,
     "text_sample_split" -> sampleSplitSql,
-    "text_decontaminate" -> decontaminateSql)
+    "text_decontaminate" -> decontaminateSql,
+    "text_ngram_topk" -> ngramTopkSql)
 }
