@@ -271,16 +271,22 @@ FROM events GROUP BY 1 ORDER BY hour_ms"""
     * event_id) is a total order, so the running values are
     * deterministic; at 100 TB a per-user window is the honest plan —
     * partitions are user-bounded, never global. */
-  private val runningTotal: Q = (s, d) => {
+  /** The running-total expression over any events relation — shared by
+    * the batch query below and the streaming parity test against
+    * [[graft.streaming.StreamingEvents.runningTotalStream]] (which
+    * replays watermark-released events in the same (ts, event_id)
+    * order with the same decimal(18,6) accumulator). */
+  def runningTotalAgg(ev: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.events(s, d).select(col("user_id"), col("event_id"),
+    ev.select(col("user_id"), col("event_id"),
       unix_millis(col("ts")).as("ts_ms"),
       round(sum(col("value").cast("decimal(18,6)")).over(w)
         .cast("double"), 4).as("running_value"),
       row_number().over(w).as("event_seq"))
-      .orderBy("user_id", "event_seq")
   }
+  private val runningTotal: Q = (s, d) =>
+    runningTotalAgg(Tables.events(s, d)).orderBy("user_id", "event_seq")
   private val runningTotalSql =
     """SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
   round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 4) AS running_value,
@@ -387,6 +393,25 @@ SELECT event_type, n_events,
   round(qs[1], 4) AS p50, round(qs[2], 4) AS p90, round(qs[3], 4) AS p99
 FROM q ORDER BY event_type"""
 
+  /** The sketch face of [[quantiles]] — `approx_percentile` builds a
+    * mergeable quantile summary (Greenwald-Khanna-style) per partition
+    * and merges them: no per-group sort, bounded memory, the form the
+    * same report takes at 100 TB. Approximate by construction, so
+    * rows-only at the driver (same justification as
+    * text_profile_approx); the accuracy contract vs the exact form is
+    * pinned by ReportingSpec instead. */
+  private val quantilesApprox: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        approx_percentile(col("value"), array(lit(0.5), lit(0.9), lit(0.99)),
+          lit(10000)).as("qs"))
+      .select(col("event_type"), col("n_events"),
+        round(col("qs").getItem(0), 4).as("p50"),
+        round(col("qs").getItem(1), 4).as("p90"),
+        round(col("qs").getItem(2), 4).as("p99"))
+      .orderBy("event_type")
+
   // --------------------------------------------------------- json props
   /** Semi-structured column handling: `props` is a JSON payload; the
     * path extraction (`get_json_object`, codegen'd, schema-on-read)
@@ -477,6 +502,7 @@ ORDER BY s.user_id"""
     "events_funnel" -> funnel,
     "events_rollup_daily" -> rollupDaily,
     "events_quantiles" -> quantiles,
+    "events_quantiles_approx" -> quantilesApprox,
     "events_json_props" -> jsonProps)
 
   val oracle: Map[String, String] = Map(

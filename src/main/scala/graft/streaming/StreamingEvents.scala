@@ -93,6 +93,57 @@ object StreamingEvents {
         EventQueries.PivotTypes.map(col): _*)
   }
 
+  case class RtEv(tsMs: Long, eventId: Long, value: Double)
+  case class RtState(pending: List[RtEv], sumUnscaled: Long, seq: Int)
+  case class RtRow(user_id: Long, event_id: Long, ts_ms: Long,
+    running_value: Double, event_seq: Int)
+
+  /** Streaming per-user running total — the unbounded face of
+    * `events_running_total`. The batch form's cumulative window needs
+    * the whole partition sorted; the stream replays each user's events
+    * in (ts, event_id) order once the watermark releases them (same
+    * buffer-then-replay skeleton as [[asofStream]]) and carries the
+    * accumulator across micro-batches. The accumulator is the EXACT
+    * decimal(18,6) sum held as its unscaled long — bit-identical to the
+    * batch window's decimal arithmetic (a double accumulator would
+    * drift: batch sums in decimal precisely to keep results
+    * order-independent), overflowing only past 10^12 in summed value,
+    * where the batch decimal overflows too. State per user after the
+    * buffer drains: one long + one int — O(active users) forever. */
+  def runningTotalStream(events: DataFrame, delay: String = "2 hours"): Dataset[RtRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import java.math.{BigDecimal => JBD, BigInteger, RoundingMode}
+    events.withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RtState, RtRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, it, state) =>
+          val prev = state.getOption.getOrElse(RtState(Nil, 0L, 0))
+          val incoming = it.map(e => RtEv(e._2.getTime, e._3, e._4)).toList
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, pending) = (prev.pending ++ incoming).partition(_.tsMs <= wm)
+          var sum = prev.sumUnscaled
+          var seq = prev.seq
+          val out = List.newBuilder[RtRow]
+          ready.sortBy(e => (e.tsMs, e.eventId)).foreach { e =>
+            // value -> decimal(18,6) exactly as Spark's cast (HALF_UP)
+            sum = math.addExact(sum, JBD.valueOf(e.value)
+              .setScale(6, RoundingMode.HALF_UP).unscaledValue().longValueExact())
+            seq += 1
+            val run = new JBD(BigInteger.valueOf(sum), 6).doubleValue()
+            // display rounding exactly as Spark's round(double, 4)
+            out += RtRow(user, e.eventId, e.tsMs,
+              JBD.valueOf(run).setScale(4, RoundingMode.HALF_UP).doubleValue(), seq)
+          }
+          state.update(RtState(pending, sum, seq))
+          if (pending.nonEmpty) state.setTimeoutTimestamp(pending.map(_.tsMs).min)
+          out.result().iterator
+      }
+  }
+
   case class AsofEv(tsMs: Long, tag: Int, eventId: Long, value: Double)
   case class AsofState(pending: List[AsofEv], clickId: Long, clickMs: Long,
     clickValue: Double, hasClick: Boolean)

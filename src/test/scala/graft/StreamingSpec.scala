@@ -149,6 +149,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming running total: ordered replay across batches, batch parity") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_ms", "user_id", "event_id", "value")
+      .select(timestamp_millis(col("ts_ms")).as("ts"), col("user_id"),
+        col("event_id"), col("value"))
+    val q = StreamingEvents.runningTotalStream(typed(mem.toDF()), "1 hour")
+      .toDF().writeStream.format("memory").queryName("rt")
+      .outputMode("append").start()
+    val h0 = 3600L * 1000
+    val m = 60000L
+    // user 1's second batch arrives out of order BEFORE its first-batch
+    // neighbor is released: the replay must still accumulate in (ts,
+    // event_id) order; two events share a timestamp to exercise the
+    // event_id tie-break
+    val batch1 = Seq((h0 + 3 * m, 1L, 103L, 0.25), (h0 + m, 1L, 101L, 1.111111),
+      (h0 + m, 1L, 102L, 2.0), (h0 + 2 * m, 2L, 201L, 5.5))
+    val batch2 = Seq((h0 + 2 * m, 1L, 104L, 0.0625)) // late but in-delay
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      assert(spark.table("rt").count() === 0) // watermark still at h0+2h-delay
+      mem.addData((h0 + 8 * 3600000, 9L, 999L, 0.0)) // watermark -> h0+7h
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getInt(4))
+      val got = spark.table("rt").collect().map(key).toSet
+      // parity: the batch window over the same released events
+      val batch = graft.pipeline.EventQueries.runningTotalAgg(
+        typed((batch1 ++ batch2).toDF())).collect().map(key).toSet
+      assert(batch === got)
+      // spot-check the interleaved order: 104 (ts h0+2m) lands between
+      // 102 and 103 despite arriving a batch later
+      assert(got.contains((1L, 104L, h0 + 2 * m, 3.1736, 3)))
+      assert(got.contains((1L, 103L, h0 + 3 * m, 3.4236, 4)))
+    } finally q.stop()
+  }
+
   test("streaming session windows: cross-batch merge, watermark emission, batch parity") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
