@@ -489,6 +489,49 @@ FROM s LEFT JOIN c ON c.user_id = s.user_id
 LEFT JOIN p ON p.user_id = s.user_id
 ORDER BY s.user_id"""
 
+  // ----------------------------------------------------------- retention
+  /** Day-over-day retention — the cohort metric every engagement
+    * dashboard runs: of the users active on day d, how many were also
+    * active on d+1. The active-set relation (one row per user-day) is
+    * the distinct of the scan; the retained count is a self-join keyed
+    * on BOTH (user_id, day) — a plain equi-join the planner shuffles
+    * once per side, never a per-user window over all history. Days with
+    * zero retained users survive via the left join (a dropped day reads
+    * as "no data" when it means "no retention"). */
+  private val retention: Q = (s, d) => {
+    val active = Tables.events(s, d)
+      .select(col("user_id"),
+        unix_millis(date_trunc("day", col("ts"))).as("day_ms"))
+      .distinct()
+    val DayMs = 86400L * 1000
+    val retained = active
+      .join(active.select(col("user_id"),
+        (col("day_ms") - DayMs).as("day_ms")), Seq("user_id", "day_ms"))
+      .groupBy("day_ms").agg(count(lit(1)).as("retained"))
+    active.groupBy("day_ms").agg(count(lit(1)).as("dau"))
+      .join(retained, Seq("day_ms"), "left")
+      .select(col("day_ms"), col("dau"),
+        coalesce(col("retained"), lit(0L)).as("retained"),
+        round(coalesce(col("retained"), lit(0L)) / col("dau"), 6)
+          .as("retention_rate"))
+      .orderBy("day_ms")
+  }
+  private val retentionSql =
+    """WITH active AS (
+  SELECT DISTINCT user_id, epoch_ms(date_trunc('day', ts)) AS day_ms FROM events
+), ret AS (
+  SELECT a.day_ms, count(*) AS retained
+  FROM active a JOIN active b
+    ON b.user_id = a.user_id AND b.day_ms = a.day_ms + 86400000
+  GROUP BY a.day_ms
+)
+SELECT a.day_ms, count(*) AS dau,
+  coalesce(any_value(r.retained), 0) AS retained,
+  round(CAST(coalesce(any_value(r.retained), 0) AS DOUBLE) / count(*), 6)
+    AS retention_rate
+FROM active a LEFT JOIN ret r ON r.day_ms = a.day_ms
+GROUP BY a.day_ms ORDER BY a.day_ms"""
+
   val queries: Map[String, Q] = Map(
     "events_tumbling" -> tumbling,
     "events_sliding" -> sliding,
@@ -500,6 +543,7 @@ ORDER BY s.user_id"""
     "events_running_total" -> runningTotal,
     "events_pivot_hourly" -> pivotHourly,
     "events_funnel" -> funnel,
+    "events_retention" -> retention,
     "events_rollup_daily" -> rollupDaily,
     "events_quantiles" -> quantiles,
     "events_quantiles_approx" -> quantilesApprox,
@@ -516,6 +560,7 @@ ORDER BY s.user_id"""
     "events_running_total" -> runningTotalSql,
     "events_pivot_hourly" -> pivotHourlySql,
     "events_funnel" -> funnelSql,
+    "events_retention" -> retentionSql,
     "events_rollup_daily" -> rollupDailySql,
     "events_quantiles" -> quantilesSql,
     "events_json_props" -> jsonPropsSql)
