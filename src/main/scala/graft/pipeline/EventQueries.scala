@@ -437,34 +437,43 @@ FROM q ORDER BY event_type"""
 FROM events GROUP BY event_type ORDER BY event_type"""
 
   // -------------------------------------------------------------- funnel
-  /** Ordered conversion funnel — signup → first click after it → first
-    * purchase after that click, per user. Each stage is a conditional
-    * min over the SAME user_id partitioning: the first groupBy shuffles
-    * events once, and every later join/agg keys on user_id too, so
-    * co-partitioning carries through (no re-shuffle of the fact side at
-    * 100 TB — verified in the plan: one Exchange on the events scan per
-    * stage input, reused downstream). Stage timestamps are pinned to -1
-    * sentinels where the user never converted, keeping the output
-    * null-free for the cross-engine hash. */
+  /** Ordered conversion funnel — signup → first click at/after it →
+    * first purchase at/after that click, per user. ONE scan: the
+    * per-stage-join formulation reads the fact table once per stage
+    * (three full scans at 100 TB); instead, stage eligibility is a
+    * running min over each user's time-ordered events — a RANGE frame
+    * to unboundedPreceding marks whether a signup (then a qualified
+    * click) exists at-or-before each row, exactly the `ts >= t_prev`
+    * join predicate (RANGE, not ROWS, so equal-timestamp events see
+    * each other regardless of tie order). Both windows share one
+    * partitioning + sort, and the final per-user aggregate is
+    * co-partitioned with them — plan: scan → one Exchange on user_id →
+    * Sort → Window → HashAggregate. Stage timestamps pin to -1
+    * sentinels where the user never converted (null-free hash). */
   private val funnel: Q = (s, d) => {
     val ev = Tables.events(s, d)
-    def stage(t: String) = ev.filter(col("event_type") === t)
-      .select(col("user_id"), col("ts"))
-    val signup = stage("signup").groupBy("user_id")
-      .agg(min("ts").as("t_signup"))
-    val click = signup.join(stage("click"), Seq("user_id"))
-      .filter(col("ts") >= col("t_signup"))
-      .groupBy("user_id").agg(min("ts").as("t_click"))
-    val purchase = click.join(stage("purchase"), Seq("user_id"))
-      .filter(col("ts") >= col("t_click"))
-      .groupBy("user_id").agg(min("ts").as("t_purchase"))
-    signup
-      .join(click, Seq("user_id"), "left")
-      .join(purchase, Seq("user_id"), "left")
-      .select(col("user_id"),
-        unix_millis(col("t_signup")).as("signup_ms"),
-        coalesce(unix_millis(col("t_click")), lit(-1L)).as("click_ms"),
-        coalesce(unix_millis(col("t_purchase")), lit(-1L)).as("purchase_ms"))
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts")).as("ts_ms"))
+    val w = Window.partitionBy("user_id").orderBy("ts_ms")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val staged = ev
+      .withColumn("sgn_seen",
+        min(when(col("event_type") === "signup", col("ts_ms"))).over(w))
+      .withColumn("qual_click",
+        when(col("event_type") === "click" && col("sgn_seen").isNotNull,
+          col("ts_ms")))
+      .withColumn("click_seen", min(col("qual_click")).over(w))
+    staged.groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", col("ts_ms")))
+          .as("t_signup"),
+        min(col("qual_click")).as("t_click"),
+        min(when(col("event_type") === "purchase" &&
+          col("click_seen").isNotNull, col("ts_ms"))).as("t_purchase"))
+      .filter(col("t_signup").isNotNull)
+      .select(col("user_id"), col("t_signup").as("signup_ms"),
+        coalesce(col("t_click"), lit(-1L)).as("click_ms"),
+        coalesce(col("t_purchase"), lit(-1L)).as("purchase_ms"))
       .orderBy("user_id")
   }
   private val funnelSql =
