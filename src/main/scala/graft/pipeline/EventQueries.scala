@@ -543,6 +543,50 @@ SELECT a.day_ms, count(*) AS dau,
 FROM active a LEFT JOIN ret r ON r.day_ms = a.day_ms
 GROUP BY a.day_ms ORDER BY a.day_ms"""
 
+  // ------------------------------------------------------------- anomaly
+  /** Z-score outliers per event type (value > mean + 3σ) — the
+    * monitoring query every event pipeline runs. The per-type moments
+    * come from EXACT decimal sums (Σv, Σv²) so they are
+    * shuffle-order-independent, then mean/σ/z are computed in double
+    * with the IDENTICAL expression in both engines — the 3σ cut
+    * therefore lands on bit-identical z values and the flagged set
+    * can't flap. Plan: one scan + one tiny stats aggregate broadcast
+    * back onto the stream — the second scan leg is filter+project only
+    * (no shuffle of the fact side); a sampled-stats variant drops even
+    * that at 100 TB. */
+  private val anomaly: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val stats = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(25,10)")).cast("double").as("s"),
+        sum((col("value") * col("value")).cast("decimal(25,10)"))
+          .cast("double").as("s2"))
+      .select(col("event_type"), (col("s") / col("n")).as("mean"),
+        sqrt((col("s2") - col("s") * col("s") / col("n")) / (col("n") - 1))
+          .as("std"))
+    val z = (col("value") - col("mean")) / col("std")
+    ev.join(broadcast(stats), "event_type")
+      .filter(z > 3.0)
+      .select(col("event_id"), col("event_type"), col("value"),
+        round(z, 4).as("z"))
+      .orderBy("event_type", "event_id")
+  }
+  private val anomalySql =
+    """WITH st AS (
+  SELECT event_type, count(*) AS n,
+    CAST(sum(CAST(value AS DECIMAL(25,10))) AS DOUBLE) AS s,
+    CAST(sum(CAST(value * value AS DECIMAL(25,10))) AS DOUBLE) AS s2
+  FROM events GROUP BY event_type
+), m AS (
+  SELECT event_type, s / n AS mean, sqrt((s2 - s * s / n) / (n - 1)) AS std
+  FROM st
+)
+SELECT e.event_id, e.event_type, e.value,
+  round((e.value - m.mean) / m.std, 4) AS z
+FROM events e JOIN m USING (event_type)
+WHERE (e.value - m.mean) / m.std > 3.0
+ORDER BY e.event_type, e.event_id"""
+
   val queries: Map[String, Q] = Map(
     "events_tumbling" -> tumbling,
     "events_sliding" -> sliding,
@@ -555,6 +599,7 @@ GROUP BY a.day_ms ORDER BY a.day_ms"""
     "events_pivot_hourly" -> pivotHourly,
     "events_funnel" -> funnel,
     "events_retention" -> retention,
+    "events_anomaly" -> anomaly,
     "events_rollup_daily" -> rollupDaily,
     "events_quantiles" -> quantiles,
     "events_quantiles_approx" -> quantilesApprox,
@@ -572,6 +617,7 @@ GROUP BY a.day_ms ORDER BY a.day_ms"""
     "events_pivot_hourly" -> pivotHourlySql,
     "events_funnel" -> funnelSql,
     "events_retention" -> retentionSql,
+    "events_anomaly" -> anomalySql,
     "events_rollup_daily" -> rollupDailySql,
     "events_quantiles" -> quantilesSql,
     "events_json_props" -> jsonPropsSql)

@@ -245,13 +245,54 @@ GROUP BY c_custkey, c_name, c_acctbal, n_name
 ORDER BY revenue DESC, c_custkey
 LIMIT 20"""
 
+  // ------------------------------------------------ promo share (Q14 shape)
+  /** Monthly promo revenue share — conditional aggregation over the
+    * lineitem ⋈ part fact-dim join (part broadcasts; the fact side
+    * never shuffles before the month aggregate). Both the promo and
+    * total revenue legs are exact decimal sums converted to double
+    * once, so the ratio is shuffle-order-independent. Exercises the one
+    * testdata table (`part`) no other query touched. */
+  private val promoShare: Q = (s, d) => {
+    val promoRev = when(col("p_type") === "PROMO", revenueExpr).otherwise(lit(0.0))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("n_items"),
+        round(dsum(promoRev), 4).as("promo_revenue"),
+        round(dsum(revenueExpr), 4).as("total_revenue"),
+        round(lit(100) * dsum(promoRev) / dsum(revenueExpr), 6)
+          .as("promo_share"))
+      .orderBy("ship_month")
+  }
+  private val promoShareSql =
+    """SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+  count(*) AS n_items,
+  round(CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(25,10))) AS DOUBLE), 4)
+    AS promo_revenue,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))) AS DOUBLE), 4)
+    AS total_revenue,
+  round(100 * CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(25,10))) AS DOUBLE)
+    / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))) AS DOUBLE), 6)
+    AS promo_share
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY strftime(l_shipdate, '%Y-%m')
+ORDER BY ship_month"""
+
   val queries: Map[String, Q] = Map(
     "tpch_pricing_summary" -> pricingSummary,
     "tpch_top_orders" -> topOrders,
     "tpch_region_revenue" -> regionRevenue,
     "tpch_order_priority" -> orderPriority,
     "tpch_customer_dist" -> customerDist,
-    "tpch_returned_items" -> returnedItems)
+    "tpch_returned_items" -> returnedItems,
+    "tpch_promo_share" -> promoShare)
 
   val oracle: Map[String, String] = Map(
     "tpch_pricing_summary" -> pricingSummarySql,
@@ -259,5 +300,6 @@ LIMIT 20"""
     "tpch_region_revenue" -> regionRevenueSql,
     "tpch_order_priority" -> orderPrioritySql,
     "tpch_customer_dist" -> customerDistSql,
-    "tpch_returned_items" -> returnedItemsSql)
+    "tpch_returned_items" -> returnedItemsSql,
+    "tpch_promo_share" -> promoShareSql)
 }
