@@ -554,9 +554,11 @@ GROUP BY a.day_ms ORDER BY a.day_ms"""
     * back onto the stream — the second scan leg is filter+project only
     * (no shuffle of the fact side); a sampled-stats variant drops even
     * that at 100 TB. */
-  private val anomaly: Q = (s, d) => {
-    val ev = Tables.events(s, d)
-    val stats = ev.groupBy("event_type")
+  /** Per-type moments from exact decimal sums — reused by the batch
+    * query and as the static side of the streaming enrichment join
+    * ([[graft.streaming.StreamingEvents.anomalyStream]]). */
+  def anomalyStats(ev: DataFrame): DataFrame =
+    ev.groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(25,10)")).cast("double").as("s"),
         sum((col("value") * col("value")).cast("decimal(25,10)"))
@@ -564,12 +566,20 @@ GROUP BY a.day_ms ORDER BY a.day_ms"""
       .select(col("event_type"), (col("s") / col("n")).as("mean"),
         sqrt((col("s2") - col("s") * col("s") / col("n")) / (col("n") - 1))
           .as("std"))
+
+  /** The 3σ cut against a precomputed stats relation — shared verbatim
+    * by the batch face and the stream-static join. */
+  def flagAnomalies(ev: DataFrame, stats: DataFrame): DataFrame = {
     val z = (col("value") - col("mean")) / col("std")
     ev.join(broadcast(stats), "event_type")
       .filter(z > 3.0)
       .select(col("event_id"), col("event_type"), col("value"),
         round(z, 4).as("z"))
-      .orderBy("event_type", "event_id")
+  }
+
+  private val anomaly: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    flagAnomalies(ev, anomalyStats(ev)).orderBy("event_type", "event_id")
   }
   private val anomalySql =
     """WITH st AS (

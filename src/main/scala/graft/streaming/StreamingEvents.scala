@@ -93,6 +93,19 @@ object StreamingEvents {
         EventQueries.PivotTypes.map(col): _*)
   }
 
+  /** Stream-static enrichment join — the remaining Structured
+    * Streaming join flavor next to the stream-stream interval join:
+    * live events flagged against BATCH-computed per-type moments
+    * ([[EventQueries.anomalyStats]] over yesterday's data — global
+    * statistics are not computable inside an unbounded stream, so
+    * production anomaly detection is exactly this shape). The static
+    * side broadcasts; each micro-batch is a map-side hash probe with no
+    * state and no watermark requirement. Same
+    * [[EventQueries.flagAnomalies]] expression as the batch face —
+    * parity by construction. */
+  def anomalyStream(events: DataFrame, stats: DataFrame): DataFrame =
+    EventQueries.flagAnomalies(events, stats)
+
   case class RtEv(tsMs: Long, eventId: Long, value: Double)
   case class RtState(pending: List[RtEv], sumUnscaled: Long, seq: Int)
   case class RtRow(user_id: Long, event_id: Long, ts_ms: Long,

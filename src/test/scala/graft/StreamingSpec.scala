@@ -192,6 +192,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static anomaly join: live events flagged against batch stats") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // batch-computed stats: historical values for one type with
+    // mean=10, std=~1; the stream then carries one inlier and one
+    // far outlier of that type (plus a type absent from the stats,
+    // which must pass through unflagged via the inner join)
+    val hist = (1L to 9L).map(i => (i, "click", 8.0 + (i % 5)))
+      .toDF("event_id", "event_type", "value")
+    val stats = graft.pipeline.EventQueries.anomalyStats(hist)
+    val mem = MemoryStream[(Long, String, Double)]
+    val q = StreamingEvents.anomalyStream(
+      mem.toDF().toDF("event_id", "event_type", "value"), stats)
+      .writeStream.format("memory").queryName("anom").outputMode("append").start()
+    try {
+      mem.addData((100L, "click", 9.5), (101L, "click", 50.0),
+        (102L, "view", 1000.0))
+      q.processAllAvailable()
+      val got = spark.table("anom").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got === Set((101L, "click")),
+        "only the far outlier of a known type is flagged")
+      // parity: the batch face over the same rows and the same stats
+      val batch = graft.pipeline.EventQueries.flagAnomalies(
+        Seq((100L, "click", 9.5), (101L, "click", 50.0), (102L, "view", 1000.0))
+          .toDF("event_id", "event_type", "value"), stats)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("streaming session windows: cross-batch merge, watermark emission, batch parity") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
