@@ -134,6 +134,17 @@ class ReportingSpec extends SparkSpec {
       "stage populations must be non-increasing")
   }
 
+  test("retention and funnel plan with a single fact scan") {
+    // both were rewritten from self-join / per-stage-join forms that
+    // read the fact table 2-3x; the window forms must keep one scan
+    for (q <- Seq("events_retention", "events_funnel")) {
+      val plan = EventQueries.queries(q)(spark, Sf)
+        .queryExecution.executedPlan.toString
+      assert("(?s)Scan parquet".r.findAllIn(plan).size === 1,
+        s"$q must scan events exactly once:\n$plan")
+    }
+  }
+
   test("json props: payload pruned to the extracted value before the aggregate") {
     val df = EventQueries.queries("events_json_props")(spark, Sf)
     val rows = df.collect()
