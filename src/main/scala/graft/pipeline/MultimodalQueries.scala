@@ -154,13 +154,54 @@ FROM f
 WHERE frame_idx % 4 = 0
 ORDER BY doc_id, frame_idx"""
 
+  /** Resize — 2× nearest-neighbor downsample of the payload treated as
+    * a 16-byte-wide pixel grid: output row y keeps source row 2y's
+    * every-other byte (8 per row). One output row per resized grid row
+    * (explode bounded by payload size), each built from eight 1-byte
+    * payload slices — only the slices travel, never the whole payload.
+    * A real deployment swaps the byte grid for a decoded raster and
+    * this stride arithmetic for the interpolation kernel; the plan
+    * shape (bounded fan-out + per-row slicing at the scan) is the part
+    * that matters at 100 TB. */
+  private val resize: Q = (s, d) => {
+    val bin = encode(col("text"), "UTF-8")
+    Tables.documents(s, d)
+      .select(col("doc_id"), bin.as("content"), length(bin).as("n_bytes"))
+      .filter(col("n_bytes") >= 32) // at least two 16-byte source rows
+      .select(col("doc_id"), col("content"),
+        expr("n_bytes div 32").cast("int").as("out_h"))
+      .select(col("doc_id"), col("content"), col("out_h"),
+        explode(expr("sequence(0, out_h - 1)")).as("y"))
+      .select(col("doc_id"), col("out_h"), col("y").cast("long").as("row_idx"),
+        upper(array_join(transform(sequence(lit(0), lit(7)), i =>
+          hex(col("content").substr(col("y") * 32 + i * 2 + 1, lit(1)))), ""))
+          .as("row_hex"))
+      .orderBy("doc_id", "row_idx")
+  }
+  private val resizeSql =
+    """WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+  FROM documents WHERE octet_length(encode(text)) >= 32
+), r AS (
+  SELECT doc_id, CAST(n // 32 AS INT) AS out_h, h,
+    unnest(range(0, n // 32)) AS y
+  FROM b
+)
+SELECT doc_id, out_h, y AS row_idx,
+  upper(list_aggr(list_transform(range(0, 8),
+    i -> substring(h, CAST((y * 32 + i * 2) * 2 + 1 AS INT), 2)),
+    'string_agg', '')) AS row_hex
+FROM r ORDER BY doc_id, row_idx"""
+
   val queries: Map[String, Q] = Map(
     "multimodal_features" -> features,
     "multimodal_decode_stub" -> decodeStub,
-    "multimodal_frame_sample" -> frameSample)
+    "multimodal_frame_sample" -> frameSample,
+    "multimodal_resize" -> resize)
 
   val oracle: Map[String, String] = Map(
     "multimodal_features" -> featuresSql,
     "multimodal_decode_stub" -> decodeStubSql,
-    "multimodal_frame_sample" -> frameSampleSql)
+    "multimodal_frame_sample" -> frameSampleSql,
+    "multimodal_resize" -> resizeSql)
 }
