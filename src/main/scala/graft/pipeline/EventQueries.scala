@@ -597,6 +597,70 @@ FROM events e JOIN m USING (event_type)
 WHERE (e.value - m.mean) / m.std > 3.0
 ORDER BY e.event_type, e.event_id"""
 
+  // ------------------------------------------------------------- deciles
+  /** Per-type value deciles via NTILE — the equi-height-bucket report
+    * (spend bands, latency bands). NTILE needs each type's values
+    * sorted once (one shuffle on event_type + in-partition sort —
+    * at 100 TB a per-GROUP global sort is the honest cost of exact
+    * equi-height buckets; the approximate path is percentile_approx
+    * cut points, see events_quantiles_approx); the decile summary then
+    * aggregates on (type, decile) riding the same partitioning.
+    * (ts, event_id) breaks value ties deterministically so boundary
+    * rows land in stable buckets cross-engine. */
+  private val deciles: Q = (s, d) => {
+    val w = Window.partitionBy("event_type")
+      .orderBy("value", "ts", "event_id")
+    Tables.events(s, d)
+      .select(col("event_type"), col("value"),
+        ntile(10).over(w).as("decile"))
+      .groupBy("event_type", "decile")
+      .agg(count(lit(1)).as("n_events"),
+        round(min("value"), 4).as("lo"),
+        round(max("value"), 4).as("hi"))
+      .orderBy("event_type", "decile")
+  }
+  private val decilesSql =
+    """WITH t AS (
+  SELECT event_type, value,
+    ntile(10) OVER (PARTITION BY event_type ORDER BY value, ts, event_id)
+      AS decile
+  FROM events
+)
+SELECT event_type, CAST(decile AS INT) AS decile, count(*) AS n_events,
+  round(min(value), 4) AS lo, round(max(value), 4) AS hi
+FROM t GROUP BY event_type, decile
+ORDER BY event_type, decile"""
+
+  // ----------------------------------------------------------- anti join
+  /** Churn-risk cut — clickers with NO purchase in the final week: the
+    * LEFT ANTI join face (the only join type the rest of the surface
+    * doesn't exercise). The anti join ships no payload columns from the
+    * right side and drops a left group on first match; both sides are
+    * pre-aggregated to distinct/counted user sets before the join, so
+    * the shuffle carries |users| rows, not |events|. Oracle: NOT
+    * EXISTS, which is exactly what anti-join implements. */
+  private val antiJoin: Q = (s, d) => {
+    val cutoff = expr("TIMESTAMP '2024-01-25 00:00:00'")
+    val ev = Tables.events(s, d)
+    val clickers = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(count(lit(1)).as("n_clicks"),
+        unix_millis(max("ts")).as("last_click_ms"))
+    val recentPurchasers = ev.filter(col("event_type") === "purchase" &&
+        col("ts") >= cutoff)
+      .select("user_id").distinct()
+    clickers.join(recentPurchasers, Seq("user_id"), "left_anti")
+      .orderBy("user_id")
+  }
+  private val antiJoinSql =
+    """SELECT user_id, count(*) AS n_clicks,
+  epoch_ms(date_trunc('milliseconds', max(ts))) AS last_click_ms
+FROM events c
+WHERE event_type = 'click'
+  AND NOT EXISTS (SELECT 1 FROM events p
+                  WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+                    AND p.ts >= TIMESTAMP '2024-01-25 00:00:00')
+GROUP BY user_id ORDER BY user_id"""
+
   val queries: Map[String, Q] = Map(
     "events_tumbling" -> tumbling,
     "events_sliding" -> sliding,
@@ -610,6 +674,8 @@ ORDER BY e.event_type, e.event_id"""
     "events_funnel" -> funnel,
     "events_retention" -> retention,
     "events_anomaly" -> anomaly,
+    "events_deciles" -> deciles,
+    "events_anti_join" -> antiJoin,
     "events_rollup_daily" -> rollupDaily,
     "events_quantiles" -> quantiles,
     "events_quantiles_approx" -> quantilesApprox,
@@ -628,6 +694,8 @@ ORDER BY e.event_type, e.event_id"""
     "events_funnel" -> funnelSql,
     "events_retention" -> retentionSql,
     "events_anomaly" -> anomalySql,
+    "events_deciles" -> decilesSql,
+    "events_anti_join" -> antiJoinSql,
     "events_rollup_daily" -> rollupDailySql,
     "events_quantiles" -> quantilesSql,
     "events_json_props" -> jsonPropsSql)

@@ -145,15 +145,39 @@ GROUP BY user_id ORDER BY user_id"""
   min(doc_id) AS min_doc, max(doc_id) AS max_doc
 FROM documents GROUP BY lang ORDER BY lang"""
 
+  /** JSON-lines source round trip — same contract as [[csvRoundtrip]]
+    * (declared schema, no inference pass, lossless integer/string
+    * subset) over the other ubiquitous text interchange format. The
+    * declared-schema detail matters doubly for JSON: inference must
+    * read every line AND unions ragged records into a drifting schema;
+    * a 100 TB ingest pins the schema up front and quarantines
+    * mismatches instead. */
+  private val jsonRoundtrip: Q = (s, d) => {
+    val path = "/tmp/graft-json-docs"
+    Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
+      .write.mode("overwrite").json(path)
+    s.read.schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
+      .json(path)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("lang", "source")
+  }
+  private val jsonRoundtripSql =
+    """SELECT lang, source, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY lang, source ORDER BY lang, source"""
+
   val queries: Map[String, Q] = Map(
     "infra_bucketed_join" -> bucketedJoin,
     "infra_skew_join" -> skewJoin,
     "infra_partitioned_scan" -> partitionedScan,
-    "infra_csv_roundtrip" -> csvRoundtrip)
+    "infra_csv_roundtrip" -> csvRoundtrip,
+    "infra_json_roundtrip" -> jsonRoundtrip)
 
   val oracle: Map[String, String] = Map(
     "infra_bucketed_join" -> bucketedJoinSql,
     "infra_skew_join" -> skewJoinSql,
     "infra_partitioned_scan" -> partitionedScanSql,
-    "infra_csv_roundtrip" -> csvRoundtripSql)
+    "infra_csv_roundtrip" -> csvRoundtripSql,
+    "infra_json_roundtrip" -> jsonRoundtripSql)
 }
