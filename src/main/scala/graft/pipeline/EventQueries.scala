@@ -661,6 +661,45 @@ WHERE event_type = 'click'
                     AND p.ts >= TIMESTAMP '2024-01-25 00:00:00')
 GROUP BY user_id ORDER BY user_id"""
 
+  // ------------------------------------------------------- daily balance
+  /** Click-vs-purchase daily balance — the FULL OUTER join face
+    * (completing the join-type matrix next to inner/left/semi/anti):
+    * two per-day aggregates joined keeping days present in EITHER leg,
+    * absent legs pinned to 0 so the imbalance ratio is total. Both
+    * sides collapse to |days| rows before the join (map-side partial
+    * aggs), so the full-outer shuffle is trivially small no matter the
+    * fact volume. */
+  private val dailyBalance: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    def daily(t: String, as: String) = ev.filter(col("event_type") === t)
+      .groupBy(unix_millis(date_trunc("day", col("ts"))).as("day_ms"))
+      .agg(count(lit(1)).as(as))
+    daily("click", "n_clicks")
+      .join(daily("purchase", "n_purchases"), Seq("day_ms"), "full_outer")
+      .select(col("day_ms"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        round(coalesce(col("n_purchases"), lit(0L)) /
+          greatest(coalesce(col("n_clicks"), lit(0L)), lit(1L)), 6)
+          .as("purchase_per_click"))
+      .orderBy("day_ms")
+  }
+  private val dailyBalanceSql =
+    """WITH c AS (
+  SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, count(*) AS n_clicks
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), p AS (
+  SELECT epoch_ms(date_trunc('day', ts)) AS day_ms, count(*) AS n_purchases
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT coalesce(c.day_ms, p.day_ms) AS day_ms,
+  coalesce(c.n_clicks, 0) AS n_clicks,
+  coalesce(p.n_purchases, 0) AS n_purchases,
+  round(CAST(coalesce(p.n_purchases, 0) AS DOUBLE) /
+    greatest(coalesce(c.n_clicks, 0), 1), 6) AS purchase_per_click
+FROM c FULL JOIN p ON c.day_ms = p.day_ms
+ORDER BY day_ms"""
+
   val queries: Map[String, Q] = Map(
     "events_tumbling" -> tumbling,
     "events_sliding" -> sliding,
@@ -676,6 +715,7 @@ GROUP BY user_id ORDER BY user_id"""
     "events_anomaly" -> anomaly,
     "events_deciles" -> deciles,
     "events_anti_join" -> antiJoin,
+    "events_daily_balance" -> dailyBalance,
     "events_rollup_daily" -> rollupDaily,
     "events_quantiles" -> quantiles,
     "events_quantiles_approx" -> quantilesApprox,
@@ -696,6 +736,7 @@ GROUP BY user_id ORDER BY user_id"""
     "events_anomaly" -> anomalySql,
     "events_deciles" -> decilesSql,
     "events_anti_join" -> antiJoinSql,
+    "events_daily_balance" -> dailyBalanceSql,
     "events_rollup_daily" -> rollupDailySql,
     "events_quantiles" -> quantilesSql,
     "events_json_props" -> jsonPropsSql)
