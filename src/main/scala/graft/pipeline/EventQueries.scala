@@ -700,6 +700,43 @@ SELECT coalesce(c.day_ms, p.day_ms) AS day_ms,
 FROM c FULL JOIN p ON c.day_ms = p.day_ms
 ORDER BY day_ms"""
 
+  // ------------------------------------------------------------ lag gaps
+  /** Inter-arrival gap statistics per user — the `lag` window face
+    * (rate limiting, bot detection, engagement cadence): one shuffle on
+    * user_id, one in-partition sort, each event's gap to its
+    * predecessor, then a per-user summary riding the same partitioning
+    * (no second exchange). Gap math in integer milliseconds — no
+    * float drift for the oracle hash. */
+  private val lagGaps: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("gap_ms", col("ts_ms") - lag("ts_ms", 1).over(w))
+      .filter(col("gap_ms").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        min("gap_ms").as("min_gap_ms"),
+        max("gap_ms").as("max_gap_ms"),
+        // floor, not cast: DuckDB CAST(double AS BIGINT) rounds while
+        // Spark truncates — floor is identical in both for positive gaps
+        floor(sum("gap_ms") / count(lit(1))).cast("long").as("avg_gap_ms"))
+      .orderBy("user_id")
+  }
+  private val lagGapsSql =
+    """WITH g AS (
+  SELECT user_id,
+    epoch_ms(date_trunc('milliseconds', ts)) -
+      lag(epoch_ms(date_trunc('milliseconds', ts))) OVER
+        (PARTITION BY user_id ORDER BY ts, event_id) AS gap_ms
+  FROM events
+)
+SELECT user_id, count(*) AS n_gaps,
+  min(gap_ms) AS min_gap_ms, max(gap_ms) AS max_gap_ms,
+  CAST(floor(CAST(sum(gap_ms) AS DOUBLE) / count(*)) AS BIGINT) AS avg_gap_ms
+FROM g WHERE gap_ms IS NOT NULL
+GROUP BY user_id ORDER BY user_id"""
+
   val queries: Map[String, Q] = Map(
     "events_tumbling" -> tumbling,
     "events_sliding" -> sliding,
@@ -716,6 +753,7 @@ ORDER BY day_ms"""
     "events_deciles" -> deciles,
     "events_anti_join" -> antiJoin,
     "events_daily_balance" -> dailyBalance,
+    "events_lag_gaps" -> lagGaps,
     "events_rollup_daily" -> rollupDaily,
     "events_quantiles" -> quantiles,
     "events_quantiles_approx" -> quantilesApprox,
@@ -737,6 +775,7 @@ ORDER BY day_ms"""
     "events_deciles" -> decilesSql,
     "events_anti_join" -> antiJoinSql,
     "events_daily_balance" -> dailyBalanceSql,
+    "events_lag_gaps" -> lagGapsSql,
     "events_rollup_daily" -> rollupDailySql,
     "events_quantiles" -> quantilesSql,
     "events_json_props" -> jsonPropsSql)
