@@ -737,6 +737,35 @@ SELECT user_id, count(*) AS n_gaps,
 FROM g WHERE gap_ms IS NOT NULL
 GROUP BY user_id ORDER BY user_id"""
 
+  // ------------------------------------------------------------- unpivot
+  /** Wide → long melt, the inverse API face of [[pivotHourlyAgg]]:
+    * `unpivot` turns the hourly count matrix back into (hour, type,
+    * count) rows — the normalization step reporting marts run before
+    * re-aggregating differently. Unpivot is a per-row expression
+    * expansion (no shuffle of its own); the only shuffle in the plan is
+    * the pivot's hour aggregate underneath. Zero-count cells survive
+    * the melt (the pivot's zero fill is part of its contract), so the
+    * oracle densifies hours × types with a left join. */
+  private val unpivotHourly: Q = (s, d) =>
+    pivotHourlyAgg(Tables.events(s, d))
+      .unpivot(Array(col("hour_ms")),
+        PivotTypes.map(col).toArray, "event_type", "n_events")
+      .orderBy("hour_ms", "event_type")
+  private val unpivotHourlySql = {
+    val types = PivotTypes.map(t => s"'$t'").mkString("[", ", ", "]")
+    s"""WITH h AS (
+  SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms FROM events GROUP BY 1
+), c AS (
+  SELECT epoch_ms(date_trunc('hour', ts)) AS hour_ms, event_type,
+    count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT h.hour_ms, t.event_type, coalesce(c.n, 0) AS n_events
+FROM h CROSS JOIN (SELECT unnest($types) AS event_type) t
+LEFT JOIN c ON c.hour_ms = h.hour_ms AND c.event_type = t.event_type
+ORDER BY h.hour_ms, t.event_type"""
+  }
+
   val queries: Map[String, Q] = Map(
     "events_tumbling" -> tumbling,
     "events_sliding" -> sliding,
@@ -754,6 +783,7 @@ GROUP BY user_id ORDER BY user_id"""
     "events_anti_join" -> antiJoin,
     "events_daily_balance" -> dailyBalance,
     "events_lag_gaps" -> lagGaps,
+    "events_unpivot_hourly" -> unpivotHourly,
     "events_rollup_daily" -> rollupDaily,
     "events_quantiles" -> quantiles,
     "events_quantiles_approx" -> quantilesApprox,
@@ -776,6 +806,7 @@ GROUP BY user_id ORDER BY user_id"""
     "events_anti_join" -> antiJoinSql,
     "events_daily_balance" -> dailyBalanceSql,
     "events_lag_gaps" -> lagGapsSql,
+    "events_unpivot_hourly" -> unpivotHourlySql,
     "events_rollup_daily" -> rollupDailySql,
     "events_quantiles" -> quantilesSql,
     "events_json_props" -> jsonPropsSql)
