@@ -766,6 +766,30 @@ LEFT JOIN c ON c.hour_ms = h.hour_ms AND c.event_type = t.event_type
 ORDER BY h.hour_ms, t.event_type"""
   }
 
+  // ----------------------------------------------------------- intersect
+  /** Stable-cohort cut — users active on BOTH the first and the final
+    * day: the INTERSECT set-op face (union and anti-join are exercised
+    * elsewhere; this completes the family). Spark compiles intersect to
+    * a distinct + left-semi join, so each side collapses to its user
+    * set map-side before one |users|-row shuffle meets the other. */
+  private val intersectWeeks: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    def dayUsers(from: String, to: String) = ev
+      .filter(col("ts") >= expr(s"TIMESTAMP '$from'") &&
+        col("ts") < expr(s"TIMESTAMP '$to'"))
+      .select("user_id")
+    dayUsers("2024-01-01 00:00:00", "2024-01-02 00:00:00")
+      .intersect(dayUsers("2024-01-30 00:00:00", "2024-01-31 00:00:00"))
+      .orderBy("user_id")
+  }
+  private val intersectWeeksSql =
+    """SELECT user_id FROM events
+WHERE ts >= TIMESTAMP '2024-01-01 00:00:00' AND ts < TIMESTAMP '2024-01-02 00:00:00'
+INTERSECT
+SELECT user_id FROM events
+WHERE ts >= TIMESTAMP '2024-01-30 00:00:00' AND ts < TIMESTAMP '2024-01-31 00:00:00'
+ORDER BY user_id"""
+
   val queries: Map[String, Q] = Map(
     "events_tumbling" -> tumbling,
     "events_sliding" -> sliding,
@@ -784,6 +808,7 @@ ORDER BY h.hour_ms, t.event_type"""
     "events_daily_balance" -> dailyBalance,
     "events_lag_gaps" -> lagGaps,
     "events_unpivot_hourly" -> unpivotHourly,
+    "events_intersect_days" -> intersectWeeks,
     "events_rollup_daily" -> rollupDaily,
     "events_quantiles" -> quantiles,
     "events_quantiles_approx" -> quantilesApprox,
@@ -807,6 +832,7 @@ ORDER BY h.hour_ms, t.event_type"""
     "events_daily_balance" -> dailyBalanceSql,
     "events_lag_gaps" -> lagGapsSql,
     "events_unpivot_hourly" -> unpivotHourlySql,
+    "events_intersect_days" -> intersectWeeksSql,
     "events_rollup_daily" -> rollupDailySql,
     "events_quantiles" -> quantilesSql,
     "events_json_props" -> jsonPropsSql)
