@@ -790,6 +790,25 @@ SELECT user_id FROM events
 WHERE ts >= TIMESTAMP '2024-01-30 00:00:00' AND ts < TIMESTAMP '2024-01-31 00:00:00'
 ORDER BY user_id"""
 
+  // ----------------------------------------------------------- histogram
+  /** Fixed-width value histogram per type — the equi-WIDTH complement
+    * to [[deciles]]' equi-height bands: bin = floor(value / 25), pure
+    * scan-side arithmetic (no sort, no window — the cheapest possible
+    * distribution sketch) feeding one map-side-combinable aggregate.
+    * Integer-ms-style floor keeps the bin id exact in both engines. */
+  private val histogram: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        floor(col("value") / 25.0).cast("long").as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy("event_type", "bin")
+  private val histogramSql =
+    """SELECT event_type, CAST(floor(value / 25.0) AS BIGINT) AS bin,
+  count(*) AS n_events
+FROM events GROUP BY event_type, bin
+ORDER BY event_type, bin"""
+
   val queries: Map[String, Q] = Map(
     "events_tumbling" -> tumbling,
     "events_sliding" -> sliding,
@@ -809,6 +828,7 @@ ORDER BY user_id"""
     "events_lag_gaps" -> lagGaps,
     "events_unpivot_hourly" -> unpivotHourly,
     "events_intersect_days" -> intersectWeeks,
+    "events_histogram" -> histogram,
     "events_rollup_daily" -> rollupDaily,
     "events_quantiles" -> quantiles,
     "events_quantiles_approx" -> quantilesApprox,
@@ -833,6 +853,7 @@ ORDER BY user_id"""
     "events_lag_gaps" -> lagGapsSql,
     "events_unpivot_hourly" -> unpivotHourlySql,
     "events_intersect_days" -> intersectWeeksSql,
+    "events_histogram" -> histogramSql,
     "events_rollup_daily" -> rollupDailySql,
     "events_quantiles" -> quantilesSql,
     "events_json_props" -> jsonPropsSql)

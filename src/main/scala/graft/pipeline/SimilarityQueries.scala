@@ -73,6 +73,43 @@ WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
 QUALIFY row_number() OVER w <= 5
 ORDER BY query_id, rank"""
 
+  /** Range search — the other similarity-query face next to top-k:
+    * ALL neighbors with cosine ≥ τ per query (radius queries,
+    * duplicate-candidate pulls, "everything this similar" audits).
+    * Same broadcast-queries + one-corpus-pass shape as [[topkBrute]],
+    * but the cut is a plain filter instead of a rank window — no sort,
+    * no per-group state, fully codegen'd; at 100 TB the same query
+    * rides the IVF/LSH bucketing exactly like the top-k variants. The
+    * τ cut lands on bit-identical cosine doubles in both engines
+    * (pinned by the existing ANN hash matches), so the result set
+    * can't flap at the boundary. */
+  private val RangeTau = 0.25
+  private val rangeSearch: Q = (s, d) => {
+    val e = embDouble(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("sim"))
+      .filter(col("sim") >= RangeTau)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("query_id", "neighbor_id")
+  }
+  private val rangeSearchSql =
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+)
+SELECT q.query_id, e.vec_id AS neighbor_id,
+  round(list_dot_product(q.qv, e.v) /
+    (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))), 6) AS sim
+FROM q JOIN e ON e.vec_id <> q.query_id
+WHERE list_dot_product(q.qv, e.v) /
+    (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) >= $RangeTau
+ORDER BY query_id, neighbor_id"""
+
   /** IVF-style ANN: coarse centroids (per-label mean — the label stands
     * in for a k-means cell id), nprobe=2 probe lists per query, exact
     * rerank inside the probed cells only. */
@@ -426,6 +463,7 @@ ORDER BY vec_a, vec_b"""
 
   val queries: Map[String, Q] = Map(
     "ann_topk_brute" -> topkBrute,
+    "ann_range_search" -> rangeSearch,
     "ann_topk_ivf" -> topkIvf,
     "ann_topk_ivf_kmeans" -> topkKmeans,
     "ann_topk_ivf_bucketed" -> topkKmeansBucketed,
@@ -434,6 +472,7 @@ ORDER BY vec_a, vec_b"""
 
   val oracle: Map[String, String] = Map(
     "ann_topk_brute" -> topkBruteSql,
+    "ann_range_search" -> rangeSearchSql,
     "ann_topk_ivf" -> topkIvfSql,
     "ann_topk_ivf_kmeans" -> topkKmeansSql,
     // same math, different physical path (persisted bucket-pruned index)
