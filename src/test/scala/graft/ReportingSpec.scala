@@ -145,6 +145,39 @@ class ReportingSpec extends SparkSpec {
     }
   }
 
+  test("distribution reports reconcile: deciles, histogram, and the event count") {
+    val total = Tables.events(spark, Sf).count()
+    val decileN = EventQueries.queries("events_deciles")(spark, Sf)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    val histoN = EventQueries.queries("events_histogram")(spark, Sf)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(decileN === total && histoN === total,
+      s"every event lands in exactly one band: $decileN/$histoN vs $total")
+    // NTILE's equi-height contract: within a type, bucket sizes differ
+    // by at most one
+    EventQueries.queries("events_deciles")(spark, Sf)
+      .select("event_type", "n_events").collect()
+      .groupBy(_.getString(0)).foreach { case (t, rows) =>
+        val sizes = rows.map(_.getLong(1))
+        assert(sizes.max - sizes.min <= 1, s"$t: NTILE buckets must be even")
+      }
+  }
+
+  test("range search is consistent with the brute-force top-k above the radius") {
+    import graft.pipeline.SimilarityQueries
+    val tau = 0.25
+    val range = SimilarityQueries.queries("ann_range_search")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteAbove = SimilarityQueries.queries("ann_topk_brute")(spark, Sf)
+      .filter(col("sim") >= tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every top-5 neighbor at/above the radius must be in the range
+    // result (range search has no k cut, so it can only be a superset)
+    assert(bruteAbove.subsetOf(range),
+      s"missing from range: ${bruteAbove.diff(range).take(3)}")
+    assert(range.nonEmpty)
+  }
+
   test("json props: payload pruned to the extracted value before the aggregate") {
     val df = EventQueries.queries("events_json_props")(spark, Sf)
     val rows = df.collect()
