@@ -285,6 +285,53 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY strftime(l_shipdate, '%Y-%m')
 ORDER BY ship_month"""
 
+  // ---------------------------------------------- nation volume (Q7 shape)
+  /** Bilateral shipping volume between two nations by year — the
+    * disjunctive-join-predicate shape: the (supplier-nation,
+    * customer-nation) pair must be one of two ordered combinations.
+    * Both nation decorations ride broadcast dims onto the fact stream
+    * (supplier via lineitem, customer via orders), the OR-pair filter
+    * runs before the aggregate, and the fact-fact lineitem ⋈ orders
+    * join is the only wide shuffle. */
+  private val nationVolume: Q = (s, d) => {
+    val nat = broadcast(Tables.nation(s, d).select("n_nationkey", "n_name"))
+    val sup = broadcast(Tables.supplier(s, d)
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+    val cust = broadcast(Tables.customer(s, d)
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation")))
+    val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(round(dsum(revenueExpr), 4).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+  private val nationVolumeSql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  CAST(year(l_shipdate) AS INT) AS l_year,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))) AS DOUBLE), 4) AS revenue
+FROM supplier
+JOIN lineitem ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+ORDER BY supp_nation, cust_nation, l_year"""
+
   val queries: Map[String, Q] = Map(
     "tpch_pricing_summary" -> pricingSummary,
     "tpch_top_orders" -> topOrders,
@@ -292,7 +339,8 @@ ORDER BY ship_month"""
     "tpch_order_priority" -> orderPriority,
     "tpch_customer_dist" -> customerDist,
     "tpch_returned_items" -> returnedItems,
-    "tpch_promo_share" -> promoShare)
+    "tpch_promo_share" -> promoShare,
+    "tpch_nation_volume" -> nationVolume)
 
   val oracle: Map[String, String] = Map(
     "tpch_pricing_summary" -> pricingSummarySql,
@@ -301,5 +349,6 @@ ORDER BY ship_month"""
     "tpch_order_priority" -> orderPrioritySql,
     "tpch_customer_dist" -> customerDistSql,
     "tpch_returned_items" -> returnedItemsSql,
-    "tpch_promo_share" -> promoShareSql)
+    "tpch_promo_share" -> promoShareSql,
+    "tpch_nation_volume" -> nationVolumeSql)
 }
