@@ -332,6 +332,139 @@ WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
 GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
 ORDER BY supp_nation, cust_nation, l_year"""
 
+  // ---------------------------------------------- market share (Q8 shape)
+  /** National market share within a region's market for one part type,
+    * by order year — the conditional-share-of-total shape. Every
+    * dimension (part-type filter, region-restricted customer set,
+    * nation-decorated supplier set) broadcasts; the only wide shuffle
+    * is lineitem ⋈ orders on the order key. Both the numerator
+    * (NATION_3-supplied revenue) and denominator are exact decimal
+    * sums of the same per-row product, so the share is
+    * shuffle-order-independent. */
+  private val marketShare: Q = (s, d) => {
+    val prt = Tables.part(s, d)
+      .filter(col("p_type") === "STANDARD").select("p_partkey")
+    val natReg = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val cust = Tables.customer(s, d)
+      .join(broadcast(natReg), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val sup = broadcast(Tables.supplier(s, d)
+      .join(Tables.nation(s, d)
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")),
+        col("s_nationkey") === col("sn_key"))
+      .select("s_suppkey", "supp_nation"))
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1998-01-01"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "o_orderdate")
+    val natRev = when(col("supp_nation") === "NATION_3", revenueExpr)
+      .otherwise(lit(0.0))
+    Tables.lineitem(s, d)
+      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(dsum(natRev) / dsum(revenueExpr), 6).as("mkt_share"),
+        round(dsum(revenueExpr), 4).as("total_revenue"))
+      .orderBy("o_year")
+  }
+  private val marketShareSql =
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+  round(CAST(sum(CAST(CASE WHEN n1.n_name = 'NATION_3'
+      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END AS DECIMAL(25,10))) AS DOUBLE)
+    / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))) AS DOUBLE), 6)
+    AS mkt_share,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))) AS DOUBLE), 4)
+    AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region ON n2.n_regionkey = r_regionkey
+WHERE p_type = 'STANDARD' AND r_name = 'EUROPE'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY year(o_orderdate)
+ORDER BY o_year"""
+
+  // ---------------------------------------------- top supplier (Q15 shape)
+  /** Suppliers achieving the maximum quarterly revenue — the
+    * argmax-via-scalar-subquery shape. Per-supplier revenue is ONE
+    * map-side-combinable aggregate over the date-filtered scan
+    * (|suppliers| rows out); the global max is an aggregate of that
+    * bounded relation, broadcast back as a 1-row join — no window over
+    * an unpartitioned frame, no second fact scan. Revenue stays
+    * DECIMAL(25,10) through the equality (exact in both engines; a
+    * double round-trip could manufacture or miss ties) and converts to
+    * double once for output. */
+  private val topSupplier: Q = (s, d) => {
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1997-04-01"))
+      .groupBy("l_suppkey")
+      .agg(sum(revenueExpr.cast("decimal(25,10)")).as("rev"))
+    val maxRev = rev.agg(max("rev").as("max_rev"))
+    rev.join(broadcast(maxRev), col("rev") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("rev").cast("double"), 4).as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+  private val topSupplierSql =
+    """WITH rev AS (
+  SELECT l_suppkey,
+    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))) AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, round(CAST(rev AS DOUBLE), 4) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev = (SELECT max(rev) FROM rev)
+ORDER BY s_suppkey"""
+
+  // ------------------------------------------------ big orders (Q18 shape)
+  /** Large-volume orders: HAVING-set semi-join shape. The per-order
+    * quantity aggregate runs first (map-side partial sums, |orders|
+    * rows shuffled once); the >350 filter collapses it to a handful of
+    * keys, which then BROADCASTS into orders — the fact table never
+    * shuffles for the join. Quantity sums are decimal-exact so the
+    * HAVING boundary can't flap with shuffle order. */
+  private val bigOrders: Q = (s, d) => {
+    val big = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 350)
+    Tables.orders(s, d)
+      .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+        col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+  private val bigOrdersSql =
+    """SELECT c_name, c_custkey, o_orderkey,
+  strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_totalprice,
+  CAST(sum(CAST(l_quantity AS DECIMAL(25,10))) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+HAVING CAST(sum(CAST(l_quantity AS DECIMAL(25,10))) AS DOUBLE) > 350
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 10"""
+
   val queries: Map[String, Q] = Map(
     "tpch_pricing_summary" -> pricingSummary,
     "tpch_top_orders" -> topOrders,
@@ -340,7 +473,10 @@ ORDER BY supp_nation, cust_nation, l_year"""
     "tpch_customer_dist" -> customerDist,
     "tpch_returned_items" -> returnedItems,
     "tpch_promo_share" -> promoShare,
-    "tpch_nation_volume" -> nationVolume)
+    "tpch_nation_volume" -> nationVolume,
+    "tpch_market_share" -> marketShare,
+    "tpch_top_supplier" -> topSupplier,
+    "tpch_big_orders" -> bigOrders)
 
   val oracle: Map[String, String] = Map(
     "tpch_pricing_summary" -> pricingSummarySql,
@@ -350,5 +486,8 @@ ORDER BY supp_nation, cust_nation, l_year"""
     "tpch_customer_dist" -> customerDistSql,
     "tpch_returned_items" -> returnedItemsSql,
     "tpch_promo_share" -> promoShareSql,
-    "tpch_nation_volume" -> nationVolumeSql)
+    "tpch_nation_volume" -> nationVolumeSql,
+    "tpch_market_share" -> marketShareSql,
+    "tpch_top_supplier" -> topSupplierSql,
+    "tpch_big_orders" -> bigOrdersSql)
 }
