@@ -499,6 +499,125 @@ QUALIFY row_number() OVER w <= 3
 ORDER BY lang, rank"""
   }
 
+  // ----------------------------------------------------- vocabulary build
+  /** Corpus vocabulary with document-frequency pruning — the tokenizer
+    * -training / feature-hashing prerequisite: per-token corpus
+    * frequency (tf) and document frequency (df), min-df ≥ 5 floor,
+    * top-50 by (tf desc, token asc). ONE shuffle on token carries both
+    * aggregates (count is map-side partial; the distinct-doc count is
+    * Spark's standard two-phase distinct aggregate). The global top-50
+    * is orderBy+limit — Catalyst plans TakeOrderedAndProject, a
+    * distributed per-partition top-k + driver merge of 50-row heaps,
+    * NOT a single-partition window sort, so a 100 TB vocabulary never
+    * funnels through one task; the rank column is then a window over
+    * the surviving 50 rows only. */
+  private val vocab: Q = (s, d) => {
+    val counts = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 5)
+    val top = counts.orderBy(col("tf").desc, col("token")).limit(50)
+    top.withColumn("rank",
+        row_number().over(Window.orderBy(col("tf").desc, col("token"))))
+      .select("rank", "token", "tf", "df")
+  }
+  private val vocabSql =
+    s"""WITH t AS (
+  SELECT doc_id, unnest($ToksSql) AS token FROM documents
+), c AS (
+  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+  FROM t GROUP BY token
+)
+SELECT CAST(row_number() OVER w AS INT) AS rank, token, tf, df
+FROM c WHERE df >= 5
+WINDOW w AS (ORDER BY tf DESC, token)
+QUALIFY row_number() OVER w <= 50
+ORDER BY rank"""
+
+  // ------------------------------------------------- tf-idf top terms
+  /** Per-document top-3 distinctive terms by tf·idf — the keyword /
+    * topic-signal pass a corpus pipeline runs for routing and quality
+    * filters. One explode feeds both aggregates: per-(doc, token) tf
+    * and per-token df; they meet in an equi-join on token (the df side
+    * is |vocabulary|, bounded, and shrinks further at higher corpus
+    * scale relative to the tf side). idf = ln(N/df) with N a 1-row
+    * broadcast count. The per-doc rank orders by the INTEGER triple
+    * (tf desc, df asc, token asc) — monotone in tf/df like tf·idf but
+    * immune to cross-engine double-log ulp skew; the reported tfidf
+    * double is display-only, rounded to 6. */
+  private val tfidfTop: Q = (s, d) => {
+    val toksRel = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("token"))
+    val tf = toksRel.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = toksRel.groupBy("token").agg(count_distinct(col("doc_id")).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "token").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df"), col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "rank", "token", "tf", "df", "tfidf")
+      .orderBy("doc_id", "rank")
+  }
+  private val tfidfTopSql =
+    s"""WITH t AS (
+  SELECT doc_id, unnest($ToksSql) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM t GROUP BY doc_id, token
+), df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY token
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+)
+SELECT doc_id, CAST(row_number() OVER w AS INT) AS rank, token, tf, df,
+  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+FROM tf JOIN df USING (token) CROSS JOIN n
+WINDOW w AS (PARTITION BY doc_id ORDER BY tf DESC, df, token)
+QUALIFY row_number() OVER w <= 3
+ORDER BY doc_id, rank"""
+
+  // --------------------------------------------------- stratified sample
+  /** Deterministic per-language stratified sample — the corpus-mix
+    * rebalancing step (upsample scarce languages, downsample dominant
+    * ones) done the 100 TB way: membership is a salted content-free
+    * hash of doc_id against a per-stratum keep-rate, so it's a
+    * projected column computed at scan (no RNG, no sampling shuffle,
+    * rerun-stable) and the "strat:" salt decorrelates it from the
+    * train/val/test split hash. Emits per-language accounting:
+    * population, kept count, and kept char volume. */
+  private val StratRates: Seq[(String, Int)] = // keep-rate per 1000
+    Seq("en" -> 300, "es" -> 800, "de" -> 800, "fr" -> 800, "zh" -> 500)
+  private val stratifiedSample: Q = (s, d) => {
+    val bucket = pmod(DupCorpus.h60(concat(lit("strat:"),
+      col("doc_id").cast("string"))), lit(1000L))
+    val rate = StratRates.foldLeft(lit(100)) { case (acc, (l, r)) =>
+      when(col("lang") === l, lit(r)).otherwise(acc) }
+    Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"),
+        (bucket < rate).cast("int").as("kept"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("kept").as("n_kept"),
+        sum(when(col("kept") === 1, col("n_chars")).otherwise(lit(0L)))
+          .as("kept_chars"))
+      .orderBy("lang")
+  }
+  private val stratifiedSampleSql = {
+    val h = graft.oracle.OraclePipeline.h60Sql("'strat:' || CAST(doc_id AS VARCHAR)")
+    val rate = StratRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
+      .mkString("CASE ", " ", " ELSE 100 END")
+    s"""WITH docs AS (
+  SELECT lang, n_chars,
+    CASE WHEN $h % 1000 < $rate THEN 1 ELSE 0 END AS kept
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept,
+  CAST(sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+FROM docs GROUP BY lang ORDER BY lang"""
+  }
+
   val queries: Map[String, Q] = Map(
     "text_langid" -> langid,
     "text_quality" -> quality,
@@ -510,7 +629,10 @@ ORDER BY lang, rank"""
     "text_seq_pack" -> seqPack,
     "text_sample_split" -> sampleSplit,
     "text_decontaminate" -> decontaminate,
-    "text_ngram_topk" -> ngramTopk)
+    "text_ngram_topk" -> ngramTopk,
+    "text_vocab" -> vocab,
+    "text_tfidf_top" -> tfidfTop,
+    "text_stratified_sample" -> stratifiedSample)
 
   val oracle: Map[String, String] = Map(
     "text_langid" -> langidSql,
@@ -522,5 +644,8 @@ ORDER BY lang, rank"""
     "text_seq_pack" -> seqPackSql,
     "text_sample_split" -> sampleSplitSql,
     "text_decontaminate" -> decontaminateSql,
-    "text_ngram_topk" -> ngramTopkSql)
+    "text_ngram_topk" -> ngramTopkSql,
+    "text_vocab" -> vocabSql,
+    "text_tfidf_top" -> tfidfTopSql,
+    "text_stratified_sample" -> stratifiedSampleSql)
 }
