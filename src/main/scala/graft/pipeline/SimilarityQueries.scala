@@ -461,6 +461,98 @@ WHERE list_dot_product(a.v, b.v) /
     (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35
 ORDER BY vec_a, vec_b"""
 
+  // ------------------------------------------------- int8 quantization
+  /** Scalar int8 quantization of the embedding column — the
+    * vector-store prep step that cuts a 100 TB float corpus 4× before
+    * indexing: per-vector min/max affine map onto [-128, 127],
+    * q = floor((x-lo)·255/(hi-lo) + 0.5) − 128 (floor(+0.5) instead of
+    * round() because the two engines disagree on round-half semantics;
+    * floor of identical doubles is identical). Everything is a
+    * projected column over the scan — no shuffle, no join; the
+    * array lambdas run once per row (not per candidate pair, so the
+    * interpreted-HOF cost isn't join-amplified). Emits per-vector
+    * codebook accounting (dims, q-range, checksum, scale) rather than
+    * the full int list so the compare surface stays scalar. */
+  private val quantize: Q = (s, d) => {
+    val e = embDouble(s, d)
+    val lo = array_min(col("v"))
+    val hi = array_max(col("v"))
+    val qv = when(hi === lo, transform(col("v"), _ => lit(0)))
+      .otherwise(transform(col("v"), x =>
+        (floor((x - lo) * lit(255.0) / (hi - lo) + lit(0.5)).cast("int") -
+          lit(128))))
+    e.select(col("vec_id"), qv.as("q"), lo.as("lo"), hi.as("hi"))
+      .select(col("vec_id"),
+        size(col("q")).as("n_dims"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        round((col("hi") - col("lo")) / lit(255.0), 9).as("scale"))
+      .orderBy("vec_id")
+  }
+  private val quantizeSql =
+    """WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), b AS (
+  SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM e
+), qv AS (
+  SELECT vec_id, lo, hi,
+    CASE WHEN hi = lo THEN list_transform(v, x -> 0)
+         ELSE list_transform(v,
+           x -> CAST(floor((x - lo) * 255.0 / (hi - lo) + 0.5) AS INT) - 128)
+    END AS q
+  FROM b
+)
+SELECT vec_id, CAST(len(q) AS INT) AS n_dims,
+  list_min(q) AS q_min, list_max(q) AS q_max,
+  CAST(list_sum(q) AS BIGINT) AS q_sum,
+  round((hi - lo) / 255.0, 9) AS scale
+FROM qv ORDER BY vec_id"""
+
+  // ----------------------------------------------------- k-NN self-join
+  /** All-pairs k-NN join (k=3) over the corpus, blocked by IVF cell —
+    * the similarity-join face next to the query-driven top-k: every
+    * vector gets its 3 nearest neighbors WITHIN its coarse cell (label
+    * here, k-means cells in production — same contract as
+    * [[embedDedup]]). The candidate join is an equi-join on the cell
+    * id, so candidates are |cell|² per cell, never |corpus|² — the
+    * standard IVF-blocked kNN-join; recall is bounded by the cell
+    * assignment exactly like the ANN variants, and finer cells trade
+    * recall for candidate volume. One shuffle on cell id, a per-vector
+    * rank window, nothing else. */
+  private val knnJoin: Q = (s, d) => {
+    val e = embDouble(s, d)
+    val r = e.select(col("label").as("rl"), col("vec_id").as("neighbor_id"),
+      col("v").as("rv"))
+    val sims = e.join(r,
+        col("label") === col("rl") && col("vec_id") =!= col("neighbor_id"))
+      .select(col("vec_id"), col("neighbor_id"),
+        cosine(col("v"), col("rv")).as("sim"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select(col("vec_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("vec_id", "rank")
+  }
+  private val knnJoinSql =
+    """WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), sims AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+    list_dot_product(a.v, b.v) /
+      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+)
+SELECT vec_id, CAST(row_number() OVER w AS INT) AS rank, neighbor_id,
+  round(sim, 6) AS sim
+FROM sims
+WINDOW w AS (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id)
+QUALIFY row_number() OVER w <= 3
+ORDER BY vec_id, rank"""
+
   val queries: Map[String, Q] = Map(
     "ann_topk_brute" -> topkBrute,
     "ann_range_search" -> rangeSearch,
@@ -468,7 +560,9 @@ ORDER BY vec_a, vec_b"""
     "ann_topk_ivf_kmeans" -> topkKmeans,
     "ann_topk_ivf_bucketed" -> topkKmeansBucketed,
     "ann_topk_lsh" -> topkLsh,
-    "dedup_embedding" -> embedDedup)
+    "dedup_embedding" -> embedDedup,
+    "embed_quantize" -> quantize,
+    "knn_join" -> knnJoin)
 
   val oracle: Map[String, String] = Map(
     "ann_topk_brute" -> topkBruteSql,
@@ -478,5 +572,7 @@ ORDER BY vec_a, vec_b"""
     // same math, different physical path (persisted bucket-pruned index)
     "ann_topk_ivf_bucketed" -> topkKmeansSql,
     "ann_topk_lsh" -> topkLshSql,
-    "dedup_embedding" -> embedDedupSql)
+    "dedup_embedding" -> embedDedupSql,
+    "embed_quantize" -> quantizeSql,
+    "knn_join" -> knnJoinSql)
 }
