@@ -363,6 +363,66 @@ FROM events
 GROUP BY ROLLUP (event_type, date_trunc('day', ts))
 ORDER BY lvl, event_type, day_ms"""
 
+  // --------------------------------------------------------------- cube
+  /** Full CUBE over (event_type, hour-of-day) — completes the
+    * grouping-sets family next to [[rollupDaily]]: the cube adds the
+    * hour-only marginal the rollup can't produce, and all four levels
+    * ((type,hour), (type), (hour), grand total) still come out of ONE
+    * shuffle — Spark expands grouping sets map-side and the partial
+    * aggs stay combinable, so the cost is 4× the map output of a plain
+    * group-by, not 4 scans. Same grouping_id bitmask + null-sentinel
+    * discipline as the rollup (both engines agree on the mask, pinned
+    * by the rollup's hash match). */
+  private val cubeHourly: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("hod", hour(col("ts")))
+      .cube("event_type", "hod")
+      .agg(count(lit(1)).as("n_events"),
+        valSum.as("val_sum"),
+        grouping_id().cast("int").as("lvl"))
+      .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("hod"), lit(-1)).as("hod"),
+        col("lvl"), col("n_events"), col("val_sum"))
+      .orderBy("lvl", "event_type", "hod")
+  private val cubeHourlySql =
+    s"""SELECT coalesce(event_type, '(all)') AS event_type,
+  coalesce(CAST(hour(ts) AS INT), -1) AS hod,
+  CAST(GROUPING(event_type, hour(ts)) AS INT) AS lvl,
+  count(*) AS n_events,
+  $ValSumSql AS val_sum
+FROM events
+GROUP BY CUBE (event_type, hour(ts))
+ORDER BY lvl, event_type, hod"""
+
+  // -------------------------------------------------------- attribution
+  /** First/last-touch attribution per user — the min_by/max_by
+    * aggregate family: one shuffle on user_id, every aggregate
+    * map-side combinable (argmin/argmax partials merge associatively),
+    * no window, no self-join. The ordering key is the scalar composite
+    * epoch_ms(ts)·10⁶ + event_id — deterministic under same-timestamp
+    * ties (DuckDB's arg_min can't order by a struct, so both engines
+    * use the same scalar; event_id stays below 10⁶ in every testdata
+    * SF, and the composite stays far inside int64). */
+  private val attribution: Q = (s, d) => {
+    val ordKey = unix_millis(col("ts")) * lit(1000000L) + col("event_id")
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min_by(col("event_type"), ordKey).as("first_type"),
+        max_by(col("event_type"), ordKey).as("last_type"),
+        (unix_millis(max(col("ts"))) - unix_millis(min(col("ts"))))
+          .as("span_ms"))
+      .orderBy("user_id")
+  }
+  private val attributionSql =
+    """SELECT user_id, count(*) AS n_events,
+  arg_min(event_type, epoch_ms(ts) * 1000000 + event_id) AS first_type,
+  arg_max(event_type, epoch_ms(ts) * 1000000 + event_id) AS last_type,
+  epoch_ms(max(ts)) - epoch_ms(min(ts)) AS span_ms
+FROM events
+GROUP BY user_id
+ORDER BY user_id"""
+
   // ---------------------------------------------------------- quantiles
   /** Exact interpolated percentiles of event value per type — the
     * latency/spend-distribution report. Spark's `percentile` and
@@ -830,6 +890,8 @@ ORDER BY event_type, bin"""
     "events_intersect_days" -> intersectWeeks,
     "events_histogram" -> histogram,
     "events_rollup_daily" -> rollupDaily,
+    "events_cube_hourly" -> cubeHourly,
+    "events_attribution" -> attribution,
     "events_quantiles" -> quantiles,
     "events_quantiles_approx" -> quantilesApprox,
     "events_json_props" -> jsonProps)
@@ -855,6 +917,8 @@ ORDER BY event_type, bin"""
     "events_intersect_days" -> intersectWeeksSql,
     "events_histogram" -> histogramSql,
     "events_rollup_daily" -> rollupDailySql,
+    "events_cube_hourly" -> cubeHourlySql,
+    "events_attribution" -> attributionSql,
     "events_quantiles" -> quantilesSql,
     "events_json_props" -> jsonPropsSql)
 }
