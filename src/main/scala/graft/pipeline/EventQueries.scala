@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -403,17 +403,21 @@ ORDER BY lvl, event_type, hod"""
     * ties (DuckDB's arg_min can't order by a struct, so both engines
     * use the same scalar; event_id stays below 10⁶ in every testdata
     * SF, and the composite stays far inside int64). */
-  private val attribution: Q = (s, d) => {
+  /** Shared by the batch query and [[graft.streaming.StreamingEvents
+    * .attributionStream]] — parity by construction. */
+  private[graft] def attributionAggs: Seq[Column] = {
     val ordKey = unix_millis(col("ts")) * lit(1000000L) + col("event_id")
+    Seq(count(lit(1)).as("n_events"),
+      min_by(col("event_type"), ordKey).as("first_type"),
+      max_by(col("event_type"), ordKey).as("last_type"),
+      (unix_millis(max(col("ts"))) - unix_millis(min(col("ts"))))
+        .as("span_ms"))
+  }
+  private val attribution: Q = (s, d) =>
     Tables.events(s, d)
       .groupBy("user_id")
-      .agg(count(lit(1)).as("n_events"),
-        min_by(col("event_type"), ordKey).as("first_type"),
-        max_by(col("event_type"), ordKey).as("last_type"),
-        (unix_millis(max(col("ts"))) - unix_millis(min(col("ts"))))
-          .as("span_ms"))
+      .agg(attributionAggs.head, attributionAggs.tail: _*)
       .orderBy("user_id")
-  }
   private val attributionSql =
     """SELECT user_id, count(*) AS n_events,
   arg_min(event_type, epoch_ms(ts) * 1000000 + event_id) AS first_type,

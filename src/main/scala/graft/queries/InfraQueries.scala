@@ -167,17 +167,45 @@ FROM documents GROUP BY lang ORDER BY lang"""
   CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY lang, source ORDER BY lang, source"""
 
+  /** ORC source round trip — the OTHER columnar interchange format
+    * next to parquet: binary-faithful for timestamps and doubles (no
+    * text serialization in the loop), predicate/column pushdown on
+    * read, and the format a Hive-era lakehouse migration actually
+    * carries. The aggregate after the round trip must be bit-identical
+    * to the oracle's read of the original parquet — columnar→columnar
+    * preserves every value exactly. */
+  private val orcRoundtrip: Q = (s, d) => {
+    val path = "/tmp/graft-orc-events"
+    Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4)
+          .as("val_sum"),
+        unix_millis(min("ts")).as("first_ms"),
+        unix_millis(max("ts")).as("last_ms"))
+      .orderBy("event_type")
+  }
+  private val orcRoundtripSql =
+    """SELECT event_type, count(*) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS val_sum,
+  epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms
+FROM events GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, Q] = Map(
     "infra_bucketed_join" -> bucketedJoin,
     "infra_skew_join" -> skewJoin,
     "infra_partitioned_scan" -> partitionedScan,
     "infra_csv_roundtrip" -> csvRoundtrip,
-    "infra_json_roundtrip" -> jsonRoundtrip)
+    "infra_json_roundtrip" -> jsonRoundtrip,
+    "infra_orc_roundtrip" -> orcRoundtrip)
 
   val oracle: Map[String, String] = Map(
     "infra_bucketed_join" -> bucketedJoinSql,
     "infra_skew_join" -> skewJoinSql,
     "infra_partitioned_scan" -> partitionedScanSql,
     "infra_csv_roundtrip" -> csvRoundtripSql,
-    "infra_json_roundtrip" -> jsonRoundtripSql)
+    "infra_json_roundtrip" -> jsonRoundtripSql,
+    "infra_orc_roundtrip" -> orcRoundtripSql)
 }

@@ -106,6 +106,20 @@ object StreamingEvents {
   def anomalyStream(events: DataFrame, stats: DataFrame): DataFrame =
     EventQueries.flagAnomalies(events, stats)
 
+  /** Streaming first/last-touch attribution — the unbounded face of
+    * `events_attribution`. min_by/max_by partials merge associatively
+    * across micro-batches like any combinable aggregate, so this is a
+    * PLAIN streaming aggregation: no custom state, no buffer-replay.
+    * The semantics are lifetime-scoped per user, so no watermark
+    * applies and state is one (first, last, count, min-ts, max-ts) row
+    * per user — O(users), emitted in update/complete mode. Shares
+    * [[EventQueries.attributionAggs]] with the batch face — parity by
+    * construction. */
+  def attributionStream(events: DataFrame): DataFrame =
+    events.groupBy("user_id")
+      .agg(EventQueries.attributionAggs.head,
+        EventQueries.attributionAggs.tail: _*)
+
   case class RtEv(tsMs: Long, eventId: Long, value: Double)
   case class RtState(pending: List[RtEv], sumUnscaled: Long, seq: Int)
   case class RtRow(user_id: Long, event_id: Long, ts_ms: Long,

@@ -474,4 +474,44 @@ class StreamingSpec extends SparkSpec {
       assert(s2 === s1)
     } finally q.stop()
   }
+
+  test("streaming attribution: cross-batch argmin/argmax merge, tie-break, batch parity") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_ms", "event_id", "user_id", "event_type")
+      .select(timestamp_millis(col("ts_ms")).as("ts"),
+        col("event_id"), col("user_id"), col("event_type"))
+    val q = StreamingEvents.attributionStream(typed(mem.toDF()))
+      .writeStream.format("memory").queryName("attr").outputMode("complete")
+      .start()
+    // user 1: the true first event arrives in a LATER micro-batch
+    // (cross-batch argmin merge); user 2: two events share a timestamp
+    // and the lower event_id must win the tie on both ends
+    val b1 = Seq((5000L, 10L, 1L, "view"), (7000L, 11L, 2L, "click"),
+      (7000L, 12L, 2L, "buy"))
+    val b2 = Seq((1000L, 13L, 1L, "signup"), (9000L, 14L, 1L, "buy"))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = spark.table("attr")
+        .select("user_id", "n_events", "first_type", "last_type", "span_ms")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+      assert(got === Seq(
+        (1L, 3L, "signup", "buy", 8000L),
+        (2L, 2L, "click", "buy", 0L)),
+        "first tie falls to the lower event_id, last to the higher; merge crosses batches")
+      // batch parity on the identical rows
+      val statics = typed((b1 ++ b2).toDF())
+      val want = statics.groupBy("user_id")
+        .agg(graft.pipeline.EventQueries.attributionAggs.head,
+          graft.pipeline.EventQueries.attributionAggs.tail: _*)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+          r.getString(3), r.getLong(4))).sortBy(_._1).toSeq
+      assert(got === want, "streaming complete-mode result must equal batch agg")
+    } finally q.stop()
+  }
 }
