@@ -465,6 +465,41 @@ HAVING CAST(sum(CAST(l_quantity AS DECIMAL(25,10))) AS DOUBLE) > 350
 ORDER BY o_totalprice DESC, o_orderkey
 LIMIT 10"""
 
+  // -------------------------------------- disjunctive predicate (Q19 shape)
+  /** Discounted revenue under a 3-arm disjunctive brand/size/quantity
+    * predicate — the shape that exercises predicate decomposition: the
+    * per-table conjuncts Catalyst can factor out of the OR (p_size
+    * bounds on part, l_quantity bounds on lineitem) push into BOTH
+    * scans as range filters, while the cross-table residual evaluates
+    * after the broadcast join — so the fact scan already skipped every
+    * row outside the union of quantity bands before the join ran.
+    * Grouped per brand arm to keep each disjunct observable. */
+  private val brandRevenue: Q = (s, d) => {
+    val arm = (brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =>
+      col("p_brand") === brand &&
+        col("p_size").between(szLo, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(arm("Brand#1", 1, 15, 5, 25) ||
+        arm("Brand#2", 10, 30, 10, 35) ||
+        arm("Brand#3", 20, 50, 15, 45))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_items"),
+        round(dsum(revenueExpr), 4).as("revenue"))
+      .orderBy("p_brand")
+  }
+  private val brandRevenueSql =
+    """SELECT p_brand, count(*) AS n_items,
+  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(25,10))) AS DOUBLE), 4) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 5 AND 25)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 15 AND 45)
+GROUP BY p_brand
+ORDER BY p_brand"""
+
   val queries: Map[String, Q] = Map(
     "tpch_pricing_summary" -> pricingSummary,
     "tpch_top_orders" -> topOrders,
@@ -476,7 +511,8 @@ LIMIT 10"""
     "tpch_nation_volume" -> nationVolume,
     "tpch_market_share" -> marketShare,
     "tpch_top_supplier" -> topSupplier,
-    "tpch_big_orders" -> bigOrders)
+    "tpch_big_orders" -> bigOrders,
+    "tpch_brand_revenue" -> brandRevenue)
 
   val oracle: Map[String, String] = Map(
     "tpch_pricing_summary" -> pricingSummarySql,
@@ -489,5 +525,6 @@ LIMIT 10"""
     "tpch_nation_volume" -> nationVolumeSql,
     "tpch_market_share" -> marketShareSql,
     "tpch_top_supplier" -> topSupplierSql,
-    "tpch_big_orders" -> bigOrdersSql)
+    "tpch_big_orders" -> bigOrdersSql,
+    "tpch_brand_revenue" -> brandRevenueSql)
 }
