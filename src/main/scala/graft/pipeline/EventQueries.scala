@@ -418,6 +418,39 @@ ORDER BY lvl, event_type, hod"""
       .groupBy("user_id")
       .agg(attributionAggs.head, attributionAggs.tail: _*)
       .orderBy("user_id")
+  // ---------------------------------------------------- percentile ranks
+  /** Per-type user spend percentile — the percent_rank/cume_dist
+    * members of the window family: one shuffle for the (type, user)
+    * spend aggregate, then the rank window partitioned by type. The
+    * ORDER BY includes user_id so every row is its own peer group —
+    * percent_rank collapses to (row−1)/(n−1) and cume_dist to row/n,
+    * exact integer ratios in both engines (tied spends would otherwise
+    * form engine-ordering-dependent peer groups and flap the hash).
+    * Spend stays decimal-exact through the ordering. */
+  private val userRank: Q = (s, d) => {
+    val spend = Tables.events(s, d)
+      .groupBy("event_type", "user_id")
+      .agg(sum(col("value").cast("decimal(18,6)")).as("total"))
+    val w = Window.partitionBy("event_type").orderBy(col("total"), col("user_id"))
+    spend.select(col("event_type"), col("user_id"),
+        round(col("total").cast("double"), 4).as("total_value"),
+        round(percent_rank().over(w), 6).as("prank"),
+        round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy("event_type", "user_id")
+  }
+  private val userRankSql =
+    """WITH spend AS (
+  SELECT event_type, user_id, sum(CAST(value AS DECIMAL(18,6))) AS total
+  FROM events GROUP BY event_type, user_id
+)
+SELECT event_type, user_id,
+  round(CAST(total AS DOUBLE), 4) AS total_value,
+  round(percent_rank() OVER w, 6) AS prank,
+  round(cume_dist() OVER w, 6) AS cdist
+FROM spend
+WINDOW w AS (PARTITION BY event_type ORDER BY total, user_id)
+ORDER BY event_type, user_id"""
+
   private val attributionSql =
     """SELECT user_id, count(*) AS n_events,
   arg_min(event_type, epoch_ms(ts) * 1000000 + event_id) AS first_type,
@@ -896,6 +929,7 @@ ORDER BY event_type, bin"""
     "events_rollup_daily" -> rollupDaily,
     "events_cube_hourly" -> cubeHourly,
     "events_attribution" -> attribution,
+    "events_user_rank" -> userRank,
     "events_quantiles" -> quantiles,
     "events_quantiles_approx" -> quantilesApprox,
     "events_json_props" -> jsonProps)
@@ -923,6 +957,7 @@ ORDER BY event_type, bin"""
     "events_rollup_daily" -> rollupDailySql,
     "events_cube_hourly" -> cubeHourlySql,
     "events_attribution" -> attributionSql,
+    "events_user_rank" -> userRankSql,
     "events_quantiles" -> quantilesSql,
     "events_json_props" -> jsonPropsSql)
 }

@@ -500,6 +500,53 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 5 
 GROUP BY p_brand
 ORDER BY p_brand"""
 
+  // ------------------------------------- small-quantity revenue (Q17 shape)
+  /** Revenue from below-half-average-quantity line items — the
+    * correlated-scalar-subquery shape, decorrelated the way a 100 TB
+    * plan must be: the per-part average becomes ONE aggregate over the
+    * (already part-filtered) fact stream, then rejoins on partkey.
+    * Both the aggregate and the rejoin hash-partition the same
+    * relation on the same key, so the planner can reuse the exchange;
+    * no broadcast of per-part stats (at warehouse scale `part` is NOT
+    * dimension-small relative to memory). The threshold compare is
+    * exact: l_qty < avg/2 is evaluated as 2·n·l_qty < Σqty with a
+    * decimal-exact Σ — no double division whose rounding could flap a
+    * boundary row between engines. */
+  private val smallQtyRevenue: Q = (s, d) => {
+    val prt = Tables.part(s, d).filter(col("p_type") === "SMALL")
+      .select("p_partkey", "p_brand")
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
+      .select("p_partkey", "p_brand", "l_quantity", "l_extendedprice")
+    val stats = li.groupBy(col("p_partkey").as("sp_key"))
+      .agg(sum(col("l_quantity").cast("decimal(25,10)")).as("sum_qty"),
+        count(lit(1)).as("n_li"))
+    li.join(stats, col("p_partkey") === col("sp_key"))
+      .filter(col("l_quantity").cast("decimal(25,10)") * lit(2) * col("n_li") <
+        col("sum_qty"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        round(dsum(col("l_extendedprice")), 4).as("revenue"))
+      .orderBy("p_brand")
+  }
+  private val smallQtyRevenueSql =
+    """WITH li AS (
+  SELECT p_partkey, p_brand, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'SMALL'
+), stats AS (
+  SELECT p_partkey AS sp_key,
+    sum(CAST(l_quantity AS DECIMAL(25,10))) AS sum_qty,
+    count(*) AS n_li
+  FROM li GROUP BY p_partkey
+)
+SELECT p_brand, count(*) AS n_small,
+  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(25,10))) AS DOUBLE), 4) AS revenue
+FROM li JOIN stats ON p_partkey = sp_key
+WHERE CAST(l_quantity AS DECIMAL(25,10)) * 2 * n_li < sum_qty
+GROUP BY p_brand
+ORDER BY p_brand"""
+
   val queries: Map[String, Q] = Map(
     "tpch_pricing_summary" -> pricingSummary,
     "tpch_top_orders" -> topOrders,
@@ -512,7 +559,8 @@ ORDER BY p_brand"""
     "tpch_market_share" -> marketShare,
     "tpch_top_supplier" -> topSupplier,
     "tpch_big_orders" -> bigOrders,
-    "tpch_brand_revenue" -> brandRevenue)
+    "tpch_brand_revenue" -> brandRevenue,
+    "tpch_small_qty_revenue" -> smallQtyRevenue)
 
   val oracle: Map[String, String] = Map(
     "tpch_pricing_summary" -> pricingSummarySql,
@@ -526,5 +574,6 @@ ORDER BY p_brand"""
     "tpch_market_share" -> marketShareSql,
     "tpch_top_supplier" -> topSupplierSql,
     "tpch_big_orders" -> bigOrdersSql,
-    "tpch_brand_revenue" -> brandRevenueSql)
+    "tpch_brand_revenue" -> brandRevenueSql,
+    "tpch_small_qty_revenue" -> smallQtyRevenueSql)
 }
