@@ -547,10 +547,14 @@ ORDER BY rank"""
     * immune to cross-engine double-log ulp skew; the reported tfidf
     * double is display-only, rounded to 6. */
   private val tfidfTop: Q = (s, d) => {
-    val toksRel = Tables.documents(s, d)
+    val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks).as("token"))
-    val tf = toksRel.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val df = toksRel.groupBy("token").agg(count_distinct(col("doc_id")).as("df"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    // df derives from tf — each (doc, token) row IS one document
+    // containing the token — so the corpus is tokenized ONCE; the
+    // second aggregate shuffles the (much smaller) tf relation, not a
+    // second full scan of the text column
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "token").crossJoin(broadcast(n))
       .withColumn("tfidf",

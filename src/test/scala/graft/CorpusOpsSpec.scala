@@ -26,6 +26,11 @@ class CorpusOpsSpec extends SparkSpec {
   }
 
   test("tfidf ranks follow the integer (tf desc, df asc, token) order per doc") {
+    val q = TextQueries.queries("text_tfidf_top")(spark, Sf)
+    q.collect() // materialize so AQE finalizes stage reuse
+    assert(q.queryExecution.executedPlan.toString.contains("ReusedExchange") ||
+      q.queryExecution.executedPlan.toString.contains("ReusedQueryStage"),
+      "df must consume tf's exchange — the corpus is tokenized exactly once")
     val rows = TextQueries.queries("text_tfidf_top")(spark, Sf)
       .select("doc_id", "rank", "token", "tf", "df").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getLong(4)))
