@@ -502,26 +502,27 @@ ORDER BY p_brand"""
 
   // ------------------------------------- small-quantity revenue (Q17 shape)
   /** Revenue from below-half-average-quantity line items — the
-    * correlated-scalar-subquery shape, decorrelated the way a 100 TB
-    * plan must be: the per-part average becomes ONE aggregate over the
-    * (already part-filtered) fact stream, then rejoins on partkey.
-    * Both the aggregate and the rejoin hash-partition the same
-    * relation on the same key, so the planner can reuse the exchange;
-    * no broadcast of per-part stats (at warehouse scale `part` is NOT
-    * dimension-small relative to memory). The threshold compare is
-    * exact: l_qty < avg/2 is evaluated as 2·n·l_qty < Σqty with a
-    * decimal-exact Σ — no double division whose rounding could flap a
-    * boundary row between engines. */
+    * correlated-scalar-subquery shape, decorrelated into a WINDOW
+    * aggregate: the per-part Σqty/count ride a whole-partition window
+    * over the part-filtered fact stream, so lineitem is scanned ONCE
+    * and shuffled ONCE (the self-join form scans the fact twice —
+    * per-branch column pruning makes its two exchanges structurally
+    * different, so ReuseExchange can't collapse them; measured, not
+    * guessed). The oracle keeps the aggregate-join formulation, which
+    * proves the window rewrite is semantics-preserving. The threshold
+    * compare is exact: l_qty < avg/2 is evaluated as 2·n·l_qty < Σqty
+    * with a decimal-exact Σ — no double division whose rounding could
+    * flap a boundary row between engines. */
   private val smallQtyRevenue: Q = (s, d) => {
     val prt = Tables.part(s, d).filter(col("p_type") === "SMALL")
       .select("p_partkey", "p_brand")
-    val li = Tables.lineitem(s, d)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("p_partkey")
+    Tables.lineitem(s, d)
       .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
       .select("p_partkey", "p_brand", "l_quantity", "l_extendedprice")
-    val stats = li.groupBy(col("p_partkey").as("sp_key"))
-      .agg(sum(col("l_quantity").cast("decimal(25,10)")).as("sum_qty"),
-        count(lit(1)).as("n_li"))
-    li.join(stats, col("p_partkey") === col("sp_key"))
+      .withColumn("sum_qty",
+        sum(col("l_quantity").cast("decimal(25,10)")).over(w))
+      .withColumn("n_li", count(lit(1)).over(w))
       .filter(col("l_quantity").cast("decimal(25,10)") * lit(2) * col("n_li") <
         col("sum_qty"))
       .groupBy("p_brand")

@@ -134,6 +134,14 @@ class CorpusOpsSpec extends SparkSpec {
       s"cube must scan events exactly once:\n$plan")
   }
 
+  test("small-qty revenue scans the fact table exactly once (window decorrelation)") {
+    val q = AnalyticsQueries.queries("tpch_small_qty_revenue")(spark, Sf)
+    val plan = q.queryExecution.executedPlan.toString
+    assert("ReadSchema: [^\n]*l_quantity".r.findAllIn(plan).size === 1,
+      s"the correlated average must be a window, not a second fact scan:\n$plan")
+    assert(plan.contains("Window"), "per-part stats must ride a window")
+  }
+
   test("big-orders HAVING set broadcasts; top-supplier argmax is internally consistent") {
     val big = AnalyticsQueries.queries("tpch_big_orders")(spark, Sf)
     val plan = big.queryExecution.executedPlan.toString
