@@ -887,6 +887,29 @@ SELECT user_id FROM events
 WHERE ts >= TIMESTAMP '2024-01-30 00:00:00' AND ts < TIMESTAMP '2024-01-31 00:00:00'
 ORDER BY user_id"""
 
+  // -------------------------------------------------------------- except
+  /** Browse-only user-days — (user, day) pairs with a click but no
+    * purchase: the EXCEPT set-op face, closing the family next to
+    * [[intersectWeeks]] (the anti-join covers the row-level NOT
+    * EXISTS; EXCEPT is the set-semantic sibling with built-in dedup).
+    * Spark compiles it to a distinct + left-anti join — both sides
+    * collapse to their (user, day) sets map-side before one
+    * set-cardinality shuffle. */
+  private val exceptUsers: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    def typeDays(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"),
+        unix_millis(date_trunc("day", col("ts"))).as("day_ms"))
+    typeDays("click").except(typeDays("purchase")).orderBy("user_id", "day_ms")
+  }
+  private val exceptUsersSql =
+    """SELECT user_id, epoch_ms(date_trunc('day', ts)) AS day_ms
+FROM events WHERE event_type = 'click'
+EXCEPT
+SELECT user_id, epoch_ms(date_trunc('day', ts)) AS day_ms
+FROM events WHERE event_type = 'purchase'
+ORDER BY user_id, day_ms"""
+
   // ----------------------------------------------------------- histogram
   /** Fixed-width value histogram per type — the equi-WIDTH complement
     * to [[deciles]]' equi-height bands: bin = floor(value / 25), pure
@@ -925,6 +948,7 @@ ORDER BY event_type, bin"""
     "events_lag_gaps" -> lagGaps,
     "events_unpivot_hourly" -> unpivotHourly,
     "events_intersect_days" -> intersectWeeks,
+    "events_except_users" -> exceptUsers,
     "events_histogram" -> histogram,
     "events_rollup_daily" -> rollupDaily,
     "events_cube_hourly" -> cubeHourly,
@@ -953,6 +977,7 @@ ORDER BY event_type, bin"""
     "events_lag_gaps" -> lagGapsSql,
     "events_unpivot_hourly" -> unpivotHourlySql,
     "events_intersect_days" -> intersectWeeksSql,
+    "events_except_users" -> exceptUsersSql,
     "events_histogram" -> histogramSql,
     "events_rollup_daily" -> rollupDailySql,
     "events_cube_hourly" -> cubeHourlySql,
