@@ -193,13 +193,51 @@ FROM documents GROUP BY lang, source ORDER BY lang, source"""
   epoch_ms(min(ts)) AS first_ms, epoch_ms(max(ts)) AS last_ms
 FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** Z-order layout accounting — per z-bucket point counts and
+    * coordinate spans over the (user, value-bin) plane. The z-value is
+    * [[graft.operators.ZOrder.zvalue]] (codegen'd bit interleave); the
+    * bucket is its high prefix (z >> 12 = a 64×64 tile), so the
+    * min/max columns PROVE the locality contract the layout sells:
+    * every bucket's x-span and y-span are ≤ 63 — the property that
+    * lets per-file min/max stats prune a 2-D box predicate after a
+    * z-sorted write (spec-pinned, including the quadrant ordering).
+    * Pure scan-side arithmetic + one map-side-combinable aggregate. */
+  private val zorderLayout: Q = (s, d) => {
+    val x = pmod(col("user_id"), lit(65536L))
+    val y = least(floor(col("value")).cast("long"), lit(65535L))
+    graft.Tables.events(s, d)
+      .select(x.as("xk"), y.as("yk"),
+        graft.operators.ZOrder.zvalue(x, y).as("zval"))
+      .groupBy(shiftright(col("zval"), 12).as("zbucket"))
+      .agg(count(lit(1)).as("n"),
+        min("xk").as("x_min"), max("xk").as("x_max"),
+        min("yk").as("y_min"), max("yk").as("y_max"))
+      .orderBy("zbucket")
+  }
+  private val zorderLayoutSql =
+    """WITH pts AS (
+  SELECT user_id % 65536 AS xk,
+    least(CAST(floor(value) AS BIGINT), 65535) AS yk
+  FROM events
+), z AS (
+  SELECT xk, yk,
+    CAST(list_sum(list_transform(range(0, 16),
+      i -> (((xk >> i) & 1) << (2*i)) + (((yk >> i) & 1) << (2*i+1))))
+      AS BIGINT) AS zval
+  FROM pts
+)
+SELECT zval >> 12 AS zbucket, count(*) AS n,
+  min(xk) AS x_min, max(xk) AS x_max, min(yk) AS y_min, max(yk) AS y_max
+FROM z GROUP BY zbucket ORDER BY zbucket"""
+
   val queries: Map[String, Q] = Map(
     "infra_bucketed_join" -> bucketedJoin,
     "infra_skew_join" -> skewJoin,
     "infra_partitioned_scan" -> partitionedScan,
     "infra_csv_roundtrip" -> csvRoundtrip,
     "infra_json_roundtrip" -> jsonRoundtrip,
-    "infra_orc_roundtrip" -> orcRoundtrip)
+    "infra_orc_roundtrip" -> orcRoundtrip,
+    "infra_zorder_layout" -> zorderLayout)
 
   val oracle: Map[String, String] = Map(
     "infra_bucketed_join" -> bucketedJoinSql,
@@ -207,5 +245,6 @@ FROM events GROUP BY event_type ORDER BY event_type"""
     "infra_partitioned_scan" -> partitionedScanSql,
     "infra_csv_roundtrip" -> csvRoundtripSql,
     "infra_json_roundtrip" -> jsonRoundtripSql,
-    "infra_orc_roundtrip" -> orcRoundtripSql)
+    "infra_orc_roundtrip" -> orcRoundtripSql,
+    "infra_zorder_layout" -> zorderLayoutSql)
 }
