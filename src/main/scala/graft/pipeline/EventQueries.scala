@@ -418,6 +418,14 @@ ORDER BY lvl, event_type, hod"""
       .groupBy("user_id")
       .agg(attributionAggs.head, attributionAggs.tail: _*)
       .orderBy("user_id")
+  private val attributionSql =
+    """SELECT user_id, count(*) AS n_events,
+  arg_min(event_type, epoch_ms(ts) * 1000000 + event_id) AS first_type,
+  arg_max(event_type, epoch_ms(ts) * 1000000 + event_id) AS last_type,
+  epoch_ms(max(ts)) - epoch_ms(min(ts)) AS span_ms
+FROM events
+GROUP BY user_id
+ORDER BY user_id"""
   // ---------------------------------------------------- percentile ranks
   /** Per-type user spend percentile — the percent_rank/cume_dist
     * members of the window family: one shuffle for the (type, user)
@@ -450,15 +458,6 @@ SELECT event_type, user_id,
 FROM spend
 WINDOW w AS (PARTITION BY event_type ORDER BY total, user_id)
 ORDER BY event_type, user_id"""
-
-  private val attributionSql =
-    """SELECT user_id, count(*) AS n_events,
-  arg_min(event_type, epoch_ms(ts) * 1000000 + event_id) AS first_type,
-  arg_max(event_type, epoch_ms(ts) * 1000000 + event_id) AS last_type,
-  epoch_ms(max(ts)) - epoch_ms(min(ts)) AS span_ms
-FROM events
-GROUP BY user_id
-ORDER BY user_id"""
 
   // ---------------------------------------------------------- quantiles
   /** Exact interpolated percentiles of event value per type — the

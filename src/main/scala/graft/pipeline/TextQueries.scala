@@ -521,6 +521,7 @@ ORDER BY lang, rank"""
     top.withColumn("rank",
         row_number().over(Window.orderBy(col("tf").desc, col("token"))))
       .select("rank", "token", "tf", "df")
+      .orderBy("rank") // pin output order (collapses into the rank sort)
   }
   private val vocabSql =
     s"""WITH t AS (

@@ -204,7 +204,10 @@ FROM events GROUP BY event_type ORDER BY event_type"""
     * Pure scan-side arithmetic + one map-side-combinable aggregate. */
   private val zorderLayout: Q = (s, d) => {
     val x = pmod(col("user_id"), lit(65536L))
-    val y = least(floor(col("value")).cast("long"), lit(65535L))
+    // full-range clamp into [0, 2^16) per ZOrder.zvalue's contract — a
+    // negative value's two's-complement bits would alias across tiles
+    val y = greatest(lit(0L),
+      least(floor(col("value")).cast("long"), lit(65535L)))
     graft.Tables.events(s, d)
       .select(x.as("xk"), y.as("yk"),
         graft.operators.ZOrder.zvalue(x, y).as("zval"))
@@ -217,7 +220,7 @@ FROM events GROUP BY event_type ORDER BY event_type"""
   private val zorderLayoutSql =
     """WITH pts AS (
   SELECT user_id % 65536 AS xk,
-    least(CAST(floor(value) AS BIGINT), 65535) AS yk
+    greatest(least(CAST(floor(value) AS BIGINT), 65535), 0) AS yk
   FROM events
 ), z AS (
   SELECT xk, yk,

@@ -106,7 +106,10 @@ class CorpusOpsSpec extends SparkSpec {
     val got = EventQueries.queries("events_attribution")(spark, Sf)
       .select("user_id", "first_type", "last_type").collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
-    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    // order by the SAME ms-truncated composite key as attributionAggs —
+    // raw-ts ordering could diverge on same-ms events with sub-ms skew
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_millis(col("ts")) * lit(1000000L) + col("event_id"))
     val want = Tables.events(spark, Sf)
       .select(col("user_id"),
         first("event_type").over(w).as("ft"),
