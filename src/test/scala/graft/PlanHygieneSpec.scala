@@ -1,0 +1,40 @@
+package graft
+
+/** Whole-surface plan hygiene: every registered query must (a) build a
+  * physical plan at all (catches registration typos and analysis
+  * regressions in one sweep), (b) contain NO CartesianProduct — every
+  * cross join in the engine is against a broadcast constant-size set
+  * and must plan as BroadcastNestedLoopJoin, never a shuffled
+  * all-pairs product — and (c) stay under a generous exchange ceiling
+  * (static plans top out at 30 today, broadcasts and pre-AQE duplicate
+  * subtrees included; a blown self-join or lost broadcast hint shows
+  * up as an exchange explosion long before it shows up in a timing). */
+class PlanHygieneSpec extends SparkSpec {
+
+  test("all registered queries plan cleanly: no cartesian, bounded exchanges") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val plan = fn(spark, Sf).queryExecution.executedPlan.toString
+          val cart = "CartesianProduct".r.findAllIn(plan).size
+          val exch = "Exchange".r.findAllIn(plan).size
+          if (cart > 0) Some(s"$name: $cart CartesianProduct node(s)")
+          else if (exch > 32) Some(s"$name: $exch exchanges (ceiling 32)")
+          else None
+        } catch {
+          case e: Throwable => Some(s"$name: failed to plan — ${e.getMessage}")
+        }
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
+  test("oracle registration is total: every query has SQL or a declared rows-only hole") {
+    // the two justified rows-only entries (approximate by construction)
+    val declaredNoOracle = Set("text_profile_approx", "events_quantiles_approx")
+    val missing = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- declaredNoOracle
+    assert(missing.isEmpty, s"unpaired queries: ${missing.toSeq.sorted}")
+    val dangling = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(dangling.isEmpty, s"oracle SQL without a query: ${dangling.toSeq.sorted}")
+  }
+}
