@@ -499,6 +499,34 @@ QUALIFY row_number() OVER w <= 3
 ORDER BY lang, rank"""
   }
 
+  // ------------------------------------------------- ngram top-k (heap)
+  /** Same result as [[ngramTopk]] through the typed-Aggregator path:
+    * per-language top-3 via [[graft.operators.TopKAgg]] — a bounded
+    * k-element buffer through ObjectHashAggregate instead of a
+    * row_number window. The window form sorts every language's FULL
+    * bigram distribution before discarding all but 3 rows; this plan's
+    * map-side partials are already ≤ k per language, so the final
+    * shuffle ships |langs|·k rows. Registered against the IDENTICAL
+    * oracle SQL as the window form — two physical strategies, one
+    * semantics, both hash-checked (parity also spec-pinned with a
+    * no-Window plan assertion). */
+  private val ngramTopkAgg: Q = (s, d) => {
+    import org.apache.spark.sql.functions.udaf
+    val w = Window.partitionBy("doc_id").orderBy("idx")
+    val bigrams = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), posexplode(toks).as(Seq("idx", "tok")))
+      .withColumn("nxt", lead("tok", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .select(col("lang"), concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
+    val counts = bigrams.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+    val top3 = udaf(new graft.operators.TopKAgg(3))
+    counts.groupBy("lang").agg(top3(col("bigram"), col("n")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "kv")))
+      .select(col("lang"), col("kv._1").as("bigram"), col("kv._2").as("n"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy("lang", "rank")
+  }
+
   // ----------------------------------------------------- vocabulary build
   /** Corpus vocabulary with document-frequency pruning — the tokenizer
     * -training / feature-hashing prerequisite: per-token corpus
@@ -635,6 +663,7 @@ FROM docs GROUP BY lang ORDER BY lang"""
     "text_sample_split" -> sampleSplit,
     "text_decontaminate" -> decontaminate,
     "text_ngram_topk" -> ngramTopk,
+    "text_ngram_topk_agg" -> ngramTopkAgg,
     "text_vocab" -> vocab,
     "text_tfidf_top" -> tfidfTop,
     "text_stratified_sample" -> stratifiedSample)
@@ -650,6 +679,8 @@ FROM docs GROUP BY lang ORDER BY lang"""
     "text_sample_split" -> sampleSplitSql,
     "text_decontaminate" -> decontaminateSql,
     "text_ngram_topk" -> ngramTopkSql,
+    // same math, different physical path (bounded-buffer aggregate)
+    "text_ngram_topk_agg" -> ngramTopkSql,
     "text_vocab" -> vocabSql,
     "text_tfidf_top" -> tfidfTopSql,
     "text_stratified_sample" -> stratifiedSampleSql)

@@ -137,6 +137,18 @@ class CorpusOpsSpec extends SparkSpec {
       s"cube must scan events exactly once:\n$plan")
   }
 
+  test("heap top-k aggregate matches the window form row-for-row") {
+    val agg = TextQueries.queries("text_ngram_topk_agg")(spark, Sf)
+    assert(agg.queryExecution.executedPlan.toString.contains("ObjectHashAggregate"),
+      "the bounded-buffer aggregate must plan as ObjectHashAggregate")
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select("lang", "bigram", "n", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3)))
+      .toSeq.sorted
+    assert(snap(agg) === snap(TextQueries.queries("text_ngram_topk")(spark, Sf)),
+      "two physical strategies, one semantics")
+  }
+
   test("small-qty revenue scans the fact table exactly once (window decorrelation)") {
     val q = AnalyticsQueries.queries("tpch_small_qty_revenue")(spark, Sf)
     val plan = q.queryExecution.executedPlan.toString
