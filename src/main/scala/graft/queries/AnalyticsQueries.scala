@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Analytical scan/join/agg family over the TPC-H-shaped tables —
@@ -516,7 +517,7 @@ ORDER BY p_brand"""
   private val smallQtyRevenue: Q = (s, d) => {
     val prt = Tables.part(s, d).filter(col("p_type") === "SMALL")
       .select("p_partkey", "p_brand")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("p_partkey")
+    val w = Window.partitionBy("p_partkey")
     Tables.lineitem(s, d)
       .join(broadcast(prt), col("l_partkey") === col("p_partkey"))
       .select("p_partkey", "p_brand", "l_quantity", "l_extendedprice")
@@ -548,6 +549,56 @@ WHERE CAST(l_quantity AS DECIMAL(25,10)) * 2 * n_li < sum_qty
 GROUP BY p_brand
 ORDER BY p_brand"""
 
+  // --------------------------------------------- waiting suppliers (Q21)
+  /** Suppliers who were the SOLE late shipper on a multi-supplier
+    * order — the EXISTS + NOT-EXISTS pair, decorrelated into per-order
+    * window aggregates: collect_set(suppkey) and
+    * collect_set(late-suppkey) over the order partition turn both
+    * correlated subqueries into two set-sizes computed in ONE pass over
+    * the fact join — no second or third lineitem scan (the literal
+    * nested form re-reads the fact table per subquery). The oracle
+    * keeps the EXISTS/NOT EXISTS formulation, proving the rewrite.
+    * "Late" is ship > order date + 60 days — exact timestamp
+    * arithmetic, no boundary rounding. */
+  private val waitingSuppliers: Q = (s, d) => {
+    val late = col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS")
+    val w = Window.partitionBy("l_orderkey")
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("is_late", late)
+      .withColumn("n_supp", size(collect_set(col("l_suppkey")).over(w)))
+      .withColumn("n_late_supp",
+        size(collect_set(when(col("is_late"), col("l_suppkey"))).over(w)))
+      .filter(col("is_late") && col("n_supp") > 1 && col("n_late_supp") === 1)
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(10)
+  }
+  private val waitingSuppliersSql =
+    """SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 10"""
+
   val queries: Map[String, Q] = Map(
     "tpch_pricing_summary" -> pricingSummary,
     "tpch_top_orders" -> topOrders,
@@ -561,7 +612,8 @@ ORDER BY p_brand"""
     "tpch_top_supplier" -> topSupplier,
     "tpch_big_orders" -> bigOrders,
     "tpch_brand_revenue" -> brandRevenue,
-    "tpch_small_qty_revenue" -> smallQtyRevenue)
+    "tpch_small_qty_revenue" -> smallQtyRevenue,
+    "tpch_waiting_suppliers" -> waitingSuppliers)
 
   val oracle: Map[String, String] = Map(
     "tpch_pricing_summary" -> pricingSummarySql,
@@ -576,5 +628,6 @@ ORDER BY p_brand"""
     "tpch_top_supplier" -> topSupplierSql,
     "tpch_big_orders" -> bigOrdersSql,
     "tpch_brand_revenue" -> brandRevenueSql,
-    "tpch_small_qty_revenue" -> smallQtyRevenueSql)
+    "tpch_small_qty_revenue" -> smallQtyRevenueSql,
+    "tpch_waiting_suppliers" -> waitingSuppliersSql)
 }
