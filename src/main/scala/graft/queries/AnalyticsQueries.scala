@@ -599,6 +599,49 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name
 LIMIT 10"""
 
+  // --------------------------------------------- untapped accounts (Q22)
+  /** High-balance customers with NO urgent orders, grouped by nation —
+    * the scalar-average-threshold + anti-join shape. The average gate
+    * is exact: c_acctbal > Σbal/n is evaluated as c_acctbal·n > Σbal
+    * with a decimal-exact Σ over the positive-balance population (same
+    * no-double-division trick as Q17), shipped as a 1-row broadcast.
+    * The NOT EXISTS side collapses orders to its distinct urgent
+    * custkeys before a left-anti join — at warehouse scale the anti
+    * build is |urgent customers|, not |orders|. (TPC-H Q22 anti-joins
+    * ALL orders; this testdata has no order-less customers, so the
+    * urgent-only predicate keeps the result non-trivial — same shape,
+    * declared deviation.) */
+  private val untappedAccounts: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+    val bal = col("c_acctbal").cast("decimal(25,10)")
+    val pos = cust.filter(col("c_acctbal") > 0.0)
+      .agg(sum(bal).as("sum_bal"), count(lit(1)).as("n_pos"))
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct()
+    cust.crossJoin(broadcast(pos))
+      .filter(bal * col("n_pos") > col("sum_bal"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntry"))
+      .agg(count(lit(1)).as("numcust"),
+        round(sum(bal).cast("double"), 4).as("totacctbal"))
+      .orderBy("cntry")
+  }
+  private val untappedAccountsSql =
+    """WITH pos AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(25,10))) AS sum_bal, count(*) AS n_pos
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_nationkey AS cntry, count(*) AS numcust,
+  round(CAST(sum(CAST(c_acctbal AS DECIMAL(25,10))) AS DOUBLE), 4) AS totacctbal
+FROM customer, pos
+WHERE CAST(c_acctbal AS DECIMAL(25,10)) * n_pos > sum_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY cntry"""
+
   val queries: Map[String, Q] = Map(
     "tpch_pricing_summary" -> pricingSummary,
     "tpch_top_orders" -> topOrders,
@@ -613,7 +656,8 @@ LIMIT 10"""
     "tpch_big_orders" -> bigOrders,
     "tpch_brand_revenue" -> brandRevenue,
     "tpch_small_qty_revenue" -> smallQtyRevenue,
-    "tpch_waiting_suppliers" -> waitingSuppliers)
+    "tpch_waiting_suppliers" -> waitingSuppliers,
+    "tpch_untapped_accounts" -> untappedAccounts)
 
   val oracle: Map[String, String] = Map(
     "tpch_pricing_summary" -> pricingSummarySql,
@@ -629,5 +673,6 @@ LIMIT 10"""
     "tpch_big_orders" -> bigOrdersSql,
     "tpch_brand_revenue" -> brandRevenueSql,
     "tpch_small_qty_revenue" -> smallQtyRevenueSql,
-    "tpch_waiting_suppliers" -> waitingSuppliersSql)
+    "tpch_waiting_suppliers" -> waitingSuppliersSql,
+    "tpch_untapped_accounts" -> untappedAccountsSql)
 }
