@@ -68,10 +68,17 @@ object Bench {
       mins(i) = math.min(mins(i), dt)
     }
     val results = qs.map(_._1).zip(mins)
-    val qjson = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal rounding halves the per-query line (~96 queries × full-
+    // precision doubles overflowed the driver's ~2 KB tail window in a
+    // prior run and the official total came back unparseable).
+    def fmt(v: Double): String = f"$v%.3f"
+    val qjson = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qjson,"sf":"$sfDir","passes":2}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir","passes":2}""")
+    // Compact duplicate of the headline number as the FINAL stdout line:
+    // even a 512-byte tail capture still parses the total.
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","passes":2,"nqueries":${results.size}}""")
     graft.pipeline.CachePool.release() // suite boundary: drop pinned corpora
     spark.stop()
   }

@@ -17,6 +17,7 @@ object SparkEntry {
     graft.queries.EtlQueries.queries ++
       graft.queries.SinkQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
+      graft.queries.PartSuppQueries.queries ++
       graft.pipeline.DedupQueries.queries ++
       graft.pipeline.SimilarityQueries.queries ++
       graft.pipeline.TextQueries.queries ++
@@ -30,6 +31,7 @@ object SparkEntry {
     graft.queries.EtlQueries.oracle ++
       graft.queries.SinkQueries.oracle ++
       graft.queries.AnalyticsQueries.oracle ++
+      graft.queries.PartSuppQueries.oracle ++
       graft.pipeline.DedupQueries.oracle ++
       graft.pipeline.SimilarityQueries.oracle ++
       graft.pipeline.TextQueries.oracle ++
