@@ -492,21 +492,50 @@ FROM q ORDER BY event_type"""
   /** The sketch face of [[quantiles]] — `approx_percentile` builds a
     * mergeable quantile summary (Greenwald-Khanna-style) per partition
     * and merges them: no per-group sort, bounded memory, the form the
-    * same report takes at 100 TB. Approximate by construction, so
-    * rows-only at the driver (same justification as
-    * text_profile_approx); the accuracy contract vs the exact form is
-    * pinned by ReportingSpec instead. */
-  private val quantilesApprox: Q = (s, d) =>
-    Tables.events(s, d)
-      .groupBy("event_type")
-      .agg(count(lit(1)).as("n_events"),
+    * same report takes at 100 TB. Graduated from rows-only to a
+    * hash-matched RANK-TOLERANCE CONTRACT: the sketch returns an ACTUAL
+    * element whose rank must sit within the sketch's accuracy of the
+    * target rank (value-distance is the wrong contract — the exact form
+    * interpolates BETWEEN elements, so at p99 of a small group the two
+    * legitimately differ by a whole gap). The query joins the sketch
+    * output back to the events and computes each estimate's occupied
+    * rank interval [#(v<a), #(v≤a)−1]; `pXX_ok` asserts the target rank
+    * p·(n−1) falls inside it ±2 (rank error at accuracy 10⁴ on these
+    * group sizes is <1; ±2 absorbs edge rounding — the same bound
+    * ReportingSpec pinned when this was test-only). The oracle recounts
+    * the groups exactly and asserts the contract literally; the sketch
+    * is deterministic on fixed data, so the booleans are stable. At
+    * 100 TB only the sketch aggregate runs — this face is its
+    * verification harness. */
+  private val quantilesApprox: Q = (s, d) => {
+    val ev = Tables.events(s, d).select("event_type", "value")
+    val ap = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n_ev"),
         approx_percentile(col("value"), array(lit(0.5), lit(0.9), lit(0.99)),
           lit(10000)).as("qs"))
-      .select(col("event_type"), col("n_events"),
-        round(col("qs").getItem(0), 4).as("p50"),
-        round(col("qs").getItem(1), 4).as("p90"),
-        round(col("qs").getItem(2), 4).as("p99"))
+      .select(col("event_type").as("t"), col("n_ev"),
+        col("qs").getItem(0).as("a50"), col("qs").getItem(1).as("a90"),
+        col("qs").getItem(2).as("a99"))
+    // rank interval of estimate a: [#(v<a), #(v≤a)−1]; ok ⟺ the target
+    // rank p·(n−1) lies within ±2 of it (booleans of aggregates)
+    def okFor(a: Column, p: Double): Column = {
+      val lo = sum(when(col("value") < a, 1L).otherwise(0L))
+      val hi = sum(when(col("value") <= a, 1L).otherwise(0L)) - 1L
+      val target = lit(p) * (first(col("n_ev")) - 1L)
+      target >= lo - lit(2) && target <= hi + lit(2)
+    }
+    ev.join(broadcast(ap), col("event_type") === col("t"))
+      .groupBy("event_type")
+      .agg(first(col("n_ev")).as("n_events"),
+        okFor(col("a50"), 0.5).as("p50_ok"),
+        okFor(col("a90"), 0.9).as("p90_ok"),
+        okFor(col("a99"), 0.99).as("p99_ok"))
       .orderBy("event_type")
+  }
+  private val quantilesApproxSql =
+    """SELECT event_type, count(*) AS n_events,
+  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+FROM events GROUP BY event_type ORDER BY event_type"""
 
   // --------------------------------------------------------- json props
   /** Semi-structured column handling: `props` is a JSON payload; the
@@ -983,5 +1012,6 @@ ORDER BY event_type, bin"""
     "events_attribution" -> attributionSql,
     "events_user_rank" -> userRankSql,
     "events_quantiles" -> quantilesSql,
+    "events_quantiles_approx" -> quantilesApproxSql,
     "events_json_props" -> jsonPropsSql)
 }

@@ -236,15 +236,33 @@ SELECT a.lang, a.source, a.n_docs, a.total_chars, a.avg_chars, t.distinct_tokens
 FROM agg a JOIN tok t ON a.lang = t.lang AND a.source = t.source
 ORDER BY a.lang, a.source"""
 
-  /** HLL variant of `profile` — approx_count_distinct sketches, the
-    * 100 TB path (no oracle: approximate by construction → driver
-    * rows-only check). */
+  /** HLL variant of `profile`, graduated from rows-only to a
+    * hash-matched TOLERANCE CONTRACT: one aggregate computes BOTH the
+    * HLL estimate and the exact distinct count per group, and the query
+    * emits the exact count plus `within_eps` = |approx − exact| ≤
+    * 10%·exact (5× the sketch's 2% rsd; HLL is deterministic on fixed
+    * data, so the boolean is stable run-to-run). The oracle recomputes
+    * the exact count and asserts the contract literally — a hash
+    * mismatch now means either the tokenize/distinct pipeline broke
+    * (exact column) or the sketch left its error envelope (boolean).
+    * At 100 TB only the sketch aggregate runs (the exact column drops);
+    * this face is its verification harness. */
   private val profileApprox: Q = (s, d) =>
     Tables.documents(s, d)
       .select(col("lang"), col("source"), explode(toks).as("tok"))
       .groupBy("lang", "source")
-      .agg(approx_count_distinct("tok", 0.02).as("approx_distinct_tokens"))
+      .agg(countDistinct(col("tok")).as("distinct_tokens"),
+        approx_count_distinct("tok", 0.02).as("approx_dt"))
+      .select(col("lang"), col("source"), col("distinct_tokens"),
+        (abs(col("approx_dt") - col("distinct_tokens")) <=
+          col("distinct_tokens") * 0.1).as("within_eps"))
       .orderBy("lang", "source")
+  private val profileApproxSql =
+    s"""SELECT lang, source, count(DISTINCT t.tok) AS distinct_tokens,
+  TRUE AS within_eps
+FROM documents, unnest($ToksSql) AS t(tok)
+GROUP BY lang, source
+ORDER BY lang, source"""
 
   // -------------------------------------------------------- clean corpus
   /** The end-to-end prep pass a training-data pipeline actually runs,
@@ -674,6 +692,7 @@ FROM docs GROUP BY lang ORDER BY lang"""
     "text_tokens" -> tokensSql,
     "text_fingerprint" -> fingerprintSql,
     "text_profile" -> profileSql,
+    "text_profile_approx" -> profileApproxSql,
     "text_clean_corpus" -> cleanCorpusSql,
     "text_seq_pack" -> seqPackSql,
     "text_sample_split" -> sampleSplitSql,

@@ -29,8 +29,9 @@ class PlanHygieneSpec extends SparkSpec {
   }
 
   test("oracle registration is total: every query has SQL or a declared rows-only hole") {
-    // the two justified rows-only entries (approximate by construction)
-    val declaredNoOracle = Set("text_profile_approx", "events_quantiles_approx")
+    // empty since round 6: the two approximate queries now carry
+    // hash-matched tolerance contracts instead of rows-only holes
+    val declaredNoOracle = Set.empty[String]
     val missing = SparkEntry.queries.keySet --
       SparkEntry.oracleSql.keySet -- declaredNoOracle
     assert(missing.isEmpty, s"unpaired queries: ${missing.toSeq.sorted}")
