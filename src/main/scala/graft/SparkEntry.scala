@@ -18,6 +18,7 @@ object SparkEntry {
       graft.queries.SinkQueries.queries ++
       graft.queries.AnalyticsQueries.queries ++
       graft.queries.PartSuppQueries.queries ++
+      graft.queries.SqlQueries.queries ++
       graft.pipeline.DedupQueries.queries ++
       graft.pipeline.SimilarityQueries.queries ++
       graft.pipeline.TextQueries.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
       graft.queries.SinkQueries.oracle ++
       graft.queries.AnalyticsQueries.oracle ++
       graft.queries.PartSuppQueries.oracle ++
+      graft.queries.SqlQueries.oracle ++
       graft.pipeline.DedupQueries.oracle ++
       graft.pipeline.SimilarityQueries.oracle ++
       graft.pipeline.TextQueries.oracle ++

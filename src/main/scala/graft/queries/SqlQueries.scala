@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The SQL-string entry face: an analytics engine's first real user
+  * types SQL, not DataFrame code. [[registerViews]] exposes every
+  * testdata loader as a temp view, and each query below is an existing
+  * oracle-paired query EXECUTED FROM ITS OWN ORACLE STRING via
+  * `spark.sql` — the SQL text, the Spark result, and the DuckDB oracle
+  * are one artifact, so a driver MATCH proves the string surface parses,
+  * plans, and evaluates identically to the DataFrame surface (SqlFaceSpec
+  * additionally pins row-parity and plan hygiene against the DataFrame
+  * forms). Only dialect-portable oracle strings qualify (ANSI
+  * expressions, TIMESTAMP literals, EXISTS subqueries); the DuckDB-only
+  * oracles (strftime, unnest-CTEs) keep their DataFrame-only face.
+  *
+  * Three representative shapes:
+  *  - pricing summary: scan → filter → 6-row aggregate (Catalyst pushes
+  *    the shipdate filter into the parquet scan from the SQL form the
+  *    same as from the DataFrame form);
+  *  - order priority: EXISTS → left-semi join decorrelation done by the
+  *    OPTIMIZER from the SQL text (RewritePredicateSubquery), proving
+  *    subquery handling end-to-end;
+  *  - brand revenue: 3-arm disjunctive predicate decomposition
+  *    (per-table conjuncts factored out of the OR and pushed to both
+  *    scans).
+  */
+object SqlQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Register every testdata table as a session temp view over its
+    * loader (the events loader carries the nanos→µs ts conversion).
+    * Idempotent — createOrReplaceTempView per invocation. */
+  def registerViews(s: SparkSession, d: String): Unit = {
+    Tables.names.filterNot(_ == "events")
+      .foreach(n => Tables(s, d, n).createOrReplaceTempView(n))
+    Tables.events(s, d).createOrReplaceTempView("events")
+  }
+
+  private def fromSql(name: String): Q = (s, d) => {
+    registerViews(s, d)
+    s.sql(AnalyticsQueries.oracle(name))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sql_pricing_summary" -> fromSql("tpch_pricing_summary"),
+    "sql_order_priority" -> fromSql("tpch_order_priority"),
+    "sql_brand_revenue" -> fromSql("tpch_brand_revenue"))
+
+  /** The oracle IS the executed SQL — shared verbatim. */
+  val oracle: Map[String, String] = Map(
+    "sql_pricing_summary" -> AnalyticsQueries.oracle("tpch_pricing_summary"),
+    "sql_order_priority" -> AnalyticsQueries.oracle("tpch_order_priority"),
+    "sql_brand_revenue" -> AnalyticsQueries.oracle("tpch_brand_revenue"))
+}
