@@ -25,10 +25,33 @@ class TopKAgg(k: Int)
     a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
 
   override def zero: Seq[(String, Long)] = Vector.empty
-  override def reduce(buf: Seq[(String, Long)], in: (String, Long)): Seq[(String, Long)] =
-    ((buf :+ in).sortWith(lt)).take(k)
-  override def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] =
-    ((a ++ b).sortWith(lt)).take(k)
+  // The buffer is ALWAYS sorted by lt (zero trivially; reduce/merge
+  // preserve it), so reduce is early-reject + ordered insert — true
+  // O(k) per row, no per-row re-sort: a full buffer whose k-th element
+  // beats the newcomer drops it in O(1) (the overwhelmingly common
+  // case on a heavy-hitter stream), otherwise one linear scan finds
+  // the insertion point.
+  override def reduce(buf: Seq[(String, Long)], in: (String, Long)): Seq[(String, Long)] = {
+    if (buf.size >= k && lt(buf(k - 1), in)) buf
+    else {
+      val i = buf.indexWhere(e => lt(in, e)) match {
+        case -1 => buf.size
+        case x  => x
+      }
+      (buf.take(i) :+ in) ++ buf.drop(i).take(k - i - 1)
+    }
+  }
+  // Two sorted runs → one linear sorted-merge, capped at k.
+  override def merge(a: Seq[(String, Long)], b: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val out = Vector.newBuilder[(String, Long)]
+    var (i, j, n) = (0, 0, 0)
+    while (n < k && (i < a.size || j < b.size)) {
+      if (j >= b.size || (i < a.size && !lt(b(j), a(i)))) { out += a(i); i += 1 }
+      else { out += b(j); j += 1 }
+      n += 1
+    }
+    out.result()
+  }
   override def finish(buf: Seq[(String, Long)]): Seq[(String, Long)] = buf
   override def bufferEncoder: Encoder[Seq[(String, Long)]] =
     ExpressionEncoder[Seq[(String, Long)]]()

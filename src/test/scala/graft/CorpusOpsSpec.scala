@@ -149,6 +149,33 @@ class CorpusOpsSpec extends SparkSpec {
       "two physical strategies, one semantics")
   }
 
+  test("TopKAgg ordered-insert/merge matches brute-force sort at k=100") {
+    // the class advertises k ≤ ~100: exercise the O(k) insert and the
+    // sorted-merge at that size against the obvious sortWith oracle,
+    // across shuffled input orders and partition splits
+    val k = 100
+    val agg = new graft.operators.TopKAgg(k)
+    val rnd = new scala.util.Random(7)
+    val items = (1 to 1000).map(i => (f"key$i%04d", rnd.nextInt(200).toLong))
+    def brute(xs: Seq[(String, Long)]) =
+      xs.sortWith((a, b) => a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)).take(k)
+    (0 until 3).foreach { seed =>
+      val shuffled = new scala.util.Random(seed).shuffle(items)
+      val single = shuffled.foldLeft(agg.zero)(agg.reduce)
+      assert(single === brute(items), s"reduce-only, order $seed")
+      // split into uneven partials, reduce each, merge pairwise
+      val parts = shuffled.grouped(137).toSeq
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = parts.reduce(agg.merge)
+      assert(merged === brute(items), s"partial-merge, order $seed")
+    }
+    // degenerate shapes: fewer than k inputs, and all-identical counts
+    val tiny = Seq(("b", 5L), ("a", 5L), ("c", 9L))
+    assert(tiny.foldLeft(agg.zero)(agg.reduce) === brute(tiny))
+    val flat = (1 to 150).map(i => (f"t$i%03d", 1L))
+    assert(flat.foldLeft(agg.zero)(agg.reduce) === brute(flat))
+  }
+
   test("small-qty revenue scans the fact table exactly once (window decorrelation)") {
     val q = AnalyticsQueries.queries("tpch_small_qty_revenue")(spark, Sf)
     val plan = q.queryExecution.executedPlan.toString

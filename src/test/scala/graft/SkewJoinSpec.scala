@@ -23,10 +23,33 @@ class SkewJoinSpec extends SparkSpec {
     // the join really runs on (k, __salt): the hot key occupies up to
     // `salt` distinct sub-keys instead of one
     assert(salted.queryExecution.executedPlan.toString.contains("__salt"))
-    val spread = fact.withColumn("__salt",
-      pmod(hash(fact.columns.map(col): _*), lit(8)))
+    val spread = fact.withColumn("__salt", SkewJoin.saltCol(fact, 8))
       .filter(col("k") === 1).select("__salt").distinct().count()
     assert(spread === 8)
+  }
+
+  test("byte-identical duplicate hot rows still scatter (log-spam shape)") {
+    import spark.implicits._
+    // every hot row IDENTICAL in all columns — a content-only salt
+    // hashes them to ONE sub-key and the skew survives; the ordinal
+    // term must round-robin them near-uniformly instead
+    val fact = spark.range(8000)
+      .select(lit(1L).as("k"), lit("same-payload").as("payload"))
+      .union(spark.range(100).select(col("id").as("k"),
+        concat(lit("p"), col("id")).as("payload")))
+    val dim = spark.range(100).select(col("id").as("k"),
+      concat(lit("d"), col("id")).as("attr"))
+    val sizes = fact.withColumn("__salt", SkewJoin.saltCol(fact, 8))
+      .filter(col("k") === 1).groupBy("__salt").count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length === 8,
+      s"identical rows collapsed onto ${sizes.length} sub-key(s)")
+    val mean = sizes.sum.toDouble / sizes.length
+    assert(sizes.max <= 1.5 * mean,
+      s"duplicate hot rows unbalanced: ${sizes.mkString(",")}")
+    // and the join contract is unchanged by the ordinal salt
+    val plain = fact.join(dim, Seq("k")).count()
+    assert(SkewJoin.saltedJoin(fact, dim, "k", 8).count() === plain)
   }
 
   test("salting balances the hot key's task input on the registered query's fact") {
@@ -36,8 +59,7 @@ class SkewJoinSpec extends SparkSpec {
     // whole point of the operator (bound: no sub-key above 2x the mean).
     val fact = graft.queries.InfraQueries.skewedFact(spark, Sf)
     val hot = fact.filter(col("user_id") === 0)
-    val sizes = hot.withColumn("__salt",
-      pmod(hash(fact.columns.map(col): _*), lit(8)))
+    val sizes = hot.withColumn("__salt", SkewJoin.saltCol(fact, 8))
       .groupBy("__salt").count()
       .collect().map(_.getLong(1))
     assert(sizes.length === 8)
