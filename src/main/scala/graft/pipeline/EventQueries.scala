@@ -399,14 +399,19 @@ ORDER BY lvl, event_type, hod"""
     * aggregate family: one shuffle on user_id, every aggregate
     * map-side combinable (argmin/argmax partials merge associatively),
     * no window, no self-join. The ordering key is the scalar composite
-    * epoch_ms(ts)·10⁶ + event_id — deterministic under same-timestamp
-    * ties (DuckDB's arg_min can't order by a struct, so both engines
-    * use the same scalar; event_id stays below 10⁶ in every testdata
-    * SF, and the composite stays far inside int64). */
+    * epoch_ms(ts)·10¹⁸ + event_id, computed in WIDE EXACT integers —
+    * decimal(38,0) here, HUGEINT in the oracle — because DuckDB's
+    * arg_min can't order by a struct, so both engines need one scalar
+    * with a total (ts, event_id) order. The 10¹⁸ multiplier gives
+    * event_id the full int64 range (an int64 composite caps event_id
+    * at ~10⁶ — a bound a 100 TB event table blows through), and the
+    * composite tops out near 10³¹, far inside both engines' exact
+    * 38-digit/128-bit range. */
   /** Shared by the batch query and [[graft.streaming.StreamingEvents
     * .attributionStream]] — parity by construction. */
   private[graft] def attributionAggs: Seq[Column] = {
-    val ordKey = unix_millis(col("ts")) * lit(1000000L) + col("event_id")
+    val ordKey = unix_millis(col("ts")).cast("decimal(38,0)") *
+      lit(1000000000000000000L) + col("event_id")
     Seq(count(lit(1)).as("n_events"),
       min_by(col("event_type"), ordKey).as("first_type"),
       max_by(col("event_type"), ordKey).as("last_type"),
@@ -420,8 +425,8 @@ ORDER BY lvl, event_type, hod"""
       .orderBy("user_id")
   private val attributionSql =
     """SELECT user_id, count(*) AS n_events,
-  arg_min(event_type, epoch_ms(ts) * 1000000 + event_id) AS first_type,
-  arg_max(event_type, epoch_ms(ts) * 1000000 + event_id) AS last_type,
+  arg_min(event_type, CAST(epoch_ms(ts) AS HUGEINT) * 1000000000000000000 + event_id) AS first_type,
+  arg_max(event_type, CAST(epoch_ms(ts) AS HUGEINT) * 1000000000000000000 + event_id) AS last_type,
   epoch_ms(max(ts)) - epoch_ms(min(ts)) AS span_ms
 FROM events
 GROUP BY user_id

@@ -89,14 +89,29 @@ SELECT d.tier, count(*) AS n_events,
 FROM fact f JOIN dim d USING (user_id)
 GROUP BY d.tier ORDER BY d.tier"""
 
+  /** Scratch path scoped by (Spark application, dataset): concurrent
+    * runs on one host cannot race each other's overwrite-vs-read (each
+    * app writes under its own applicationId), and within an app each
+    * (query, dataset) pair materializes ONCE — repeat constructions
+    * (bench sweeps, PlanHygieneSpec's whole-surface sweep) reuse the
+    * first write instead of re-running the side effect. */
+  private def materialize(s: SparkSession, name: String, d: String)(
+      write: String => Unit): String = {
+    val ds = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val path =
+      s"/tmp/graft-scratch/${s.sparkContext.applicationId}/$name-$ds"
+    if (!new java.io.File(path).exists()) write(path)
+    path
+  }
+
   /** Hive-style partitioned layout for the partition-pruning query —
-    * written once per run (overwrite), read back filtered. Shared with
-    * the spec that pins the pruning in the plan. */
-  def partitionedEventsPath = "/tmp/graft-partitioned-events"
-  def writePartitionedEvents(s: SparkSession, d: String): Unit =
-    Tables.events(s, d)
-      .write.mode("overwrite").partitionBy("event_type")
-      .parquet(partitionedEventsPath)
+    * materialized once per (app, dataset), read back filtered. Shared
+    * with the spec that pins the pruning in the plan. */
+  def partitionedEventsPath(s: SparkSession, d: String): String =
+    materialize(s, "partitioned-events", d) { p =>
+      Tables.events(s, d)
+        .write.mode("overwrite").partitionBy("event_type").parquet(p)
+    }
 
   /** Partition-pruned scan — THE 100 TB storage primitive: events land
     * partitioned by type (hive-style directory keys), and a query for
@@ -106,8 +121,7 @@ GROUP BY d.tier ORDER BY d.tier"""
     * oracle reads the unpartitioned source with a plain filter — the
     * layout must be semantics-free. */
   private val partitionedScan: Q = (s, d) => {
-    writePartitionedEvents(s, d)
-    s.read.parquet(partitionedEventsPath)
+    s.read.parquet(partitionedEventsPath(s, d))
       .filter(col("event_type") === "click")
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_clicks"),
@@ -128,9 +142,10 @@ GROUP BY user_id ORDER BY user_id"""
     * The oracle aggregates the original parquet — the round trip must be
     * identity. */
   private val csvRoundtrip: Q = (s, d) => {
-    val path = "/tmp/graft-csv-docs"
-    Tables.documents(s, d).select("doc_id", "lang", "n_chars")
-      .write.mode("overwrite").option("header", "true").csv(path)
+    val path = materialize(s, "csv-docs", d) { p =>
+      Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").option("header", "true").csv(p)
+    }
     s.read.option("header", "true")
       .schema("doc_id LONG, lang STRING, n_chars LONG")
       .csv(path)
@@ -153,9 +168,10 @@ FROM documents GROUP BY lang ORDER BY lang"""
     * a 100 TB ingest pins the schema up front and quarantines
     * mismatches instead. */
   private val jsonRoundtrip: Q = (s, d) => {
-    val path = "/tmp/graft-json-docs"
-    Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
-      .write.mode("overwrite").json(path)
+    val path = materialize(s, "json-docs", d) { p =>
+      Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").json(p)
+    }
     s.read.schema("doc_id LONG, lang STRING, source STRING, n_chars LONG")
       .json(path)
       .groupBy("lang", "source")
@@ -175,9 +191,11 @@ FROM documents GROUP BY lang, source ORDER BY lang, source"""
     * to the oracle's read of the original parquet — columnar→columnar
     * preserves every value exactly. */
   private val orcRoundtrip: Q = (s, d) => {
-    val path = "/tmp/graft-orc-events"
-    Tables.events(s, d).select("event_id", "ts", "user_id", "event_type", "value")
-      .write.mode("overwrite").orc(path)
+    val path = materialize(s, "orc-events", d) { p =>
+      Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("overwrite").orc(p)
+    }
     s.read.orc(path)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_events"),

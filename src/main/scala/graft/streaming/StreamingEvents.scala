@@ -151,7 +151,12 @@ object StreamingEvents {
           val prev = state.getOption.getOrElse(RtState(Nil, 0L, 0))
           val incoming = it.map(e => RtEv(e._2.getTime, e._3, e._4)).toList
           val wm = state.getCurrentWatermarkMs()
-          val (ready, pending) = (prev.pending ++ incoming).partition(_.tsMs <= wm)
+          // strictly-before: Spark only DROPS rows strictly older than
+          // the watermark, so an event timestamped exactly at wm may
+          // still arrive in a later micro-batch — it stays pending
+          // until the watermark passes it (the timeout below re-fires
+          // this group when that happens)
+          val (ready, pending) = (prev.pending ++ incoming).partition(_.tsMs < wm)
           var sum = prev.sumUnscaled
           var seq = prev.seq
           val out = List.newBuilder[RtRow]
@@ -220,7 +225,12 @@ object StreamingEvents {
             AsofState(Nil, 0L, 0L, 0.0, hasClick = false))
           val incoming = it.map(e => AsofEv(e._2.getTime, e._3, e._4, e._5)).toList
           val wm = state.getCurrentWatermarkMs()
-          val (ready, pending) = (prev.pending ++ incoming).partition(_.tsMs <= wm)
+          // strictly-before: Spark only DROPS rows strictly older than
+          // the watermark, so an event timestamped exactly at wm may
+          // still arrive in a later micro-batch — it stays pending
+          // until the watermark passes it (the timeout below re-fires
+          // this group when that happens)
+          val (ready, pending) = (prev.pending ++ incoming).partition(_.tsMs < wm)
           var (cid, cms, cv, has) =
             (prev.clickId, prev.clickMs, prev.clickValue, prev.hasClick)
           val out = List.newBuilder[AsofMatch]

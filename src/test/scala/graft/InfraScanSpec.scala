@@ -10,8 +10,8 @@ import org.apache.spark.sql.functions._
 class InfraScanSpec extends SparkSpec {
 
   test("partitioned scan prunes to the matching directory at planning time") {
-    InfraQueries.writePartitionedEvents(spark, Sf)
-    val filtered = spark.read.parquet(InfraQueries.partitionedEventsPath)
+    val eventsPath = InfraQueries.partitionedEventsPath(spark, Sf)
+    val filtered = spark.read.parquet(eventsPath)
       .filter(col("event_type") === "click")
     // planning-time pruning: the predicate lands in PartitionFilters
     // (file-listing cut), not PushedFilters (row-group cut after open)
@@ -29,11 +29,11 @@ class InfraScanSpec extends SparkSpec {
         .map(_.metrics("numFiles").value).sum
     }
     val clickFiles = new java.io.File(
-      s"${InfraQueries.partitionedEventsPath}/event_type=click")
+      s"$eventsPath/event_type=click")
       .listFiles().count(_.getName.endsWith(".parquet"))
     val prunedRead = filesRead(filtered)
     val fullRead = filesRead(
-      spark.read.parquet(InfraQueries.partitionedEventsPath))
+      spark.read.parquet(eventsPath))
     assert(prunedRead === clickFiles.toLong,
       s"pruned scan must read exactly the click partition ($clickFiles files), read $prunedRead")
     assert(fullRead > prunedRead, "pruning must be non-vacuous")
