@@ -542,6 +542,25 @@ FROM q ORDER BY event_type"""
   TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
 FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** Windowed sketch quantiles, shared by the batch path and
+    * [[graft.streaming.StreamingEvents.quantilesStream]]: per
+    * (1-hour window, type) approx_percentile. The sketch's partials
+    * merge associatively — exactly the property that makes the SAME
+    * expression a legal watermarked streaming aggregate: each open
+    * window carries one bounded summary per type and emits once on
+    * close. Parity is by construction (one expression tree), proven in
+    * StreamingSpec. */
+  def windowedQuantilesAgg(events: DataFrame): DataFrame =
+    events.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_percentile(col("value"), array(lit(0.5), lit(0.9), lit(0.99)),
+          lit(10000)).as("qs"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n_events"),
+        round(col("qs").getItem(0), 4).as("p50"),
+        round(col("qs").getItem(1), 4).as("p90"),
+        round(col("qs").getItem(2), 4).as("p99"))
+
   // --------------------------------------------------------- json props
   /** Semi-structured column handling: `props` is a JSON payload; the
     * path extraction (`get_json_object`, codegen'd, schema-on-read)

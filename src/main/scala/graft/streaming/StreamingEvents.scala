@@ -115,6 +115,19 @@ object StreamingEvents {
     * per user — O(users), emitted in update/complete mode. Shares
     * [[EventQueries.attributionAggs]] with the batch face — parity by
     * construction. */
+  /** Streaming windowed quantiles — the percentile family's stream
+    * face: `approx_percentile` partials (mergeable rank summaries)
+    * combine associatively across micro-batches like any combinable
+    * aggregate, so the latency/spend-distribution report runs as a
+    * PLAIN watermarked windowed aggregation — no custom state. State
+    * is one bounded sketch per (open window, event type), emitted once
+    * when the watermark closes the window; an exact windowed
+    * percentile would have to hold every value of every open window.
+    * Shares [[EventQueries.windowedQuantilesAgg]] with the batch path
+    * — parity by construction, proven in StreamingSpec. */
+  def quantilesStream(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    EventQueries.windowedQuantilesAgg(events.withWatermark("ts", delay))
+
   def attributionStream(events: DataFrame): DataFrame =
     events.groupBy("user_id")
       .agg(EventQueries.attributionAggs.head,

@@ -514,4 +514,48 @@ class StreamingSpec extends SparkSpec {
       assert(got === want, "streaming complete-mode result must equal batch agg")
     } finally q.stop()
   }
+
+  test("streaming windowed quantiles: sketch merges across batches, batch parity") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Double)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_ms", "event_type", "value")
+      .select(timestamp_millis(col("ts_ms")).as("ts"),
+        col("event_type"), col("value"))
+    val q = StreamingEvents.quantilesStream(typed(mem.toDF()), "1 hour")
+      .writeStream.format("memory").queryName("wq").outputMode("append").start()
+    val h0 = 3600L * 1000
+    // one hour-1 population delivered ACROSS TWO micro-batches — the
+    // emitted percentiles must come from the merged sketch, not either
+    // partial alone
+    val batch1 = (1 to 40).map(i => (h0 + i * 1000L, "click", i.toDouble))
+    val batch2 = (41 to 80).map(i => (h0 + i * 1000L, "click", i.toDouble)) ++
+      Seq((h0 + 30 * 60000L, "view", 7.0))
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      assert(spark.table("wq").count() === 0,
+        "no window may emit before the watermark passes its end")
+      mem.addData((h0 + 8 * 3600000L, "noop", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("wq").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+      // parity: the batch expression over the same closed-window events
+      val want = graft.pipeline.EventQueries
+        .windowedQuantilesAgg(typed((batch1 ++ batch2).toDF()))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSet
+      assert(got === want, "merged streaming sketch must equal batch sketch")
+      // sanity on the merged population: 80 clicks, p50 element ≈ 40
+      val click = got.find(_._2 == "click").get
+      assert(click._3 === 80L)
+      assert(math.abs(click._4 - 40.0) <= 1.0, s"merged p50 was ${click._4}")
+    } finally q.stop()
+  }
 }
