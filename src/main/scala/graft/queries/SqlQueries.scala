@@ -43,14 +43,23 @@ object SqlQueries {
     s.sql(AnalyticsQueries.oracle(name))
   }
 
-  val queries: Map[String, Q] = Map(
-    "sql_pricing_summary" -> fromSql("tpch_pricing_summary"),
-    "sql_order_priority" -> fromSql("tpch_order_priority"),
-    "sql_brand_revenue" -> fromSql("tpch_brand_revenue"))
+  /** sql_* name → the DataFrame-face query whose oracle string it
+    * executes. Two further dialect-portable shapes beyond the three in
+    * the object doc: untapped_accounts exercises CTEs + a comma cross
+    * join against a 1-row scalar + correlated NOT EXISTS (anti-join
+    * decorrelation from SQL text); small_qty_revenue exercises the
+    * multi-CTE aggregate-join formulation whose window rewrite the
+    * DataFrame face carries. */
+  val pairs: Map[String, String] = Map(
+    "sql_pricing_summary" -> "tpch_pricing_summary",
+    "sql_order_priority" -> "tpch_order_priority",
+    "sql_brand_revenue" -> "tpch_brand_revenue",
+    "sql_untapped_accounts" -> "tpch_untapped_accounts",
+    "sql_small_qty_revenue" -> "tpch_small_qty_revenue")
+
+  val queries: Map[String, Q] = pairs.map { case (n, src) => n -> fromSql(src) }
 
   /** The oracle IS the executed SQL — shared verbatim. */
-  val oracle: Map[String, String] = Map(
-    "sql_pricing_summary" -> AnalyticsQueries.oracle("tpch_pricing_summary"),
-    "sql_order_priority" -> AnalyticsQueries.oracle("tpch_order_priority"),
-    "sql_brand_revenue" -> AnalyticsQueries.oracle("tpch_brand_revenue"))
+  val oracle: Map[String, String] =
+    pairs.map { case (n, src) => n -> AnalyticsQueries.oracle(src) }
 }

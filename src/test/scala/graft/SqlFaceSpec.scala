@@ -10,10 +10,7 @@ import graft.queries.{AnalyticsQueries, SqlQueries}
   * semi-join — no cartesian, broadcasts intact). */
 class SqlFaceSpec extends SparkSpec {
 
-  private val pairs = Seq(
-    "sql_pricing_summary" -> "tpch_pricing_summary",
-    "sql_order_priority" -> "tpch_order_priority",
-    "sql_brand_revenue" -> "tpch_brand_revenue")
+  private val pairs = SqlQueries.pairs.toSeq.sortBy(_._1)
 
   test("spark.sql face returns row-identical results to the DataFrame face") {
     pairs.foreach { case (sqlName, dfName) =>
