@@ -31,12 +31,22 @@ object SqlQueries {
 
   /** Register every testdata table as a session temp view over its
     * loader (the events loader carries the nanos→µs ts conversion).
-    * Idempotent — createOrReplaceTempView per invocation. */
-  def registerViews(s: SparkSession, d: String): Unit = {
-    Tables.names.filterNot(_ == "events")
-      .foreach(n => Tables(s, d, n).createOrReplaceTempView(n))
-    Tables.events(s, d).createOrReplaceTempView("events")
-  }
+    * Registered once per (session, dataset) — the loaders list files at
+    * construction, so per-query re-registration would re-pay that for
+    * all 10 tables on every invocation; a view registry is session
+    * state, set up once like a real application does. Re-registering
+    * only when the dataset CHANGES keeps a session that alternates
+    * datasets (the bench's warmup-then-measure pattern) correct: view
+    * names are session-global, so the currently-bound dataset is
+    * whatever registered last. */
+  private val boundDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+  def registerViews(s: SparkSession, d: String): Unit =
+    if (boundDir.put(s, d) != d) {
+      Tables.names.filterNot(_ == "events")
+        .foreach(n => Tables(s, d, n).createOrReplaceTempView(n))
+      Tables.events(s, d).createOrReplaceTempView("events")
+    }
 
   private def fromSql(name: String): Q = (s, d) => {
     registerViews(s, d)
