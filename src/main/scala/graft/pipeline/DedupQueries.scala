@@ -108,17 +108,23 @@ FROM dup GROUP BY md5(text) ORDER BY keeper_doc_id"""
     * that survives 100 TB. */
   /** The LSH-band candidate pairs — exposed so DedupSpec can pin the
     * scale property (candidate volume ∝ true near-dups, not corpus²). */
-  private[graft] def minhashCandidates(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(DupCorpus.corpus(s, d))
+  /** One (doc_id, band_idx, k1, k2) row per LSH band — the banded
+    * signature relation; shared by the runtime-join candidates below
+    * and the persisted index of [[minhashBucketed]]. */
+  private[graft] def bandRows(sh: DataFrame): DataFrame = {
     val minAggs = (0 to 7).map(i =>
       min(DupCorpus.perm(i, col("h"))).as(s"m$i"))
     val sig = sh.groupBy("doc_id").agg(minAggs.head, minAggs.tail: _*)
-    val bands = sig.select(col("doc_id"), expr(
+    sig.select(col("doc_id"), expr(
       """inline(array(
         struct(0 as band_idx, m0 as k1, m1 as k2),
         struct(1 as band_idx, m2 as k1, m3 as k2),
         struct(2 as band_idx, m4 as k1, m5 as k2),
         struct(3 as band_idx, m6 as k1, m7 as k2)))"""))
+  }
+
+  /** Band-collision pairs from any banded signature relation. */
+  private[graft] def bandPairs(bands: DataFrame): DataFrame = {
     val a = bands.as("a"); val b = bands.as("b")
     a.join(b,
         col("a.band_idx") === col("b.band_idx") &&
@@ -127,10 +133,37 @@ FROM dup GROUP BY md5(text) ORDER BY keeper_doc_id"""
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
+
+  private[graft] def minhashCandidates(s: SparkSession, d: String): DataFrame =
+    bandPairs(bandRows(shingleRows(DupCorpus.corpus(s, d))))
+
   private val minhash: Q = (s, d) => {
     VectorExpressions.register(s)
     val sh = shingleRows(DupCorpus.corpus(s, d))
     jaccardVerify(minhashCandidates(s, d), shingleSketches(sh), 0.4)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The SERVING shape of minhash dedup — the dedup analog of
+    * `ann_topk_ivf_bucketed`: the banded signature relation is
+    * PERSISTED through [[graft.sources.BucketedStore]], bucketed AND
+    * sorted by the full band key (band_idx, k1, k2). Candidate
+    * generation — the only wide shuffle in the runtime form — then
+    * becomes a self-join of a relation whose hash partitioning and
+    * in-bucket order already match the join keys: NO exchange, NO sort
+    * (spec-pinned in DedupSpec with broadcast disabled). At 100 TB the
+    * index is built once at ingest (one write-time shuffle) and every
+    * dedup pass — including probing a new batch's bands against
+    * history — reads co-located buckets. Same math as [[minhash]]; the
+    * oracle SQL is shared verbatim. */
+  private val minhashBucketed: Q = (s, d) => {
+    VectorExpressions.register(s)
+    val sh = shingleRows(DupCorpus.corpus(s, d))
+    graft.sources.BucketedStore.write(bandRows(sh), "graft_minhash_bands",
+      Seq("band_idx", "k1", "k2"), 8)
+    val cand = bandPairs(
+      graft.sources.BucketedStore.read(s, "graft_minhash_bands"))
+    jaccardVerify(cand, shingleSketches(sh), 0.4)
       .orderBy("doc_a", "doc_b")
   }
   /** The minhash pipeline's CTE chain + pair select, split so the
@@ -415,6 +448,7 @@ ORDER BY doc_a, doc_b"""
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exact,
     "dedup_minhash" -> minhash,
+    "dedup_minhash_bucketed" -> minhashBucketed,
     "dedup_simhash" -> simhash,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_cluster" -> cluster)
@@ -422,6 +456,8 @@ ORDER BY doc_a, doc_b"""
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
     "dedup_minhash" -> minhashSql,
+    // serving shape, identical semantics: shares the runtime-join oracle
+    "dedup_minhash_bucketed" -> minhashSql,
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_cluster" -> clusterSql)

@@ -22,14 +22,22 @@ object BucketedStore {
     * LOCATION survives on disk, and `saveAsTable` then refuses with
     * LOCATION_ALREADY_EXISTS — so clear both first; rewriting the store
     * is this API's contract. */
-  def write(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+  def write(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    write(df, table, Seq(key), buckets)
+
+  /** Composite-key variant: bucketed AND sorted by the full key list —
+    * an equi-join on exactly these columns then needs neither exchange
+    * nor sort on the stored side (the minhash band index joins on
+    * (band_idx, k1, k2)). */
+  def write(df: DataFrame, table: String, keys: Seq[String], buckets: Int): Unit = {
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.conf.warehousePath, table.toLowerCase)
     loc.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.mode("overwrite")
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
       .format("parquet").saveAsTable(table)
   }
 

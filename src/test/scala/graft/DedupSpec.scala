@@ -90,4 +90,40 @@ class DedupSpec extends SparkSpec {
     graft.pipeline.CachePool.release()
     assert(corpus.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
   }
+
+  test("bucketed band index: candidate self-join is exchange- and sort-free") {
+    // the serving shape persists band signatures bucketed+sorted by the
+    // full band key; candidate generation must then read co-located
+    // buckets with no exchange and no sort on either side. Pin the
+    // shuffle-join path (test-sized tables would broadcast otherwise).
+    import graft.sources.BucketedStore
+    DedupQueries.queries("dedup_minhash_bucketed")(spark, Sf).count() // build
+    val (bcast, aqe) = (spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      spark.conf.get("spark.sql.adaptive.enabled"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val cand = DedupQueries.bandPairs(
+        BucketedStore.read(spark, "graft_minhash_bands"))
+      val plan = cand.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(plan.contains("Bucketed: true"), s"scan must use buckets:\n$plan")
+      // the ONLY exchange allowed is the distinct's aggregate exchange
+      // ABOVE the join; the join inputs themselves ride the buckets
+      val joinPart = plan.substring(plan.indexOf("Join"))
+      assert(!joinPart.contains("Exchange"),
+        s"bucketed band self-join must not shuffle its inputs:\n$plan")
+      assert(!joinPart.contains("+- Sort"),
+        s"sortBy buckets must kill the join sort:\n$plan")
+      // not vacuous: identical pairs to the runtime-join candidates
+      val runtime = DedupQueries.minhashCandidates(spark, Sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val served = cand.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(served === runtime, "served candidates diverge from runtime join")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+  }
 }
