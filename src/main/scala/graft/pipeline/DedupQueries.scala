@@ -204,6 +204,43 @@ WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= 0.4"""
   private val minhashSql =
     s"$minhashCtes\n$minhashPairSelect\nORDER BY doc_a, doc_b"
 
+  /** INCREMENTAL dedup — the production ingest shape at 100 TB: history
+    * is already indexed (the persisted bucketed band relation of
+    * [[minhashBucketed]]); a new batch arrives and must be deduped
+    * against history AND itself, WITHOUT re-scanning history's text.
+    * Probe = new-batch bands equi-joined against the index (reads only
+    * colliding buckets, no exchange on the stored side) union the
+    * new-batch self-join; history-vs-history pairs are never generated.
+    * Candidate volume is ∝ the new batch's collisions, not the corpus —
+    * re-running full dedup per ingest batch is the O(N) retrace this
+    * shape exists to avoid. "New" = doc_id ≡ 0 (mod 5), a deterministic
+    * ~20% slice mirrored in the oracle's WHERE; the oracle generates
+    * all pairs and filters to those touching a new doc — identical sets
+    * because band collision is symmetric and the split is disjoint. */
+  private val minhashIncremental: Q = (s, d) => {
+    VectorExpressions.register(s)
+    val sh = shingleRows(DupCorpus.corpus(s, d))
+    val bands = bandRows(sh)
+    val isNew = pmod(col("doc_id"), lit(5)) === 0
+    graft.sources.BucketedStore.write(bands.filter(!isNew),
+      "graft_minhash_history", Seq("band_idx", "k1", "k2"), 8)
+    val hist = graft.sources.BucketedStore.read(s, "graft_minhash_history")
+    val nb = bands.filter(isNew)
+    val cross = nb.as("a").join(hist.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.k1") === col("b.k1") && col("a.k2") === col("b.k2"))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+    val cand = cross.union(bandPairs(nb)).distinct()
+    jaccardVerify(cand, shingleSketches(sh), 0.4)
+      .orderBy("doc_a", "doc_b")
+  }
+  private val minhashIncrementalSql =
+    s"""$minhashCtes
+$minhashPairSelect
+  AND (i.doc_a % 5 = 0 OR i.doc_b % 5 = 0)
+ORDER BY doc_a, doc_b"""
+
   // -------------------------------------------------------------- cluster
   /** Canonical-document selection — the step that turns near-dup PAIRS
     * into a keep/drop decision: connected components over the verified
@@ -449,6 +486,7 @@ ORDER BY doc_a, doc_b"""
     "dedup_exact" -> exact,
     "dedup_minhash" -> minhash,
     "dedup_minhash_bucketed" -> minhashBucketed,
+    "dedup_minhash_incremental" -> minhashIncremental,
     "dedup_simhash" -> simhash,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_cluster" -> cluster)
@@ -458,6 +496,7 @@ ORDER BY doc_a, doc_b"""
     "dedup_minhash" -> minhashSql,
     // serving shape, identical semantics: shares the runtime-join oracle
     "dedup_minhash_bucketed" -> minhashSql,
+    "dedup_minhash_incremental" -> minhashIncrementalSql,
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_cluster" -> clusterSql)

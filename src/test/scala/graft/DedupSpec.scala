@@ -91,6 +91,19 @@ class DedupSpec extends SparkSpec {
     assert(corpus.storageLevel === org.apache.spark.storage.StorageLevel.NONE)
   }
 
+  test("incremental probe: exactly the full-dedup pairs that touch a new doc") {
+    // the ingest shape must find every pair a full re-dedup would find
+    // involving the new batch — and nothing else (history-history pairs
+    // are never generated, which is the whole point of probing)
+    val full = DedupQueries.queries("dedup_minhash")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => a % 5 == 0 || b % 5 == 0 }.sorted.toSeq
+    val inc = DedupQueries.queries("dedup_minhash_incremental")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(inc === full)
+    assert(inc.nonEmpty, "corpus must exercise the probe")
+  }
+
   test("bucketed band index: candidate self-join is exchange- and sort-free") {
     // the serving shape persists band signatures bucketed+sorted by the
     // full band key; candidate generation must then read co-located
