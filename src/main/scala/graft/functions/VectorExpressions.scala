@@ -358,6 +358,7 @@ object VectorExpressions {
   * through this path. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => new graft.plans.SummaryRewriteRule)
     ext.injectFunction((FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getCanonicalName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))

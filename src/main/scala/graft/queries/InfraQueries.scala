@@ -251,6 +251,37 @@ SELECT zval >> 12 AS zbucket, count(*) AS n,
   min(xk) AS x_min, max(xk) AS x_max, min(yk) AS y_min, max(yk) AS y_max
 FROM z GROUP BY zbucket ORDER BY zbucket"""
 
+  /** Materialized-summary rewrite, end-to-end: register a summary of
+    * lineitem keyed by (returnflag, linestatus), then run a COARSER
+    * rollup (returnflag only) phrased entirely against the BASE table.
+    * The [[graft.plans.SummaryRewriteRule]] optimizer rule re-routes
+    * the aggregate to re-aggregate the summary — the oracle runs the
+    * same SQL on the raw table, so the hash match proves the rewrite
+    * is semantically invisible; SummaryRewriteSpec pins that the
+    * optimized plan really does scan the summary, not lineitem. At
+    * 100 TB this is the reporting tier: the fact scan happens once at
+    * summary build, every compatible rollup after reads |groups| rows. */
+  private val summaryRewrite: Q = (s, d) => {
+    graft.plans.SummaryRewrite.register(s, d, "lineitem",
+      keys = Seq("l_returnflag", "l_linestatus"),
+      measures = Seq("l_quantity", "l_extendedprice"))
+    Tables.raw(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity").cast("decimal(18,6)")).as("qty_dec"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"))
+      .select(col("l_returnflag"), col("n_items"),
+        round(col("qty_dec").cast("double"), 4).as("sum_qty"),
+        col("min_price"), col("max_price"))
+      .orderBy("l_returnflag")
+  }
+  private val summaryRewriteSql =
+    """SELECT l_returnflag, count(*) AS n_items,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
+  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   val queries: Map[String, Q] = Map(
     "infra_bucketed_join" -> bucketedJoin,
     "infra_skew_join" -> skewJoin,
@@ -258,7 +289,8 @@ FROM z GROUP BY zbucket ORDER BY zbucket"""
     "infra_csv_roundtrip" -> csvRoundtrip,
     "infra_json_roundtrip" -> jsonRoundtrip,
     "infra_orc_roundtrip" -> orcRoundtrip,
-    "infra_zorder_layout" -> zorderLayout)
+    "infra_zorder_layout" -> zorderLayout,
+    "infra_summary_rewrite" -> summaryRewrite)
 
   val oracle: Map[String, String] = Map(
     "infra_bucketed_join" -> bucketedJoinSql,
@@ -267,5 +299,6 @@ FROM z GROUP BY zbucket ORDER BY zbucket"""
     "infra_csv_roundtrip" -> csvRoundtripSql,
     "infra_json_roundtrip" -> jsonRoundtripSql,
     "infra_orc_roundtrip" -> orcRoundtripSql,
-    "infra_zorder_layout" -> zorderLayoutSql)
+    "infra_zorder_layout" -> zorderLayoutSql,
+    "infra_summary_rewrite" -> summaryRewriteSql)
 }
