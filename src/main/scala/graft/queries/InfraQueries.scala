@@ -251,6 +251,103 @@ SELECT zval >> 12 AS zbucket, count(*) AS n,
   min(xk) AS x_min, max(xk) AS x_max, min(yk) AS y_min, max(yk) AS y_max
 FROM z GROUP BY zbucket ORDER BY zbucket"""
 
+  /** Schema evolution on read — the ingest reality at 100 TB: early
+    * batches landed WITHOUT a column that later batches carry, and one
+    * scan must read both vintages (`mergeSchema` unions the parquet
+    * footers; missing columns surface as nulls). The query then treats
+    * null as the legacy marker — the exact coalesce a production
+    * pipeline writes. Oracle replays the evolution as a UNION with an
+    * explicit NULL column. Batches split by doc_id parity so the
+    * vintage mix is deterministic and both sides are non-trivial. */
+  private val schemaEvolution: Q = (s, d) => {
+    val path = materialize(s, "evolving-docs", d) { p =>
+      val docs = Tables.documents(s, d)
+      docs.filter(col("doc_id") % 2 === 0).select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$p/b0")
+      docs.filter(col("doc_id") % 2 === 1)
+        .select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$p/b1")
+    }
+    s.read.option("mergeSchema", "true").parquet(s"$path/b0", s"$path/b1")
+      .groupBy(coalesce(col("source"), lit("legacy")).as("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .orderBy("source", "lang")
+  }
+  private val schemaEvolutionSql =
+    """WITH evolved AS (
+  SELECT doc_id, lang, NULL AS source, n_chars
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, lang, source, n_chars
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT coalesce(source, 'legacy') AS source, lang, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM evolved GROUP BY 1, 2 ORDER BY 1, 2"""
+
+  /** CDC merge — the lakehouse MERGE INTO / merge-on-read compaction
+    * shape: a snapshot plus a batch of keyed change records (inserts,
+    * updates, deletes, with a sequence number) collapse to the new
+    * snapshot by last-writer-wins per key. ONE shuffle on the merge key
+    * (the window) — at 100 TB this runs per ingest cycle and the
+    * change batch is ≪ snapshot, so the snapshot side would ride a
+    * bucketed layout (see [[BucketedStore]]) and only changed
+    * partitions rewrite. The change batch is derived deterministically
+    * from the snapshot (Corpus/OracleCorpus pattern): two stacked
+    * updates on one key family prove seq-ordering, deletes drop keys,
+    * inserts arrive above max(doc_id) via a broadcast 1-row scalar (no
+    * driver round trip). The oracle replays the identical merge in SQL
+    * — the full merged state is hashed, not a summary of it. */
+  private val cdcMerge: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select("doc_id", "lang", "source", "n_chars")
+    val mx = docs.agg((max("doc_id") + 1).as("base_id"))
+    val base = docs
+      .withColumn("seq", lit(0L)).withColumn("op", lit("S"))
+    val u1 = docs.filter(col("doc_id") % 7 === 0)
+      .withColumn("n_chars", col("n_chars") + 1000)
+      .withColumn("seq", lit(1L)).withColumn("op", lit("U"))
+    val u2 = docs.filter(col("doc_id") % 14 === 0)
+      .withColumn("n_chars", col("n_chars") + 2000)
+      .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+    val del = docs.filter(col("doc_id") % 7 === 3)
+      .withColumn("seq", lit(1L)).withColumn("op", lit("D"))
+    val ins = docs.filter(col("doc_id") % 11 === 0).crossJoin(broadcast(mx))
+      .select((col("doc_id") + col("base_id")).as("doc_id"),
+        lit("xx").as("lang"), lit("cdc").as("source"),
+        (col("doc_id") % 997).as("n_chars"),
+        lit(1L).as("seq"), lit("I").as("op"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("seq").desc)
+    base.unionByName(u1).unionByName(u2).unionByName(del).unionByName(ins)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+  private val cdcMergeSql =
+    """WITH mx AS (SELECT max(doc_id) + 1 AS base_id FROM documents),
+allrows AS (
+  SELECT doc_id, lang, source, n_chars, 0 AS seq, 'S' AS op FROM documents
+  UNION ALL
+  SELECT doc_id, lang, source, n_chars + 1000, 1, 'U'
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, lang, source, n_chars + 2000, 2, 'U'
+  FROM documents WHERE doc_id % 14 = 0
+  UNION ALL
+  SELECT doc_id, lang, source, n_chars, 1, 'D'
+  FROM documents WHERE doc_id % 7 = 3
+  UNION ALL
+  SELECT d.doc_id + mx.base_id, 'xx', 'cdc', d.doc_id % 997, 1, 'I'
+  FROM documents d, mx WHERE d.doc_id % 11 = 0
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) AS rn
+  FROM allrows
+)
+SELECT doc_id, lang, source, n_chars FROM ranked
+WHERE rn = 1 AND op <> 'D' ORDER BY doc_id"""
+
   /** Materialized-summary rewrite, end-to-end: register a summary of
     * lineitem keyed by (returnflag, linestatus), then run a COARSER
     * rollup (returnflag only) phrased entirely against the BASE table.
@@ -290,7 +387,9 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
     "infra_json_roundtrip" -> jsonRoundtrip,
     "infra_orc_roundtrip" -> orcRoundtrip,
     "infra_zorder_layout" -> zorderLayout,
-    "infra_summary_rewrite" -> summaryRewrite)
+    "infra_summary_rewrite" -> summaryRewrite,
+    "infra_cdc_merge" -> cdcMerge,
+    "infra_schema_evolution" -> schemaEvolution)
 
   val oracle: Map[String, String] = Map(
     "infra_bucketed_join" -> bucketedJoinSql,
@@ -300,5 +399,7 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
     "infra_json_roundtrip" -> jsonRoundtripSql,
     "infra_orc_roundtrip" -> orcRoundtripSql,
     "infra_zorder_layout" -> zorderLayoutSql,
-    "infra_summary_rewrite" -> summaryRewriteSql)
+    "infra_summary_rewrite" -> summaryRewriteSql,
+    "infra_cdc_merge" -> cdcMergeSql,
+    "infra_schema_evolution" -> schemaEvolutionSql)
 }
