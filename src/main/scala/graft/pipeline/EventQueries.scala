@@ -394,6 +394,44 @@ FROM events
 GROUP BY CUBE (event_type, hour(ts))
 ORDER BY lvl, event_type, hod"""
 
+  // ----------------------------------------------------- grouping sets
+  /** ARBITRARY grouping sets — the shape rollup and cube cannot
+    * express: ((type, dow), (dow), ()) deliberately SKIPS the
+    * type-only marginal, so Spark computes exactly the three requested
+    * levels in one shuffle (grouping-set expansion is map-side; an
+    * unwanted marginal in a cube would be paid for and thrown away).
+    * Day-of-week is integer arithmetic on epoch days — not the
+    * engines' dayofweek(), whose week-start conventions differ. */
+  private val groupingSetsQ: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("dow", expr(
+        "CAST((unix_millis(date_trunc('day', ts)) div 86400000) % 7 AS INT)"))
+      .groupingSets(
+        Seq(Seq(col("event_type"), col("dow")), Seq(col("dow")), Seq()),
+        col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n_events"),
+        valSum.as("val_sum"),
+        grouping_id().cast("int").as("lvl"))
+      .select(coalesce(col("event_type"), lit("(all)")).as("event_type"),
+        coalesce(col("dow"), lit(-1)).as("dow"),
+        col("lvl"), col("n_events"), col("val_sum"))
+      .orderBy("lvl", "event_type", "dow")
+  private val groupingSetsSql =
+    s"""WITH e AS (
+  SELECT event_type,
+    CAST((epoch_ms(date_trunc('day', ts)) // 86400000) % 7 AS INT) AS dow,
+    value
+  FROM events
+)
+SELECT coalesce(event_type, '(all)') AS event_type,
+  coalesce(dow, -1) AS dow,
+  CAST(GROUPING(event_type, dow) AS INT) AS lvl,
+  count(*) AS n_events,
+  $ValSumSql AS val_sum
+FROM e
+GROUP BY GROUPING SETS ((event_type, dow), (dow), ())
+ORDER BY lvl, event_type, dow"""
+
   // -------------------------------------------------------- attribution
   /** First/last-touch attribution per user — the min_by/max_by
     * aggregate family: one shuffle on user_id, every aggregate
@@ -1004,6 +1042,7 @@ ORDER BY event_type, bin"""
     "events_histogram" -> histogram,
     "events_rollup_daily" -> rollupDaily,
     "events_cube_hourly" -> cubeHourly,
+    "events_grouping_sets" -> groupingSetsQ,
     "events_attribution" -> attribution,
     "events_user_rank" -> userRank,
     "events_quantiles" -> quantiles,
@@ -1033,6 +1072,7 @@ ORDER BY event_type, bin"""
     "events_histogram" -> histogramSql,
     "events_rollup_daily" -> rollupDailySql,
     "events_cube_hourly" -> cubeHourlySql,
+    "events_grouping_sets" -> groupingSetsSql,
     "events_attribution" -> attributionSql,
     "events_user_rank" -> userRankSql,
     "events_quantiles" -> quantilesSql,
