@@ -162,14 +162,27 @@ object SummaryRewrite {
         val cast = if (e.dataType == dt) e else Cast(e, dt, None)
         if (!nullable && cast.nullable) KnownNotNull(cast) else cast
       }
+      // convert an arbitrary result expression: each embedded aggregate
+      // re-derives from the summary (cast back to its original type at
+      // the replacement point, so every parent node keeps its input
+      // types), each bare attribute must be a grouping key. SQL-face
+      // aggregates arrive with post-processing INLINE in the aggregate
+      // list — round(cast(sum(x) as double), 4) — not as a Project
+      // above it, so the walk has to see through arbitrary scalar
+      // structure, not just Alias(AggregateExpression).
+      def convert(e: Expression): Expression = e match {
+        case ae @ AggregateExpression(fn, _, false, None, _) =>
+          fit(reagg(fn), ae.dataType, nullable = true)
+        case _: AggregateExpression => BailOut.raise()
+        case a: AttributeReference =>
+          if (keySet(a.name)) mv(a.name) else BailOut.raise()
+        case other => other.mapChildren(convert)
+      }
       val newAggs: Seq[NamedExpression] = agg.aggregateExpressions.map {
         case a: AttributeReference if keySet(a.name) =>
           Alias(fit(mv(a.name), a.dataType, a.nullable), a.name)(exprId = a.exprId)
-        case al @ Alias(a: AttributeReference, _) if keySet(a.name) =>
-          Alias(fit(mv(a.name), al.dataType, al.nullable), al.name)(
-            exprId = al.exprId)
-        case al @ Alias(AggregateExpression(fn, _, false, None, _), _) =>
-          Alias(fit(reagg(fn), al.dataType, al.nullable), al.name)(
+        case al @ Alias(child, _) =>
+          Alias(fit(convert(child), al.dataType, al.nullable), al.name)(
             exprId = al.exprId)
         case _ => BailOut.raise()
       }

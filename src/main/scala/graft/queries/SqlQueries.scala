@@ -67,9 +67,26 @@ object SqlQueries {
     "sql_untapped_accounts" -> "tpch_untapped_accounts",
     "sql_small_qty_revenue" -> "tpch_small_qty_revenue")
 
-  val queries: Map[String, Q] = pairs.map { case (n, src) => n -> fromSql(src) }
+  /** The summary-rewrite face FROM SQL TEXT: registers the lineitem
+    * summary, then executes `infra_summary_rewrite`'s oracle string via
+    * `spark.sql` — the optimizer rule must catch the aggregate in its
+    * SQL-parsed form, where the post-processing (round/cast) sits
+    * INLINE in the aggregate list rather than in a Project above it.
+    * Plan re-route pinned by SummaryRewriteSpec's SQL-face test. */
+  private val summaryRollup: Q = (s, d) => {
+    graft.plans.SummaryRewrite.register(s, d, "lineitem",
+      keys = Seq("l_returnflag", "l_linestatus"),
+      measures = Seq("l_quantity", "l_extendedprice"))
+    registerViews(s, d)
+    s.sql(InfraQueries.oracle("infra_summary_rewrite"))
+  }
+
+  val queries: Map[String, Q] =
+    pairs.map { case (n, src) => n -> fromSql(src) } +
+      ("sql_summary_rollup" -> summaryRollup)
 
   /** The oracle IS the executed SQL — shared verbatim. */
   val oracle: Map[String, String] =
-    pairs.map { case (n, src) => n -> AnalyticsQueries.oracle(src) }
+    pairs.map { case (n, src) => n -> AnalyticsQueries.oracle(src) } +
+      ("sql_summary_rollup" -> InfraQueries.oracle("infra_summary_rewrite"))
 }

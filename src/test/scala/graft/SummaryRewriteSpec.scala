@@ -67,6 +67,19 @@ class SummaryRewriteSpec extends SparkSpec {
     assert(q.collect() === direct)
   }
 
+  test("SQL-face aggregate (inline round/cast over sum) re-routes too") {
+    registered()
+    val q = graft.queries.SqlQueries.queries("sql_summary_rollup")(spark, Sf)
+    val paths = scanPaths(q)
+    assert(!paths.exists(_.contains("lineitem.parquet")),
+      s"SQL-parsed aggregate must re-route, got $paths")
+    assert(paths.exists(_.contains("/mv-lineitem-")))
+    // value-parity with the DataFrame face, which the oracle hash-pins
+    val df = graft.queries.InfraQueries
+      .queries("infra_summary_rewrite")(spark, Sf).collect()
+    assert(q.collect() === df)
+  }
+
   test("non-derivable aggregates bail: avg and non-key filters keep the base scan") {
     registered()
     val avgQ = Tables.raw(spark, Sf, "lineitem")
