@@ -394,6 +394,45 @@ FROM events
 GROUP BY CUBE (event_type, hour(ts))
 ORDER BY lvl, event_type, hod"""
 
+  // ------------------------------------------------ range-frame window
+  /** Trailing 7-day moving aggregate — the RANGE frame, the one window
+    * frame family the rest of the surface doesn't exercise (lag/rank/
+    * ntile are ROWS-framed): the frame is bounded by ORDER-COLUMN VALUE
+    * (day_num−6 .. day_num), so gap days shrink the window — a ROWS
+    * frame would silently reach 7 *rows* back across gaps, which is
+    * wrong for calendar semantics. Two shuffles total: the daily
+    * pre-aggregation and the per-user window sort; the window input is
+    * |user×active-day|, already ≪ events. Day numbers are integer
+    * epoch-day arithmetic (identical div/floor on positives in both
+    * engines); the trailing sum stays decimal-exact until one final
+    * round. */
+  private val trailing7d: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .withColumn("day_num",
+        expr("unix_millis(date_trunc('day', ts)) div 86400000"))
+      .groupBy("user_id", "day_num")
+      .agg(sum(col("value").cast("decimal(18,6)")).as("day_val"))
+    val w = Window.partitionBy("user_id").orderBy("day_num")
+      .rangeBetween(-6, 0)
+    daily.select(col("user_id"), col("day_num"),
+        round(sum(col("day_val")).over(w).cast("double"), 4).as("val_7d"),
+        count(lit(1)).over(w).as("active_days_7d"))
+      .orderBy("user_id", "day_num")
+  }
+  private val trailing7dSql =
+    """WITH daily AS (
+  SELECT user_id, epoch_ms(date_trunc('day', ts)) // 86400000 AS day_num,
+    sum(CAST(value AS DECIMAL(18,6))) AS day_val
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, day_num,
+  round(CAST(sum(day_val) OVER w AS DOUBLE), 4) AS val_7d,
+  CAST(count(*) OVER w AS BIGINT) AS active_days_7d
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+ORDER BY user_id, day_num"""
+
   // ----------------------------------------------------- grouping sets
   /** ARBITRARY grouping sets — the shape rollup and cube cannot
     * express: ((type, dow), (dow), ()) deliberately SKIPS the
@@ -1043,6 +1082,7 @@ ORDER BY event_type, bin"""
     "events_rollup_daily" -> rollupDaily,
     "events_cube_hourly" -> cubeHourly,
     "events_grouping_sets" -> groupingSetsQ,
+    "events_trailing_7d" -> trailing7d,
     "events_attribution" -> attribution,
     "events_user_rank" -> userRank,
     "events_quantiles" -> quantiles,
@@ -1073,6 +1113,7 @@ ORDER BY event_type, bin"""
     "events_rollup_daily" -> rollupDailySql,
     "events_cube_hourly" -> cubeHourlySql,
     "events_grouping_sets" -> groupingSetsSql,
+    "events_trailing_7d" -> trailing7dSql,
     "events_attribution" -> attributionSql,
     "events_user_rank" -> userRankSql,
     "events_quantiles" -> quantilesSql,
