@@ -379,6 +379,46 @@ WHERE rn = 1 AND op <> 'D' ORDER BY doc_id"""
   min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** Incremental summary maintenance — the other half of the
+    * [[graft.plans.SummaryRewrite]] story: when a delta batch lands, the
+    * summary is NOT rebuilt from the full fact table; the delta's
+    * partial states fold into the existing summary (sum+sum, min of
+    * mins, max of maxes, count+count — all associative because the
+    * sums are decimal). Cost per refresh = one scan of the DELTA plus a
+    * |groups|-sized merge; the full-table rebuild this replaces is the
+    * dominant recurring cost of a naive reporting tier at 100 TB. The
+    * history/delta split (l_orderkey mod 10) is deterministic; the
+    * oracle aggregates the FULL table directly, so the hash match
+    * proves fold(history, delta) ≡ rebuild(all). */
+  private val summaryIncremental: Q = (s, d) => {
+    val li = Tables.raw(s, d, "lineitem")
+    def partials(df: DataFrame): DataFrame =
+      df.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("sum_qty"),
+          min("l_extendedprice").as("min_price"),
+          max("l_extendedprice").as("max_price"),
+          count(lit(1)).as("cnt"))
+    val history = partials(li.filter(col("l_orderkey") % 10 =!= 0))
+    val delta = partials(li.filter(col("l_orderkey") % 10 === 0))
+    history.unionByName(delta)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sum("sum_qty").as("sum_qty_w"),
+        min("min_price").as("min_price"),
+        max("max_price").as("max_price"),
+        sum("cnt").as("n_items"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        round(col("sum_qty_w").cast("double"), 4).as("sum_qty"),
+        col("min_price"), col("max_price"), col("n_items"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+  private val summaryIncrementalSql =
+    """SELECT l_returnflag, l_linestatus,
+  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
+  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+  count(*) AS n_items
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus"""
+
   val queries: Map[String, Q] = Map(
     "infra_bucketed_join" -> bucketedJoin,
     "infra_skew_join" -> skewJoin,
@@ -389,7 +429,8 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
     "infra_zorder_layout" -> zorderLayout,
     "infra_summary_rewrite" -> summaryRewrite,
     "infra_cdc_merge" -> cdcMerge,
-    "infra_schema_evolution" -> schemaEvolution)
+    "infra_schema_evolution" -> schemaEvolution,
+    "infra_summary_incremental" -> summaryIncremental)
 
   val oracle: Map[String, String] = Map(
     "infra_bucketed_join" -> bucketedJoinSql,
@@ -401,5 +442,6 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
     "infra_zorder_layout" -> zorderLayoutSql,
     "infra_summary_rewrite" -> summaryRewriteSql,
     "infra_cdc_merge" -> cdcMergeSql,
-    "infra_schema_evolution" -> schemaEvolutionSql)
+    "infra_schema_evolution" -> schemaEvolutionSql,
+    "infra_summary_incremental" -> summaryIncrementalSql)
 }
