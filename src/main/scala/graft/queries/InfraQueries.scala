@@ -390,14 +390,21 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
     * history/delta split (l_orderkey mod 10) is deterministic; the
     * oracle aggregates the FULL table directly, so the hash match
     * proves fold(history, delta) ≡ rebuild(all). */
+  /** The summary partial states — shared verbatim by the batch delta
+    * fold below and [[graft.streaming.StreamingEvents.summaryStream]]
+    * (same expression tree, batch and unbounded). */
+  private[graft] val summaryAggs = Seq(
+    sum(col("l_quantity").cast("decimal(18,6)")).as("sum_qty"),
+    min(col("l_extendedprice")).as("min_price"),
+    max(col("l_extendedprice")).as("max_price"),
+    count(lit(1)).as("cnt"))
+  private[graft] def summaryPartials(df: DataFrame): DataFrame =
+    df.groupBy("l_returnflag", "l_linestatus")
+      .agg(summaryAggs.head, summaryAggs.tail: _*)
+
   private val summaryIncremental: Q = (s, d) => {
     val li = Tables.raw(s, d, "lineitem")
-    def partials(df: DataFrame): DataFrame =
-      df.groupBy("l_returnflag", "l_linestatus")
-        .agg(sum(col("l_quantity").cast("decimal(18,6)")).as("sum_qty"),
-          min("l_extendedprice").as("min_price"),
-          max("l_extendedprice").as("max_price"),
-          count(lit(1)).as("cnt"))
+    def partials(df: DataFrame): DataFrame = summaryPartials(df)
     val history = partials(li.filter(col("l_orderkey") % 10 =!= 0))
     val delta = partials(li.filter(col("l_orderkey") % 10 === 0))
     history.unionByName(delta)

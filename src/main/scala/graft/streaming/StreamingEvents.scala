@@ -133,6 +133,22 @@ object StreamingEvents {
       .agg(EventQueries.attributionAggs.head,
         EventQueries.attributionAggs.tail: _*)
 
+  /** Streaming summary maintenance — the unbounded face of
+    * `infra_summary_incremental`: each micro-batch folds its rows into
+    * the keyed partial states ([[graft.queries.InfraQueries.summaryAggs]],
+    * shared verbatim with the batch fold), so the reporting summary the
+    * [[graft.plans.SummaryRewrite]] rule serves is continuously
+    * current instead of rebuilt per cycle. No watermark and no window:
+    * the key space is the summary's grouping keys — BOUNDED by design
+    * (a summary whose key cardinality grows with the data is not a
+    * summary) — so state is O(|groups|) forever and update mode emits
+    * each touched group's new partials per micro-batch. Decimal sums
+    * make the fold order-insensitive: any micro-batch arrival order
+    * yields bit-identical state (parity vs the batch aggregate pinned
+    * in StreamingSpec). */
+  def summaryStream(lineitems: DataFrame): DataFrame =
+    graft.queries.InfraQueries.summaryPartials(lineitems)
+
   case class RtEv(tsMs: Long, eventId: Long, value: Double)
   case class RtState(pending: List[RtEv], sumUnscaled: Long, seq: Int)
   case class RtRow(user_id: Long, event_id: Long, ts_ms: Long,

@@ -558,4 +558,37 @@ class StreamingSpec extends SparkSpec {
       assert(math.abs(click._4 - 40.0) <= 1.0, s"merged p50 was ${click._4}")
     } finally q.stop()
   }
+
+  test("streaming summary maintenance: cross-batch fold equals batch aggregate") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String, Double, Double)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+    val q = StreamingEvents.summaryStream(typed(mem.toDF()))
+      .writeStream.format("memory").queryName("summ")
+      .outputMode("complete").start()
+    // the same group fed ACROSS micro-batches: the emitted partials must
+    // be the fold of both, and a group untouched by batch 2 must persist
+    val batch1 = Seq(("A", "F", 10.0, 100.5), ("A", "F", 5.25, 90.0),
+      ("R", "O", 1.0, 7.75))
+    val batch2 = Seq(("A", "F", 2.5, 200.25), ("N", "O", 3.0, 50.0))
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getString(0), r.getString(1), r.getDecimal(2).toPlainString,
+          r.getDouble(3), r.getDouble(4), r.getLong(5))
+      val got = spark.table("summ").collect().map(key).toSet
+      val want = graft.queries.InfraQueries
+        .summaryPartials(typed((batch1 ++ batch2).toDF()))
+        .collect().map(key).toSet
+      assert(got === want, "streamed fold must equal the batch aggregate")
+      assert(got.exists(t => t._1 == "A" && t._3 == "17.750000"),
+        s"A/F decimal sum must fold across batches, got $got")
+    } finally q.stop()
+  }
 }
