@@ -264,6 +264,39 @@ FROM documents, unnest($ToksSql) AS t(tok)
 GROUP BY lang, source
 ORDER BY lang, source"""
 
+  /** PERSISTED-sketch profiling — what [[profileApprox]]'s single
+    * aggregate can't demonstrate: HLL sketches as MERGEABLE STATE. The
+    * per-(lang, source) Datasketches HLL sketches are materialized as
+    * binary columns (at 100 TB these persist per ingest batch/partition
+    * — the incremental analog of [[graft.queries.InfraQueries]]'s
+    * summary fold), then a SECOND aggregation `hll_union_agg`s them up
+    * to per-lang estimates without touching a token again. Same
+    * rank-free tolerance contract as profileApprox: the oracle
+    * recomputes the exact per-lang distinct count and asserts the
+    * union-merged estimate stayed inside 10% (lgK=12 rsd ≈ 1.6%, so
+    * the boolean is deterministic margin, not luck). */
+  private val profileSketch: Q = (s, d) => {
+    val tokRows = Tables.documents(s, d)
+      .select(col("lang"), col("source"), explode(toks).as("tok"))
+    val partials = tokRows.groupBy("lang", "source")
+      .agg(hll_sketch_agg(col("tok"), lit(12)).as("sk"))
+    val merged = partials.groupBy("lang")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    tokRows.groupBy("lang")
+      .agg(countDistinct(col("tok")).as("distinct_tokens"))
+      .join(merged, "lang")
+      .select(col("lang"), col("distinct_tokens"),
+        (abs(col("est") - col("distinct_tokens")) <=
+          col("distinct_tokens") * 0.1).as("within_eps"))
+      .orderBy("lang")
+  }
+  private val profileSketchSql =
+    s"""SELECT lang, count(DISTINCT t.tok) AS distinct_tokens,
+  TRUE AS within_eps
+FROM documents, unnest($ToksSql) AS t(tok)
+GROUP BY lang
+ORDER BY lang"""
+
   // -------------------------------------------------------- clean corpus
   /** The end-to-end prep pass a training-data pipeline actually runs,
     * composed from this file's signals and the dedup family's corpus:
@@ -676,6 +709,7 @@ FROM docs GROUP BY lang ORDER BY lang"""
     "text_fingerprint" -> fingerprint,
     "text_profile" -> profile,
     "text_profile_approx" -> profileApprox,
+    "text_profile_sketch" -> profileSketch,
     "text_clean_corpus" -> cleanCorpus,
     "text_seq_pack" -> seqPack,
     "text_sample_split" -> sampleSplit,
@@ -693,6 +727,7 @@ FROM docs GROUP BY lang ORDER BY lang"""
     "text_fingerprint" -> fingerprintSql,
     "text_profile" -> profileSql,
     "text_profile_approx" -> profileApproxSql,
+    "text_profile_sketch" -> profileSketchSql,
     "text_clean_corpus" -> cleanCorpusSql,
     "text_seq_pack" -> seqPackSql,
     "text_sample_split" -> sampleSplitSql,
