@@ -163,6 +163,33 @@ ORDER BY event_type, rank"""
       .orderBy("purchase_id")
   }
   private val asofJoin: Q = (s, d) => asofAgg(Tables.events(s, d))
+
+  /** The same as-of semantics through the NATIVE operator
+    * ([[graft.plans.AsofJoin]]: custom LogicalPlan + planner strategy +
+    * physical merge — the (c) escalation path, vs the composition form
+    * above which is the (a) path). Each side keeps its own schema to
+    * the final projection; the oracle is shared verbatim with
+    * [[asofJoin]], and AsofSpec pins that the physical plan really
+    * contains AsofJoinExec under the sort-merge regime (one exchange +
+    * one sort per side). */
+  private val asofNative: Q = (s, d) => {
+    val purchases = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select("user_id", "ts", "event_id")
+    val clicks = Tables.events(s, d)
+      .filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_eid"), col("value").as("c_val"))
+    graft.plans.AsofJoin.asof(purchases, clicks,
+        key = "user_id", time = "ts",
+        rightKey = "c_user", rightTime = "c_ts", rightTie = "c_eid")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_millis(col("ts")).as("purchase_ms"),
+        col("c_eid").as("click_id"),
+        unix_millis(col("c_ts")).as("click_ms"),
+        col("c_val").as("click_value"))
+      .orderBy("purchase_id")
+  }
   /** LATERAL top-1 rather than DuckDB's native ASOF JOIN: ASOF picks an
     * arbitrary click among equal timestamps, while this formulation pins
     * the same max-(ts, event_id) tie-break the Spark window uses — both
@@ -1064,6 +1091,7 @@ ORDER BY event_type, bin"""
     "events_session" -> session,
     "events_topk_users" -> topkUsers,
     "events_asof_join" -> asofJoin,
+    "events_asof_native" -> asofNative,
     "events_interval_join" -> intervalJoin,
     "events_range_join" -> rangeJoin,
     "events_running_total" -> runningTotal,
@@ -1095,6 +1123,8 @@ ORDER BY event_type, bin"""
     "events_session" -> sessionSql,
     "events_topk_users" -> topkUsersSql,
     "events_asof_join" -> asofJoinSql,
+    // the native-operator form shares the composition form's oracle
+    "events_asof_native" -> asofJoinSql,
     "events_interval_join" -> intervalJoinSql,
     "events_range_join" -> rangeJoinSql,
     "events_running_total" -> runningTotalSql,
