@@ -346,6 +346,14 @@ object VectorExpressions {
       (children: Seq[Expression]) =>
         CosineSimilarity(children(0), children(1)): Expression,
       "internal")
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_top_freq"),
+      (children: Seq[Expression]) => TopTokenFreq(children(0)): Expression,
+      "internal")
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_dup_bigrams"),
+      (children: Seq[Expression]) => DupBigramCount(children(0)): Expression,
+      "internal")
   }
 }
 
@@ -375,5 +383,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_top_freq"),
+      new ExpressionInfo(classOf[TopTokenFreq].getCanonicalName, "graft_top_freq"),
+      (children: Seq[Expression]) => TopTokenFreq(children(0))))
+    ext.injectFunction((FunctionIdentifier("graft_dup_bigrams"),
+      new ExpressionInfo(classOf[DupBigramCount].getCanonicalName, "graft_dup_bigrams"),
+      (children: Seq[Expression]) => DupBigramCount(children(0))))
   }
 }

@@ -702,6 +702,49 @@ SELECT lang, count(*) AS n_docs, CAST(sum(kept) AS BIGINT) AS n_kept,
 FROM docs GROUP BY lang ORDER BY lang"""
   }
 
+  // -------------------------------------------------- repetition filter
+  /** Gopher-style repetition gating (Rae et al. 2021 §A1.1: excess
+    * single-token and repeated-n-gram mass marks boilerplate/spam):
+    * per-document top-token frequency and duplicate-bigram count, each
+    * computed by a one-pass codegen'd kernel
+    * ([[graft.functions.TokenStats]]) so the gate is a pure projection
+    * riding the scan — no tokenized-corpus shuffle, no O(n²)
+    * interpreted HOF. The keep gate compares in integer space
+    * (`top_freq·8 ≤ n_tokens`, `dup_bigrams·16 ≤ n_bigrams`), so no
+    * cross-engine double rounding can flap it. */
+  private val repetitionFilter: Q = (s, d) => {
+    graft.functions.VectorExpressions.register(s)
+    val nTok = size(toks).cast("long")
+    val topFreq = call_function("graft_top_freq", toks).cast("long")
+    val dupBig = call_function("graft_dup_bigrams", toks).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), nTok.as("n_tokens"), topFreq.as("top_freq"),
+        dupBig.as("dup_bigram_cnt"),
+        (topFreq * 8 <= nTok && dupBig * 16 <= nTok - 1).as("keep"))
+      .orderBy("doc_id")
+  }
+  private val repetitionFilterSql =
+    s"""WITH tok AS (
+  SELECT doc_id, $ToksSql AS toks FROM documents
+), freq AS (
+  SELECT doc_id, max(c) AS top_freq FROM (
+    SELECT doc_id, t, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY 1, 2
+  ) GROUP BY 1
+), big AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+    (len(toks) - 1) - len(list_distinct(
+      list_transform(list_zip(toks[1:-2], toks[2:-1]),
+                     p -> p[1] || ' ' || p[2]))) AS dup_bigram_cnt
+  FROM tok
+)
+SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+  CAST(f.top_freq AS BIGINT) AS top_freq,
+  CAST(b.dup_bigram_cnt AS BIGINT) AS dup_bigram_cnt,
+  (f.top_freq * 8 <= b.n_tokens AND b.dup_bigram_cnt * 16 <= b.n_tokens - 1)
+    AS keep
+FROM big b JOIN freq f USING (doc_id) ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "text_langid" -> langid,
     "text_quality" -> quality,
@@ -718,7 +761,8 @@ FROM docs GROUP BY lang ORDER BY lang"""
     "text_ngram_topk_agg" -> ngramTopkAgg,
     "text_vocab" -> vocab,
     "text_tfidf_top" -> tfidfTop,
-    "text_stratified_sample" -> stratifiedSample)
+    "text_stratified_sample" -> stratifiedSample,
+    "text_repetition_filter" -> repetitionFilter)
 
   val oracle: Map[String, String] = Map(
     "text_langid" -> langidSql,
@@ -737,5 +781,6 @@ FROM docs GROUP BY lang ORDER BY lang"""
     "text_ngram_topk_agg" -> ngramTopkSql,
     "text_vocab" -> vocabSql,
     "text_tfidf_top" -> tfidfTopSql,
-    "text_stratified_sample" -> stratifiedSampleSql)
+    "text_stratified_sample" -> stratifiedSampleSql,
+    "text_repetition_filter" -> repetitionFilterSql)
 }

@@ -69,4 +69,40 @@ class FunctionsSpec extends SparkSpec {
     // oracle SQL keep the list_dot_product formulation
     cmp.foreach(r => assert(r.getDouble(0) === r.getDouble(1)))
   }
+
+  test("graft_top_freq / graft_dup_bigrams match the relational formulations") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    import spark.implicits._
+    val words = Vector("a", "b", "c", "dd", "ée", "", "f")
+    // include the degenerate shapes: empty array, single token
+    val rows = (Seq(Seq.empty[String], Seq("a")) ++
+      Seq.fill(80)(Seq.fill(rnd.nextInt(40))(words(rnd.nextInt(words.size)))))
+      .zipWithIndex.map(_.swap).toDF("id", "a")
+    // oracle: explode + groupBy count (the shuffle-heavy route the
+    // kernel exists to avoid), computed per id
+    val exploded = rows.select(col("id"), explode_outer(col("a")).as("t"))
+      .groupBy("id", "t").count()
+      .groupBy("id").agg(max(when(col("t").isNotNull, col("count"))
+        .otherwise(lit(0L))).as("slow_top"))
+    val bigrams = rows.select(col("id"),
+      when(size(col("a")) < 2, lit(0L)).otherwise(
+        (size(col("a")) - 1).cast("long") -
+          size(array_distinct(zip_with(
+            slice(col("a"), lit(1), greatest(size(col("a")) - 1, lit(0))),
+            slice(col("a"), lit(2), greatest(size(col("a")) - 1, lit(0))),
+            (x, y) => concat(x, lit(" "), y)))).cast("long"))
+        .as("slow_dup"))
+    val fast = rows.select(col("id"),
+      call_function("graft_top_freq", col("a")).cast("long").as("fast_top"),
+      call_function("graft_dup_bigrams", col("a")).cast("long").as("fast_dup"))
+    val cmp = fast.join(exploded, "id").join(bigrams, "id").collect()
+    assert(cmp.length === 82)
+    cmp.foreach { r =>
+      assert(r.getAs[Long]("fast_top") === r.getAs[Long]("slow_top"),
+        s"top_freq mismatch at id=${r.getAs[Int]("id")}")
+      assert(r.getAs[Long]("fast_dup") === r.getAs[Long]("slow_dup"),
+        s"dup_bigrams mismatch at id=${r.getAs[Int]("id")}")
+    }
+  }
 }
