@@ -745,6 +745,74 @@ SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
     AS keep
 FROM big b JOIN freq f USING (doc_id) ORDER BY doc_id"""
 
+  // --------------------------------------------------------- PII scrub
+  /** PII redaction over the corpus — the compliance pass every
+    * training-data pipeline runs before packing. The synthetic corpus
+    * carries no PII, so (partsupp pattern, `queries/PartSuppQueries`)
+    * PII-shaped tokens are DERIVED deterministically from `doc_id` and
+    * appended identically in both engines; the scrub then redacts them
+    * back out. Regexes stay inside the Java∩RE2 dialect subset (no
+    * backreferences/lookaround) so Spark and DuckDB agree; equivalence
+    * is pinned end-to-end by md5 of the scrubbed text. The whole query
+    * is a pure projection riding the scan — counts via `regexp_count`,
+    * redaction via chained `regexp_replace` — zero shuffles, which is
+    * the only shape that survives scrubbing a 100 TB corpus. */
+  private val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PiiPhoneRe = "\\+1-555-[0-9]{4}"
+  private val PiiIpRe = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  private val piiScrub: Q = (s, d) => {
+    val id = col("doc_id")
+    def str(c: Column): Column = c.cast("string")
+    val raw = concat(col("text"),
+      when(id % 3 === 0, concat(lit(" contact user"), str(id),
+        lit("@example"), str(id % 5), lit(".com"))).otherwise(lit("")),
+      when(id % 4 === 0, concat(lit(" call +1-555-"),
+        lpad(str(id % 10000), 4, "0"))).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" from 10."), str(id % 256), lit("."),
+        str((id * 7) % 256), lit("."), str((id * 13) % 256)))
+        .otherwise(lit("")))
+    val clean = regexp_replace(regexp_replace(regexp_replace(col("raw"),
+      PiiEmailRe, "[EMAIL]"), PiiPhoneRe, "[PHONE]"), PiiIpRe, "[IP]")
+    Tables.documents(s, d).select(id, raw.as("raw"))
+      .select(col("doc_id"),
+        regexp_count(col("raw"), lit(PiiEmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("raw"), lit(PiiPhoneRe)).cast("long").as("n_phones"),
+        regexp_count(col("raw"), lit(PiiIpRe)).cast("long").as("n_ips"),
+        length(clean).cast("long").as("clean_len"),
+        md5(clean).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+  private val piiScrubSql = {
+    // single-backslash escapes: DuckDB regular strings pass them through
+    val (em, ph, ip) =
+      ("[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "\\+1-555-[0-9]{4}",
+        "([0-9]{1,3}\\.){3}[0-9]{1,3}")
+    s"""WITH raw AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR)
+            || '@example' || CAST(doc_id % 5 AS VARCHAR) || '.com' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN ' call +1-555-'
+            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+            || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+            || '.' || CAST((doc_id * 13) % 256 AS VARCHAR) ELSE '' END
+    AS raw FROM documents
+), scrub AS (
+  SELECT doc_id, raw,
+    regexp_replace(regexp_replace(regexp_replace(raw,
+      '$em', '[EMAIL]', 'g'), '$ph', '[PHONE]', 'g'), '$ip', '[IP]', 'g')
+      AS clean
+  FROM raw
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(raw, '$em')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(raw, '$ph')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(raw, '$ip')) AS BIGINT) AS n_ips,
+  CAST(length(clean) AS BIGINT) AS clean_len,
+  md5(clean) AS clean_md5
+FROM scrub ORDER BY doc_id"""
+  }
+
   val queries: Map[String, Q] = Map(
     "text_langid" -> langid,
     "text_quality" -> quality,
@@ -762,7 +830,8 @@ FROM big b JOIN freq f USING (doc_id) ORDER BY doc_id"""
     "text_vocab" -> vocab,
     "text_tfidf_top" -> tfidfTop,
     "text_stratified_sample" -> stratifiedSample,
-    "text_repetition_filter" -> repetitionFilter)
+    "text_repetition_filter" -> repetitionFilter,
+    "text_pii_scrub" -> piiScrub)
 
   val oracle: Map[String, String] = Map(
     "text_langid" -> langidSql,
@@ -782,5 +851,6 @@ FROM big b JOIN freq f USING (doc_id) ORDER BY doc_id"""
     "text_vocab" -> vocabSql,
     "text_tfidf_top" -> tfidfTopSql,
     "text_stratified_sample" -> stratifiedSampleSql,
-    "text_repetition_filter" -> repetitionFilterSql)
+    "text_repetition_filter" -> repetitionFilterSql,
+    "text_pii_scrub" -> piiScrubSql)
 }
