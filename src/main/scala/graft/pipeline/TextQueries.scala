@@ -813,6 +813,49 @@ SELECT doc_id,
 FROM scrub ORDER BY doc_id"""
   }
 
+  // -------------------------------------------------------- domain mix
+  /** Deterministic domain-mixture resampling — reweighting sources to
+    * target proportions (the "data mixing" stage of corpus assembly:
+    * upsample high-quality domains, downsample bulk crawl). Target
+    * multiplier per source group: 0.5× / 1× / 1.5× / 2.5×. Whole
+    * copies come from `explode(sequence(...))` riding the scan;
+    * the fractional copy is a salted-hash gate (same h60 discipline as
+    * `text_sample_split` — no RNG, so re-runs and both engines agree
+    * exactly). Upsampling-by-explode at the scan is the 100 TB shape:
+    * no shuffle, output size = Σ multiplier·|domain|, and every copy
+    * carries `copy_id` so downstream packing can salt by it. */
+  private val domainMix: Q = (s, d) => {
+    val srcNum = regexp_extract(col("source"), "([0-9]+)", 1).cast("int")
+    val grp = pmod(srcNum, lit(4))
+    val whole = when(grp === 0, 0).when(grp === 3, 2).otherwise(1)
+    val frac = when(grp === 1, 0).otherwise(500)
+    val gate = (pmod(DupCorpus.h60(concat(lit("mix:"),
+      col("doc_id").cast("string"))), lit(1000L)) < frac).cast("int")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        (whole + gate).as("n_copies"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        explode(sequence(lit(0), col("n_copies") - 1)).as("copy_id"))
+      .orderBy("doc_id", "copy_id")
+  }
+  private val domainMixSql = {
+    val h = OraclePipeline.h60Sql("'mix:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH mix AS (
+  SELECT doc_id, source, n_chars,
+    CASE WHEN grp = 0 THEN 0 WHEN grp = 3 THEN 2 ELSE 1 END
+    + CASE WHEN $h % 1000 < (CASE WHEN grp = 1 THEN 0 ELSE 500 END)
+           THEN 1 ELSE 0 END AS n_copies
+  FROM (SELECT *, CAST(regexp_extract(source, '([0-9]+)', 1) AS INT) % 4
+          AS grp FROM documents)
+), ex AS (
+  SELECT doc_id, source, n_chars, unnest(range(0, n_copies)) AS copy_id
+  FROM mix
+)
+SELECT doc_id, source, n_chars, CAST(copy_id AS INT) AS copy_id
+FROM ex ORDER BY doc_id, copy_id"""
+  }
+
   val queries: Map[String, Q] = Map(
     "text_langid" -> langid,
     "text_quality" -> quality,
@@ -831,7 +874,8 @@ FROM scrub ORDER BY doc_id"""
     "text_tfidf_top" -> tfidfTop,
     "text_stratified_sample" -> stratifiedSample,
     "text_repetition_filter" -> repetitionFilter,
-    "text_pii_scrub" -> piiScrub)
+    "text_pii_scrub" -> piiScrub,
+    "text_domain_mix" -> domainMix)
 
   val oracle: Map[String, String] = Map(
     "text_langid" -> langidSql,
@@ -852,5 +896,6 @@ FROM scrub ORDER BY doc_id"""
     "text_tfidf_top" -> tfidfTopSql,
     "text_stratified_sample" -> stratifiedSampleSql,
     "text_repetition_filter" -> repetitionFilterSql,
-    "text_pii_scrub" -> piiScrubSql)
+    "text_pii_scrub" -> piiScrubSql,
+    "text_domain_mix" -> domainMixSql)
 }
