@@ -135,6 +135,68 @@ GROUP BY d.tier ORDER BY d.tier"""
 FROM events WHERE event_type = 'click'
 GROUP BY user_id ORDER BY user_id"""
 
+  /** Range-clustered events layout + its file-level min/max stats
+    * index, built once per (app, dataset): `repartitionByRange(ts)`
+    * makes each file hold a contiguous time slice, then ONE pass over
+    * the written files (`input_file_name` groupBy) derives the
+    * Delta-log-style stats table. Returns (dataPath, statsPath). */
+  def minmaxEventsPaths(s: SparkSession, d: String): (String, String) = {
+    val root = materialize(s, "minmax-events", d) { p =>
+      Tables.events(s, d).repartitionByRange(16, col("ts"))
+        .write.mode("overwrite").parquet(s"$p/data")
+      s.read.parquet(s"$p/data")
+        .groupBy(input_file_name().as("file"))
+        .agg(min("ts").as("ts_min"), max("ts").as("ts_max"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$p/stats")
+    }
+    (s"$root/data", s"$root/stats")
+  }
+
+  /** Files whose [ts_min, ts_max] overlaps [lo, hi) per the stats
+    * index — the candidate set a skipping scan actually opens. */
+  def minmaxSurvivors(s: SparkSession, statsPath: String,
+      lo: String, hi: String): Seq[String] =
+    s.read.parquet(statsPath)
+      .filter(col("ts_max") >= expr(s"TIMESTAMP '$lo'") &&
+        col("ts_min") < expr(s"TIMESTAMP '$hi'"))
+      .select("file").collect().map(_.getString(0)).toSeq.sorted
+
+  /** File-level min/max data skipping — the OTHER 100 TB storage
+    * primitive next to hive partitioning: when the layout clusters a
+    * column (time, here) but doesn't directory-partition it, a tiny
+    * per-file stats index (one row per file — what Delta/Iceberg keep
+    * in the log) lets a range query open only the files whose
+    * [min,max] intersects the predicate: ~3/16 files here, pinned by
+    * InfraScanSpec. The `.collect()` is file-level METADATA, constant
+    * size in file count, never data. The residual filter still runs on
+    * the survivors (stats are necessary, not sufficient), and parquet
+    * row-group stats prune further inside each file. The oracle runs
+    * the plain filter on the unclustered source — the layout and the
+    * skipping must be semantics-free. */
+  private val minmaxSkipping: Q = (s, d) => {
+    val (_, stats) = minmaxEventsPaths(s, d)
+    val (lo, hi) = ("2024-01-08 00:00:00", "2024-01-12 00:00:00")
+    val survivors = minmaxSurvivors(s, stats, lo, hi)
+    s.read.parquet(survivors: _*)
+      .filter(col("ts") >= expr(s"TIMESTAMP '$lo'") &&
+        col("ts") < expr(s"TIMESTAMP '$hi'"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4)
+          .as("val_sum"),
+        min("event_id").as("min_event"), max("event_id").as("max_event"))
+      .orderBy("event_type")
+  }
+  private val minmaxSkippingSql =
+    """SELECT event_type, count(*) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS val_sum,
+  min(event_id) AS min_event, max(event_id) AS max_event
+FROM events
+WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+GROUP BY event_type ORDER BY event_type"""
+
   /** CSV source round trip with an EXPLICIT schema — the format-breadth
     * face: integer/string columns survive text serialization losslessly,
     * and the declared schema means no inference pass (schema inference
@@ -430,6 +492,7 @@ ORDER BY l_returnflag, l_linestatus"""
     "infra_bucketed_join" -> bucketedJoin,
     "infra_skew_join" -> skewJoin,
     "infra_partitioned_scan" -> partitionedScan,
+    "infra_minmax_skipping" -> minmaxSkipping,
     "infra_csv_roundtrip" -> csvRoundtrip,
     "infra_json_roundtrip" -> jsonRoundtrip,
     "infra_orc_roundtrip" -> orcRoundtrip,
@@ -443,6 +506,7 @@ ORDER BY l_returnflag, l_linestatus"""
     "infra_bucketed_join" -> bucketedJoinSql,
     "infra_skew_join" -> skewJoinSql,
     "infra_partitioned_scan" -> partitionedScanSql,
+    "infra_minmax_skipping" -> minmaxSkippingSql,
     "infra_csv_roundtrip" -> csvRoundtripSql,
     "infra_json_roundtrip" -> jsonRoundtripSql,
     "infra_orc_roundtrip" -> orcRoundtripSql,

@@ -39,6 +39,28 @@ class InfraScanSpec extends SparkSpec {
     assert(fullRead > prunedRead, "pruning must be non-vacuous")
   }
 
+  test("min/max stats index skips non-overlapping files and loses no rows") {
+    val (dataPath, statsPath) = InfraQueries.minmaxEventsPaths(spark, Sf)
+    val total = new java.io.File(dataPath)
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    val (lo, hi) = ("2024-01-08 00:00:00", "2024-01-12 00:00:00")
+    val survivors = InfraQueries.minmaxSurvivors(spark, statsPath, lo, hi)
+    // the index must actually skip: a ~4/30 time slice over 16
+    // range-clustered files keeps only the overlapping few
+    assert(survivors.nonEmpty && survivors.size < total,
+      s"expected real skipping, got ${survivors.size} of $total files")
+    assert(survivors.size <= 4,
+      s"a 4-day slice of 30 days over $total range-clustered files " +
+        s"should keep <=4, kept ${survivors.size}")
+    // and skipping must be lossless: survivors + residual filter ==
+    // full scan + filter, row for row
+    def cnt(df: org.apache.spark.sql.DataFrame): Long = df
+      .filter(col("ts") >= expr(s"TIMESTAMP '$lo'") &&
+        col("ts") < expr(s"TIMESTAMP '$hi'")).count()
+    assert(cnt(spark.read.parquet(survivors: _*)) ===
+      cnt(spark.read.parquet(dataPath)))
+  }
+
   test("csv round trip is identity on the declared integer/string subset") {
     val viaCsv = InfraQueries.queries("infra_csv_roundtrip")(spark, Sf)
       .collect().map(_.toSeq).toSeq
