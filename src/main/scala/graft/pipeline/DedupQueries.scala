@@ -300,6 +300,69 @@ SELECT a AS doc_id, least(a, min(b)) AS cluster_id,
   (least(a, min(b)) = a) AS is_canonical
 FROM reach GROUP BY a ORDER BY doc_id"""
 
+  // ------------------------------------------------------------ triangles
+  /** Exact triangle census of the verified near-dup graph — the
+    * cluster-density diagnostic (a clean duplicate group is a clique:
+    * `C(k,3)` triangles; a chain of borderline matches has none —
+    * per-node triangle counts separate the two before any canonical
+    * pick). Enumeration is the degree-ordered compact-forward scheme:
+    * orient every edge from its (degree, id)-smaller endpoint to the
+    * larger, build wedges from the two out-edges of their common
+    * LOWEST-ranked vertex, and close each wedge with one semi-join
+    * probe. Each triangle is counted exactly once at its minimum
+    * vertex, and — the 100 TB point — the wedge fan-out per vertex is
+    * its ORIENTED out-degree, O(√m) on any graph, so a high-degree hub
+    * (a viral near-dup template) contributes √m-bounded wedges instead
+    * of deg² — the skew that kills naive ID-ordered enumeration. The
+    * oracle enumerates the same triangles by plain a<b<c ID order
+    * (orientation choice is semantics-free). Edge relation = dup-graph
+    * nodes, orders of magnitude below corpus scale. */
+  private val triangles: Q = (s, d) => {
+    VectorExpressions.register(s)
+    val sh = shingleRows(DupCorpus.corpus(s, d))
+    val e = jaccardVerify(minhashCandidates(s, d), shingleSketches(sh), 0.4)
+      .select("doc_a", "doc_b")
+    val deg = e.select(col("doc_a").as("v"))
+      .unionAll(e.select(col("doc_b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = e
+      .join(deg.select(col("v").as("doc_a"), col("deg").as("dega")), "doc_a")
+      .join(deg.select(col("v").as("doc_b"), col("deg").as("degb")), "doc_b")
+    val aFirst = col("dega") < col("degb") ||
+      (col("dega") === col("degb") && col("doc_a") < col("doc_b"))
+    val out = withDeg.select(
+      when(aFirst, col("doc_a")).otherwise(col("doc_b")).as("src"),
+      when(aFirst, col("doc_b")).otherwise(col("doc_a")).as("dst"),
+      when(aFirst, col("degb")).otherwise(col("dega")).as("ddeg"))
+    val wedges = out.as("e1").join(out.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddeg") < col("e2.ddeg") ||
+            (col("e1.ddeg") === col("e2.ddeg") &&
+              col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("u"), col("e1.dst").as("v"),
+        col("e2.dst").as("w"))
+    val tri = wedges.join(
+      out.select(col("src").as("v"), col("dst").as("w")),
+      Seq("v", "w"), "left_semi")
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("doc_id")
+  }
+  private val trianglesSql = s"""$minhashCtes, pairs AS (
+  SELECT doc_a, doc_b FROM (
+$minhashPairSelect
+  )
+), tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+), nodes AS (
+  SELECT unnest([a, b, c]) AS doc_id FROM tri
+)
+SELECT doc_id, count(*) AS n_triangles
+FROM nodes GROUP BY doc_id ORDER BY doc_id"""
+
   // -------------------------------------------------------------- simhash
   /** SimHash(60-bit) near-dup pairs: per-token 60-bit hashes vote per
     * bit (majority with multiplicity), banded by 4×15-bit chunks for the
@@ -489,7 +552,8 @@ ORDER BY doc_a, doc_b"""
     "dedup_minhash_incremental" -> minhashIncremental,
     "dedup_simhash" -> simhash,
     "dedup_ngram_jaccard" -> ngramJaccard,
-    "dedup_cluster" -> cluster)
+    "dedup_cluster" -> cluster,
+    "dedup_triangles" -> triangles)
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
@@ -499,5 +563,6 @@ ORDER BY doc_a, doc_b"""
     "dedup_minhash_incremental" -> minhashIncrementalSql,
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
-    "dedup_cluster" -> clusterSql)
+    "dedup_cluster" -> clusterSql,
+    "dedup_triangles" -> trianglesSql)
 }

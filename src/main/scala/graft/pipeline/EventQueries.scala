@@ -1085,6 +1085,39 @@ ORDER BY user_id, day_ms"""
 FROM events GROUP BY event_type, bin
 ORDER BY event_type, bin"""
 
+  // ------------------------------------------------- transition matrix
+  /** First-order Markov transition matrix over per-user event
+    * sequences — the "next-event" dataset-prep shape (sequence
+    * modeling corpora are exactly (state, next-state) pairs). One
+    * window pass per user (partitioned by user_id, ordered by the
+    * unique (ts, event_id)) emits each adjacent pair once; the counts
+    * are exact integers, so both engines agree bit-for-bit. Scale: the
+    * window shuffle partitions by user — per-user sequences sort
+    * locally — and the pair counting is a map-side-combinable
+    * aggregate over a |types|² key space. */
+  private val markov: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy("from_type", "to_type")
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("from_type", "to_type")
+  }
+  private val markovSql =
+    """WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      AS to_type
+  FROM events
+)
+SELECT from_type, to_type, count(*) AS n_transitions,
+  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM seq WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type ORDER BY from_type, to_type"""
+
   val queries: Map[String, Q] = Map(
     "events_tumbling" -> tumbling,
     "events_sliding" -> sliding,
@@ -1115,7 +1148,8 @@ ORDER BY event_type, bin"""
     "events_user_rank" -> userRank,
     "events_quantiles" -> quantiles,
     "events_quantiles_approx" -> quantilesApprox,
-    "events_json_props" -> jsonProps)
+    "events_json_props" -> jsonProps,
+    "events_markov" -> markov)
 
   val oracle: Map[String, String] = Map(
     "events_tumbling" -> tumblingSql,
@@ -1148,5 +1182,6 @@ ORDER BY event_type, bin"""
     "events_user_rank" -> userRankSql,
     "events_quantiles" -> quantilesSql,
     "events_quantiles_approx" -> quantilesApproxSql,
-    "events_json_props" -> jsonPropsSql)
+    "events_json_props" -> jsonPropsSql,
+    "events_markov" -> markovSql)
 }

@@ -216,9 +216,10 @@ ORDER BY query_id, rank"""
   /** KmIters Lloyd iterations over `e` (vec_id, v) → final centroids.
     * Deterministic init = vectors 0..k-1; per-iteration state is k×dim
     * doubles on the driver (constant-size model, not a data collect). */
-  private def kmeansCentroids(s: SparkSession, e: DataFrame): Seq[(Int, Seq[Double])] = {
+  private def kmeansCentroids(s: SparkSession, e: DataFrame,
+                              k: Int = KmK): Seq[(Int, Seq[Double])] = {
     import s.implicits._
-    val init = e.filter(col("vec_id") < KmK)
+    val init = e.filter(col("vec_id") < k)
       .select(col("vec_id").cast("int"), col("v"))
       .as[(Int, Seq[Double])].collect().toSeq.sortBy(_._1)
     (1 to KmIters).foldLeft(init) { (c, _) =>
