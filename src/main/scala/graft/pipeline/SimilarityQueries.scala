@@ -305,18 +305,22 @@ ORDER BY query_id, rank"""
         col("cid") === col("probe_cid") && col("vec_id") =!= col("query_id"))
     rerankTop5(cand)
   }
-  private val topkKmeansSql = {
-    def assignSql(e: String, c: String) = s"""
+  /** Oracle-side Lloyd building blocks, shared by the k-means IVF and
+    * PQ mirrors: argmin assignment by squared-L2 expansion with cid
+    * tie-break, and the decimal-exact centroid mean update. */
+  private def assignSql(e: String, c: String) = s"""
   SELECT vec_id, v, cid FROM (
     SELECT e.vec_id, e.v, c.cid,
       row_number() OVER (PARTITION BY e.vec_id ORDER BY
         list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv), c.cid) AS rn
     FROM $e e, $c c) WHERE rn = 1"""
-    def updateSql(a: String) = s"""
+  private def updateSql(a: String) = s"""
   SELECT cid, list(m ORDER BY dim) AS cv FROM (
     SELECT cid, dim, CAST(sum(CAST(x AS DECIMAL(25,15))) AS DOUBLE) / count(*) AS m
     FROM (SELECT cid, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM $a)
     GROUP BY cid, dim) GROUP BY cid"""
+
+  private val topkKmeansSql = {
     s"""WITH e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), c0 AS (
@@ -345,6 +349,133 @@ ORDER BY query_id, rank"""
 SELECT query_id, neighbor_id, CAST(row_number() OVER w AS INT) AS rank, round(sim, 6) AS sim
 FROM sims
 WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+QUALIFY row_number() OVER w <= 5
+ORDER BY query_id, rank"""
+  }
+
+  // --------------------------------------------------------------- PQ/ADC
+  /** Product quantization with asymmetric distance computation — the
+    * third scale path next to IVF and LSH, and the one that carries
+    * billion-vector serving (Jégou et al. 2011; the "PQ" in IVF-PQ):
+    * split each vector into [[PqM]] subspaces, k-means a [[PqK]]-entry
+    * codebook per subspace (same deterministic Lloyd as
+    * [[kmeansCentroids]], on the subvector relation), and store each
+    * corpus vector as m small codes — a 64-dim double vector becomes
+    * 4 bytes of codes, a 128× compression that is what lets the whole
+    * index live in memory at 100 TB corpus scale.
+    *
+    * Search is the ADC trick: per (query, subspace) a 16-entry literal
+    * distance table is computed ONCE driver-side (constant model state,
+    * like the centroids), and each corpus row's approximate squared-L2
+    * is m `element_at` lookups + (m−1) adds — O(m) per row instead of
+    * O(dim), inside whole-stage codegen, corpus never shuffled.
+    *
+    * Cross-engine determinism: every dot is the same sequential left
+    * fold (driver-side Scala fold ≡ graft_dot ≡ list_dot_product),
+    * the 4 subspace contributions add in fixed left-assoc order in
+    * both engines, and ranking ties break by neighbor_id. The oracle
+    * replays the identical per-subspace Lloyd trajectory in SQL and
+    * computes the same table-lookup distances via joins. */
+  private val PqM = 4; private val PqW = 16; private val PqK = 16
+
+  private def subv(v: Column, sub: Int): Column =
+    slice(v, sub * PqW + 1, PqW)
+  private def foldDot(xs: Seq[Double], ys: Seq[Double]): Double =
+    xs.zip(ys).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
+
+  private val topkPq: Q = (s, d) => {
+    import s.implicits._
+    val e = embDouble(s, d).select(col("vec_id"), col("v")).cache()
+    val books: Seq[Seq[(Int, Seq[Double])]] = (0 until PqM).map { sub =>
+      kmeansCentroids(s,
+        e.select(col("vec_id"), subv(col("v"), sub).as("v")), PqK)
+    }
+    // encode: m code columns, each an argmin over PqK literal structs —
+    // a pure projection riding the scan
+    val encoded = books.zipWithIndex.foldLeft(e.toDF) { case (df, (cents, sub)) =>
+      val best = least(cents.map { case (cid, cv) =>
+        val n2 = cv.foldLeft(0.0)((a, x) => a + x * x)
+        struct((lit(n2) - lit(2) * dot(subv(col("v"), sub),
+          array(cv.map(lit): _*))).as("d"), lit(cid).as("cid"))
+      }: _*)
+      df.withColumn(s"code$sub", best.getField("cid"))
+    }
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .collect().toSeq.sortBy(_._1)
+    val perQuery = queries.map { case (qid, qv) =>
+      val adc = (0 until PqM).map { sub =>
+        val qs = qv.slice(sub * PqW, (sub + 1) * PqW)
+        val qq = foldDot(qs, qs)
+        val bm = books(sub).toMap
+        // 16-slot lookup table indexed by code value; a slot whose
+        // cluster emptied out during Lloyd is never referenced
+        val dts = (0 until PqK).map(cid => bm.get(cid)
+          .map(cv => qq - 2 * foldDot(qs, cv) + foldDot(cv, cv))
+          .getOrElse(Double.MaxValue))
+        element_at(array(dts.map(lit): _*), col(s"code$sub") + 1)
+      }.reduce(_ + _)
+      struct(lit(qid).as("query_id"), adc.as("adc"))
+    }
+    val sims = encoded
+      .select(col("vec_id").as("neighbor_id"),
+        explode(array(perQuery: _*)).as("q"))
+      .select(col("q.query_id").as("query_id"), col("neighbor_id"),
+        col("q.adc").as("adc"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc"), col("neighbor_id"))
+    val out = sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("adc"), 6).as("adc"))
+      .orderBy("query_id", "rank")
+    e.unpersist()
+    out
+  }
+
+  private val topkPqSql = {
+    def sub(v: String, s: Int) = s"$v[${s * PqW + 1}:${(s + 1) * PqW}]"
+    val subspaceCtes = (0 until PqM).map { s =>
+      s"""es$s AS (
+  SELECT vec_id, ${sub("v", s)} AS v FROM e
+), c0_$s AS (
+  SELECT vec_id AS cid, v AS cv FROM es$s WHERE vec_id < $PqK
+), a1_$s AS (${assignSql(s"es$s", s"c0_$s")}
+), c1_$s AS (${updateSql(s"a1_$s")}
+), a2_$s AS (${assignSql(s"es$s", s"c1_$s")}
+), c2_$s AS (${updateSql(s"a2_$s")}
+), codes_$s AS (${assignSql(s"es$s", s"c2_$s")}
+), dt_$s AS (
+  SELECT q.query_id, c.cid,
+    list_dot_product(${sub("q.qv", s)}, ${sub("q.qv", s)})
+      - 2 * list_dot_product(${sub("q.qv", s)}, c.cv)
+      + list_dot_product(c.cv, c.cv) AS val
+  FROM q, c2_$s c
+)"""
+    }.mkString(", ")
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+), $subspaceCtes, sims AS (
+  SELECT q.query_id, n0.vec_id AS neighbor_id,
+    ((d0.val + d1.val) + d2.val) + d3.val AS adc
+  FROM q
+  CROSS JOIN codes_0 n0
+  JOIN codes_1 n1 ON n1.vec_id = n0.vec_id
+  JOIN codes_2 n2 ON n2.vec_id = n0.vec_id
+  JOIN codes_3 n3 ON n3.vec_id = n0.vec_id
+  JOIN dt_0 d0 ON d0.query_id = q.query_id AND d0.cid = n0.cid
+  JOIN dt_1 d1 ON d1.query_id = q.query_id AND d1.cid = n1.cid
+  JOIN dt_2 d2 ON d2.query_id = q.query_id AND d2.cid = n2.cid
+  JOIN dt_3 d3 ON d3.query_id = q.query_id AND d3.cid = n3.cid
+  WHERE n0.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(row_number() OVER w AS INT) AS rank,
+  round(adc, 6) AS adc
+FROM sims
+WINDOW w AS (PARTITION BY query_id ORDER BY adc, neighbor_id)
 QUALIFY row_number() OVER w <= 5
 ORDER BY query_id, rank"""
   }
@@ -561,6 +692,7 @@ ORDER BY vec_id, rank"""
     "ann_topk_ivf_kmeans" -> topkKmeans,
     "ann_topk_ivf_bucketed" -> topkKmeansBucketed,
     "ann_topk_lsh" -> topkLsh,
+    "ann_topk_pq" -> topkPq,
     "dedup_embedding" -> embedDedup,
     "embed_quantize" -> quantize,
     "knn_join" -> knnJoin)
@@ -573,6 +705,7 @@ ORDER BY vec_id, rank"""
     // same math, different physical path (persisted bucket-pruned index)
     "ann_topk_ivf_bucketed" -> topkKmeansSql,
     "ann_topk_lsh" -> topkLshSql,
+    "ann_topk_pq" -> topkPqSql,
     "dedup_embedding" -> embedDedupSql,
     "embed_quantize" -> quantizeSql,
     "knn_join" -> knnJoinSql)
