@@ -856,6 +856,54 @@ SELECT doc_id, source, n_chars, CAST(copy_id AS INT) AS copy_id
 FROM ex ORDER BY doc_id, copy_id"""
   }
 
+  // ----------------------------------------------------- chunk overlap
+  /** Sliding-window document chunking with overlap — the RAG/context-
+    * window prep op (split every document into C-token chunks that
+    * start every S tokens, so consecutive chunks share C−S tokens of
+    * context). Chunk starts are `explode(sequence(0, ⌊(n−1)/S⌋))·S`
+    * riding the scan — pure per-row fan-out, no shuffle, output size
+    * Σ⌈nᵢ/S⌉ — and each chunk carries its md5 so downstream exact
+    * chunk-dedup (identical boilerplate chunks collapse across docs)
+    * needs no re-tokenization. Tail chunks are clipped, never padded;
+    * every doc emits ≥1 chunk (chunk 0 always starts at token 0). */
+  private val ChunkC = 32; private val ChunkS = 24
+  private val chunkOverlap: Q = (s, d) => {
+    val nTok = size(toks).cast("long")
+    val chunkToks = slice(col("toks"), (col("start_tok") + 1).cast("int"),
+      lit(ChunkC))
+    Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"), nTok.as("n_tokens"))
+      .select(col("doc_id"), col("toks"), col("n_tokens"),
+        explode(sequence(lit(0L),
+          floor((col("n_tokens") - 1) / lit(ChunkS)).cast("long")))
+          .as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * ChunkS).as("start_tok"), col("toks"),
+        col("n_tokens"))
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+        size(chunkToks).cast("long").as("chunk_len"),
+        md5(concat_ws(" ", chunkToks)).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+  private val chunkOverlapSql =
+    s"""WITH tok AS (
+  SELECT doc_id, $ToksSql AS toks, len($ToksSql) AS n FROM documents
+), st AS (
+  SELECT doc_id, toks, n,
+    unnest(range(0, CAST(floor((n - 1) / $ChunkS) AS BIGINT) + 1))
+      AS chunk_id
+  FROM tok
+), ch AS (
+  SELECT doc_id, chunk_id, chunk_id * $ChunkS AS start_tok,
+    list_slice(toks, chunk_id * $ChunkS + 1,
+      least(chunk_id * $ChunkS + $ChunkC, n)) AS ctoks
+  FROM st
+)
+SELECT doc_id, chunk_id, start_tok,
+  CAST(len(ctoks) AS BIGINT) AS chunk_len,
+  md5(array_to_string(ctoks, ' ')) AS chunk_md5
+FROM ch ORDER BY doc_id, chunk_id"""
+
   val queries: Map[String, Q] = Map(
     "text_langid" -> langid,
     "text_quality" -> quality,
@@ -875,7 +923,8 @@ FROM ex ORDER BY doc_id, copy_id"""
     "text_stratified_sample" -> stratifiedSample,
     "text_repetition_filter" -> repetitionFilter,
     "text_pii_scrub" -> piiScrub,
-    "text_domain_mix" -> domainMix)
+    "text_domain_mix" -> domainMix,
+    "text_chunk_overlap" -> chunkOverlap)
 
   val oracle: Map[String, String] = Map(
     "text_langid" -> langidSql,
@@ -897,5 +946,6 @@ FROM ex ORDER BY doc_id, copy_id"""
     "text_stratified_sample" -> stratifiedSampleSql,
     "text_repetition_filter" -> repetitionFilterSql,
     "text_pii_scrub" -> piiScrubSql,
-    "text_domain_mix" -> domainMixSql)
+    "text_domain_mix" -> domainMixSql,
+    "text_chunk_overlap" -> chunkOverlapSql)
 }
