@@ -320,8 +320,14 @@ FROM reach GROUP BY a ORDER BY doc_id"""
   private val triangles: Q = (s, d) => {
     VectorExpressions.register(s)
     val sh = shingleRows(DupCorpus.corpus(s, d))
+    // the verified pair relation is referenced five times below (degree,
+    // orientation, wedge self-join, closing probe); materialize it once
+    // — dup-graph edges are orders of magnitude below corpus scale —
+    // so each reference is a read of ~|pairs| rows instead of a replay
+    // of the whole minhash pipeline (same localCheckpoint discipline as
+    // [[cluster]]; without it the composed plan exceeds 300 exchanges)
     val e = jaccardVerify(minhashCandidates(s, d), shingleSketches(sh), 0.4)
-      .select("doc_a", "doc_b")
+      .select("doc_a", "doc_b").localCheckpoint()
     val deg = e.select(col("doc_a").as("v"))
       .unionAll(e.select(col("doc_b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
