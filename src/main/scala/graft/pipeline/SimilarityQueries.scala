@@ -383,23 +383,59 @@ ORDER BY query_id, rank"""
   private def foldDot(xs: Seq[Double], ys: Seq[Double]): Double =
     xs.zip(ys).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
 
+  /** The per-subspace argmin code column for one subspace, from literal
+    * centroids — shared by the Lloyd assignment and the final encode. */
+  private def pqCodeCol(cents: Seq[(Int, Seq[Double])], sub: Int): Column =
+    least(cents.map { case (cid, cv) =>
+      val n2 = cv.foldLeft(0.0)((a, x) => a + x * x)
+      struct((lit(n2) - lit(2) * dot(subv(col("v"), sub),
+        array(cv.map(lit): _*))).as("d"), lit(cid).as("cid"))
+    }: _*).getField("cid").as(s"code$sub")
+
+  /** All [[PqM]] codebooks, Lloyd-iterated TOGETHER: each iteration is
+    * ONE corpus pass that assigns all m subspaces (m argmin projection
+    * columns) and ONE (sub, cid, pos) aggregation for every mean —
+    * versus m separate 2-job loops (measured 6.1 s → the batched form
+    * at sf0.1; the sequential driver round-trips, not the flops, were
+    * the cost). The per-(sub, cid, dim) decimal sums see exactly the
+    * same addends as the per-subspace loops, and decimal addition is
+    * order-independent, so the centroid trajectory — and therefore the
+    * oracle — is bit-identical to the per-subspace formulation. */
+  private def pqCodebooks(s: SparkSession, e: DataFrame): Seq[Seq[(Int, Seq[Double])]] = {
+    import s.implicits._
+    val initRows = e.filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast("int"), col("v")).as[(Int, Seq[Double])]
+      .collect().toSeq.sortBy(_._1)
+    val init: Seq[Seq[(Int, Seq[Double])]] = (0 until PqM).map { sub =>
+      initRows.map { case (cid, v) =>
+        (cid, v.slice(sub * PqW, (sub + 1) * PqW)) } }
+    (1 to KmIters).foldLeft(init) { (books, _) =>
+      val subCol = (col("pos") / PqW).cast("int")
+      val rows = e
+        .select(col("v") +:
+          books.zipWithIndex.map { case (c, sub) => pqCodeCol(c, sub) }: _*)
+        .select(posexplode(col("v")).as(Seq("pos", "x")),
+          element_at(array((0 until PqM).map(i => col(s"code$i")): _*),
+            subCol + 1).as("cid"))
+        .groupBy(subCol.as("sub"), col("cid"), col("pos"))
+        .agg((sum(col("x").cast("decimal(25,15)")).cast("double") /
+          count(lit(1))).as("m"))
+        .as[(Int, Int, Int, Double)].collect().toSeq
+      (0 until PqM).map { sub =>
+        rows.filter(_._1 == sub).groupBy(_._2).map { case (cid, xs) =>
+          (cid, xs.sortBy(_._3).map(_._4).toSeq) }.toSeq.sortBy(_._1)
+      }
+    }
+  }
+
   private val topkPq: Q = (s, d) => {
     import s.implicits._
     val e = embDouble(s, d).select(col("vec_id"), col("v")).cache()
-    val books: Seq[Seq[(Int, Seq[Double])]] = (0 until PqM).map { sub =>
-      kmeansCentroids(s,
-        e.select(col("vec_id"), subv(col("v"), sub).as("v")), PqK)
-    }
+    val books = pqCodebooks(s, e)
     // encode: m code columns, each an argmin over PqK literal structs —
     // a pure projection riding the scan
-    val encoded = books.zipWithIndex.foldLeft(e.toDF) { case (df, (cents, sub)) =>
-      val best = least(cents.map { case (cid, cv) =>
-        val n2 = cv.foldLeft(0.0)((a, x) => a + x * x)
-        struct((lit(n2) - lit(2) * dot(subv(col("v"), sub),
-          array(cv.map(lit): _*))).as("d"), lit(cid).as("cid"))
-      }: _*)
-      df.withColumn(s"code$sub", best.getField("cid"))
-    }
+    val encoded = e.select(col("vec_id") +:
+      books.zipWithIndex.map { case (c, sub) => pqCodeCol(c, sub) }: _*)
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
       .collect().toSeq.sortBy(_._1)

@@ -642,7 +642,64 @@ WHERE CAST(c_acctbal AS DECIMAL(25,10)) * n_pos > sum_bal
 GROUP BY c_nationkey
 ORDER BY cntry"""
 
+  // ------------------------------------------------------ Q6 / Q12 shapes
+  /** Q6-shape forecasting-revenue filter: the pure scan-side query —
+    * three pushed-down predicates, no join, one global aggregate. The
+    * plan to want at 100 TB: every filter reaches the parquet scan
+    * (`PushedFilters`), partial aggregation makes the shuffle one row
+    * per partition. Revenue = Σ price·discount with the per-row double
+    * product cast to decimal before summing, so the total is
+    * shuffle-order-independent and hash-stable cross-engine. */
+  private val filteredRevenue: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01'") &&
+        col("l_shipdate") < expr("TIMESTAMP '1997-01-01'") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(count(lit(1)).as("n_lines"),
+        round(sum((col("l_extendedprice") * col("l_discount"))
+          .cast("decimal(18,6)")).cast("double"), 4).as("revenue"))
+  private val filteredRevenueSql =
+    """SELECT count(*) AS n_lines,
+  round(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+    AS DOUBLE), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"""
+
+  /** Q12-shape late-line priority split (declared testdata deviation:
+    * the synthetic lineitem has no shipmode/commit/receipt dates, so
+    * the group key is l_linestatus and "late" = shipped more than 90
+    * days after the order date — the relational shape, one fact⋈orders
+    * join feeding a two-bucket conditional aggregate, is Q12's). The
+    * orders side carries only (key, date, priority) into the join —
+    * column pruning keeps the shuffled build side narrow. */
+  private val lateLines: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL '90' DAY"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  private val lateLinesSql =
+    """SELECT l.l_linestatus,
+  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+GROUP BY l.l_linestatus ORDER BY l.l_linestatus"""
+
   val queries: Map[String, Q] = Map(
+    "tpch_filtered_revenue" -> filteredRevenue,
+    "tpch_late_lines" -> lateLines,
     "tpch_pricing_summary" -> pricingSummary,
     "tpch_top_orders" -> topOrders,
     "tpch_region_revenue" -> regionRevenue,
@@ -660,6 +717,8 @@ ORDER BY cntry"""
     "tpch_untapped_accounts" -> untappedAccounts)
 
   val oracle: Map[String, String] = Map(
+    "tpch_filtered_revenue" -> filteredRevenueSql,
+    "tpch_late_lines" -> lateLinesSql,
     "tpch_pricing_summary" -> pricingSummarySql,
     "tpch_top_orders" -> topOrdersSql,
     "tpch_region_revenue" -> regionRevenueSql,
