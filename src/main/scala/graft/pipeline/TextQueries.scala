@@ -904,6 +904,42 @@ SELECT doc_id, chunk_id, start_tok,
   md5(array_to_string(ctoks, ' ')) AS chunk_md5
 FROM ch ORDER BY doc_id, chunk_id"""
 
+  // ------------------------------------------------------- chunk dedup
+  /** Cross-document chunk dedup — the boilerplate-collapse pass that
+    * runs right after chunking in a RAG/pretraining pipeline (license
+    * headers, navigation chrome, and templated intros appear as
+    * identical chunks across many documents; they should index once).
+    * Composes [[chunkOverlap]]'s md5 with an exact-dedup aggregate:
+    * one shuffle on the 16-byte chunk hash (never the text), map-side
+    * partial agg, and only hashes that actually repeat survive. */
+  private val chunkDedup: Q = (s, d) =>
+    chunkOverlap(s, d)
+      .groupBy("chunk_md5")
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct("doc_id").as("n_docs"),
+        min("doc_id").as("first_doc"))
+      .filter(col("n_copies") > 1)
+      .orderBy("chunk_md5")
+  private val chunkDedupSql =
+    s"""WITH tok AS (
+  SELECT doc_id, $ToksSql AS toks, len($ToksSql) AS n FROM documents
+), st AS (
+  SELECT doc_id, toks, n,
+    unnest(range(0, CAST(floor((n - 1) / $ChunkS) AS BIGINT) + 1))
+      AS chunk_id
+  FROM tok
+), ch AS (
+  SELECT doc_id, chunk_id,
+    md5(array_to_string(list_slice(toks, chunk_id * $ChunkS + 1,
+      least(chunk_id * $ChunkS + $ChunkC, n)), ' ')) AS chunk_md5
+  FROM st
+)
+SELECT chunk_md5, count(*) AS n_copies,
+  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+  min(doc_id) AS first_doc
+FROM ch GROUP BY chunk_md5 HAVING count(*) > 1
+ORDER BY chunk_md5"""
+
   val queries: Map[String, Q] = Map(
     "text_langid" -> langid,
     "text_quality" -> quality,
@@ -924,7 +960,8 @@ FROM ch ORDER BY doc_id, chunk_id"""
     "text_repetition_filter" -> repetitionFilter,
     "text_pii_scrub" -> piiScrub,
     "text_domain_mix" -> domainMix,
-    "text_chunk_overlap" -> chunkOverlap)
+    "text_chunk_overlap" -> chunkOverlap,
+    "text_chunk_dedup" -> chunkDedup)
 
   val oracle: Map[String, String] = Map(
     "text_langid" -> langidSql,
@@ -947,5 +984,6 @@ FROM ch ORDER BY doc_id, chunk_id"""
     "text_repetition_filter" -> repetitionFilterSql,
     "text_pii_scrub" -> piiScrubSql,
     "text_domain_mix" -> domainMixSql,
-    "text_chunk_overlap" -> chunkOverlapSql)
+    "text_chunk_overlap" -> chunkOverlapSql,
+    "text_chunk_dedup" -> chunkDedupSql)
 }
