@@ -516,6 +516,120 @@ QUALIFY row_number() OVER w <= 5
 ORDER BY query_id, rank"""
   }
 
+  // ------------------------------------------------------------- IVF-PQ
+  /** The composed billion-scale index: IVF coarse cells bound WHICH
+    * rows are scanned (nprobe/nlist of the corpus, same k=8/nprobe=2
+    * quantizer as [[topkKmeans]]) and PQ/ADC bounds WHAT each scanned
+    * row costs (m table lookups instead of an O(dim) dot) — the two
+    * savings multiply, which is exactly the FAISS IVF-PQ layout.
+    * Declared simplification vs production IVF-PQ: codes quantize the
+    * raw vectors with one shared codebook rather than per-cell
+    * residuals (residual PQ needs nlist codebooks; the plan shape —
+    * probe equi-join, then lookup-only ranking — is identical).
+    * Per-query ADC tables arrive as a 10-branch literal CASE over the
+    * broadcast probe join, so candidate ranking stays a codegen'd
+    * projection; the corpus is touched once for encode and once for
+    * the probed cells. */
+  private val topkIvfPq: Q = (s, d) => {
+    import s.implicits._
+    val e = embDouble(s, d).select(col("vec_id"), col("v")).cache()
+    val cents = kmeansCentroids(s, e)
+    val cells = assignCells(e, cents)
+    val books = pqCodebooks(s, e)
+    val encoded = cells.select(col("vec_id") +: col("cid") +:
+      books.zipWithIndex.map { case (c, sub) => pqCodeCol(c, sub) }: _*)
+    val probes = probeList(s, e, cents)
+    val queries = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .collect().toSeq.sortBy(_._1)
+    def adcFor(qv: Seq[Double]): Column =
+      (0 until PqM).map { sub =>
+        val qs = qv.slice(sub * PqW, (sub + 1) * PqW)
+        val qq = foldDot(qs, qs)
+        val bm = books(sub).toMap
+        val dts = (0 until PqK).map(cid => bm.get(cid)
+          .map(cv => qq - 2 * foldDot(qs, cv) + foldDot(cv, cv))
+          .getOrElse(Double.MaxValue))
+        element_at(array(dts.map(lit): _*), col(s"code$sub") + 1)
+      }.reduce(_ + _)
+    val adc = queries.foldRight(lit(Double.NaN)) { case ((qid, qv), acc) =>
+      when(col("query_id") === qid, adcFor(qv)).otherwise(acc) }
+    val sims = encoded.join(
+      broadcast(probes.select(col("query_id"), col("probe_cid"))),
+      col("cid") === col("probe_cid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adc.as("adc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc"), col("neighbor_id"))
+    val out = sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("adc"), 6).as("adc"))
+      .orderBy("query_id", "rank")
+    e.unpersist()
+    out
+  }
+
+  private val topkIvfPqSql = {
+    def sub(v: String, s: Int) = s"$v[${s * PqW + 1}:${(s + 1) * PqW}]"
+    val pqCtes = (0 until PqM).map { s =>
+      s"""es$s AS (
+  SELECT vec_id, ${sub("v", s)} AS v FROM e
+), pc0_$s AS (
+  SELECT vec_id AS cid, v AS cv FROM es$s WHERE vec_id < $PqK
+), pa1_$s AS (${assignSql(s"es$s", s"pc0_$s")}
+), pc1_$s AS (${updateSql(s"pa1_$s")}
+), pa2_$s AS (${assignSql(s"es$s", s"pc1_$s")}
+), pc2_$s AS (${updateSql(s"pa2_$s")}
+), codes_$s AS (${assignSql(s"es$s", s"pc2_$s")}
+), dt_$s AS (
+  SELECT q.query_id, c.cid,
+    list_dot_product(${sub("q.qv", s)}, ${sub("q.qv", s)})
+      - 2 * list_dot_product(${sub("q.qv", s)}, c.cv)
+      + list_dot_product(c.cv, c.cv) AS val
+  FROM q, pc2_$s c
+)"""
+    }.mkString(", ")
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+), c0 AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $KmK
+), a1 AS (${assignSql("e", "c0")}
+), c1 AS (${updateSql("a1")}
+), a2 AS (${assignSql("e", "c1")}
+), c2 AS (${updateSql("a2")}
+), cells AS (${assignSql("e", "c2")}
+), probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        list_dot_product(c.cv, c.cv) - 2 * list_dot_product(q.qv, c.cv), c.cid) AS rn
+    FROM q, c2 c) WHERE rn <= $KmProbe
+), $pqCtes, sims AS (
+  SELECT q.query_id, cl.vec_id AS neighbor_id,
+    ((d0.val + d1.val) + d2.val) + d3.val AS adc
+  FROM q
+  JOIN probes p ON p.query_id = q.query_id
+  JOIN cells cl ON cl.cid = p.cid AND cl.vec_id <> q.query_id
+  JOIN codes_0 n0 ON n0.vec_id = cl.vec_id
+  JOIN codes_1 n1 ON n1.vec_id = cl.vec_id
+  JOIN codes_2 n2 ON n2.vec_id = cl.vec_id
+  JOIN codes_3 n3 ON n3.vec_id = cl.vec_id
+  JOIN dt_0 d0 ON d0.query_id = q.query_id AND d0.cid = n0.cid
+  JOIN dt_1 d1 ON d1.query_id = q.query_id AND d1.cid = n1.cid
+  JOIN dt_2 d2 ON d2.query_id = q.query_id AND d2.cid = n2.cid
+  JOIN dt_3 d3 ON d3.query_id = q.query_id AND d3.cid = n3.cid
+)
+SELECT query_id, neighbor_id, CAST(row_number() OVER w AS INT) AS rank,
+  round(adc, 6) AS adc
+FROM sims
+WINDOW w AS (PARTITION BY query_id ORDER BY adc, neighbor_id)
+QUALIFY row_number() OVER w <= 5
+ORDER BY query_id, rank"""
+  }
+
   /** Random-hyperplane LSH ANN — the second scale path next to IVF:
     * 12 sign-of-dot bits per vector (hyperplane components are a
     * deterministic md5-derived pseudo-random grid, so the DuckDB oracle
@@ -729,6 +843,7 @@ ORDER BY vec_id, rank"""
     "ann_topk_ivf_bucketed" -> topkKmeansBucketed,
     "ann_topk_lsh" -> topkLsh,
     "ann_topk_pq" -> topkPq,
+    "ann_topk_ivfpq" -> topkIvfPq,
     "dedup_embedding" -> embedDedup,
     "embed_quantize" -> quantize,
     "knn_join" -> knnJoin)
@@ -742,6 +857,7 @@ ORDER BY vec_id, rank"""
     "ann_topk_ivf_bucketed" -> topkKmeansSql,
     "ann_topk_lsh" -> topkLshSql,
     "ann_topk_pq" -> topkPqSql,
+    "ann_topk_ivfpq" -> topkIvfPqSql,
     "dedup_embedding" -> embedDedupSql,
     "embed_quantize" -> quantizeSql,
     "knn_join" -> knnJoinSql)
