@@ -272,4 +272,48 @@ object StreamingEvents {
           out.result().iterator
       }
   }
+
+  case class MkEv(tsMs: Long, eventId: Long, etype: String)
+  case class MkState(pending: List[MkEv], lastType: String, hasLast: Boolean)
+  case class MkTransition(user_id: Long, event_id: Long,
+                          from_type: String, to_type: String)
+
+  /** Streaming event-transition extraction — the unbounded face of
+    * `events_markov`: per user, remember the last released event's type
+    * and emit a (from_type, to_type) pair for each newly released
+    * event; the batch query's transition matrix is then a plain
+    * downstream count over these pairs. Ordering needs the same
+    * watermark-release discipline as [[runningTotalStream]]: events
+    * buffer until the watermark passes them STRICTLY (an event stamped
+    * exactly at the watermark can still arrive in a later micro-batch),
+    * then release in (ts, event_id) order. State per user is the
+    * in-delay pending buffer plus ONE remembered type — O(users ×
+    * delay-window), independent of stream length. */
+  def markovStream(events: DataFrame, delay: String = "2 hours"): Dataset[MkTransition] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MkState, MkTransition](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, it, state) =>
+          val prev = state.getOption.getOrElse(MkState(Nil, "", false))
+          val incoming = it.map(e => MkEv(e._2.getTime, e._3, e._4)).toList
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, pending) =
+            (prev.pending ++ incoming).partition(_.tsMs < wm)
+          var last = prev.lastType
+          var has = prev.hasLast
+          val out = List.newBuilder[MkTransition]
+          ready.sortBy(e => (e.tsMs, e.eventId)).foreach { e =>
+            if (has) out += MkTransition(user, e.eventId, last, e.etype)
+            last = e.etype; has = true
+          }
+          state.update(MkState(pending, last, has))
+          if (pending.nonEmpty) state.setTimeoutTimestamp(pending.map(_.tsMs).min)
+          out.result().iterator
+      }
+  }
 }

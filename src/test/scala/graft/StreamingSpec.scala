@@ -192,6 +192,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming transitions: out-of-order replay preserves sequence order, batch parity") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_ms", "user_id", "event_id", "event_type")
+      .select(timestamp_millis(col("ts_ms")).as("ts"), col("user_id"),
+        col("event_id"), col("event_type"))
+    val q = StreamingEvents.markovStream(typed(mem.toDF()), "1 hour")
+      .toDF().writeStream.format("memory").queryName("mk")
+      .outputMode("append").start()
+    val h0 = 3600L * 1000
+    val m = 60000L
+    // user 1's view at ts+2m arrives a batch late: transitions must
+    // still read click->view->purchase, not click->purchase->view
+    val batch1 = Seq((h0 + m, 1L, 101L, "click"), (h0 + 3 * m, 1L, 103L, "purchase"),
+      (h0 + 2 * m, 2L, 201L, "browse"))
+    val batch2 = Seq((h0 + 2 * m, 1L, 102L, "view"), (h0 + 4 * m, 2L, 202L, "click"))
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      mem.addData((h0 + 8 * 3600000, 9L, 999L, "noop")) // advance watermark
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))
+      val got = spark.table("mk").collect().map(key).toSet
+      assert(got === Set(
+        (1L, 102L, "click", "view"), (1L, 103L, "view", "purchase"),
+        (2L, 202L, "browse", "click")))
+      // batch parity: the same released events through the batch lead
+      // window produce the same (from, to) multiset
+      val batchPairs = typed((batch1 ++ batch2).toDF())
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          lag(col("event_type"), 1).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("user_id").orderBy(col("ts"), col("event_id")))
+            .as("from_type"))
+        .filter(col("from_type").isNotNull)
+        .select(col("user_id"), col("event_id"), col("from_type"),
+          col("event_type"))
+        .collect().map(key).toSet
+      assert(batchPairs === got)
+    } finally q.stop()
+  }
+
   test("stream-static anomaly join: live events flagged against batch stats") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
