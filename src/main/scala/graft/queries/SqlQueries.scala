@@ -65,7 +65,13 @@ object SqlQueries {
     "sql_order_priority" -> "tpch_order_priority",
     "sql_brand_revenue" -> "tpch_brand_revenue",
     "sql_untapped_accounts" -> "tpch_untapped_accounts",
-    "sql_small_qty_revenue" -> "tpch_small_qty_revenue")
+    "sql_small_qty_revenue" -> "tpch_small_qty_revenue",
+    // Q6: the pure scan-side shape — proves filter pushdown happens
+    // identically from parsed SQL text (TIMESTAMP literals, BETWEEN)
+    "sql_filtered_revenue" -> "tpch_filtered_revenue",
+    // Q12 shape: join + conditional aggregation + INTERVAL arithmetic
+    // from SQL text
+    "sql_late_lines" -> "tpch_late_lines")
 
   /** The summary-rewrite face FROM SQL TEXT: registers the lineitem
     * summary, then executes `infra_summary_rewrite`'s oracle string via
