@@ -1118,6 +1118,63 @@ SELECT from_type, to_type, count(*) AS n_transitions,
 FROM seq WHERE to_type IS NOT NULL
 GROUP BY from_type, to_type ORDER BY from_type, to_type"""
 
+  // --------------------------------------------- state history (SCD2)
+  /** Gaps-and-islands → SCD-Type-2 state history: collapse each user's
+    * consecutive same-type runs into validity intervals
+    * [valid_from, valid_to) with the last run open (is_current) — the
+    * dimension-history shape every warehouse keeps, and the classic
+    * islands formulation: a lag-window marks change points, a running
+    * sum numbers the islands, one aggregate per island, and a lead
+    * over islands closes each interval with its successor's start.
+    * All three windows share the user_id partitioning, so the whole
+    * query is ONE shuffle + per-user local sorts; epoch-ms integers
+    * keep the hash engine-stable. */
+  private val stateHistory: Q = (s, d) => {
+    val wRow = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prevType = lag(col("event_type"), 1).over(wRow)
+    val changed = when(prevType.isNull ||
+      prevType =!= col("event_type"), 1L).otherwise(0L)
+    val island = sum(changed)
+      .over(wRow.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val wIsl = Window.partitionBy("user_id").orderBy(col("island"))
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("island", island)
+      .groupBy("user_id", "island", "event_type")
+      .agg(min(unix_millis(col("ts"))).as("valid_from_ms"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("event_type"), col("valid_from_ms"),
+        lead(col("valid_from_ms"), 1).over(wIsl).as("valid_to_ms"),
+        col("n_events"))
+      .withColumn("is_current", col("valid_to_ms").isNull)
+      .orderBy("user_id", "valid_from_ms")
+  }
+  private val stateHistorySql =
+    """WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(event_type) OVER w IS NULL
+           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END
+      AS changed
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+  SELECT user_id, ts, event_type,
+    sum(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+), runs AS (
+  SELECT user_id, island, event_type,
+    min(epoch_ms(ts)) AS valid_from_ms, count(*) AS n_events
+  FROM islands GROUP BY user_id, island, event_type
+)
+SELECT user_id, event_type, valid_from_ms,
+  lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY island)
+    AS valid_to_ms,
+  n_events,
+  (lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY island)
+    IS NULL) AS is_current
+FROM runs ORDER BY user_id, valid_from_ms"""
+
   val queries: Map[String, Q] = Map(
     "events_tumbling" -> tumbling,
     "events_sliding" -> sliding,
@@ -1149,7 +1206,8 @@ GROUP BY from_type, to_type ORDER BY from_type, to_type"""
     "events_quantiles" -> quantiles,
     "events_quantiles_approx" -> quantilesApprox,
     "events_json_props" -> jsonProps,
-    "events_markov" -> markov)
+    "events_markov" -> markov,
+    "events_state_history" -> stateHistory)
 
   val oracle: Map[String, String] = Map(
     "events_tumbling" -> tumblingSql,
@@ -1183,5 +1241,6 @@ GROUP BY from_type, to_type ORDER BY from_type, to_type"""
     "events_quantiles" -> quantilesSql,
     "events_quantiles_approx" -> quantilesApproxSql,
     "events_json_props" -> jsonPropsSql,
-    "events_markov" -> markovSql)
+    "events_markov" -> markovSql,
+    "events_state_history" -> stateHistorySql)
 }
