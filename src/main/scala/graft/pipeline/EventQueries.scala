@@ -1175,6 +1175,53 @@ SELECT user_id, event_type, valid_from_ms,
     IS NULL) AS is_current
 FROM runs ORDER BY user_id, valid_from_ms"""
 
+  // ---------------------------------------------- CMS heavy hitters
+  /** Count-min-sketch heavy hitters under a tolerance contract — the
+    * third sketch family next to HLL (`text_profile_approx`) and the
+    * percentile summaries (`events_quantiles_approx`), and the one
+    * that answers "top keys by frequency" on a stream the exact
+    * groupBy can't hold: the sketch is a fixed ε×δ counter grid that
+    * merges associatively, so at 100 TB it builds in one combinable
+    * aggregate pass with O(1/ε·ln 1/δ) state, not O(keys). Input is
+    * the deterministically skewed fact relation (75% of traffic on
+    * user 0 — uniform data has no heavy hitters to find). Like the
+    * other approximate ops, the unverifiable estimate values stay out
+    * of the output; what ships is the CMS CONTRACT per top key:
+    * est ≥ true (structural) and est ≤ true + ⌈ε·N⌉ (the 1−δ bound,
+    * deterministic here because the seed is fixed) — the oracle emits
+    * the exact top keys with literal TRUE. The sketch collect is
+    * constant-size model state (one ~23 KB grid), as are the 5 probe
+    * keys. */
+  private val heavyHitters: Q = (s, d) => {
+    val fact = graft.queries.InfraQueries.skewedFact(s, d)
+    val eps = 0.001
+    val skBytes = fact
+      .agg(expr(s"count_min_sketch(user_id, ${eps}d, 0.99d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val budget = math.ceil(eps * cms.totalCount()).toLong
+    val top = fact.groupBy("user_id").agg(count(lit(1)).as("n_true"))
+      .orderBy(col("n_true").desc, col("user_id")).limit(5)
+      .collect().map { r =>
+        val uid = r.getLong(0); val nt = r.getLong(1)
+        val est = cms.estimateCount(uid)
+        (uid, nt, est >= nt && est <= nt + budget)
+      }.toSeq
+    import s.implicits._
+    top.toDF("user_id", "n_true", "within_eps").orderBy("user_id")
+  }
+  private val heavyHittersSql =
+    """WITH fact AS (
+  SELECT CASE WHEN user_id % 4 <> 0 THEN 0 ELSE user_id END AS user_id
+  FROM events
+), cnt AS (
+  SELECT user_id, count(*) AS n_true FROM fact GROUP BY user_id
+), top AS (
+  SELECT user_id, n_true FROM cnt ORDER BY n_true DESC, user_id LIMIT 5
+)
+SELECT user_id, n_true, TRUE AS within_eps FROM top ORDER BY user_id"""
+
   val queries: Map[String, Q] = Map(
     "events_tumbling" -> tumbling,
     "events_sliding" -> sliding,
@@ -1207,7 +1254,8 @@ FROM runs ORDER BY user_id, valid_from_ms"""
     "events_quantiles_approx" -> quantilesApprox,
     "events_json_props" -> jsonProps,
     "events_markov" -> markov,
-    "events_state_history" -> stateHistory)
+    "events_state_history" -> stateHistory,
+    "events_heavy_hitters" -> heavyHitters)
 
   val oracle: Map[String, String] = Map(
     "events_tumbling" -> tumblingSql,
@@ -1242,5 +1290,6 @@ FROM runs ORDER BY user_id, valid_from_ms"""
     "events_quantiles_approx" -> quantilesApproxSql,
     "events_json_props" -> jsonPropsSql,
     "events_markov" -> markovSql,
-    "events_state_history" -> stateHistorySql)
+    "events_state_history" -> stateHistorySql,
+    "events_heavy_hitters" -> heavyHittersSql)
 }
