@@ -273,6 +273,20 @@ object StreamingEvents {
       }
   }
 
+  /** Streaming count-min sketch — the unbounded face of
+    * `events_heavy_hitters`: the CMS counter grid is an associative,
+    * commutative merge (cell-wise addition with shared hash params),
+    * so the sketch builds as a PLAIN streaming aggregation — no custom
+    * state, state size the fixed ε×δ grid regardless of stream length
+    * or key cardinality. Emitted per event-type group in complete
+    * mode; the caller probes the collected grid exactly like the batch
+    * face. Grid addition is order-independent, so the streamed sketch
+    * is BYTE-IDENTICAL to the batch sketch over the same rows
+    * (StreamingSpec pins this). */
+  def cmsStream(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sketch"))
+
   case class MkEv(tsMs: Long, eventId: Long, etype: String)
   case class MkState(pending: List[MkEv], lastType: String, hasLast: Boolean)
   case class MkTransition(user_id: Long, event_id: Long,

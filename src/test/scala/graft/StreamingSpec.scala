@@ -240,6 +240,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CMS sketch: cross-batch grid merge is byte-identical to batch") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    def typed(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("user_id", "event_type")
+    val q = StreamingEvents.cmsStream(typed(mem.toDF()))
+      .writeStream.format("memory").queryName("cms")
+      .outputMode("complete").start()
+    val batch1 = Seq((1L, "click"), (1L, "click"), (2L, "click"), (7L, "view"))
+    val batch2 = Seq((1L, "click"), (3L, "view"), (7L, "view"))
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cms").collect()
+        .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      val batch = StreamingEvents.cmsStream(typed((batch1 ++ batch2).toDF()))
+        .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      assert(streamed.keySet === Set("click", "view"))
+      // cell-wise grid addition is order-independent, so the merged
+      // streaming sketch must serialize byte-identically to the batch
+      // sketch over the same rows — and probing it agrees too
+      streamed.foreach { case (k, bytes) =>
+        assert(java.util.Arrays.equals(bytes, batch(k)),
+          s"sketch bytes diverge for $k")
+      }
+      val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(streamed("click")))
+      assert(cms.estimateCount(1L) === 3L && cms.totalCount() === 4L)
+    } finally q.stop()
+  }
+
   test("stream-static anomaly join: live events flagged against batch stats") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
