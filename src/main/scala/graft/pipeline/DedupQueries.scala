@@ -300,6 +300,38 @@ SELECT a AS doc_id, least(a, min(b)) AS cluster_id,
   (least(a, min(b)) = a) AS is_canonical
 FROM reach GROUP BY a ORDER BY doc_id"""
 
+  // ---------------------------------------------------------- containment
+  /** Containment dedup — the ASYMMETRIC verify face (Broder's
+    * containment |A∩B| / min(|A|,|B|)): a truncated or excerpted copy
+    * is nearly a SUBSET of its source, so its Jaccard dilutes with the
+    * length gap while its containment stays ≈1 — the metric that
+    * catches quote-extraction and prefix-truncation dups. Same banded
+    * candidate generation and one-row-per-pair sketch verify as
+    * [[minhash]] (same scale posture); only the denominator and the
+    * 0.7 threshold differ. */
+  private val containment: Q = (s, d) => {
+    VectorExpressions.register(s)
+    val sk = shingleSketches(shingleRows(DupCorpus.corpus(s, d)))
+    val c = col("ni").cast("double") / least(col("na"), col("nb"))
+    minhashCandidates(s, d)
+      .join(sk.select(col("doc_id").as("doc_a"),
+        col("hs").as("ha"), col("n").as("na")), "doc_a")
+      .join(sk.select(col("doc_id").as("doc_b"),
+        col("hs").as("hb"), col("n").as("nb")), "doc_b")
+      .withColumn("ni", call_function("graft_intersect", col("ha"), col("hb")))
+      .filter(c >= 0.7)
+      .select(col("doc_a"), col("doc_b"), round(c, 6).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+  private val containmentSql = s"""$minhashCtes
+SELECT i.doc_a, i.doc_b,
+  round(CAST(i.ni AS DOUBLE) / least(na.n, nb.n), 6) AS containment
+FROM inter i
+JOIN nsh na ON na.doc_id = i.doc_a
+JOIN nsh nb ON nb.doc_id = i.doc_b
+WHERE CAST(i.ni AS DOUBLE) / least(na.n, nb.n) >= 0.7
+ORDER BY doc_a, doc_b"""
+
   // ------------------------------------------------------------ triangles
   /** Exact triangle census of the verified near-dup graph — the
     * cluster-density diagnostic (a clean duplicate group is a clique:
@@ -559,7 +591,8 @@ ORDER BY doc_a, doc_b"""
     "dedup_simhash" -> simhash,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_cluster" -> cluster,
-    "dedup_triangles" -> triangles)
+    "dedup_triangles" -> triangles,
+    "dedup_containment" -> containment)
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
@@ -570,5 +603,6 @@ ORDER BY doc_a, doc_b"""
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_cluster" -> clusterSql,
-    "dedup_triangles" -> trianglesSql)
+    "dedup_triangles" -> trianglesSql,
+    "dedup_containment" -> containmentSql)
 }

@@ -1175,6 +1175,51 @@ SELECT user_id, event_type, valid_from_ms,
     IS NULL) AS is_current
 FROM runs ORDER BY user_id, valid_from_ms"""
 
+  // ----------------------------------------------------- winsorization
+  /** Winsorized aggregation — the outlier-robust cleaning pass (clip
+    * each value into its group's [p05, p95] band before aggregating;
+    * standard prep before training on noisy numeric telemetry). Two
+    * passes by necessity — the percentiles are a property of the whole
+    * group — but the first pass produces one 2-double row per type
+    * (broadcast back), and the second is a plain map-side-combinable
+    * aggregate over the clipped projection. Exact interpolated
+    * percentiles match DuckDB's quantile_cont bit-for-bit (pinned by
+    * `events_quantiles`), so the clip boundaries — and the booleans
+    * they gate — cannot flap cross-engine; the clipped sum is
+    * decimal-exact. */
+  private val winsorize: Q = (s, d) => {
+    val ev = Tables.events(s, d).select("event_type", "value")
+    val bands = ev.groupBy("event_type")
+      .agg(percentile(col("value"), array(lit(0.05), lit(0.95))).as("qs"))
+      .select(col("event_type").as("t"),
+        col("qs").getItem(0).as("p05"), col("qs").getItem(1).as("p95"))
+    ev.join(broadcast(bands), col("event_type") === col("t"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value") < col("p05"), 1L).otherwise(0L))
+          .as("clipped_low"),
+        sum(when(col("value") > col("p95"), 1L).otherwise(0L))
+          .as("clipped_high"),
+        round(sum(least(greatest(col("value"), col("p05")), col("p95"))
+          .cast("decimal(18,6)")).cast("double"), 4).as("wins_sum"))
+      .orderBy("event_type")
+  }
+  private val winsorizeSql =
+    """WITH bands AS (
+  SELECT event_type, quantile_cont(value, 0.05) AS p05,
+    quantile_cont(value, 0.95) AS p95
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n_events,
+  CAST(sum(CASE WHEN value < p05 THEN 1 ELSE 0 END) AS BIGINT)
+    AS clipped_low,
+  CAST(sum(CASE WHEN value > p95 THEN 1 ELSE 0 END) AS BIGINT)
+    AS clipped_high,
+  round(CAST(sum(CAST(least(greatest(value, p05), p95)
+    AS DECIMAL(18,6))) AS DOUBLE), 4) AS wins_sum
+FROM events e JOIN bands b ON e.event_type = b.event_type
+GROUP BY e.event_type ORDER BY e.event_type"""
+
   // ---------------------------------------------- CMS heavy hitters
   /** Count-min-sketch heavy hitters under a tolerance contract — the
     * third sketch family next to HLL (`text_profile_approx`) and the
@@ -1255,7 +1300,8 @@ SELECT user_id, n_true, TRUE AS within_eps FROM top ORDER BY user_id"""
     "events_json_props" -> jsonProps,
     "events_markov" -> markov,
     "events_state_history" -> stateHistory,
-    "events_heavy_hitters" -> heavyHitters)
+    "events_heavy_hitters" -> heavyHitters,
+    "events_winsorize" -> winsorize)
 
   val oracle: Map[String, String] = Map(
     "events_tumbling" -> tumblingSql,
@@ -1291,5 +1337,6 @@ SELECT user_id, n_true, TRUE AS within_eps FROM top ORDER BY user_id"""
     "events_json_props" -> jsonPropsSql,
     "events_markov" -> markovSql,
     "events_state_history" -> stateHistorySql,
-    "events_heavy_hitters" -> heavyHittersSql)
+    "events_heavy_hitters" -> heavyHittersSql,
+    "events_winsorize" -> winsorizeSql)
 }
