@@ -940,6 +940,53 @@ SELECT chunk_md5, count(*) AS n_copies,
 FROM ch GROUP BY chunk_md5 HAVING count(*) > 1
 ORDER BY chunk_md5"""
 
+  // ----------------------------------------------------- surprisal
+  /** Unigram-surprisal quality proxy — the LM-based quality filter
+    * shape (CCNet/KenLM-style: score each document against a reference
+    * language model, drop the tails) with the model reduced to what an
+    * engine can verify exactly: the "LM" is the corpus unigram table
+    * ranked by (count desc, token), and a document's score is its MEAN
+    * TOKEN RANK — common-word text scores low (fluent), rare-token
+    * soup scores high (noise). Ranks are integers, so the per-doc sum
+    * is exact and nothing floats until the final fixed-point division;
+    * swapping in a real LM changes only the broadcast scoring table.
+    * Scale: the rank table is vocabulary-sized (broadcast), the
+    * per-doc sum is one map-side-combinable aggregate over the
+    * exploded tokens, and the gate compares in integer space
+    * (rank_sum·5 vs n·vocab — flag the worst ~quintile band). */
+  private val surprisal: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val toksE = docs.select(col("doc_id"), explode(toks).as("tok"))
+    val vocab = toksE.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val wR = Window.orderBy(col("cnt").desc, col("tok"))
+    val ranked = vocab.select(col("tok"), row_number().over(wR)
+      .cast("long").as("rank"))
+    val nVocab = ranked.count()
+    toksE.join(broadcast(ranked), "tok")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("rank").as("rank_sum"))
+      .select(col("doc_id"), col("n_tokens"), col("rank_sum"),
+        (col("rank_sum") * 5 > col("n_tokens") * nVocab)
+          .as("high_surprisal"))
+      .orderBy("doc_id")
+  }
+  private val surprisalSql =
+    s"""WITH tok AS (
+  SELECT doc_id, unnest($ToksSql) AS tok FROM documents
+), vocab AS (
+  SELECT tok, count(*) AS cnt FROM tok GROUP BY tok
+), ranked AS (
+  SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT)
+    AS rank
+  FROM vocab
+), nv AS (SELECT count(*) AS n_vocab FROM ranked)
+SELECT t.doc_id, count(*) AS n_tokens,
+  CAST(sum(r.rank) AS BIGINT) AS rank_sum,
+  (CAST(sum(r.rank) AS BIGINT) * 5 > count(*) * (SELECT n_vocab FROM nv))
+    AS high_surprisal
+FROM tok t JOIN ranked r ON t.tok = r.tok
+GROUP BY t.doc_id ORDER BY t.doc_id"""
+
   val queries: Map[String, Q] = Map(
     "text_langid" -> langid,
     "text_quality" -> quality,
@@ -961,7 +1008,8 @@ ORDER BY chunk_md5"""
     "text_pii_scrub" -> piiScrub,
     "text_domain_mix" -> domainMix,
     "text_chunk_overlap" -> chunkOverlap,
-    "text_chunk_dedup" -> chunkDedup)
+    "text_chunk_dedup" -> chunkDedup,
+    "text_surprisal" -> surprisal)
 
   val oracle: Map[String, String] = Map(
     "text_langid" -> langidSql,
@@ -985,5 +1033,6 @@ ORDER BY chunk_md5"""
     "text_pii_scrub" -> piiScrubSql,
     "text_domain_mix" -> domainMixSql,
     "text_chunk_overlap" -> chunkOverlapSql,
-    "text_chunk_dedup" -> chunkDedupSql)
+    "text_chunk_dedup" -> chunkDedupSql,
+    "text_surprisal" -> surprisalSql)
 }
