@@ -287,6 +287,55 @@ object StreamingEvents {
     events.groupBy("event_type")
       .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sketch"))
 
+  case class ShEv(tsMs: Long, eventId: Long, etype: String)
+  case class ShState(pending: List[ShEv], curType: String, fromMs: Long,
+                     n: Long, has: Boolean)
+  case class ShClosed(user_id: Long, event_type: String,
+                      valid_from_ms: Long, valid_to_ms: Long, n_events: Long)
+
+  /** Streaming SCD-Type-2 maintenance — the unbounded face of
+    * `events_state_history`: per user, the CURRENT run lives in state
+    * (type, start, count — exactly the is_current row a dimension
+    * store keeps hot) and each state CHANGE appends the closed
+    * interval [valid_from, valid_to) downstream, which is precisely
+    * how warehouse SCD2 history accretes. Watermark-release discipline
+    * as in [[runningTotalStream]] (strict-< release, (ts, event_id)
+    * order); state per user is the in-delay buffer plus one run
+    * descriptor. The open run never emits in append mode — it is
+    * state, not history — so the streamed output is the batch query's
+    * rows with non-null valid_to_ms, which StreamingSpec pins. */
+  def stateHistoryStream(events: DataFrame, delay: String = "2 hours"): Dataset[ShClosed] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ShState, ShClosed](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, it, state) =>
+          val prev = state.getOption.getOrElse(ShState(Nil, "", 0L, 0L, false))
+          val incoming = it.map(e => ShEv(e._2.getTime, e._3, e._4)).toList
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, pending) =
+            (prev.pending ++ incoming).partition(_.tsMs < wm)
+          var (cur, from, n, has) =
+            (prev.curType, prev.fromMs, prev.n, prev.has)
+          val out = List.newBuilder[ShClosed]
+          ready.sortBy(e => (e.tsMs, e.eventId)).foreach { e =>
+            if (!has) { cur = e.etype; from = e.tsMs; n = 1; has = true }
+            else if (e.etype == cur) n += 1
+            else {
+              out += ShClosed(user, cur, from, e.tsMs, n)
+              cur = e.etype; from = e.tsMs; n = 1
+            }
+          }
+          state.update(ShState(pending, cur, from, n, has))
+          if (pending.nonEmpty) state.setTimeoutTimestamp(pending.map(_.tsMs).min)
+          out.result().iterator
+      }
+  }
+
   case class MkEv(tsMs: Long, eventId: Long, etype: String)
   case class MkState(pending: List[MkEv], lastType: String, hasLast: Boolean)
   case class MkTransition(user_id: Long, event_id: Long,

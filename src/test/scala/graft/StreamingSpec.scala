@@ -275,6 +275,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming SCD2: closed intervals match the batch history's closed rows") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_ms", "user_id", "event_id", "event_type")
+      .select(timestamp_millis(col("ts_ms")).as("ts"), col("user_id"),
+        col("event_id"), col("event_type"))
+    val q = StreamingEvents.stateHistoryStream(typed(mem.toDF()), "1 hour")
+      .toDF().writeStream.format("memory").queryName("scd2")
+      .outputMode("append").start()
+    val h0 = 3600L * 1000
+    val m = 60000L
+    // user 1: click-run (2 events, one arriving a batch late) → view →
+    // click again: three islands, two closed; the late event must land
+    // INSIDE the first run, not start a new one
+    val batch1 = Seq((h0 + m, 1L, 101L, "click"), (h0 + 3 * m, 1L, 103L, "view"),
+      (h0 + 5 * m, 1L, 105L, "click"))
+    val batch2 = Seq((h0 + 2 * m, 1L, 102L, "click"))
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      mem.addData((h0 + 8 * 3600000, 9L, 999L, "noop")) // advance watermark
+      q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))
+      val got = spark.table("scd2").collect().map(key).toSet
+      assert(got === Set(
+        (1L, "click", h0 + m, h0 + 3 * m, 2L),
+        (1L, "view", h0 + 3 * m, h0 + 5 * m, 1L)))
+      // parity: the batch gaps-and-islands formulation over the same
+      // released events — its non-null valid_to rows ARE the closed
+      // history the stream emitted
+      val wRow = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val wIsl = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("island"))
+      val prevType = lag(col("event_type"), 1).over(wRow)
+      val batchClosed = typed((batch1 ++ batch2).toDF())
+        .withColumn("island", sum(
+          when(prevType.isNull || prevType =!= col("event_type"), 1L)
+            .otherwise(0L)).over(wRow.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)))
+        .groupBy("user_id", "island", "event_type")
+        .agg(min(unix_millis(col("ts"))).as("from_ms"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("event_type"), col("from_ms"),
+          lead(col("from_ms"), 1).over(wIsl).as("to_ms"), col("n_events"))
+        .filter(col("to_ms").isNotNull)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(batchClosed === got)
+    } finally q.stop()
+  }
+
   test("stream-static anomaly join: live events flagged against batch stats") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
