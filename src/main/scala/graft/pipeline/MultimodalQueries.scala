@@ -193,13 +193,63 @@ SELECT doc_id, out_h, y AS row_idx,
     'string_agg', '')) AS row_hex
 FROM r ORDER BY doc_id, row_idx"""
 
+  // -------------------------------------------------------- audio energy
+  /** Windowed signal-energy extraction over the opaque payload — the
+    * audio-feature shape (VAD / silence trimming / loudness
+    * normalization all start from per-frame energy): the payload is
+    * framed into fixed 16-byte windows and each frame's energy is the
+    * sum of squared sample values, emitted as (doc, frame, energy)
+    * rows. With the stub codec the "samples" are the payload bytes
+    * (ascii of the text characters — same convention as
+    * [[decodeStub]]'s byte arithmetic, which keeps it oracle-
+    * expressible); a real PCM decoder swaps into the same frame
+    * schema. Shape: frame ids fan out via `explode(sequence)` riding
+    * the scan (exactly the chunker's pattern), the 16 per-frame terms
+    * are a fixed unrolled integer sum — no shuffle, no UDF, exact
+    * integers in both engines. Tail frames clip. */
+  private val FrameB = 16
+  private val audioEnergy: Q = (s, d) => {
+    def term(j: Int) = {
+      val c = substring(col("text"),
+        (col("frame_id") * FrameB + j + 1).cast("int"), lit(1))
+      when(length(c) === 1, ascii(c) * ascii(c)).otherwise(lit(0))
+    }
+    val energy = (0 until FrameB).map(term).reduce(_ + _)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L),
+          floor((length(col("text")) - 1) / lit(FrameB)).cast("long")))
+          .as("frame_id"))
+      .select(col("doc_id"), col("frame_id"),
+        energy.cast("long").as("energy"))
+      .orderBy("doc_id", "frame_id")
+  }
+  private val audioEnergySql = {
+    val terms = (0 until FrameB).map { j =>
+      s"""CASE WHEN length(substring(text, CAST(frame_id * $FrameB + $j + 1 AS INT), 1)) = 1
+        THEN ascii(substring(text, CAST(frame_id * $FrameB + $j + 1 AS INT), 1))
+             * ascii(substring(text, CAST(frame_id * $FrameB + $j + 1 AS INT), 1))
+        ELSE 0 END"""
+    }.mkString(" + ")
+    s"""WITH frames AS (
+  SELECT doc_id, text,
+    unnest(range(0, CAST(floor((length(text) - 1) / $FrameB) AS BIGINT) + 1))
+      AS frame_id
+  FROM documents
+)
+SELECT doc_id, frame_id, CAST($terms AS BIGINT) AS energy
+FROM frames ORDER BY doc_id, frame_id"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "multimodal_audio_energy" -> audioEnergy,
     "multimodal_features" -> features,
     "multimodal_decode_stub" -> decodeStub,
     "multimodal_frame_sample" -> frameSample,
     "multimodal_resize" -> resize)
 
   val oracle: Map[String, String] = Map(
+    "multimodal_audio_energy" -> audioEnergySql,
     "multimodal_features" -> featuresSql,
     "multimodal_decode_stub" -> decodeStubSql,
     "multimodal_frame_sample" -> frameSampleSql,
