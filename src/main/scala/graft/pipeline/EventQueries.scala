@@ -1175,6 +1175,106 @@ SELECT user_id, event_type, valid_from_ms,
     IS NULL) AS is_current
 FROM runs ORDER BY user_id, valid_from_ms"""
 
+  // ----------------------------------------------------------- DAU/MAU
+  /** DAU / trailing-30-day MAU / stickiness per day — the engagement
+    * ratio every product dashboard leads with, and a trailing-window
+    * DISTINCT (not a sum — distinct counts don't decompose, so the
+    * pre-aggregated-summary trick of `events_trailing_7d` doesn't
+    * apply). Shape: the fact table reduces ONCE to the distinct
+    * (day, user) relation; the MAU band join then broadcasts the
+    * DAY dimension (one row per day — trivially broadcastable forever)
+    * against it, so fan-out is ≤30 rows per (day, user) and the only
+    * wide state is the distinct reduction itself. Stickiness ships as
+    * integer permille ((dau·1000) div mau) — no double rounding to
+    * flap. */
+  private val dauMau: Q = (s, d) => {
+    val ud = Tables.events(s, d)
+      .select(unix_millis(date_trunc("DAY", col("ts"))).as("day_ms"),
+        col("user_id")).distinct()
+    val days = ud.select(col("day_ms").as("d")).distinct()
+    val mau = ud.join(broadcast(days),
+        col("day_ms") <= col("d") &&
+          col("day_ms") > col("d") - lit(30L * 86400000L))
+      .groupBy("d").agg(countDistinct("user_id").as("mau"))
+    val dau = ud.groupBy(col("day_ms").as("d2"))
+      .agg(countDistinct("user_id").as("dau"))
+    dau.join(mau, col("d2") === col("d"))
+      .select(col("d").as("day_ms"), col("dau"), col("mau"),
+        expr("(dau * 1000) div mau").as("stickiness_permille"))
+      .orderBy("day_ms")
+  }
+  private val dauMauSql =
+    """WITH ud AS (
+  SELECT DISTINCT epoch_ms(date_trunc('day', ts)) AS day_ms, user_id
+  FROM events
+), days AS (
+  SELECT DISTINCT day_ms AS d FROM ud
+), mau AS (
+  SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM ud JOIN days ON day_ms <= d AND day_ms > d - 2592000000
+  GROUP BY d
+), dau AS (
+  SELECT day_ms AS d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM ud GROUP BY day_ms
+)
+SELECT d AS day_ms, dau, mau,
+  CAST((dau * 1000) // mau AS BIGINT) AS stickiness_permille
+FROM dau JOIN mau USING (d) ORDER BY day_ms"""
+
+  // --------------------------------------------------------------- RFM
+  /** RFM segmentation — the classic customer-value cut (recency /
+    * frequency / monetary, each banded into quintiles, concatenated
+    * into a segment code): one groupBy(user) computes all three
+    * metrics exactly (recency anchored to the corpus max-ts so the
+    * query is deterministic, monetary decimal-exact), then three NTILE
+    * windows over the user-level relation — which is |users|, orders
+    * of magnitude below the fact table, so the quintile sort is cheap
+    * even at 100 TB of events. Every NTILE orders by (metric,
+    * user_id), making band boundaries deterministic in both engines;
+    * the monetary band ranks on the decimal sum, not its double
+    * rendering. */
+  private val rfm: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val anchor = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
+    val perUser = ev.groupBy("user_id")
+      .agg(max(unix_millis(col("ts"))).as("last_ms"),
+        count(lit(1)).as("frequency"),
+        sum(col("value").cast("decimal(18,6)")).as("monetary_d"))
+      // integer floor division — identical to DuckDB // on positive ms
+      .withColumn("recency_days",
+        expr(s"($anchor - last_ms) div 86400000"))
+    def band(c: String, asc: Boolean) = ntile(5).over(
+      Window.orderBy(if (asc) col(c).asc else col(c).desc, col("user_id")))
+    perUser.select(col("user_id"), col("recency_days"), col("frequency"),
+      round(col("monetary_d").cast("double"), 4).as("monetary"),
+      band("recency_days", asc = true).as("r_band"),
+      band("frequency", asc = false).as("f_band"),
+      band("monetary_d", asc = false).as("m_band"))
+      .withColumn("segment", concat(col("r_band"), col("f_band"), col("m_band")))
+      .orderBy("user_id")
+  }
+  private val rfmSql =
+    """WITH anchor AS (
+  SELECT max(epoch_ms(ts)) AS a FROM events
+), pu AS (
+  SELECT user_id,
+    CAST(((SELECT a FROM anchor) - max(epoch_ms(ts))) // 86400000
+      AS BIGINT) AS recency_days,
+    count(*) AS frequency,
+    sum(CAST(value AS DECIMAL(18,6))) AS monetary_d
+  FROM events GROUP BY user_id
+)
+SELECT user_id, recency_days, frequency,
+  round(CAST(monetary_d AS DOUBLE), 4) AS monetary,
+  CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS INT) AS r_band,
+  CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f_band,
+  CAST(ntile(5) OVER (ORDER BY monetary_d DESC, user_id) AS INT) AS m_band,
+  CAST(ntile(5) OVER (ORDER BY recency_days, user_id) AS VARCHAR)
+    || CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS VARCHAR)
+    || CAST(ntile(5) OVER (ORDER BY monetary_d DESC, user_id) AS VARCHAR)
+    AS segment
+FROM pu ORDER BY user_id"""
+
   // ----------------------------------------------------- winsorization
   /** Winsorized aggregation — the outlier-robust cleaning pass (clip
     * each value into its group's [p05, p95] band before aggregating;
@@ -1301,7 +1401,9 @@ SELECT user_id, n_true, TRUE AS within_eps FROM top ORDER BY user_id"""
     "events_markov" -> markov,
     "events_state_history" -> stateHistory,
     "events_heavy_hitters" -> heavyHitters,
-    "events_winsorize" -> winsorize)
+    "events_winsorize" -> winsorize,
+    "events_rfm" -> rfm,
+    "events_dau_mau" -> dauMau)
 
   val oracle: Map[String, String] = Map(
     "events_tumbling" -> tumblingSql,
@@ -1338,5 +1440,7 @@ SELECT user_id, n_true, TRUE AS within_eps FROM top ORDER BY user_id"""
     "events_markov" -> markovSql,
     "events_state_history" -> stateHistorySql,
     "events_heavy_hitters" -> heavyHittersSql,
-    "events_winsorize" -> winsorizeSql)
+    "events_winsorize" -> winsorizeSql,
+    "events_rfm" -> rfmSql,
+    "events_dau_mau" -> dauMauSql)
 }
