@@ -71,7 +71,10 @@ object Bench {
     // 3-decimal rounding halves the per-query line (~96 queries × full-
     // precision doubles overflowed the driver's ~2 KB tail window in a
     // prior run and the official total came back unparseable).
-    def fmt(v: Double): String = f"$v%.3f"
+    // Root locale: a comma-decimal default locale (de_DE) would emit
+    // `1,234` and break the JSON parse this line exists for.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qjson = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

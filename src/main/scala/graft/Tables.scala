@@ -13,6 +13,15 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Parquet schema inference launches a footer-read job on EVERY
+  // `spark.read.parquet` call — ~139 construction-time jobs per full
+  // sweep for schemas that never change (testdata files are
+  // immutable). Infer once per path, then read with the explicit
+  // schema: query construction after first touch is fully job-free
+  // (pinned by SurprisalSpec).
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Single-file tables scan as ONE task, and Catalyst evaluates
     // scan-stage projections/filters inside that task — any
@@ -25,7 +34,7 @@ object Tables {
     // parallelism at numShufflePartitions, which at 100 TB is the
     // dominant cost of every query. getNumPartitions reflects the
     // file listing + maxPartitionBytes splitting and runs no job.
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = raw(spark, sfDir, name)
     val target = spark.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
@@ -34,8 +43,12 @@ object Tables {
     * immediately impose their own partitioning (the cached corpora
     * repartition by doc_id before materializing; a round-robin exchange
     * in front of that is a pure waste, observed in the plan audit). */
-  def raw(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  def raw(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    spark.read.schema(schema).parquet(path)
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")

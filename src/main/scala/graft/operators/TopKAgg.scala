@@ -38,7 +38,7 @@ class TopKAgg(k: Int)
         case -1 => buf.size
         case x  => x
       }
-      (buf.take(i) :+ in) ++ buf.drop(i).take(k - i - 1)
+      ((buf.take(i) :+ in) ++ buf.drop(i)).take(k)
     }
   }
   // Two sorted runs → one linear sorted-merge, capped at k.

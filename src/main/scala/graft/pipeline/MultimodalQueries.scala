@@ -218,7 +218,8 @@ FROM r ORDER BY doc_id, row_idx"""
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0L),
-          floor((length(col("text")) - 1) / lit(FrameB)).cast("long")))
+          greatest(lit(0L),
+            floor((length(col("text")) - 1) / lit(FrameB)).cast("long"))))
           .as("frame_id"))
       .select(col("doc_id"), col("frame_id"),
         energy.cast("long").as("energy"))
@@ -233,7 +234,8 @@ FROM r ORDER BY doc_id, row_idx"""
     }.mkString(" + ")
     s"""WITH frames AS (
   SELECT doc_id, text,
-    unnest(range(0, CAST(floor((length(text) - 1) / $FrameB) AS BIGINT) + 1))
+    unnest(range(0, greatest(CAST(0 AS BIGINT),
+      CAST(floor((length(text) - 1) / $FrameB) AS BIGINT)) + 1))
       AS frame_id
   FROM documents
 )

@@ -875,7 +875,8 @@ FROM ex ORDER BY doc_id, copy_id"""
       .select(col("doc_id"), toks.as("toks"), nTok.as("n_tokens"))
       .select(col("doc_id"), col("toks"), col("n_tokens"),
         explode(sequence(lit(0L),
-          floor((col("n_tokens") - 1) / lit(ChunkS)).cast("long")))
+          greatest(lit(0L),
+            floor((col("n_tokens") - 1) / lit(ChunkS)).cast("long"))))
           .as("chunk_id"))
       .select(col("doc_id"), col("chunk_id"),
         (col("chunk_id") * ChunkS).as("start_tok"), col("toks"),
@@ -890,7 +891,8 @@ FROM ex ORDER BY doc_id, copy_id"""
   SELECT doc_id, $ToksSql AS toks, len($ToksSql) AS n FROM documents
 ), st AS (
   SELECT doc_id, toks, n,
-    unnest(range(0, CAST(floor((n - 1) / $ChunkS) AS BIGINT) + 1))
+    unnest(range(0, greatest(CAST(0 AS BIGINT),
+      CAST(floor((n - 1) / $ChunkS) AS BIGINT)) + 1))
       AS chunk_id
   FROM tok
 ), ch AS (
@@ -925,7 +927,8 @@ FROM ch ORDER BY doc_id, chunk_id"""
   SELECT doc_id, $ToksSql AS toks, len($ToksSql) AS n FROM documents
 ), st AS (
   SELECT doc_id, toks, n,
-    unnest(range(0, CAST(floor((n - 1) / $ChunkS) AS BIGINT) + 1))
+    unnest(range(0, greatest(CAST(0 AS BIGINT),
+      CAST(floor((n - 1) / $ChunkS) AS BIGINT)) + 1))
       AS chunk_id
   FROM tok
 ), ch AS (
@@ -958,15 +961,39 @@ ORDER BY chunk_md5"""
     val docs = Tables.documents(s, d)
     val toksE = docs.select(col("doc_id"), explode(toks).as("tok"))
     val vocab = toksE.groupBy("tok").agg(count(lit(1)).as("cnt"))
-    val wR = Window.orderBy(col("cnt").desc, col("tok"))
-    val ranked = vocab.select(col("tok"), row_number().over(wR)
-      .cast("long").as("rank"))
-    val nVocab = ranked.count()
+    // Distributed two-phase global rank — NO single-task sort. Phase 1:
+    // range-partition the vocabulary on the rank order (ranges are
+    // non-overlapping and emitted in partition order, so partition i's
+    // rows all precede partition i+1's) and rank WITHIN each partition.
+    // Phase 2: shift each partition's local ranks by the total count of
+    // all earlier partitions. The offset relation is one row per
+    // partition (constant-size, NOT data-sized), so its cumulative-sum
+    // window is over ≤32 rows; the vocabulary itself is never sorted on
+    // one task. (cnt, tok) is unique per vocab row, so ranks are total
+    // and deterministic regardless of partition boundaries.
+    val parted = vocab
+      .repartitionByRange(32, col("cnt").desc, col("tok"))
+      .withColumn("pid", spark_partition_id())
+    val wP = Window.partitionBy("pid").orderBy(col("cnt").desc, col("tok"))
+    val local = parted.withColumn("rn", row_number().over(wP).cast("long"))
+    val counts = parted.groupBy("pid").agg(count(lit(1)).as("pc"))
+    val wOff = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts.select(col("pid"),
+      coalesce(sum("pc").over(wOff), lit(0L)).as("off"))
+    val ranked = local.join(broadcast(offsets), "pid")
+      .select(col("tok"), (col("rn") + col("off")).as("rank"))
+    // Vocabulary size as a broadcast 1-row aggregate (the Q11/Q22
+    // pattern) instead of an eager count() at construction: plan-only
+    // consumers (hygiene sweeps, bench warm-up) stay action-free and
+    // the vocabulary is not computed twice per execution.
+    val nv = counts.agg(sum("pc").cast("long").as("n_vocab"))
     toksE.join(broadcast(ranked), "tok")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("rank").as("rank_sum"))
+      .crossJoin(broadcast(nv))
       .select(col("doc_id"), col("n_tokens"), col("rank_sum"),
-        (col("rank_sum") * 5 > col("n_tokens") * nVocab)
+        (col("rank_sum") * 5 > col("n_tokens") * col("n_vocab"))
           .as("high_surprisal"))
       .orderBy("doc_id")
   }

@@ -125,7 +125,12 @@ object SummaryRewrite {
         case a: AttributeReference if keySet(a.name) => a.name
         case _ => BailOut.raise()
       }
-      if (filters.exists(!_.references.forall(a => keySet(a.name))))
+      // `references.forall` is vacuously true for reference-free
+      // predicates, so a nondeterministic filter (rand() < 0.5) would
+      // slip through and be re-evaluated per-GROUP instead of per-row —
+      // require determinism explicitly.
+      if (filters.exists(f =>
+            !f.deterministic || !f.references.forall(a => keySet(a.name))))
         BailOut.raise()
 
       val rel = s.relation.newInstance()
@@ -151,7 +156,9 @@ object SummaryRewrite {
           Min(mv(s"graft_min_${a.name}")).toAggregateExpression()
         case Max(a: AttributeReference) if s.castForm.contains(a.name) =>
           Max(mv(s"graft_max_${a.name}")).toAggregateExpression()
-        case Count(Seq(l)) if l.foldable =>
+        // count(NULL) is foldable but always 0 — only a provably
+        // non-null literal (count(1), count('x')) is count(*).
+        case Count(Seq(l)) if l.foldable && (!l.nullable || l.eval() != null) =>
           Sum(mv("graft_cnt")).toAggregateExpression()
         case _ => BailOut.raise()
       }
