@@ -97,10 +97,16 @@ GROUP BY d.tier ORDER BY d.tier"""
     * first write instead of re-running the side effect. */
   private def materialize(s: SparkSession, name: String, d: String)(
       write: String => Unit): String = {
-    val ds = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val ds = new org.apache.hadoop.fs.Path(d).getName
+      .replaceAll("[^A-Za-z0-9._-]", "_")
     val path =
       s"/tmp/graft-scratch/${s.sparkContext.applicationId}/$name-$ds"
-    if (!new java.io.File(path).exists()) write(path)
+    // Hadoop FileSystem resolved from the path (the Compactor idiom):
+    // the existence probe works on local disk, HDFS, or an object store
+    // alike — scratch is not inherently host-local at cluster scale.
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) write(path)
     path
   }
 

@@ -41,6 +41,33 @@ object PartSuppQueries {
   /** Order-independent exact sum of a double expression. */
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(25,10)")).cast("double")
+
+  /** Broadcast hint for SF-GROWING relations, size-gated — an
+    * unconditional `broadcast()` on a slice that grows linearly with
+    * the data would eventually OOM an executor at a real 100 TB
+    * install (the round-6 watchlist finding). The gate sums the LEAF
+    * scan sizes feeding the slice (linear in SF and grounded in actual
+    * file bytes) rather than trusting `stats.sizeInBytes` of the
+    * derived plan, whose default join estimate is the *product* of the
+    * children — wildly inflated for the synthesized partsupp's
+    * crossJoin — and hints only while those scans are comfortably
+    * inside the session's autoBroadcastJoinThreshold (×4 headroom for
+    * parquet→in-memory expansion and the partsupp fan-out). Past the
+    * gate, no hint: join strategy falls to Catalyst statics + AQE's
+    * runtime size check. `boundBy` supplies a semantically bounding
+    * relation when the slice is provably no larger than it (e.g. a
+    * distinct supplier-key set is bounded by supplier) but its own
+    * lineage includes a fact-table scan that would spook the gate. */
+  private def broadcastIfSmall(df: DataFrame, boundBy: Option[DataFrame] = None)
+      : DataFrame = {
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val gauge = boundBy.getOrElse(df)
+    val leafBytes: BigInt = gauge.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => BigInt(l.relation.sizeInBytes)
+    }.sum
+    val thr = df.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    if (thr > 0 && leafBytes * 4 <= thr) broadcast(df) else df
+  }
   private def ts(s: String): Column = expr(s"TIMESTAMP '$s 00:00:00'")
 
   /** Synthesized partsupp — see object doc for the derivation contract.
@@ -111,8 +138,8 @@ partsupp AS (
       .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     val w = Window.partitionBy("ps_partkey")
     partsupp(s, d)
-      .join(broadcast(prt), col("ps_partkey") === col("p_partkey"))
-      .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
+      .join(broadcastIfSmall(prt), col("ps_partkey") === col("p_partkey"))
+      .join(broadcastIfSmall(sup), col("ps_suppkey") === col("s_suppkey"))
       .withColumn("min_cost", min(col("ps_supplycost")).over(w))
       .filter(col("ps_supplycost") === col("min_cost"))
       .select(col("s_acctbal"), col("s_name"), col("n_name"),
@@ -148,7 +175,8 @@ LIMIT 100"""
     * shuffle order can't move the total. */
   private val profitRollup: Q = (s, d) => {
     val ps = partsupp(s, d)
-      .join(broadcast(Tables.part(s, d).filter(col("p_name").like("red%"))
+      .join(broadcastIfSmall(Tables.part(s, d)
+        .filter(col("p_name").like("red%"))
         .select("p_partkey")), col("ps_partkey") === col("p_partkey"))
       .select("ps_partkey", "ps_suppkey", "ps_supplycost")
     val supNat = Tables.supplier(s, d)
@@ -156,9 +184,9 @@ LIMIT 100"""
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey", "n_name")
     Tables.lineitem(s, d)
-      .join(broadcast(ps), col("l_partkey") === col("ps_partkey") &&
+      .join(broadcastIfSmall(ps), col("l_partkey") === col("ps_partkey") &&
         col("l_suppkey") === col("ps_suppkey"))
-      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcastIfSmall(supNat), col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name").as("nation"),
@@ -194,7 +222,7 @@ ORDER BY 1, 2 DESC"""
   private val importantStock: Q = (s, d) => {
     val eu = regionSuppliers(s, d, "EUROPE").select("s_suppkey")
     val stock = partsupp(s, d)
-      .join(broadcast(eu), col("ps_suppkey") === col("s_suppkey"))
+      .join(broadcastIfSmall(eu), col("ps_suppkey") === col("s_suppkey"))
       .groupBy("ps_partkey")
       .agg(sum(col("ps_cost_cents") * col("ps_availqty")).as("val"))
     val tot = stock.agg(sum(col("val")).as("total"))
@@ -235,8 +263,9 @@ ORDER BY stock_value DESC, ps_partkey"""
         col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49))
       .select("p_partkey", "p_brand", "p_type", "p_size")
     partsupp(s, d)
-      .join(broadcast(prt), col("ps_partkey") === col("p_partkey"))
-      .join(broadcast(excl), col("ps_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcastIfSmall(prt), col("ps_partkey") === col("p_partkey"))
+      .join(broadcastIfSmall(excl), col("ps_suppkey") === col("s_suppkey"),
+        "left_anti")
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
       .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
@@ -271,16 +300,20 @@ ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"""
       .groupBy("l_partkey", "l_suppkey")
       .agg(sum(col("l_quantity").cast("decimal(25,10)")).as("sum_qty"))
     val redPs = partsupp(s, d)
-      .join(broadcast(Tables.part(s, d).filter(col("p_name").like("red%"))
+      .join(broadcastIfSmall(Tables.part(s, d)
+        .filter(col("p_name").like("red%"))
         .select("p_partkey")), col("ps_partkey") === col("p_partkey"))
       .select("ps_partkey", "ps_suppkey", "ps_availqty")
     val promo = qty
-      .join(broadcast(redPs), col("l_partkey") === col("ps_partkey") &&
+      .join(broadcastIfSmall(redPs), col("l_partkey") === col("ps_partkey") &&
         col("l_suppkey") === col("ps_suppkey"))
       .filter(col("ps_availqty").cast("decimal(25,10)") * 2 > col("sum_qty"))
       .select("ps_suppkey").distinct()
+    // promo's lineage includes the lineitem scan, but the relation is a
+    // DISTINCT supplier-key set — provably no larger than supplier.
     regionSuppliers(s, d, "ASIA")
-      .join(broadcast(promo), col("s_suppkey") === col("ps_suppkey"),
+      .join(broadcastIfSmall(promo, Some(Tables.supplier(s, d))),
+        col("s_suppkey") === col("ps_suppkey"),
         "left_semi")
       .select("s_suppkey", "s_name")
       .orderBy("s_name")

@@ -9,6 +9,19 @@ import org.apache.spark.sql.functions._
   * integer/string subset it declares. */
 class InfraScanSpec extends SparkSpec {
 
+  test("materialize is write-once per (app, dataset) via the Hadoop FS API") {
+    import org.apache.hadoop.fs.Path
+    val first = InfraQueries.partitionedEventsPath(spark, Sf)
+    val p = new Path(first)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(p), s"scratch dataset missing at $first")
+    val t1 = fs.getFileStatus(p).getModificationTime
+    val second = InfraQueries.partitionedEventsPath(spark, Sf)
+    assert(second == first)
+    assert(fs.getFileStatus(p).getModificationTime == t1,
+      "repeat construction must reuse the first write, not rewrite")
+  }
+
   test("partitioned scan prunes to the matching directory at planning time") {
     val eventsPath = InfraQueries.partitionedEventsPath(spark, Sf)
     val filtered = spark.read.parquet(eventsPath)

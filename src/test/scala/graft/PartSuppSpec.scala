@@ -54,6 +54,33 @@ class PartSuppSpec extends SparkSpec {
       s"partsupp must be constructed exactly once:\n$plan")
   }
 
+  test("SF-growing broadcast hints are size-gated, not unconditional") {
+    // shrink the threshold below the part/supplier scan bytes: the gate
+    // must drop the hint and the fact-side joins fall back to shuffles
+    // (the behavior a 100 TB install needs — an unconditional hint
+    // would still force the broadcast here)
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, (4 * 1024).toString)
+      val plan = PartSuppQueries.queries("tpch_profit_rollup")(spark, Sf)
+        .queryExecution.executedPlan.toString
+      assert("SortMergeJoin".r.findAllIn(plan).size >= 2,
+        s"gated sides must stop broadcasting past the threshold:\n$plan")
+    } finally spark.conf.set(key, old)
+  }
+
+  test("test-scale plans still broadcast every gated dim side") {
+    for (name <- Seq("tpch_min_cost_supplier", "tpch_important_stock",
+        "tpch_parts_supplier_cnt", "tpch_promo_suppliers")) {
+      val plan = PartSuppQueries.queries(name)(spark, Sf)
+        .queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(plan).size >= 1,
+        s"$name: gated sides must still broadcast at test scale:\n$plan")
+      assert(!plan.contains("CartesianProduct"))
+    }
+  }
+
   test("Q9: the only wide join is lineitem x orders — dims broadcast") {
     val q = PartSuppQueries.queries("tpch_profit_rollup")(spark, Sf)
     val plan = q.queryExecution.executedPlan.toString
