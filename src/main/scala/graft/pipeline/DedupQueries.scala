@@ -583,6 +583,107 @@ JOIN nsh nb ON nb.doc_id = i.doc_b
 WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= 0.5
 ORDER BY doc_a, doc_b"""
 
+  // ------------------------------------------------ substring dedup
+  /** Cross-document repeated-SPAN exact dedup — the "deduplicate any
+    * ≥N-token repeated substring" operation production LLM corpus
+    * pipelines run (the suffix-array dedup of Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", re-expressed
+    * relationally): every length-[[SpanN]] token window (stride 1) is
+    * keyed by md5; a window occurring more than once — in ANY document,
+    * including its own — is a duplicated span occurrence everywhere
+    * except its global first occurrence; overlapping/adjacent duplicated
+    * positions then merge into maximal spans per doc (gaps-and-islands,
+    * the events_state_history pattern) with removal accounting.
+    *
+    * Scale posture: the shingle relation is linear in corpus tokens and
+    * carries only (doc_id, pos, 16-byte key); the repeated/first-
+    * occurrence marking is a WINDOW over the key — ONE hash shuffle, no
+    * self-join and no second tokenize pass (a groupBy+join formulation
+    * plans two scans of the shingle subtree because different column
+    * prunings defeat ReuseExchange). The island merge is one further
+    * shuffle on doc_id, and both downstream aggregates reuse that
+    * partitioning (doc_id is a prefix of every later group key — no
+    * exchange). Nothing is quadratic: dup-position volume = total
+    * occurrences of repeated keys minus the firsts (spec-pinned).
+    * First-occurrence choice rides an exact BIGINT composite
+    * doc_id·10⁹ + pos (pos < 10⁹ — testdata max ~10² tokens/doc, and
+    * any real corpus chunks long before a billion tokens per doc). */
+  private val SpanN = 16
+  private val substringDedup: Q = (s, d) => {
+    val toksC = split(lower(col("text")), " ")
+    val sh = DupCorpus.corpus(s, d)
+      .select(col("doc_id"), toksC.as("toks"), size(toksC).as("n"))
+      .filter(col("n") >= SpanN)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("n") - SpanN)).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(concat_ws(" ", slice(col("toks"), col("i") + 1, lit(SpanN))))
+          .as("key"),
+        (col("doc_id") * lit(1000000000L) + col("i")).as("mk"))
+    val wK = Window.partitionBy("key")
+    val dup = sh
+      .withColumn("n_occ", count(lit(1)).over(wK))
+      .withColumn("first_mk", min("mk").over(wK))
+      .filter(col("n_occ") > 1 && col("mk") =!= col("first_mk"))
+      .select("doc_id", "i")
+    val wD = Window.partitionBy("doc_id").orderBy("i")
+    val prevEnd = max(col("i") + SpanN)
+      .over(wD.rowsBetween(Window.unboundedPreceding, -1))
+    dup
+      .withColumn("new_isl",
+        when(prevEnd.isNull || col("i") > prevEnd, 1).otherwise(0))
+      .withColumn("island",
+        sum("new_isl").over(wD.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "island")
+      .agg(count(lit(1)).as("nsh"), min("i").as("st"),
+        (max(col("i")) + SpanN).as("en"))
+      .groupBy("doc_id")
+      .agg(sum("nsh").as("n_dup_shingles"),
+        count(lit(1)).as("n_spans"),
+        sum(col("en") - col("st")).cast("long").as("tokens_removed"))
+      .orderBy("doc_id")
+  }
+  private val substringDedupSql = DupCte + s""", tok AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+         len(string_split(lower(text), ' ')) AS n
+  FROM dup
+), pos AS (
+  SELECT doc_id, toks, unnest(range(0, n - $SpanN + 1)) AS i
+  FROM tok WHERE n >= $SpanN
+), sh AS (
+  SELECT doc_id, i,
+    md5(array_to_string(list_slice(toks, i + 1, i + $SpanN), ' ')) AS key,
+    doc_id * 1000000000 + i AS mk
+  FROM pos
+), dup_pos AS (
+  SELECT doc_id, i FROM (
+    SELECT doc_id, i, mk,
+      count(*) OVER (PARTITION BY key) AS n_occ,
+      min(mk) OVER (PARTITION BY key) AS first_mk
+    FROM sh)
+  WHERE n_occ > 1 AND mk <> first_mk
+), isl AS (
+  SELECT doc_id, i,
+    CASE WHEN max(i + $SpanN) OVER w1 IS NULL
+           OR i > max(i + $SpanN) OVER w1 THEN 1 ELSE 0 END AS new_isl
+  FROM dup_pos
+  WINDOW w1 AS (PARTITION BY doc_id ORDER BY i
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), isl2 AS (
+  SELECT doc_id, i,
+    sum(new_isl) OVER (PARTITION BY doc_id ORDER BY i
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+), spans AS (
+  SELECT doc_id, island, count(*) AS nsh, min(i) AS st,
+    max(i) + $SpanN AS en
+  FROM isl2 GROUP BY doc_id, island
+)
+SELECT doc_id, CAST(sum(nsh) AS BIGINT) AS n_dup_shingles,
+  CAST(count(*) AS BIGINT) AS n_spans,
+  CAST(sum(en - st) AS BIGINT) AS tokens_removed
+FROM spans GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exact,
     "dedup_minhash" -> minhash,
@@ -592,7 +693,8 @@ ORDER BY doc_a, doc_b"""
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_cluster" -> cluster,
     "dedup_triangles" -> triangles,
-    "dedup_containment" -> containment)
+    "dedup_containment" -> containment,
+    "dedup_substring" -> substringDedup)
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
@@ -604,5 +706,6 @@ ORDER BY doc_a, doc_b"""
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_cluster" -> clusterSql,
     "dedup_triangles" -> trianglesSql,
-    "dedup_containment" -> containmentSql)
+    "dedup_containment" -> containmentSql,
+    "dedup_substring" -> substringDedupSql)
 }

@@ -38,6 +38,30 @@ class DedupSpec extends SparkSpec {
     assert(DedupQueries.simhashCandidates(spark, Sf).count() <= 10 * planted)
   }
 
+  test("dedup_substring: planted copies are single fully-covering spans") {
+    // an exact copy's every 16-token window repeats its original (whose
+    // smaller doc_id makes it the global first occurrence), so the copy
+    // must surface as ONE maximal span covering the whole document —
+    // pins recall AND the island merge in a single property
+    val toks = split(lower(col("text")), " ")
+    val copies = DupCorpus.corpus(spark, Sf)
+      .filter(col("doc_id") >= 10000 && col("doc_id") < 20000 &&
+        size(toks) >= 16)
+      .select(col("doc_id"), size(toks).as("n"))
+    val res = DedupQueries.queries("dedup_substring")(spark, Sf)
+    val full = res.join(copies, "doc_id")
+      .filter(col("n_spans") === 1 && col("tokens_removed") === col("n"))
+    assert(full.count() === copies.count(),
+      "every exact copy must be one fully-covering repeated span")
+    // dup-position volume tracks repeats: every flagged doc removes at
+    // least one full window, and no doc removes more tokens than it has
+    val corpus = DupCorpus.corpus(spark, Sf)
+      .select(col("doc_id"), size(toks).as("n"))
+    assert(res.join(corpus, "doc_id")
+      .filter(col("tokens_removed") < 16 || col("tokens_removed") > col("n"))
+      .count() === 0)
+  }
+
   test("dedup_exact finds every planted exact-duplicate group") {
     val groups = DedupQueries.queries("dedup_exact")(spark, Sf)
       .filter(col("dup_count") > 1).count()
