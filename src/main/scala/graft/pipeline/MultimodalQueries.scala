@@ -243,7 +243,107 @@ SELECT doc_id, frame_id, CAST($terms AS BIGINT) AS energy
 FROM frames ORDER BY doc_id, frame_id"""
   }
 
+  // ----------------------------------------------------- phash dedup
+  /** Perceptual-hash near-dup over the multimodal payload — image dedup
+    * as a corpus pipeline runs it: decode → downsample to a tiny
+    * grayscale grid → dHash (each bit compares a pixel to its right
+    * neighbor; robust to brightness/scale shifts) → 64-bit signature →
+    * banded Hamming blocking → verify candidates by full Hamming
+    * distance. With the deterministic stub codec the "pixels" are a
+    * 9×8 nearest-neighbor sample of the payload characters (position
+    * (r,c) reads the char at ⌊(r·9+c)·n/72⌋ — the same resize-then-
+    * compare arithmetic a real raster would get, same convention as
+    * [[decodeStub]]/[[audioEnergy]]'s byte stubs); a real decoder swaps
+    * in luma values and NOTHING downstream changes.
+    *
+    * The signature is carried as four 16-bit band ints (b0..b3, rows
+    * 2k/2k+1 of the bit grid) — never assembled into one 64-bit word,
+    * which keeps every value < 2¹⁶ and the arithmetic overflow-free in
+    * both engines. Banding mirrors [[DedupQueries]] simhash: candidates
+    * must share a full 16-bit band (collision probability tracks
+    * similarity), hot buckets beyond [[PhashBucketCap]] are dropped
+    * outright (the LSH stop-bucket guard — a 100 TB corpus WILL have
+    * degenerate rasters), and the verify compare is
+    * Σ bit_count(xor(band)) ≤ 10 of 64. Docs shorter than the 72-char
+    * grid are not "images" and are excluded by contract. */
+  val PhashBucketCap = 64
+  private[graft] def phashSignatures(s: SparkSession, d: String): DataFrame = {
+    def px(r: Int, c: Int) = ascii(col("text").substr(
+      expr(s"cast(((${r * 9 + c} * n) div 72) + 1 as int)"), lit(1)))
+    def band(k: Int) =
+      (for (rr <- 0 to 1; c <- 0 to 7) yield
+        when(px(2 * k + rr, c) < px(2 * k + rr, c + 1),
+          lit(1 << (8 * rr + c)).cast("int")).otherwise(lit(0)))
+        .reduce(_ + _).cast("int")
+    // one row of 4 ints per doc; the band explode AND both sides of the
+    // candidate self-join read it — cache so the 72-sample extraction
+    // runs once (the simhash fp pattern)
+    CachePool.cached(DupCorpus.corpus(s, d)
+      .select(col("doc_id"), col("text"), length(col("text")).as("n"))
+      .filter(col("n") >= 72)
+      .select(col("doc_id"), band(0).as("b0"), band(1).as("b1"),
+        band(2).as("b2"), band(3).as("b3")))
+  }
+  /** Band-collision pairs with their full Hamming distance — exposed
+    * for the candidate-volume bound in MultimodalSpec. */
+  private[graft] def phashCandidates(s: SparkSession, d: String): DataFrame = {
+    val bands = phashSignatures(s, d).select(
+      col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+      expr("""inline(array(
+        struct(0 as bi, b0 as bv), struct(1 as bi, b1 as bv),
+        struct(2 as bi, b2 as bv), struct(3 as bi, b3 as bv)))"""))
+    val sz = bands.groupBy("bi", "bv").agg(count(lit(1)).as("bcnt"))
+    val ok = bands.join(sz.filter(col("bcnt") <= PhashBucketCap),
+      Seq("bi", "bv"))
+    val hamming = (0 to 3).map(k =>
+      bit_count(col(s"a.b$k").bitwiseXOR(col(s"b.b$k")))).reduce(_ + _)
+    ok.as("a").join(ok.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming.cast("int").as("hamming"))
+      .distinct()
+  }
+  private val phashDedup: Q = (s, d) =>
+    phashCandidates(s, d)
+      .filter(col("hamming") <= 10)
+      .orderBy("doc_a", "doc_b")
+  private val phashDedupSql = {
+    import graft.oracle.OraclePipeline.DupCte
+    def px(i: Int) =
+      s"ascii(substring(text, CAST(($i * n) // 72 + 1 AS INT), 1))"
+    def band(k: Int) = (for (rr <- 0 to 1; c <- 0 to 7) yield {
+      val i = (2 * k + rr) * 9 + c
+      s"(CASE WHEN ${px(i)} < ${px(i + 1)} THEN ${1 << (8 * rr + c)} ELSE 0 END)"
+    }).mkString(" + ")
+    val ham = (0 to 3).map(k => s"bit_count(xor(a.b$k, b.b$k))")
+      .mkString(" + ")
+    s"""$DupCte, base AS (
+  SELECT doc_id, text, length(text) AS n FROM dup WHERE length(text) >= 72
+), sig AS (
+  SELECT doc_id, CAST(${band(0)} AS INT) AS b0, CAST(${band(1)} AS INT) AS b1,
+    CAST(${band(2)} AS INT) AS b2, CAST(${band(3)} AS INT) AS b3
+  FROM base
+), bands AS (
+  SELECT doc_id, b0, b1, b2, b3, u.bi,
+    CASE u.bi WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bv
+  FROM sig, (SELECT unnest([0, 1, 2, 3]) AS bi) u
+), sz AS (
+  SELECT bi, bv, count(*) AS bcnt FROM bands GROUP BY bi, bv
+), ok AS (
+  SELECT bands.* FROM bands JOIN sz USING (bi, bv)
+  WHERE sz.bcnt <= $PhashBucketCap
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST($ham AS INT) AS hamming
+FROM ok a JOIN ok b
+  ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+WHERE $ham <= 10
+ORDER BY doc_a, doc_b"""
+  }
+
   val queries: Map[String, Q] = Map(
+    "multimodal_phash_dedup" -> phashDedup,
     "multimodal_audio_energy" -> audioEnergy,
     "multimodal_features" -> features,
     "multimodal_decode_stub" -> decodeStub,
@@ -251,6 +351,7 @@ FROM frames ORDER BY doc_id, frame_id"""
     "multimodal_resize" -> resize)
 
   val oracle: Map[String, String] = Map(
+    "multimodal_phash_dedup" -> phashDedupSql,
     "multimodal_audio_energy" -> audioEnergySql,
     "multimodal_features" -> featuresSql,
     "multimodal_decode_stub" -> decodeStubSql,
