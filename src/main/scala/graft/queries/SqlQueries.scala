@@ -48,17 +48,32 @@ object SqlQueries {
       Tables.events(s, d).createOrReplaceTempView("events")
     }
 
+  /** Oracle strings (and DataFrame faces, for SqlFaceSpec's parity
+    * pins) of every family contributing promoted queries. Built from
+    * the family objects directly, NOT SparkEntry — SparkEntry's maps
+    * include this object, so going through them at init would be
+    * circular. */
+  private[graft] def sourceOracle(name: String): String =
+    (AnalyticsQueries.oracle ++ graft.pipeline.EventQueries.oracle)(name)
+  private[graft] def sourceQuery(name: String): Q =
+    (AnalyticsQueries.queries ++ graft.pipeline.EventQueries.queries)(name)
+
   private def fromSql(name: String): Q = (s, d) => {
     registerViews(s, d)
-    s.sql(AnalyticsQueries.oracle(name))
+    s.sql(sourceOracle(name))
   }
 
   /** sql_* name → the DataFrame-face query whose oracle string it
-    * executes. Two further dialect-portable shapes beyond the three in
-    * the object doc: untapped_accounts exercises CTEs + a comma cross
-    * join against a 1-row scalar + correlated NOT EXISTS (anti-join
-    * decorrelation from SQL text); small_qty_revenue exercises the
-    * multi-CTE aggregate-join formulation whose window rewrite the
+    * executes. Membership = the MATCH set of [[graft.tools.SqlSweep]]
+    * (every dialect-portable oracle that runs in Spark row-identical to
+    * its DataFrame face), minus the infra_* matches — their oracles
+    * state the EXPECTED result from base tables rather than driving
+    * the roundtrip/rewrite machinery, so a SQL face of them would
+    * prove oracle math, not engine behavior. Feature notes beyond the
+    * three shapes in the object doc: untapped_accounts exercises CTEs
+    * + a comma cross join against a 1-row scalar + correlated NOT
+    * EXISTS (anti-join decorrelation from SQL text); small_qty_revenue
+    * the multi-CTE aggregate-join formulation whose window rewrite the
     * DataFrame face carries. */
   val pairs: Map[String, String] = Map(
     "sql_pricing_summary" -> "tpch_pricing_summary",
@@ -71,7 +86,26 @@ object SqlQueries {
     "sql_filtered_revenue" -> "tpch_filtered_revenue",
     // Q12 shape: join + conditional aggregation + INTERVAL arithmetic
     // from SQL text
-    "sql_late_lines" -> "tpch_late_lines")
+    "sql_late_lines" -> "tpch_late_lines",
+    // Q5/Q7/Q8/Q10/Q13/Q21 from SQL text: multi-join star shapes, a
+    // two-sided date band, CASE-share aggregation, LEFT OUTER +
+    // count-distribution, and the double-correlated EXISTS/NOT EXISTS
+    // of Q21 (two decorrelations against the same fact)
+    "sql_region_revenue" -> "tpch_region_revenue",
+    "sql_nation_volume" -> "tpch_nation_volume",
+    "sql_market_share" -> "tpch_market_share",
+    "sql_returned_items" -> "tpch_returned_items",
+    "sql_customer_dist" -> "tpch_customer_dist",
+    "sql_waiting_suppliers" -> "tpch_waiting_suppliers",
+    // events family from SQL text: dense_rank over grouped aggregates,
+    // NTILE deciles, width_bucket histogram, INTERSECT set op, LEAD
+    // self-transition matrix, and the stddev z-score anomaly gate
+    "sql_user_rank" -> "events_user_rank",
+    "sql_deciles" -> "events_deciles",
+    "sql_histogram" -> "events_histogram",
+    "sql_intersect_days" -> "events_intersect_days",
+    "sql_markov" -> "events_markov",
+    "sql_anomaly" -> "events_anomaly")
 
   /** The summary-rewrite face FROM SQL TEXT: registers the lineitem
     * summary, then executes `infra_summary_rewrite`'s oracle string via
@@ -93,6 +127,6 @@ object SqlQueries {
 
   /** The oracle IS the executed SQL — shared verbatim. */
   val oracle: Map[String, String] =
-    pairs.map { case (n, src) => n -> AnalyticsQueries.oracle(src) } +
+    pairs.map { case (n, src) => n -> sourceOracle(src) } +
       ("sql_summary_rollup" -> InfraQueries.oracle("infra_summary_rewrite"))
 }

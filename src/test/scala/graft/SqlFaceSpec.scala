@@ -16,7 +16,7 @@ class SqlFaceSpec extends SparkSpec {
     pairs.foreach { case (sqlName, dfName) =>
       val viaSql = SqlQueries.queries(sqlName)(spark, Sf)
         .collect().map(_.toSeq).sortBy(_.mkString("|"))
-      val viaDf = AnalyticsQueries.queries(dfName)(spark, Sf)
+      val viaDf = SqlQueries.sourceQuery(dfName)(spark, Sf)
         .collect().map(_.toSeq).sortBy(_.mkString("|"))
       assert(viaSql.toSeq === viaDf.toSeq, s"$sqlName diverges from $dfName")
     }
