@@ -1221,6 +1221,76 @@ SELECT d AS day_ms, dau, mau,
   CAST((dau * 1000) // mau AS BIGINT) AS stickiness_permille
 FROM dau JOIN mau USING (d) ORDER BY day_ms"""
 
+  /** Per-day HLL user sketches — the mergeable partial behind the
+    * approximate distinct-count pipeline. This is the 100 TB shape for
+    * trailing-window distinct counts: the fact reduces once per day to
+    * one fixed-size sketch (lgK=14 → ≤16 KB, ~0.8% rel. std. error),
+    * stored partials union in O(days) at query time, and the SAME
+    * aggregation runs unbounded as [[graft.streaming.StreamingEvents
+    * .dauMauStream]] (day windows close at the watermark — exactly the
+    * layer batch jobs can't provide). Day key via window(ts, 1 day)
+    * rather than date_trunc: identical UTC bucketing, but the windowed
+    * form is what streaming watermark eviction keys on, so batch and
+    * stream share this expression tree verbatim. */
+  private[graft] def dayUserSketch(ev: DataFrame): DataFrame =
+    ev.groupBy(window(col("ts"), "1 day").as("w"))
+      .agg(hll_sketch_agg(col("user_id"), 14).as("user_hll"))
+      .select(unix_millis(col("w.start")).as("day_ms"), col("user_hll"))
+
+  /** Fold stored per-day sketches to (day_ms, dau_est, mau_est):
+    * per-day estimate directly, trailing-30-day MAU by unioning the
+    * ≤30 sketches in the band — register-max merge, so the result is
+    * order-independent and identical whether the partials came from a
+    * batch build or accreted from the stream. */
+  private[graft] def dauMauFold(sk: DataFrame): DataFrame = {
+    val days = sk.select(col("day_ms").as("d")).distinct()
+    val mau = sk.join(broadcast(days),
+        col("day_ms") <= col("d") &&
+          col("day_ms") > col("d") - lit(30L * 86400000L))
+      .groupBy("d")
+      .agg(hll_sketch_estimate(hll_union_agg(col("user_hll"))).as("mau_est"))
+    sk.select(col("day_ms").as("d2"),
+        hll_sketch_estimate(col("user_hll")).as("dau_est"))
+      .join(mau, col("d2") === col("d"))
+      .select(col("d").as("day_ms"), col("dau_est"), col("mau_est"))
+  }
+
+  /** The HLL pipeline against ground truth, as a tolerance contract:
+    * exact DAU/MAU (the [[dauMau]] derivation verbatim) joined with the
+    * sketch estimates, shipping booleans |est − exact| ≤ max(5%, 1).
+    * Datasketches HLL is deterministic (fixed seed, register maxima),
+    * so the booleans are stable and hash-matchable; the oracle pins
+    * them TRUE from the exact side alone. At test cardinalities the
+    * sketch sits in sparse mode and the estimates are EXACT — the 5%
+    * band is the documented contract for dense-mode scale, not slack
+    * observed here. */
+  private val dauMauApprox: Q = (s, d) => {
+    val est = dauMauFold(dayUserSketch(Tables.events(s, d)))
+    def ok(e: Column, x: Column) =
+      abs(e - x.cast("double")) <= greatest(x.cast("double") * 0.05, lit(1.0))
+    dauMau(s, d).join(est, "day_ms")
+      .select(col("day_ms"), col("dau"), col("mau"),
+        ok(col("dau_est"), col("dau")).as("dau_ok"),
+        ok(col("mau_est"), col("mau")).as("mau_ok"))
+      .orderBy("day_ms")
+  }
+  private val dauMauApproxSql =
+    """WITH ud AS (
+  SELECT DISTINCT epoch_ms(date_trunc('day', ts)) AS day_ms, user_id
+  FROM events
+), days AS (
+  SELECT DISTINCT day_ms AS d FROM ud
+), mau AS (
+  SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS mau
+  FROM ud JOIN days ON day_ms <= d AND day_ms > d - 2592000000
+  GROUP BY d
+), dau AS (
+  SELECT day_ms AS d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM ud GROUP BY day_ms
+)
+SELECT d AS day_ms, dau, mau, TRUE AS dau_ok, TRUE AS mau_ok
+FROM dau JOIN mau USING (d) ORDER BY day_ms"""
+
   // --------------------------------------------------------------- RFM
   /** RFM segmentation — the classic customer-value cut (recency /
     * frequency / monetary, each banded into quintiles, concatenated
@@ -1403,7 +1473,8 @@ SELECT user_id, n_true, TRUE AS within_eps FROM top ORDER BY user_id"""
     "events_heavy_hitters" -> heavyHitters,
     "events_winsorize" -> winsorize,
     "events_rfm" -> rfm,
-    "events_dau_mau" -> dauMau)
+    "events_dau_mau" -> dauMau,
+    "events_dau_mau_approx" -> dauMauApprox)
 
   val oracle: Map[String, String] = Map(
     "events_tumbling" -> tumblingSql,
@@ -1442,5 +1513,6 @@ SELECT user_id, n_true, TRUE AS within_eps FROM top ORDER BY user_id"""
     "events_heavy_hitters" -> heavyHittersSql,
     "events_winsorize" -> winsorizeSql,
     "events_rfm" -> rfmSql,
-    "events_dau_mau" -> dauMauSql)
+    "events_dau_mau" -> dauMauSql,
+    "events_dau_mau_approx" -> dauMauApproxSql)
 }

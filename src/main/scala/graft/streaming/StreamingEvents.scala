@@ -283,6 +283,29 @@ object StreamingEvents {
     * face. Grid addition is order-independent, so the streamed sketch
     * is BYTE-IDENTICAL to the batch sketch over the same rows
     * (StreamingSpec pins this). */
+  /** Streaming distinct-count partials — the unbounded face of the
+    * `events_dau_mau` family: each 1-day event-time window aggregates
+    * its users into one fixed-size HLL sketch
+    * ([[EventQueries.dayUserSketch]], shared verbatim with the batch
+    * approx query), emitted once when the watermark closes the day.
+    * State is O(open days) × ≤16 KB — the layer an exact trailing
+    * DISTINCT cannot provide on an unbounded stream. The emitted
+    * partials accrete into a store; [[dauMauServe]] answers DAU and
+    * trailing-30-day MAU over them at query time, which is exactly the
+    * production mergeable-sketch serving split (store per-day partials,
+    * union ≤30 on read). */
+  def dauMauStream(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    EventQueries.dayUserSketch(events.withWatermark("ts", delay))
+
+  /** Query-time fold over stored day partials (streamed or
+    * batch-built — register-max merge makes the estimates identical):
+    * (day_ms, dau_est, mau_est, stickiness_permille_est). */
+  def dauMauServe(partials: DataFrame): DataFrame =
+    EventQueries.dauMauFold(partials)
+      .select(col("day_ms"), col("dau_est"), col("mau_est"),
+        floor(col("dau_est") * 1000 / col("mau_est"))
+          .cast("long").as("stickiness_permille_est"))
+
   def cmsStream(events: DataFrame): DataFrame =
     events.groupBy("event_type")
       .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sketch"))

@@ -733,4 +733,59 @@ class StreamingSpec extends SparkSpec {
         s"A/F decimal sum must fold across batches, got $got")
     } finally q.stop()
   }
+
+  test("streaming dau/mau: day sketches close at the watermark, fold serves exact-at-this-scale estimates") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_ms", "user_id")
+      .select(timestamp_millis(col("ts_ms")).as("ts"), col("user_id"))
+    val q = StreamingEvents.dauMauStream(typed(mem.toDF()), "1 hour")
+      .writeStream.format("memory").queryName("daumau")
+      .outputMode("append").start()
+    val day = 86400000L
+    // 3 days with controlled overlap, split across micro-batches so
+    // day-2's sketch must fold users from two batches in state:
+    //   day1 = users 1..50, day2 = 26..75, day3 = 51..150
+    val b1 = (1L to 50L).map(u => (day + u * 1000, u)) ++
+      (26L to 60L).map(u => (2 * day + u * 1000, u))
+    val b2 = (61L to 75L).map(u => (2 * day + u * 1000, u)) ++
+      (51L to 150L).map(u => (3 * day + u * 1000, u))
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      // watermark still inside day 3: nothing closed yet after b1+b2
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+      assert(spark.table("daumau").count() <= 2)
+      mem.addData((6 * day, 9999L)) // flush: watermark passes day 3
+      q.processAllAvailable()
+      val partials = spark.table("daumau").filter(col("day_ms") <= 3 * day)
+      assert(partials.count() === 3, "one closed sketch per day")
+      val served = StreamingEvents.dauMauServe(partials).collect()
+        .map(r => r.getLong(0) / day ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+      // ground truth: dau 50/50/100, trailing-30d mau 50/75/150; at
+      // these cardinalities the lgK=14 sketch is in sparse mode and the
+      // estimate is exact, so the contract here is equality — the
+      // documented 5% band is for dense-mode scale
+      val want = Map(1L -> ((50L, 50L, 1000L)),
+        2L -> ((50L, 75L, 666L)), 3L -> ((100L, 150L, 666L)))
+      assert(served === want)
+      // partial parity: the streamed sketches (folded across
+      // micro-batches in state) estimate identically to a one-shot
+      // batch build over the same events — register-max merge is
+      // arrival-order-independent
+      val batchEst = graft.pipeline.EventQueries
+        .dayUserSketch(typed((b1 ++ b2).toDF()))
+        .select(col("day_ms"), hll_sketch_estimate(col("user_hll")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val streamEst = partials
+        .select(col("day_ms"), hll_sketch_estimate(col("user_hll")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamEst === batchEst)
+    } finally q.stop()
+  }
 }
