@@ -1014,6 +1014,96 @@ SELECT t.doc_id, count(*) AS n_tokens,
 FROM tok t JOIN ranked r ON t.tok = r.tok
 GROUP BY t.doc_id ORDER BY t.doc_id"""
 
+  // ------------------------------------------------------ filter funnel
+  /** Corpus-curation funnel — the C4/Gopher-style multi-gate filter
+    * chain with per-stage drop accounting, the report every curation
+    * run ships with its output. Four gates in order (a document is
+    * charged to its FIRST failing stage): `length` (≥25 tokens, ≤20k
+    * chars), `langid` (some stopword list must vote — the [[langid]]
+    * 'und' rule), `repetition` (the [[repetitionFilter]] Gopher gate),
+    * `diversity` (type-token ratio ≥ 0.4, compared in integer space
+    * as nDistinct·10 ≥ nTokens·4 so no rounding flaps the boolean).
+    * Scale: all four gates are codegen'd projections riding the one
+    * corpus scan (the same kernels the standalone queries use), the
+    * first-fail CASE collapses to a ≤5-group map-side-combinable
+    * aggregate, and the funnel arithmetic (cumulative drops → n_in /
+    * n_out per stage) runs on a CONSTANT 4-row stage dimension — its
+    * unpartitioned window is over that 4-row literal relation, never
+    * over data. */
+  private val filterFunnel: Q = (s, d) => {
+    graft.functions.VectorExpressions.register(s)
+    import s.implicits._
+    val nTok = size(toks).cast("long")
+    val maxVote = greatest(Stopwords.map { case (_, sw) =>
+      swHits(sw).cast("long") }: _*)
+    val topFreq = call_function("graft_top_freq", toks).cast("long")
+    val dupBig = call_function("graft_dup_bigrams", toks).cast("long")
+    val nDist = size(array_distinct(toks)).cast("long")
+    val firstFail = when(nTok < 25 || col("n_chars") > 20000, 1)
+      .when(maxVote === 0, 2)
+      .when(topFreq * 8 > nTok || dupBig * 16 > nTok - 1, 3)
+      .when(nDist * 10 < nTok * 4, 4)
+      .otherwise(0)
+    val byStage = Tables.documents(s, d)
+      .select(firstFail.as("ff"))
+      .groupBy("ff").agg(count(lit(1)).as("n"))
+    val stageDim = Seq((1, "length"), (2, "langid"),
+      (3, "repetition"), (4, "diversity")).toDF("stage_ord", "stage")
+    val total = byStage.agg(sum("n").as("n_total"))
+    val drops = stageDim
+      .join(broadcast(byStage), col("stage_ord") === col("ff"), "left")
+      .select(col("stage_ord"), col("stage"),
+        coalesce(col("n"), lit(0L)).as("n_drop"))
+    val wBefore = Window.orderBy("stage_ord")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    drops.crossJoin(broadcast(total))
+      .withColumn("n_in",
+        col("n_total") - coalesce(sum("n_drop").over(wBefore), lit(0L)))
+      .select(col("stage_ord"), col("stage"), col("n_in"), col("n_drop"),
+        (col("n_in") - col("n_drop")).as("n_out"))
+      .orderBy("stage_ord")
+  }
+  private val filterFunnelSql = {
+    val votes = Stopwords.map { case (_, sw) => swHitsSql(sw) }.mkString(", ")
+    s"""WITH tok AS (
+  SELECT doc_id, n_chars, text, $ToksSql AS toks FROM documents
+), freq AS (
+  SELECT doc_id, max(c) AS top_freq FROM (
+    SELECT doc_id, t, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY 1, 2
+  ) GROUP BY 1
+), feat AS (
+  SELECT t.doc_id, t.n_chars, len(t.toks) AS n_tok,
+    greatest($votes) AS max_vote, f.top_freq,
+    (len(t.toks) - 1) - len(list_distinct(
+      list_transform(list_zip(t.toks[1:-2], t.toks[2:-1]),
+                     p -> p[1] || ' ' || p[2]))) AS dup_big,
+    len(list_distinct(t.toks)) AS n_dist
+  FROM tok t JOIN freq f USING (doc_id)
+), ff AS (
+  SELECT CASE WHEN n_tok < 25 OR n_chars > 20000 THEN 1
+              WHEN max_vote = 0 THEN 2
+              WHEN top_freq * 8 > n_tok OR dup_big * 16 > n_tok - 1 THEN 3
+              WHEN n_dist * 10 < n_tok * 4 THEN 4
+              ELSE 0 END AS ff
+  FROM feat
+), byff AS (SELECT ff, count(*) AS n FROM ff GROUP BY ff),
+stages(stage_ord, stage) AS (
+  VALUES (1, 'length'), (2, 'langid'), (3, 'repetition'), (4, 'diversity')
+), drops AS (
+  SELECT stage_ord, stage, COALESCE(n, 0) AS n_drop
+  FROM stages LEFT JOIN byff ON stage_ord = ff
+), tot AS (SELECT sum(n) AS n_total FROM byff)
+SELECT stage_ord, stage,
+  CAST(n_total - COALESCE(sum(n_drop) OVER (ORDER BY stage_ord
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_in,
+  CAST(n_drop AS BIGINT) AS n_drop,
+  CAST(n_total - COALESCE(sum(n_drop) OVER (ORDER BY stage_ord
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) - n_drop AS BIGINT)
+    AS n_out
+FROM drops, tot ORDER BY stage_ord"""
+  }
+
   val queries: Map[String, Q] = Map(
     "text_langid" -> langid,
     "text_quality" -> quality,
@@ -1036,7 +1126,8 @@ GROUP BY t.doc_id ORDER BY t.doc_id"""
     "text_domain_mix" -> domainMix,
     "text_chunk_overlap" -> chunkOverlap,
     "text_chunk_dedup" -> chunkDedup,
-    "text_surprisal" -> surprisal)
+    "text_surprisal" -> surprisal,
+    "text_filter_funnel" -> filterFunnel)
 
   val oracle: Map[String, String] = Map(
     "text_langid" -> langidSql,
@@ -1061,5 +1152,6 @@ GROUP BY t.doc_id ORDER BY t.doc_id"""
     "text_domain_mix" -> domainMixSql,
     "text_chunk_overlap" -> chunkOverlapSql,
     "text_chunk_dedup" -> chunkDedupSql,
-    "text_surprisal" -> surprisalSql)
+    "text_surprisal" -> surprisalSql,
+    "text_filter_funnel" -> filterFunnelSql)
 }

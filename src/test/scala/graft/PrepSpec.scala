@@ -42,4 +42,25 @@ class PrepSpec extends SparkSpec {
       .filter(col("n_bins") > ceil(col("tot").cast("double") / 512.0))
     assert(over.count() === 0)
   }
+
+  test("filter funnel: stage accounting is a conserved filtration over the corpus") {
+    val rows = TextQueries.queries("text_filter_funnel")(spark, Sf)
+      .collect().sortBy(_.getAs[Int]("stage_ord"))
+    assert(rows.map(_.getAs[String]("stage")).toSeq ===
+      Seq("length", "langid", "repetition", "diversity"))
+    val nDocs = spark.read
+      .parquet(s"$Sf/documents.parquet").count()
+    assert(rows.head.getAs[Long]("n_in") === nDocs,
+      "stage 1 sees the whole corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_in") - r.getAs[Long]("n_drop") ===
+        r.getAs[Long]("n_out"), s"conservation at ${r.getAs[String]("stage")}")
+      assert(r.getAs[Long]("n_drop") >= 0L)
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("n_out") === b.getAs[Long]("n_in"),
+        "funnel chains: each stage's survivors feed the next")
+    }
+    assert(rows.last.getAs[Long]("n_out") > 0, "the funnel keeps something")
+  }
 }
