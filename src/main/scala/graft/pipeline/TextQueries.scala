@@ -1104,6 +1104,59 @@ SELECT stage_ord, stage,
 FROM drops, tot ORDER BY stage_ord"""
   }
 
+  // -------------------------------------------------- classifier score
+  /** Hashed-feature linear classifier inference — the fastText-style
+    * quality-model scoring pass (Joulin et al. 2016: bag of unigram +
+    * bigram features, hashing trick, linear layer), with the trained
+    * weights replaced by a deterministic integer weight table so both
+    * engines hold the identical "model". The DATAFLOW is the point and
+    * is exactly production-shaped: featurize (explode unigrams +
+    * zip_with bigrams) → hash into 4096 buckets (shared h60 → pmod) →
+    * broadcast-join the constant-size weight relation → one map-side-
+    * combinable sum per document → sign gate. Swapping in real learned
+    * weights changes only the 4096-row broadcast table. Everything is
+    * integer-exact (weights in [-2048, 2047], |score| ≤ n_feat·2048),
+    * so the gate cannot flap cross-engine. At 100 TB: the model is a
+    * broadcast constant, the only shuffle is the per-doc aggregate. */
+  private val ClassifierBuckets = 4096L
+  private val classifierScore: Q = (s, d) => {
+    val n = size(toks)
+    val bigrams = zip_with(slice(toks, lit(1), n - 1),
+      slice(toks, lit(2), n - 1), (a, b) => concat_ws(" ", a, b))
+    val feats = Tables.documents(s, d)
+      .select(col("doc_id"), explode(concat(toks, bigrams)).as("f"))
+      .select(col("doc_id"),
+        pmod(DupCorpus.h60(col("f")), lit(ClassifierBuckets)).as("bucket"))
+    val model = s.range(0, ClassifierBuckets).select(
+      col("id").as("bucket"),
+      (col("id") * 2654435761L % ClassifierBuckets - 2048L).as("w"))
+    feats.join(broadcast(model), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_features"), sum("w").as("score_raw"))
+      .select(col("doc_id"), col("n_features"), col("score_raw"),
+        (col("score_raw") > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+  private val classifierScoreSql =
+    s"""WITH tok AS (
+  SELECT doc_id, $ToksSql AS toks FROM documents
+), feats AS (
+  SELECT doc_id, unnest(list_concat(toks,
+    list_transform(list_zip(toks[1:-2], toks[2:-1]),
+                   p -> p[1] || ' ' || p[2]))) AS f
+  FROM tok
+), model AS (
+  SELECT i AS bucket, (i * 2654435761) % ${ClassifierBuckets} - 2048 AS w
+  FROM range(0, ${ClassifierBuckets}) t(i)
+), b AS (
+  SELECT doc_id, ${OraclePipeline.h60Sql("f")} % ${ClassifierBuckets} AS bucket
+  FROM feats
+)
+SELECT doc_id, count(*) AS n_features,
+  CAST(sum(w) AS BIGINT) AS score_raw, (sum(w) > 0) AS keep
+FROM b JOIN model USING (bucket)
+GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "text_langid" -> langid,
     "text_quality" -> quality,
@@ -1127,7 +1180,8 @@ FROM drops, tot ORDER BY stage_ord"""
     "text_chunk_overlap" -> chunkOverlap,
     "text_chunk_dedup" -> chunkDedup,
     "text_surprisal" -> surprisal,
-    "text_filter_funnel" -> filterFunnel)
+    "text_filter_funnel" -> filterFunnel,
+    "text_classifier_score" -> classifierScore)
 
   val oracle: Map[String, String] = Map(
     "text_langid" -> langidSql,
@@ -1153,5 +1207,6 @@ FROM drops, tot ORDER BY stage_ord"""
     "text_chunk_overlap" -> chunkOverlapSql,
     "text_chunk_dedup" -> chunkDedupSql,
     "text_surprisal" -> surprisalSql,
-    "text_filter_funnel" -> filterFunnelSql)
+    "text_filter_funnel" -> filterFunnelSql,
+    "text_classifier_score" -> classifierScoreSql)
 }

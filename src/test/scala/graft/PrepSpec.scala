@@ -63,4 +63,18 @@ class PrepSpec extends SparkSpec {
     }
     assert(rows.last.getAs[Long]("n_out") > 0, "the funnel keeps something")
   }
+
+  test("classifier score: model join is broadcast, gate is non-degenerate, score bounded") {
+    val df = TextQueries.queries("text_classifier_score")(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the 4096-row weight relation must join as a broadcast, not a shuffle")
+    val r = df.agg(
+      sum(when(col("keep"), 1L).otherwise(0L)),
+      sum(when(!col("keep"), 1L).otherwise(0L)),
+      max(abs(col("score_raw")) - col("n_features") * 2048L)).head
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0,
+      "both classes must occur on the corpus")
+    assert(r.getLong(2) <= 0L, "|score| <= n_features * max|w|")
+  }
 }
