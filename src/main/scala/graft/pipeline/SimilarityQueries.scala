@@ -203,14 +203,22 @@ ORDER BY query_id, rank"""
     * DuckDB's list_dot_product, so distances stay bit-identical to
     * the oracle's runtime-computed ones; struct comparison breaks
     * distance ties by cid exactly as the window's orderBy did. */
-  /** The argmin cell id over the full vector as a Column — shared by
-    * [[assignCells]] and the fused IVF-PQ training pass. */
-  private def cellCol(cents: Seq[(Int, Seq[Double])]): Column =
+  /** The winning (relative distance, cid) struct over the k centroid
+    * literals — `d` is ‖c‖² − 2·v·c (the ‖v‖²-free form: constant per
+    * row, so the argmin is unchanged and the true squared distance is
+    * recoverable as d + v·v). Shared by [[assignCells]], the fused
+    * IVF-PQ training pass, and the cluster-profile inertia. */
+  private def cellMin(cents: Seq[(Int, Seq[Double])]): Column =
     least(cents.map { case (cid, cv) =>
       val norm2 = cv.foldLeft(0.0)((acc, x) => acc + x * x)
       struct((lit(norm2) - lit(2) * dot(col("v"), array(cv.map(lit): _*))).as("d"),
         lit(cid).as("cid"))
-    }: _*).getField("cid")
+    }: _*)
+
+  /** The argmin cell id over the full vector as a Column — shared by
+    * [[assignCells]] and the fused IVF-PQ training pass. */
+  private def cellCol(cents: Seq[(Int, Seq[Double])]): Column =
+    cellMin(cents).getField("cid")
 
   private def assignCells(e: DataFrame,
                           cents: Seq[(Int, Seq[Double])]): DataFrame =
@@ -886,6 +894,71 @@ WINDOW w AS (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id)
 QUALIFY row_number() OVER w <= 3
 ORDER BY vec_id, rank"""
 
+  // -------------------------------------------------- cluster profile
+  /** Semantic clustering profile — the "what domains does my corpus
+    * contain" pass (SemDeDup/domain-discovery shape): k-means over the
+    * embedding space, then per-cluster size, majority ground-truth
+    * label with its count (cluster purity vs the `label` column), and
+    * exact inertia. Training reuses [[kmeansCentroids]] (per-iteration
+    * state is k×dim doubles on the driver — constant model, not data);
+    * scoring is a pure projection over one corpus scan ([[cellMin]]
+    * struct: cid + relative distance, true d² recovered by adding
+    * v·v); inertia sums per-row IEEE-identical doubles as
+    * decimal(25,15) so the total is shuffle-order-independent, and the
+    * majority label is an integer argmax with (cnt desc, label asc)
+    * tie-break. At 100 TB: one scan, one ≤k×labels-group aggregate. */
+  private val clusterProfile: Q = (s, d) => {
+    val e = embDouble(s, d).select(col("vec_id"), col("label"), col("v")).cache()
+    val cents = kmeansCentroids(s, e)
+    val cm = cellMin(cents)
+    val scored = e.select(col("label"), cm.getField("cid").as("cid"),
+      (cm.getField("d") + dot(col("v"), col("v"))).as("d2"))
+    val byLabel = scored.groupBy("cid", "label")
+      .agg(count(lit(1)).as("lbl_cnt"),
+        sum(col("d2").cast("decimal(25,15)")).as("lbl_inertia"))
+    val wMaj = Window.partitionBy("cid")
+      .orderBy(col("lbl_cnt").desc, col("label"))
+    val out = byLabel
+      .withColumn("rn", row_number().over(wMaj))
+      .withColumn("n_vecs", sum("lbl_cnt").over(Window.partitionBy("cid")))
+      .withColumn("inertia",
+        round(sum("lbl_inertia").over(Window.partitionBy("cid"))
+          .cast("double"), 6))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("n_vecs"), col("label").as("maj_label"),
+        col("lbl_cnt").as("maj_cnt"), col("inertia"))
+      .orderBy("cid")
+    e.unpersist()
+    out
+  }
+  private val clusterProfileSql =
+    s"""WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $KmK
+), a1 AS (${assignSql("e", "c0")}
+), c1 AS (${updateSql("a1")}
+), a2 AS (${assignSql("e", "c1")}
+), c2 AS (${updateSql("a2")}
+), cells AS (${assignSql("e", "c2")}
+), scored AS (
+  SELECT c.cid, e.label,
+    list_dot_product(cv.cv, cv.cv) - 2 * list_dot_product(c.v, cv.cv)
+      + list_dot_product(c.v, c.v) AS d2
+  FROM cells c JOIN e ON c.vec_id = e.vec_id JOIN c2 cv ON cv.cid = c.cid
+), byl AS (
+  SELECT cid, label, count(*) AS lbl_cnt,
+    sum(CAST(d2 AS DECIMAL(25,15))) AS lbl_inertia
+  FROM scored GROUP BY cid, label
+)
+SELECT CAST(cid AS INTEGER) AS cid,
+  CAST(sum(lbl_cnt) OVER (PARTITION BY cid) AS BIGINT) AS n_vecs,
+  label AS maj_label, lbl_cnt AS maj_cnt,
+  round(CAST(sum(lbl_inertia) OVER (PARTITION BY cid) AS DOUBLE), 6) AS inertia
+FROM byl
+QUALIFY row_number() OVER (PARTITION BY cid ORDER BY lbl_cnt DESC, label) = 1
+ORDER BY cid"""
+
   val queries: Map[String, Q] = Map(
     "ann_topk_brute" -> topkBrute,
     "ann_range_search" -> rangeSearch,
@@ -897,6 +970,7 @@ ORDER BY vec_id, rank"""
     "ann_topk_ivfpq" -> topkIvfPq,
     "dedup_embedding" -> embedDedup,
     "embed_quantize" -> quantize,
+    "embed_cluster_profile" -> clusterProfile,
     "knn_join" -> knnJoin)
 
   val oracle: Map[String, String] = Map(
@@ -911,5 +985,6 @@ ORDER BY vec_id, rank"""
     "ann_topk_ivfpq" -> topkIvfPqSql,
     "dedup_embedding" -> embedDedupSql,
     "embed_quantize" -> quantizeSql,
+    "embed_cluster_profile" -> clusterProfileSql,
     "knn_join" -> knnJoinSql)
 }
