@@ -1157,6 +1157,81 @@ SELECT doc_id, count(*) AS n_features,
 FROM b JOIN model USING (bucket)
 GROUP BY doc_id ORDER BY doc_id"""
 
+  // -------------------------------------------------- DSIR importance weight
+  /** Data Selection via Importance Resampling (Xie et al. 2023): score
+    * every document by how much more likely its hashed n-gram features
+    * are under a target-domain feature distribution than under the raw
+    * corpus distribution, then gate on weight > 1. The feature space is
+    * the classifier's unigram+bigram hash, folded to 256 buckets so the
+    * per-bucket counts are dense; the target slice is the `lang = 'en'`
+    * corpus (standing in for the curated domain DSIR resamples toward).
+    * The published method ranks by the log-likelihood ratio
+    * Σ log p_t(f)/p_c(f); we keep the ordering decision INTEGER-exact
+    * instead: per-doc feature-count sums under each distribution,
+    * cross-multiplied against the global totals, so
+    *   weight_ppm = ⌊10⁶ · (Σ tgt(f) · N_c) / (Σ cor(f) · N_t)⌋
+    * is pure integer arithmetic (decimal(38,0)/HUGEINT intermediates —
+    * no doubles, no ln(), no cross-engine ulp risk) with add-1
+    * smoothing on every bucket. At 100 TB: the 256-row bucket table and
+    * the 1-row totals are broadcast constants (map-side-combinable
+    * pre-passes over the same scan); the per-doc aggregate is the only
+    * data shuffle. */
+  private val DsirBuckets = 256L
+  private val dsirWeights: Q = (s, d) => {
+    val n = size(toks)
+    val bigrams = zip_with(slice(toks, lit(1), n - 1),
+      slice(toks, lit(2), n - 1), (a, b) => concat_ws(" ", a, b))
+    val feats = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(concat(toks, bigrams)).as("f"))
+      .select(col("doc_id"), col("lang"),
+        pmod(DupCorpus.h60(col("f")), lit(DsirBuckets)).as("bucket"))
+    val buckets = feats.groupBy("bucket").agg(
+      (count(lit(1)) + lit(1L)).as("cor"),
+      (count(when(col("lang") === "en", 1)) + lit(1L)).as("tgt"))
+    val totals = buckets.agg(sum("cor").as("n_c"), sum("tgt").as("n_t"))
+    feats.join(broadcast(buckets), "bucket")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_features"),
+        sum("tgt").cast("decimal(38,0)").as("sum_t"),
+        sum("cor").cast("decimal(38,0)").as("sum_c"))
+      .crossJoin(broadcast(totals))
+      .withColumn("weight_ppm",
+        expr("(sum_t * n_c * 1000000) div (sum_c * n_t)").cast("long"))
+      .select(col("doc_id"), col("n_features"), col("weight_ppm"),
+        (col("weight_ppm") > lit(1000000L)).as("keep"))
+      .orderBy("doc_id")
+  }
+  private val dsirWeightsSql =
+    s"""WITH tok AS (
+  SELECT doc_id, lang, $ToksSql AS toks FROM documents
+), feats AS (
+  SELECT doc_id, lang, unnest(list_concat(toks,
+    list_transform(list_zip(toks[1:-2], toks[2:-1]),
+                   p -> p[1] || ' ' || p[2]))) AS f
+  FROM tok
+), b AS (
+  SELECT doc_id, lang,
+    ${OraclePipeline.h60Sql("f")} % $DsirBuckets AS bucket
+  FROM feats
+), buckets AS (
+  SELECT bucket, count(*) + 1 AS cor,
+    count(*) FILTER (WHERE lang = 'en') + 1 AS tgt
+  FROM b GROUP BY bucket
+), totals AS (
+  SELECT CAST(sum(cor) AS HUGEINT) AS n_c, CAST(sum(tgt) AS HUGEINT) AS n_t
+  FROM buckets
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_features,
+    CAST(sum(tgt) AS HUGEINT) AS sum_t, CAST(sum(cor) AS HUGEINT) AS sum_c
+  FROM b JOIN buckets USING (bucket) GROUP BY doc_id
+)
+SELECT doc_id, n_features,
+  CAST((sum_t * n_c * 1000000) // (sum_c * n_t) AS BIGINT) AS weight_ppm,
+  ((sum_t * n_c * 1000000) // (sum_c * n_t) > 1000000) AS keep
+FROM per_doc, totals
+ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "text_langid" -> langid,
     "text_quality" -> quality,
@@ -1181,7 +1256,8 @@ GROUP BY doc_id ORDER BY doc_id"""
     "text_chunk_dedup" -> chunkDedup,
     "text_surprisal" -> surprisal,
     "text_filter_funnel" -> filterFunnel,
-    "text_classifier_score" -> classifierScore)
+    "text_classifier_score" -> classifierScore,
+    "text_dsir_weights" -> dsirWeights)
 
   val oracle: Map[String, String] = Map(
     "text_langid" -> langidSql,
@@ -1208,5 +1284,6 @@ GROUP BY doc_id ORDER BY doc_id"""
     "text_chunk_dedup" -> chunkDedupSql,
     "text_surprisal" -> surprisalSql,
     "text_filter_funnel" -> filterFunnelSql,
-    "text_classifier_score" -> classifierScoreSql)
+    "text_classifier_score" -> classifierScoreSql,
+    "text_dsir_weights" -> dsirWeightsSql)
 }
