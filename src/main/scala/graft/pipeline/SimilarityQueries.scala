@@ -959,6 +959,85 @@ FROM byl
 QUALIFY row_number() OVER (PARTITION BY cid ORDER BY lbl_cnt DESC, label) = 1
 ORDER BY cid"""
 
+  // -------------------------------------------------- semantic dedup
+  /** SemDeDup (Abbas et al. 2023): cluster the embedding space with
+    * k-means, then deduplicate ONLY within clusters — for every
+    * within-cluster pair with cosine ≥ τ, drop the member closer to the
+    * centroid (the paper keeps the most atypical example; ties drop the
+    * higher vec_id). Output is the drop list with per-vec dominator
+    * count and strongest similarity. Reuses [[kmeansCentroids]] +
+    * [[cellMin]] (assignment and centroid distance are zero-shuffle
+    * projections; training state is k×dim driver doubles) and the
+    * fused [[cosine]] kernel, so every double is bit-identical to the
+    * oracle's list_dot_product formulation. Scale posture: the
+    * candidate join is an equi-join on cid — never corpus all-pairs —
+    * and k grows ∝ corpus so per-cluster size (and thus per-key pair
+    * volume) stays bounded, exactly the published recipe (they run
+    * 50k clusters over LAION); at 100 TB this is one assignment scan +
+    * one bucketed self-join. */
+  private val SemTau = 0.3
+  private val semDedup: Q = (s, d) => {
+    val e = embDouble(s, d).select(col("vec_id"), col("v")).cache()
+    val cents = kmeansCentroids(s, e)
+    val cm = cellMin(cents)
+    val scored = e.select(col("vec_id"), col("v"),
+      cm.getField("cid").as("cid"),
+      (cm.getField("d") + dot(col("v"), col("v"))).as("d2"))
+    val a = scored.select(col("cid"), col("vec_id").as("a_id"),
+      col("v").as("av"), col("d2").as("a_d2"))
+    val b = scored.select(col("cid"), col("vec_id").as("b_id"),
+      col("v").as("bv"), col("d2").as("b_d2"))
+    val pairs = a.join(b, "cid")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("sim", cosine(col("av"), col("bv")))
+      .filter(col("sim") >= SemTau)
+    val out = pairs
+      .select(col("cid"),
+        when(col("a_d2") < col("b_d2"), col("a_id"))
+          .when(col("b_d2") < col("a_d2"), col("b_id"))
+          .otherwise(col("b_id")).as("vec_id"),
+        col("sim"))
+      .groupBy("cid", "vec_id")
+      .agg(count(lit(1)).as("n_dominators"),
+        round(max(col("sim")), 6).as("max_sim"))
+      .orderBy("cid", "vec_id")
+    e.unpersist()
+    out
+  }
+  private val semDedupSql =
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $KmK
+), a1 AS (${assignSql("e", "c0")}
+), c1 AS (${updateSql("a1")}
+), a2 AS (${assignSql("e", "c1")}
+), c2 AS (${updateSql("a2")}
+), cells AS (${assignSql("e", "c2")}
+), scored AS (
+  SELECT c.cid, c.vec_id, c.v,
+    list_dot_product(cv.cv, cv.cv) - 2 * list_dot_product(c.v, cv.cv)
+      + list_dot_product(c.v, c.v) AS d2
+  FROM cells c JOIN c2 cv ON cv.cid = c.cid
+), pairs AS (
+  SELECT * FROM (
+    SELECT a.cid, a.vec_id AS a_id, b.vec_id AS b_id,
+      a.d2 AS a_d2, b.d2 AS b_d2,
+      list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))
+        * sqrt(list_dot_product(b.v, b.v))) AS sim
+    FROM scored a JOIN scored b ON a.cid = b.cid AND a.vec_id < b.vec_id)
+  WHERE sim >= $SemTau
+)
+SELECT CAST(cid AS INTEGER) AS cid, vec_id,
+  count(*) AS n_dominators, round(max(sim), 6) AS max_sim
+FROM (
+  SELECT cid, CASE WHEN a_d2 < b_d2 THEN a_id
+                   WHEN b_d2 < a_d2 THEN b_id
+                   ELSE b_id END AS vec_id, sim
+  FROM pairs)
+GROUP BY cid, vec_id
+ORDER BY cid, vec_id"""
+
   val queries: Map[String, Q] = Map(
     "ann_topk_brute" -> topkBrute,
     "ann_range_search" -> rangeSearch,
@@ -969,6 +1048,7 @@ ORDER BY cid"""
     "ann_topk_pq" -> topkPq,
     "ann_topk_ivfpq" -> topkIvfPq,
     "dedup_embedding" -> embedDedup,
+    "dedup_semantic" -> semDedup,
     "embed_quantize" -> quantize,
     "embed_cluster_profile" -> clusterProfile,
     "knn_join" -> knnJoin)
@@ -984,6 +1064,7 @@ ORDER BY cid"""
     "ann_topk_pq" -> topkPqSql,
     "ann_topk_ivfpq" -> topkIvfPqSql,
     "dedup_embedding" -> embedDedupSql,
+    "dedup_semantic" -> semDedupSql,
     "embed_quantize" -> quantizeSql,
     "embed_cluster_profile" -> clusterProfileSql,
     "knn_join" -> knnJoinSql)
