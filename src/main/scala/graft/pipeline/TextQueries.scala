@@ -1232,6 +1232,49 @@ SELECT doc_id, n_features,
 FROM per_doc, totals
 ORDER BY doc_id"""
 
+  // -------------------------------------------------- training shards
+  /** Deterministic global shuffle into training shards — the "write the
+    * training set" op: every doc gets a shard (16 here) and a
+    * within-shard position from two independent salted hashes (RNG-free,
+    * so re-runs and both engines place every row identically), and the
+    * output is the per-shard MANIFEST: doc count, byte (char) total,
+    * the head doc under the shard order, and a content checksum (sum of
+    * the order keys). Every aggregate is O(1) per-group state — no
+    * collect_list of the member ids, which at 100 TB would hold whole
+    * shards in memory; the head-of-order is a min over a scalar
+    * composite key (pos·2²⁰ + doc_id — the struct-free form DuckDB's
+    * arg_min needs, exact in decimal(38,0)/HUGEINT). In production the
+    * same projection feeds `write.partitionBy(shard)` and this manifest
+    * is the verification face of the written shards. */
+  private val ShardN = 16L
+  private val shuffleShards: Q = (s, d) => {
+    val a = Tables.documents(s, d).select(col("doc_id"), col("n_chars"),
+      pmod(DupCorpus.h60(concat(lit("shard:"), col("doc_id").cast("string"))),
+        lit(ShardN)).as("shard"),
+      DupCorpus.h60(concat(lit("pos:"), col("doc_id").cast("string"))).as("pos"))
+    a.groupBy("shard").agg(
+      count(lit(1)).as("n_docs"),
+      sum("n_chars").as("n_chars_total"),
+      expr("CAST(min(CAST(pos AS DECIMAL(38,0)) * 1048576 + doc_id) % 1048576 AS BIGINT)")
+        .as("head_doc"),
+      sum(col("pos").cast("decimal(38,0)")).as("checksum"))
+      .orderBy("shard")
+  }
+  private val shuffleShardsSql = {
+    val hs = OraclePipeline.h60Sql("'shard:' || CAST(doc_id AS VARCHAR)")
+    val hp = OraclePipeline.h60Sql("'pos:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH a AS (
+  SELECT doc_id, n_chars, $hs % $ShardN AS shard, $hp AS pos
+  FROM documents
+)
+SELECT shard, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
+  CAST(min(CAST(pos AS HUGEINT) * 1048576 + doc_id) % 1048576 AS BIGINT)
+    AS head_doc,
+  CAST(sum(CAST(pos AS HUGEINT)) AS DECIMAL(38,0)) AS checksum
+FROM a GROUP BY shard ORDER BY shard"""
+  }
+
   val queries: Map[String, Q] = Map(
     "text_langid" -> langid,
     "text_quality" -> quality,
@@ -1257,7 +1300,8 @@ ORDER BY doc_id"""
     "text_surprisal" -> surprisal,
     "text_filter_funnel" -> filterFunnel,
     "text_classifier_score" -> classifierScore,
-    "text_dsir_weights" -> dsirWeights)
+    "text_dsir_weights" -> dsirWeights,
+    "text_shuffle_shards" -> shuffleShards)
 
   val oracle: Map[String, String] = Map(
     "text_langid" -> langidSql,
@@ -1285,5 +1329,6 @@ ORDER BY doc_id"""
     "text_surprisal" -> surprisalSql,
     "text_filter_funnel" -> filterFunnelSql,
     "text_classifier_score" -> classifierScoreSql,
-    "text_dsir_weights" -> dsirWeightsSql)
+    "text_dsir_weights" -> dsirWeightsSql,
+    "text_shuffle_shards" -> shuffleShardsSql)
 }
