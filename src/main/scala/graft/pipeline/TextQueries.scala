@@ -1257,7 +1257,11 @@ ORDER BY doc_id"""
       sum("n_chars").as("n_chars_total"),
       expr("CAST(min(CAST(pos AS DECIMAL(38,0)) * 1048576 + doc_id) % 1048576 AS BIGINT)")
         .as("head_doc"),
-      sum(col("pos").cast("decimal(38,0)")).as("checksum"))
+      // Modular checksum: the raw 60-bit position-hash sum overflows BIGINT
+      // (and DuckDB's DECIMAL→pandas path degrades to float64), so both
+      // engines fold it mod 2^61 — exact int64 either way.
+      expr("CAST(sum(CAST(pos AS DECIMAL(38,0))) % 2305843009213693952 AS BIGINT)")
+        .as("checksum"))
       .orderBy("shard")
   }
   private val shuffleShardsSql = {
@@ -1271,7 +1275,7 @@ SELECT shard, count(*) AS n_docs,
   CAST(sum(n_chars) AS BIGINT) AS n_chars_total,
   CAST(min(CAST(pos AS HUGEINT) * 1048576 + doc_id) % 1048576 AS BIGINT)
     AS head_doc,
-  CAST(sum(CAST(pos AS HUGEINT)) AS DECIMAL(38,0)) AS checksum
+  CAST(sum(CAST(pos AS HUGEINT)) % 2305843009213693952 AS BIGINT) AS checksum
 FROM a GROUP BY shard ORDER BY shard"""
   }
 
