@@ -57,15 +57,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read natively (PARQUET_TYPE_ILLEGAL): read it as raw nanos via the
-    * legacy flag and convert to a µs TimestampType column (integer
-    * division — ns-since-epoch overflows double). */
+  /** `events.ts` arrives in whatever precision the generator wrote:
+    * TIMESTAMP(NANOS) (which Spark 4 refuses to read natively —
+    * PARQUET_TYPE_ILLEGAL — so the legacy flag surfaces it as raw
+    * nanos LONG), µs TIMESTAMP_NTZ, or a session-tz TIMESTAMP.
+    * Normalize all three to the µs TimestampType every downstream
+    * window/date function was built against (session tz is pinned
+    * UTC, so the NTZ→LTZ cast is value-preserving). */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val df = apply(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => // ns-since-epoch: integer div (double would overflow)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -300,6 +300,86 @@ SELECT a AS doc_id, least(a, min(b)) AS cluster_id,
   (least(a, min(b)) = a) AS is_canonical
 FROM reach GROUP BY a ORDER BY doc_id"""
 
+  // ------------------------------------------------------------ pagerank
+  /** PageRank over the verified near-dup graph — the centrality face of
+    * the dup relation: a document whose content is echoed by many other
+    * highly-echoed documents is the canonical/viral copy, and its rank
+    * is the principal-eigenvector score SEO/dedup triage uses to pick
+    * which copy to keep (vs [[cluster]]'s arbitrary min-id keeper).
+    * Five fixed power iterations with damping 0.85 over the symmetric
+    * pair graph (every node has out-degree ≥ 1, so no dangling mass).
+    * Each iteration is one equi-join (edges ⋈ ranks) + one combinable
+    * group-by — GraphX's aggregateMessages shape on relational ops —
+    * and `localCheckpoint` per round keeps the plan constant-size (the
+    * round-3 iterative-lineage lesson). Determinism: per-node
+    * contribution sums go through DECIMAL(25,15) so addition is exact
+    * and order-free, and the damping arithmetic is single IEEE ops —
+    * both engines see bit-identical doubles, no tolerance needed.
+    * Scale: the rank relation is |dup-graph nodes| ≪ corpus, degree is
+    * capped by the blocking's bucket caps, and iterations are fixed —
+    * at 100 TB this is five bounded shuffles over a small relation. */
+  private val PrIters = 5
+  private val pagerank: Q = (s, d) => {
+    VectorExpressions.register(s)
+    val sh = shingleRows(DupCorpus.corpus(s, d))
+    val pairs = jaccardVerify(minhashCandidates(s, d), shingleSketches(sh), 0.4)
+      .select("doc_a", "doc_b")
+    val edges = pairs.unionAll(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    val nodes = edges.groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("deg")).localCheckpoint()
+    val n = broadcast(nodes.agg(count(lit(1)).as("n")))
+    var rank = nodes.crossJoin(n)
+      .select(col("doc_id"), col("deg"),
+        (lit(1.0).cast("double") / col("n")).as("rank"))
+      .localCheckpoint()
+    for (_ <- 1 to PrIters) {
+      val contrib = edges
+        .join(rank, edges("doc_b") === rank("doc_id"))
+        .select(edges("doc_a").as("doc_id"),
+          (col("rank") / col("deg")).cast("decimal(25,15)").as("c"))
+      val sums = contrib.groupBy("doc_id").agg(sum(col("c")).as("cs"))
+      rank = nodes.join(sums, "doc_id").crossJoin(n)
+        .select(col("doc_id"), col("deg"),
+          (lit(0.15) / col("n") + lit(0.85) * col("cs").cast("double"))
+            .as("rank"))
+        .localCheckpoint()
+    }
+    rank.select(col("doc_id"), col("deg"), round(col("rank"), 9).as("rank"))
+      .orderBy("doc_id")
+  }
+  private val pagerankSql = {
+    def iter(prev: String, cur: String) =
+      s"""$cur AS (
+  SELECT d.doc_id, d.deg,
+    CAST(0.15 AS DOUBLE) / nn.n + CAST(0.85 AS DOUBLE)
+      * CAST(sum(CAST(r.rank / r.deg AS DECIMAL(25,15))) AS DOUBLE) AS rank
+  FROM sym s
+  JOIN $prev r ON r.doc_id = s.doc_b
+  JOIN deg d ON d.doc_id = s.doc_a, nn
+  GROUP BY d.doc_id, d.deg, nn.n
+)"""
+    val iters = (1 to PrIters)
+      .map(k => iter(if (k == 1) "r0" else s"r${k - 1}", s"r$k"))
+      .mkString(", ")
+    s"""$minhashCtes, prpairs AS (
+$minhashPairSelect
+), sym AS (
+  SELECT doc_a, doc_b FROM prpairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM prpairs
+), deg AS (
+  SELECT doc_a AS doc_id, count(*) AS deg FROM sym GROUP BY doc_a
+), nn AS (
+  SELECT count(*) AS n FROM deg
+), r0 AS (
+  SELECT doc_id, deg, CAST(1 AS DOUBLE) / nn.n AS rank FROM deg, nn
+), $iters
+SELECT doc_id, deg, round(rank, 9) AS rank
+FROM r$PrIters ORDER BY doc_id"""
+  }
+
   // ---------------------------------------------------------- containment
   /** Containment dedup — the ASYMMETRIC verify face (Broder's
     * containment |A∩B| / min(|A|,|B|)): a truncated or excerpted copy
@@ -692,6 +772,7 @@ FROM spans GROUP BY doc_id ORDER BY doc_id"""
     "dedup_simhash" -> simhash,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_cluster" -> cluster,
+    "graph_pagerank" -> pagerank,
     "dedup_triangles" -> triangles,
     "dedup_containment" -> containment,
     "dedup_substring" -> substringDedup)
@@ -705,6 +786,7 @@ FROM spans GROUP BY doc_id ORDER BY doc_id"""
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_cluster" -> clusterSql,
+    "graph_pagerank" -> pagerankSql,
     "dedup_triangles" -> trianglesSql,
     "dedup_containment" -> containmentSql,
     "dedup_substring" -> substringDedupSql)

@@ -243,6 +243,58 @@ SELECT doc_id, frame_id, CAST($terms AS BIGINT) AS energy
 FROM frames ORDER BY doc_id, frame_id"""
   }
 
+  // ------------------------------------------------------ silence split
+  /** Voice-activity segmentation over the energy frames — the step
+    * between [[audioEnergy]] and a speech pipeline (ASR batching,
+    * silence trimming, per-utterance embedding): frames whose energy
+    * clears a threshold are "active", and maximal runs of consecutive
+    * active frames become segments with start/end/length/total energy.
+    * Classic gaps-and-islands: `frame_id − row_number()` per doc is
+    * constant within a run, so one per-doc window + one group-by turns
+    * frames into segments. Both windows partition by doc_id — never a
+    * global sort — and all arithmetic is exact integers, so the oracle
+    * hash-matches without tolerance. At 100 TB this is the same
+    * per-doc-partitioned shape as the chunker: segment count ∝ speech
+    * turns, not corpus size. */
+  private val SilenceThresh = 50000L
+  private val silenceSplit: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_id")
+    val ws = Window.partitionBy("doc_id").orderBy("start_frame")
+    audioEnergy(s, d)
+      .filter(col("energy") >= SilenceThresh)
+      .withColumn("grp", col("frame_id") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min("frame_id").as("start_frame"),
+        max("frame_id").as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum("energy").as("total_energy"))
+      .select(col("doc_id"),
+        row_number().over(ws).cast("int").as("seg_id"),
+        col("start_frame"), col("end_frame"),
+        col("n_frames"), col("total_energy"))
+      .orderBy("doc_id", "seg_id")
+  }
+  private val silenceSplitSql =
+    s"""WITH en AS (
+  SELECT * FROM ($audioEnergySql)
+), act AS (
+  SELECT doc_id, frame_id, energy,
+    frame_id - row_number() OVER (PARTITION BY doc_id ORDER BY frame_id)
+      AS grp
+  FROM en WHERE energy >= $SilenceThresh
+), seg AS (
+  SELECT doc_id, min(frame_id) AS start_frame, max(frame_id) AS end_frame,
+    count(*) AS n_frames, sum(energy) AS total_energy
+  FROM act GROUP BY doc_id, grp
+)
+SELECT doc_id,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start_frame) AS INT)
+    AS seg_id,
+  start_frame, end_frame, n_frames, CAST(total_energy AS BIGINT)
+    AS total_energy
+FROM seg ORDER BY doc_id, seg_id"""
+
   // ----------------------------------------------------- phash dedup
   /** Perceptual-hash near-dup over the multimodal payload — image dedup
     * as a corpus pipeline runs it: decode → downsample to a tiny
@@ -345,6 +397,7 @@ ORDER BY doc_a, doc_b"""
   val queries: Map[String, Q] = Map(
     "multimodal_phash_dedup" -> phashDedup,
     "multimodal_audio_energy" -> audioEnergy,
+    "multimodal_silence_split" -> silenceSplit,
     "multimodal_features" -> features,
     "multimodal_decode_stub" -> decodeStub,
     "multimodal_frame_sample" -> frameSample,
@@ -353,6 +406,7 @@ ORDER BY doc_a, doc_b"""
   val oracle: Map[String, String] = Map(
     "multimodal_phash_dedup" -> phashDedupSql,
     "multimodal_audio_energy" -> audioEnergySql,
+    "multimodal_silence_split" -> silenceSplitSql,
     "multimodal_features" -> featuresSql,
     "multimodal_decode_stub" -> decodeStubSql,
     "multimodal_frame_sample" -> frameSampleSql,

@@ -1038,7 +1038,93 @@ FROM (
 GROUP BY cid, vec_id
 ORDER BY cid, vec_id"""
 
+  // ------------------------------------------------- random projection
+  /** Johnson–Lindenstrauss sign projection — the dimensionality-
+    * reduction step in front of clustering/ANN when the raw embedding
+    * is too wide: proj_j = Σ_i v_i·s_ij with s_ij ∈ {±1} drawn from a
+    * deterministic integer mix of (i,j) (no RNG — both engines derive
+    * the identical matrix, and re-runs are stable). Emitted wide
+    * (p0..p15) so downstream reads it as a 16-dim vector. Determinism:
+    * each signed term goes through DECIMAL(25,15), so the per-j sums
+    * are exact and order-free. Shape: posexplode + one combinable
+    * group-by per vec_id — the shuffle carries one 16-column row per
+    * vector (≈ input size); with a pinned dimension count the same
+    * operator folds to 16 literal-vector dot products riding the scan
+    * (zero shuffle) — this form is kept relational so the oracle's
+    * unnest mirrors it exactly. */
+  private val ProjD = 16
+  private def projSign(pos: Column, j: Int): Column =
+    ((pos * 73856093L + j * 19349663L) % 97) % 2
+  private val randomProjection: Q = (s, d) => {
+    val ex = embDouble(s, d)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+    val aggs = (0 until ProjD).map { j =>
+      round(sum(when(projSign(col("pos"), j) === 0, col("x"))
+        .otherwise(-col("x")).cast("decimal(25,15)")).cast("double"), 6)
+        .as(s"p$j")
+    }
+    ex.groupBy("vec_id").agg(aggs.head, aggs.tail: _*)
+      .orderBy("vec_id")
+  }
+  private val randomProjectionSql = {
+    val cols = (0 until ProjD).map { j =>
+      s"""round(CAST(sum(CAST(CASE WHEN ((pos * 73856093 + $j * 19349663) % 97) % 2 = 0
+      THEN x ELSE -x END AS DECIMAL(25,15))) AS DOUBLE), 6) AS p$j"""
+    }.mkString(",\n  ")
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ex AS (
+  SELECT vec_id, unnest(v) AS x,
+    generate_subscripts(v, 1) - 1 AS pos
+  FROM e
+)
+SELECT vec_id,
+  $cols
+FROM ex GROUP BY vec_id ORDER BY vec_id"""
+  }
+
+  // ------------------------------------------------------- recall eval
+  /** Recall@k evaluation harness — the metric face every ANN deployment
+    * ships next to the index: per query, |approx ∩ exact| / k against
+    * the brute-force ground truth. Composes the registered [[topkIvf]]
+    * and [[topkBrute]] faces unchanged (a LEFT join from exact to
+    * approx on (query, neighbor) + one count aggregate), so the number
+    * reported is for the EXACT plan that serves traffic, not a
+    * reimplementation. Scale: both sides are |queries|·k rows —
+    * evaluation cost is independent of corpus size, and at 100 TB the
+    * same harness runs over a sampled query set. All-integer counts;
+    * the recall ratio divides two exact longs — hash-safe. */
+  private val recallEval: Q = (s, d) => {
+    val exact = topkBrute(s, d).select(col("query_id"), col("neighbor_id"))
+    val approx = topkIvf(s, d)
+      .select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid"))
+    exact.join(broadcast(approx),
+        exact("query_id") === approx("a_qid") &&
+          exact("neighbor_id") === approx("a_nid"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"), count(col("a_nid")).as("n_hit"))
+      .select(col("query_id"), col("k").cast("int").as("k"),
+        col("n_hit").cast("int").as("n_hit"),
+        round(col("n_hit").cast("double") / col("k"), 6).as("recall"))
+      .orderBy("query_id")
+  }
+  private val recallEvalSql =
+    s"""WITH exact AS (
+  SELECT query_id, neighbor_id FROM ($topkBruteSql)
+), approx AS (
+  SELECT query_id, neighbor_id FROM ($topkIvfSql)
+)
+SELECT e.query_id, CAST(count(*) AS INT) AS k,
+  CAST(count(a.neighbor_id) AS INT) AS n_hit,
+  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6) AS recall
+FROM exact e LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id"""
+
   val queries: Map[String, Q] = Map(
+    "ann_recall_eval" -> recallEval,
+    "embed_random_projection" -> randomProjection,
     "ann_topk_brute" -> topkBrute,
     "ann_range_search" -> rangeSearch,
     "ann_topk_ivf" -> topkIvf,
@@ -1054,6 +1140,8 @@ ORDER BY cid, vec_id"""
     "knn_join" -> knnJoin)
 
   val oracle: Map[String, String] = Map(
+    "ann_recall_eval" -> recallEvalSql,
+    "embed_random_projection" -> randomProjectionSql,
     "ann_topk_brute" -> topkBruteSql,
     "ann_range_search" -> rangeSearchSql,
     "ann_topk_ivf" -> topkIvfSql,

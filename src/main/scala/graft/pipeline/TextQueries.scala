@@ -856,6 +856,62 @@ SELECT doc_id, source, n_chars, CAST(copy_id AS INT) AS copy_id
 FROM ex ORDER BY doc_id, copy_id"""
   }
 
+  // ----------------------------------------------- temperature sample
+  /** Temperature-scaled domain sampling — the multilingual-mix recipe
+    * (Conneau & Lample's p^α reweighting): domain share p_d is raised
+    * to T=0.5, renormalized, and a fixed token budget (half the corpus
+    * here) is allocated ∝ the flattened weights, so tail domains are
+    * upsampled relative to their raw share and head domains capped.
+    * Per-domain keep rate = min(1, budget·w_d / (Σw · cnt_d)); the
+    * per-doc keep decision is the same salted-hash gate as
+    * [[domainMix]] — no RNG, both engines agree exactly. Determinism:
+    * √(cnt/total) is a single IEEE op; the Σw normalizer sums through
+    * DECIMAL(25,15) (order-free exact addition); the gate threshold is
+    * ⌊rate·10⁶⌋ on the raw double. Scale: domain stats are a
+    * |domains|-row broadcast, the gate rides the scan — one pass, no
+    * shuffle on the corpus. */
+  private val tempSample: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val cnts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+    val tot = broadcast(cnts.agg(sum("cnt").cast("long").as("total")))
+    val w = cnts.crossJoin(tot)
+      .withColumn("w", sqrt(col("cnt").cast("double") / col("total")))
+    val nrm = broadcast(w.agg(
+      sum(col("w").cast("decimal(25,15)")).cast("double").as("norm")))
+    val rates = w.crossJoin(nrm)
+      .withColumn("rate",
+        least(lit(1.0), col("w") / col("norm")
+          * expr("total div 2").cast("double") / col("cnt")))
+      .select(col("source"), col("rate"))
+    val gate = pmod(DupCorpus.h60(concat(lit("tsamp:"),
+      col("doc_id").cast("string"))), lit(1000000L))
+    docs.join(broadcast(rates), "source")
+      .filter(gate < floor(col("rate") * 1000000.0))
+      .select(col("doc_id"), col("source"), round(col("rate"), 6).as("rate"))
+      .orderBy("doc_id")
+  }
+  private val tempSampleSql = {
+    val h = OraclePipeline.h60Sql("'tsamp:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH cnts AS (
+  SELECT source, count(*) AS cnt FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnts
+), w AS (
+  SELECT source, cnt, sqrt(CAST(cnt AS DOUBLE) / total) AS w FROM cnts, tot
+), nrm AS (
+  SELECT CAST(sum(CAST(w AS DECIMAL(25,15))) AS DOUBLE) AS norm FROM w
+), rates AS (
+  SELECT source,
+    least(CAST(1 AS DOUBLE),
+      w / norm * CAST(total // 2 AS DOUBLE) / cnt) AS rate
+  FROM w, nrm, tot
+)
+SELECT d.doc_id, d.source, round(r.rate, 6) AS rate
+FROM documents d JOIN rates r USING (source)
+WHERE $h % 1000000 < CAST(floor(r.rate * 1000000.0) AS BIGINT)
+ORDER BY doc_id"""
+  }
+
   // ----------------------------------------------------- chunk overlap
   /** Sliding-window document chunking with overlap — the RAG/context-
     * window prep op (split every document into C-token chunks that
@@ -1299,6 +1355,7 @@ FROM a GROUP BY shard ORDER BY shard"""
     "text_repetition_filter" -> repetitionFilter,
     "text_pii_scrub" -> piiScrub,
     "text_domain_mix" -> domainMix,
+    "text_temperature_sample" -> tempSample,
     "text_chunk_overlap" -> chunkOverlap,
     "text_chunk_dedup" -> chunkDedup,
     "text_surprisal" -> surprisal,
@@ -1328,6 +1385,7 @@ FROM a GROUP BY shard ORDER BY shard"""
     "text_repetition_filter" -> repetitionFilterSql,
     "text_pii_scrub" -> piiScrubSql,
     "text_domain_mix" -> domainMixSql,
+    "text_temperature_sample" -> tempSampleSql,
     "text_chunk_overlap" -> chunkOverlapSql,
     "text_chunk_dedup" -> chunkDedupSql,
     "text_surprisal" -> surprisalSql,
