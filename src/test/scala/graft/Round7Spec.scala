@@ -1,0 +1,121 @@
+package graft
+
+import graft.pipeline.{DedupQueries, MultimodalQueries, SimilarityQueries, TextQueries}
+import org.apache.spark.sql.functions._
+
+/** Properties of the round-7 additions the oracle compare can't see:
+  * PageRank's probability conservation, silence-split segment
+  * geometry, recall-eval bounds and self-consistency, the temperature
+  * sampler's budget/flattening contract, and the JL projection's
+  * distance-preservation claim. */
+class Round7Spec extends SparkSpec {
+
+  test("pagerank: ranks conserve probability mass and favor high degree") {
+    val r = DedupQueries.queries("graph_pagerank")(spark, Sf)
+      .select("doc_id", "deg", "rank").collect()
+    assert(r.nonEmpty, "dup graph must be non-empty at sf0.001")
+    val mass = r.map(_.getDouble(2)).sum
+    // 5 iterations over a symmetric graph with no dangling mass: the
+    // total rank stays a probability distribution up to rounding.
+    assert(math.abs(mass - 1.0) < 1e-4, s"rank mass $mass")
+    // every rank is bounded below by the damping floor 0.15/n (teleport
+    // mass) — and on a d-regular component PageRank is EXACTLY uniform
+    // (rank 1/n regardless of d): the dup graph here is mostly cliques,
+    // so assert the floor, not a degree ordering.
+    val n = r.length
+    assert(r.forall(_.getDouble(2) >= 0.15 / n - 1e-9),
+      s"a rank fell below the 0.15/$n teleport floor")
+  }
+
+  test("silence split: segments are disjoint, active, and cover every active frame") {
+    val frames = MultimodalQueries.queries("multimodal_audio_energy")(spark, Sf)
+      .filter(col("energy") >= 50000L)
+    val segs = MultimodalQueries.queries("multimodal_silence_split")(spark, Sf)
+    // every active frame falls in exactly one segment, and segment
+    // lengths add up to the active-frame census per doc
+    val active = frames.groupBy("doc_id").agg(count(lit(1)).as("n_active"))
+    val covered = segs.groupBy("doc_id").agg(sum("n_frames").as("n_seg"))
+    val bad = active.join(covered, Seq("doc_id"), "full")
+      .filter(col("n_active") =!= col("n_seg")).count()
+    assert(bad === 0L, s"$bad docs where segment frames != active frames")
+    // segments within a doc are non-overlapping and ordered by seg_id
+    val rows = segs.select("doc_id", "seg_id", "start_frame", "end_frame")
+      .collect().groupBy(_.getLong(0))
+    rows.foreach { case (doc, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getLong(3) < b.getLong(2) - 0,
+            s"doc $doc: segment ${a.getInt(1)} [${a.getLong(2)},${a.getLong(3)}] " +
+              s"overlaps/abuts ${b.getInt(1)} [${b.getLong(2)},${b.getLong(3)}]")
+        case _ => ()
+      }
+      sorted.foreach(r => assert(r.getLong(2) <= r.getLong(3)))
+    }
+  }
+
+  test("recall eval: k=5 per query, recall in [0,1], agrees with a direct recompute") {
+    val r = SimilarityQueries.queries("ann_recall_eval")(spark, Sf).collect()
+    assert(r.length == 10, s"${r.length} query rows")
+    r.foreach { row =>
+      assert(row.getInt(1) == 5, "k")
+      assert(row.getInt(2) >= 0 && row.getInt(2) <= 5, "n_hit")
+      assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0, "recall")
+    }
+    // independent recompute from the two registered faces
+    def pairs(name: String) =
+      SimilarityQueries.queries(name)(spark, Sf)
+        .select("query_id", "neighbor_id")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    val hits = pairs("ann_topk_brute").intersect(pairs("ann_topk_ivf")).size
+    assert(r.map(_.getInt(2)).sum == hits, "sum(n_hit) != |exact ∩ approx|")
+  }
+
+  test("temperature sampling: rate-1 for no domain, flattened toward tail domains") {
+    val docs = Tables.documents(spark, Sf)
+    val byDomain = TextQueries.queries("text_temperature_sample")(spark, Sf)
+      .groupBy("source").agg(count(lit(1)).as("kept"),
+        first("rate").as("rate"))
+      .join(docs.groupBy("source").agg(count(lit(1)).as("cnt")), "source")
+      .collect()
+    val total = docs.count()
+    byDomain.foreach { r =>
+      val (kept, rate, cnt) = (r.getLong(1), r.getDouble(2), r.getLong(3))
+      // the hash gate thins each domain to ≈ rate (binomial, n≥cnt·rate)
+      assert(kept <= cnt)
+      assert(math.abs(kept.toDouble / cnt - rate) < 0.35,
+        s"${r.getString(0)}: kept $kept/$cnt vs rate $rate")
+    }
+    // T=0.5 flattens: every keep rate exceeds the uniform budget share
+    // for tail domains iff their raw share is below average; overall
+    // the kept volume is ≈ total/2
+    val keptAll = byDomain.map(_.getLong(1)).sum
+    assert(math.abs(keptAll.toDouble / total - 0.5) < 0.15,
+      s"sampled $keptAll of $total")
+    // flattening: sampling rate should (weakly) decrease with domain size
+    val sorted = byDomain.sortBy(_.getLong(3))
+    assert(sorted.head.getDouble(2) >= sorted.last.getDouble(2),
+      "smallest domain must be sampled at >= the largest domain's rate")
+  }
+
+  test("random projection: 16 dims preserve relative distances better than chance") {
+    val proj = SimilarityQueries.queries("embed_random_projection")(spark, Sf)
+    val cols = (0 until 16).map(j => col(s"p$j"))
+    // JL with ±1 signs preserves squared norms in expectation:
+    // E[||proj||²] = d·||v||². Check the ratio is concentrated.
+    val vecs = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"),
+        aggregate(col("embedding"),
+          lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))
+          .as("n2"))
+    val ratio = proj
+      .select(col("vec_id"),
+        cols.map(c => c * c).reduce(_ + _).as("p2"))
+      .join(vecs, "vec_id")
+      .select(avg(col("p2") / col("n2")).as("r"))
+      .collect().head.getDouble(0)
+    // expectation is exactly 16; loose band guards degenerate signs
+    // (all-same-sign would concentrate on dim sums instead)
+    assert(ratio > 8 && ratio < 24, s"mean ||Pv||²/||v||² = $ratio (want ≈16)")
+  }
+}
