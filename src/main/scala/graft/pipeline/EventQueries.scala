@@ -1437,7 +1437,73 @@ GROUP BY e.event_type ORDER BY e.event_type"""
 )
 SELECT user_id, n_true, TRUE AS within_eps FROM top ORDER BY user_id"""
 
+  // ------------------------------------------------------------ A/B test
+  /** Experiment readout — the A/B analysis every event platform ships:
+    * users are hash-split into two cohorts (user_id parity stands in
+    * for the assignment hash), and per event_type the Welch t
+    * statistic compares cohort means of `value`. One scan, one
+    * combinable group-by on (event_type): the cohort split is a
+    * conditional-aggregation column, NOT a self-join — at 100 TB this
+    * is the same single-pass shape as [[tumbling]]. Determinism: first
+    * and second moments accumulate as exact DECIMAL(25,15) (order-free;
+    * value² is one IEEE multiply on identical doubles before the cast),
+    * and every derived stat (mean/var/t) is a fixed IEEE expression on
+    * the exact sums — hash-identical cross-engine, no tolerance. */
+  private val abTest: Q = (s, d) => {
+    def side(c: Int) = col("user_id") % 2 === c
+    def n(c: Int) = sum(when(side(c), 1L).otherwise(0L)).as(s"n$c")
+    def sv(c: Int) =
+      sum(when(side(c), col("value").cast("decimal(25,15)"))).as(s"s$c")
+    def sq(c: Int) =
+      sum(when(side(c), (col("value") * col("value")).cast("decimal(25,15)")))
+        .as(s"q$c")
+    def mean(c: Int) = (col(s"s$c").cast("double") / col(s"n$c")).as(s"m$c")
+    def vr(c: Int) =
+      ((col(s"q$c").cast("double")
+        - col(s"s$c").cast("double") * col(s"s$c").cast("double") / col(s"n$c"))
+        / (col(s"n$c") - 1)).as(s"v$c")
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(n(0), n(1), sv(0), sv(1), sq(0), sq(1))
+      .select(col("event_type"), col("n0"), col("n1"),
+        mean(0), mean(1), vr(0), vr(1))
+      .select(col("event_type"), col("n0"), col("n1"),
+        round(col("m0"), 6).as("mean_a"), round(col("m1"), 6).as("mean_b"),
+        round((col("m0") - col("m1"))
+          / sqrt(col("v0") / col("n0") + col("v1") / col("n1")), 6)
+          .as("t_stat"))
+      .orderBy("event_type")
+  }
+  private val abTestSql =
+    """WITH agg AS (
+  SELECT event_type,
+    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    sum(CASE WHEN user_id % 2 = 0
+        THEN CAST(value AS DECIMAL(25,15)) END) AS s0,
+    sum(CASE WHEN user_id % 2 = 1
+        THEN CAST(value AS DECIMAL(25,15)) END) AS s1,
+    sum(CASE WHEN user_id % 2 = 0
+        THEN CAST(value * value AS DECIMAL(25,15)) END) AS q0,
+    sum(CASE WHEN user_id % 2 = 1
+        THEN CAST(value * value AS DECIMAL(25,15)) END) AS q1
+  FROM events GROUP BY event_type
+), stats AS (
+  SELECT event_type, n0, n1,
+    CAST(s0 AS DOUBLE) / n0 AS m0, CAST(s1 AS DOUBLE) / n1 AS m1,
+    (CAST(q0 AS DOUBLE) - CAST(s0 AS DOUBLE) * CAST(s0 AS DOUBLE) / n0)
+      / (n0 - 1) AS v0,
+    (CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n1)
+      / (n1 - 1) AS v1
+  FROM agg
+)
+SELECT event_type, n0, n1,
+  round(m0, 6) AS mean_a, round(m1, 6) AS mean_b,
+  round((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 6) AS t_stat
+FROM stats ORDER BY event_type"""
+
   val queries: Map[String, Q] = Map(
+    "events_ab_test" -> abTest,
     "events_tumbling" -> tumbling,
     "events_sliding" -> sliding,
     "events_session" -> session,
@@ -1477,6 +1543,7 @@ SELECT user_id, n_true, TRUE AS within_eps FROM top ORDER BY user_id"""
     "events_dau_mau_approx" -> dauMauApprox)
 
   val oracle: Map[String, String] = Map(
+    "events_ab_test" -> abTestSql,
     "events_tumbling" -> tumblingSql,
     "events_sliding" -> slidingSql,
     "events_session" -> sessionSql,

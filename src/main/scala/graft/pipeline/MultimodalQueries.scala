@@ -295,6 +295,46 @@ SELECT doc_id,
     AS total_energy
 FROM seg ORDER BY doc_id, seg_id"""
 
+  // -------------------------------------------------------- scene cut
+  /** Shot-boundary detection over the frame stream — the video
+    * curation op (split footage into shots before sampling/captioning):
+    * a frame whose feature distance from its predecessor clears a
+    * threshold starts a new shot. With the stub codec the per-frame
+    * feature is [[audioEnergy]]'s exact integer energy; a real decoder
+    * swaps in a histogram/luma distance and the plan is unchanged. One
+    * `lag` window per doc (never global), integer |Δ| compare, and a
+    * per-doc cut index — same partitioning discipline as
+    * [[silenceSplit]]; at 100 TB cut volume ∝ shots, not frames. */
+  private val SceneThresh = 30000L
+  private val sceneCut: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("frame_id")
+    audioEnergy(s, d)
+      .withColumn("prev", lag(col("energy"), 1).over(w))
+      .filter(col("prev").isNotNull &&
+        abs(col("energy") - col("prev")) >= SceneThresh)
+      .withColumn("cut_id", row_number().over(w).cast("int"))
+      .select(col("doc_id"), col("cut_id"), col("frame_id"),
+        abs(col("energy") - col("prev")).as("delta"))
+      .orderBy("doc_id", "cut_id")
+  }
+  private val sceneCutSql =
+    s"""WITH en AS (
+  SELECT * FROM ($audioEnergySql)
+), lagd AS (
+  SELECT doc_id, frame_id, energy,
+    lag(energy) OVER (PARTITION BY doc_id ORDER BY frame_id) AS prev
+  FROM en
+), cuts AS (
+  SELECT doc_id, frame_id, abs(energy - prev) AS delta
+  FROM lagd WHERE prev IS NOT NULL AND abs(energy - prev) >= $SceneThresh
+)
+SELECT doc_id,
+  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY frame_id) AS INT)
+    AS cut_id,
+  frame_id, delta
+FROM cuts ORDER BY doc_id, cut_id"""
+
   // ----------------------------------------------------- phash dedup
   /** Perceptual-hash near-dup over the multimodal payload — image dedup
     * as a corpus pipeline runs it: decode → downsample to a tiny
@@ -398,6 +438,7 @@ ORDER BY doc_a, doc_b"""
     "multimodal_phash_dedup" -> phashDedup,
     "multimodal_audio_energy" -> audioEnergy,
     "multimodal_silence_split" -> silenceSplit,
+    "multimodal_scene_cut" -> sceneCut,
     "multimodal_features" -> features,
     "multimodal_decode_stub" -> decodeStub,
     "multimodal_frame_sample" -> frameSample,
@@ -407,6 +448,7 @@ ORDER BY doc_a, doc_b"""
     "multimodal_phash_dedup" -> phashDedupSql,
     "multimodal_audio_energy" -> audioEnergySql,
     "multimodal_silence_split" -> silenceSplitSql,
+    "multimodal_scene_cut" -> sceneCutSql,
     "multimodal_features" -> featuresSql,
     "multimodal_decode_stub" -> decodeStubSql,
     "multimodal_frame_sample" -> frameSampleSql,

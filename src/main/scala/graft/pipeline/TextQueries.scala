@@ -856,6 +856,48 @@ SELECT doc_id, source, n_chars, CAST(copy_id AS INT) AS copy_id
 FROM ex ORDER BY doc_id, copy_id"""
   }
 
+  // ----------------------------------------------- diversity profile
+  /** Per-domain lexical-diversity report — the curation dashboard
+    * number that catches template farms and boilerplate-heavy sources
+    * before they flood the mix: for each source, document count, token
+    * volume, vocabulary size, and type-token ratio (a low TTR at high
+    * volume is the machine-generated-content signature). One tokenize
+    * pass → two combinable aggregates ((source, token) then source) —
+    * the same two-phase distinct shape as the vocab query, never a
+    * global window; all counts exact integers, the ratio one IEEE
+    * divide. At 100 TB: shuffle volume is |vocab per domain|, and the
+    * same report rides a sampled corpus unchanged. */
+  private val diversityProfile: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val perTok = docs
+      .select(col("source"), explode(toks).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cnt"))
+    val lex = perTok.groupBy("source")
+      .agg(sum("cnt").cast("long").as("n_tokens"),
+        count(lit(1)).as("n_types"))
+    val nd = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    nd.join(lex, "source")
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_types"),
+        round(col("n_types").cast("double") / col("n_tokens"), 6).as("ttr"))
+      .orderBy("source")
+  }
+  private val diversityProfileSql =
+    s"""WITH tok AS (
+  SELECT source, unnest($ToksSql) AS tok FROM documents
+), per AS (
+  SELECT source, tok, count(*) AS cnt FROM tok GROUP BY source, tok
+), lex AS (
+  SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+    count(*) AS n_types
+  FROM per GROUP BY source
+), nd AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+)
+SELECT nd.source, nd.n_docs, lex.n_tokens, lex.n_types,
+  round(CAST(lex.n_types AS DOUBLE) / lex.n_tokens, 6) AS ttr
+FROM nd JOIN lex USING (source)
+ORDER BY source"""
+
   // ----------------------------------------------- temperature sample
   /** Temperature-scaled domain sampling — the multilingual-mix recipe
     * (Conneau & Lample's p^α reweighting): domain share p_d is raised
@@ -1356,6 +1398,7 @@ FROM a GROUP BY shard ORDER BY shard"""
     "text_pii_scrub" -> piiScrub,
     "text_domain_mix" -> domainMix,
     "text_temperature_sample" -> tempSample,
+    "text_diversity_profile" -> diversityProfile,
     "text_chunk_overlap" -> chunkOverlap,
     "text_chunk_dedup" -> chunkDedup,
     "text_surprisal" -> surprisal,
@@ -1386,6 +1429,7 @@ FROM a GROUP BY shard ORDER BY shard"""
     "text_pii_scrub" -> piiScrubSql,
     "text_domain_mix" -> domainMixSql,
     "text_temperature_sample" -> tempSampleSql,
+    "text_diversity_profile" -> diversityProfileSql,
     "text_chunk_overlap" -> chunkOverlapSql,
     "text_chunk_dedup" -> chunkDedupSql,
     "text_surprisal" -> surprisalSql,
