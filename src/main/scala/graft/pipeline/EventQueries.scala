@@ -1449,7 +1449,7 @@ SELECT user_id, n_true, TRUE AS within_eps FROM top ORDER BY user_id"""
     * value² is one IEEE multiply on identical doubles before the cast),
     * and every derived stat (mean/var/t) is a fixed IEEE expression on
     * the exact sums — hash-identical cross-engine, no tolerance. */
-  private val abTest: Q = (s, d) => {
+  private[graft] val abTestAggs: Seq[Column] = {
     def side(c: Int) = col("user_id") % 2 === c
     def n(c: Int) = sum(when(side(c), 1L).otherwise(0L)).as(s"n$c")
     def sv(c: Int) =
@@ -1457,14 +1457,18 @@ SELECT user_id, n_true, TRUE AS within_eps FROM top ORDER BY user_id"""
     def sq(c: Int) =
       sum(when(side(c), (col("value") * col("value")).cast("decimal(25,15)")))
         .as(s"q$c")
+    Seq(n(0), n(1), sv(0), sv(1), sq(0), sq(1))
+  }
+  /** Welch readout over the accumulated moments — shared by the batch
+    * query and the streaming face's final projection (the moments are
+    * the mergeable state; this is the stateless finish). */
+  private[graft] def abTestFinish(moments: DataFrame): DataFrame = {
     def mean(c: Int) = (col(s"s$c").cast("double") / col(s"n$c")).as(s"m$c")
     def vr(c: Int) =
       ((col(s"q$c").cast("double")
         - col(s"s$c").cast("double") * col(s"s$c").cast("double") / col(s"n$c"))
         / (col(s"n$c") - 1)).as(s"v$c")
-    Tables.events(s, d)
-      .groupBy("event_type")
-      .agg(n(0), n(1), sv(0), sv(1), sq(0), sq(1))
+    moments
       .select(col("event_type"), col("n0"), col("n1"),
         mean(0), mean(1), vr(0), vr(1))
       .select(col("event_type"), col("n0"), col("n1"),
@@ -1472,8 +1476,12 @@ SELECT user_id, n_true, TRUE AS within_eps FROM top ORDER BY user_id"""
         round((col("m0") - col("m1"))
           / sqrt(col("v0") / col("n0") + col("v1") / col("n1")), 6)
           .as("t_stat"))
-      .orderBy("event_type")
   }
+  private val abTest: Q = (s, d) =>
+    abTestFinish(Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(abTestAggs.head, abTestAggs.tail: _*))
+      .orderBy("event_type")
   private val abTestSql =
     """WITH agg AS (
   SELECT event_type,

@@ -128,6 +128,20 @@ object StreamingEvents {
   def quantilesStream(events: DataFrame, delay: String = "2 hours"): DataFrame =
     EventQueries.windowedQuantilesAgg(events.withWatermark("ts", delay))
 
+  /** Streaming experiment readout — the unbounded face of
+    * `events_ab_test`: the Welch moments (per-cohort count and exact
+    * DECIMAL first/second moments, [[EventQueries.abTestAggs]] shared
+    * verbatim with the batch query) are a plain streaming aggregation
+    * keyed by event_type — BOUNDED state (|event types| rows), no
+    * watermark needed — and every micro-batch folds into them
+    * order-insensitively because the sums are decimal. The stateless
+    * [[EventQueries.abTestFinish]] projection turns the live moments
+    * into means/t-stat at read time, so a dashboard watches the
+    * experiment significance converge as traffic arrives. */
+  def abTestStream(events: DataFrame): DataFrame =
+    events.groupBy("event_type")
+      .agg(EventQueries.abTestAggs.head, EventQueries.abTestAggs.tail: _*)
+
   def attributionStream(events: DataFrame): DataFrame =
     events.groupBy("user_id")
       .agg(EventQueries.attributionAggs.head,

@@ -617,6 +617,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming A/B readout: decimal moments merge across batches, batch parity") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_ms", "user_id", "event_type", "value")
+      .select(timestamp_millis(col("ts_ms")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val q = StreamingEvents.abTestStream(typed(mem.toDF()))
+      .writeStream.format("memory").queryName("abt").outputMode("complete")
+      .start()
+    // cohorts split on user parity; batch 2 adds mass to BOTH cohorts
+    // of "click" so the cross-batch decimal merge is exercised
+    val b1 = Seq((1000L, 1L, "click", 10.5), (2000L, 2L, "click", 12.25),
+      (3000L, 3L, "view", 1.0), (4000L, 4L, "view", 2.5))
+    val b2 = Seq((5000L, 5L, "click", 11.75), (6000L, 6L, "click", 9.0),
+      (7000L, 7L, "view", 3.25), (8000L, 8L, "view", 0.5))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = graft.pipeline.EventQueries
+        .abTestFinish(spark.table("abt"))
+        .collect().map(_.mkString("|")).sorted.toSeq
+      val want = graft.pipeline.EventQueries.abTestFinish(
+        typed((b1 ++ b2).toDF()).groupBy("event_type")
+          .agg(graft.pipeline.EventQueries.abTestAggs.head,
+            graft.pipeline.EventQueries.abTestAggs.tail: _*))
+        .collect().map(_.mkString("|")).sorted.toSeq
+      assert(got === want,
+        "streaming moments + stateless finish must equal the batch readout")
+      assert(got.nonEmpty && got.forall(_.split('|').length == 6))
+    } finally q.stop()
+  }
+
   test("streaming attribution: cross-batch argmin/argmax merge, tie-break, batch parity") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
