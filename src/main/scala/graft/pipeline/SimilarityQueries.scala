@@ -1038,6 +1038,86 @@ FROM (
 GROUP BY cid, vec_id
 ORDER BY cid, vec_id"""
 
+  // ---------------------------------------------------------- top PC
+  /** Top principal component via distributed power iteration — the
+    * embedding-space diagnostic behind whitening, ABTT ("all-but-the-
+    * top" common-direction removal) and drift monitoring. Three fixed
+    * iterations of w ← normalize(Xᶜᵀ(Xᶜw)) over the CENTERED corpus,
+    * expressed as two matvec passes per round (score s_v = xᵥ·w per
+    * vector, then u = Σ s_v·xᵥ per dimension) — the Gram matrix is
+    * never materialized, so the shape streams over any corpus width:
+    * per round it's one broadcast of the 64-row w, one |vecs| score
+    * aggregate, one join back, one 64-row aggregate. Determinism:
+    * every sum (mean, score, update, norm) goes through
+    * DECIMAL(25,15) — exact, order-free — and the interleaved
+    * products/normalizations are single IEEE ops, so both engines walk
+    * bit-identical iterates from the same deterministic w₀ = 1/√64.
+    * `localCheckpoint` pins the centered elements (reused 2× per
+    * round) and cuts the iterate's lineage. */
+  private val PcIters = 3
+  private val topPc: Q = (s, d) => {
+    val ex0 = embDouble(s, d)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+    val m = ex0.groupBy("pos")
+      .agg((sum(col("x").cast("decimal(25,15)")).cast("double")
+        / count(lit(1))).as("mu"))
+    val ex = ex0.join(broadcast(m), "pos")
+      .select(col("vec_id"), col("pos"), (col("x") - col("mu")).as("x"))
+      .localCheckpoint()
+    var w = m.select(col("pos"), lit(0.125).as("w")).localCheckpoint()
+    for (_ <- 1 to PcIters) {
+      val sv = ex.join(broadcast(w), "pos")
+        .groupBy("vec_id")
+        .agg(sum((col("x") * col("w")).cast("decimal(25,15)"))
+          .cast("double").as("s"))
+      val u = ex.join(sv, "vec_id")
+        .groupBy("pos")
+        .agg(sum((col("s") * col("x")).cast("decimal(25,15)"))
+          .cast("double").as("u"))
+      val n2 = broadcast(u.agg(
+        sqrt(sum((col("u") * col("u")).cast("decimal(25,15)"))
+          .cast("double")).as("nrm")))
+      w = u.crossJoin(n2).select(col("pos"), (col("u") / col("nrm")).as("w"))
+        .localCheckpoint()
+    }
+    w.select(col("pos").cast("int").as("pos"), round(col("w"), 6).as("loading"))
+      .orderBy("pos")
+  }
+  private val topPcSql = {
+    def iter(k: Int): String = {
+      val prev = if (k == 1) "w0" else s"w${k - 1}"
+      s"""s$k AS (
+  SELECT vec_id,
+    CAST(sum(CAST(cx.x * $prev.w AS DECIMAL(25,15))) AS DOUBLE) AS s
+  FROM cx JOIN $prev USING (pos) GROUP BY vec_id
+), u$k AS (
+  SELECT pos,
+    CAST(sum(CAST(s$k.s * cx.x AS DECIMAL(25,15))) AS DOUBLE) AS u
+  FROM cx JOIN s$k USING (vec_id) GROUP BY pos
+), n$k AS (
+  SELECT sqrt(CAST(sum(CAST(u * u AS DECIMAL(25,15))) AS DOUBLE)) AS nrm
+  FROM u$k
+), w$k AS (
+  SELECT pos, u / nrm AS w FROM u$k, n$k
+)"""
+    }
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ex AS (
+  SELECT vec_id, generate_subscripts(v, 1) - 1 AS pos, unnest(v) AS x
+  FROM e
+), m AS (
+  SELECT pos, CAST(sum(CAST(x AS DECIMAL(25,15))) AS DOUBLE) / count(*) AS mu
+  FROM ex GROUP BY pos
+), cx AS (
+  SELECT vec_id, ex.pos, x - mu AS x FROM ex JOIN m USING (pos)
+), w0 AS (
+  SELECT pos, CAST(0.125 AS DOUBLE) AS w FROM m
+), ${(1 to PcIters).map(iter).mkString(", ")}
+SELECT CAST(pos AS INT) AS pos, round(w, 6) AS loading
+FROM w$PcIters ORDER BY pos"""
+  }
+
   // ------------------------------------------------- random projection
   /** Johnson–Lindenstrauss sign projection — the dimensionality-
     * reduction step in front of clustering/ANN when the raw embedding
@@ -1125,6 +1205,7 @@ ORDER BY e.query_id"""
   val queries: Map[String, Q] = Map(
     "ann_recall_eval" -> recallEval,
     "embed_random_projection" -> randomProjection,
+    "embed_top_pc" -> topPc,
     "ann_topk_brute" -> topkBrute,
     "ann_range_search" -> rangeSearch,
     "ann_topk_ivf" -> topkIvf,
@@ -1142,6 +1223,7 @@ ORDER BY e.query_id"""
   val oracle: Map[String, String] = Map(
     "ann_recall_eval" -> recallEvalSql,
     "embed_random_projection" -> randomProjectionSql,
+    "embed_top_pc" -> topPcSql,
     "ann_topk_brute" -> topkBruteSql,
     "ann_range_search" -> rangeSearchSql,
     "ann_topk_ivf" -> topkIvfSql,

@@ -98,6 +98,29 @@ class Round7Spec extends SparkSpec {
       "smallest domain must be sampled at >= the largest domain's rate")
   }
 
+  test("top PC: unit norm, and captures more variance than the uniform start") {
+    val w = SimilarityQueries.queries("embed_top_pc")(spark, Sf)
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).sortBy(_._1).map(_._2)
+    assert(w.length == 64)
+    val norm = math.sqrt(w.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-3, s"||w|| = $norm")
+    // Rayleigh check: variance of projections onto w must beat the
+    // w0 = uniform direction that the iteration started from (power
+    // iteration is monotone in the Rayleigh quotient)
+    val vecs = Tables.embeddings(spark, Sf)
+      .select(col("embedding").cast("array<double>").as("v"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val mu = Array.tabulate(64)(i => vecs.map(_(i)).sum / vecs.length)
+    def varAlong(dir: Array[Double]): Double = {
+      val p = vecs.map(v => v.indices.map(i => (v(i) - mu(i)) * dir(i)).sum)
+      val m = p.sum / p.length
+      p.map(x => (x - m) * (x - m)).sum / (p.length - 1)
+    }
+    val u0 = Array.fill(64)(0.125)
+    assert(varAlong(w) >= varAlong(u0) - 1e-9,
+      s"var along PC ${varAlong(w)} < var along start ${varAlong(u0)}")
+  }
+
   test("random projection: 16 dims preserve relative distances better than chance") {
     val proj = SimilarityQueries.queries("embed_random_projection")(spark, Sf)
     val cols = (0 until 16).map(j => col(s"p$j"))
