@@ -1510,8 +1510,72 @@ SELECT event_type, n0, n1,
   round((m0 - m1) / sqrt(v0 / n0 + v1 / n1), 6) AS t_stat
 FROM stats ORDER BY event_type"""
 
+  // ----------------------------------------------------------- gap fill
+  /** Calendar gap-fill + cumulative series — the date-spine op every
+    * reporting layer needs (a day with no events must appear as an
+    * explicit zero, or downstream moving averages and charts silently
+    * skip it): build the full [min_day, max_day] spine per event_type
+    * from a 1-row broadcast bounds aggregate × the distinct types,
+    * LEFT join the daily aggregates onto it, zero-fill, then running
+    * totals over the filled series. The spine is |types|·|days| rows —
+    * trivial at any corpus scale — and the only fact-sized work is the
+    * one daily group-by; the running-total window partitions by type
+    * (never global). Counts exact, sums decimal → the cumulative
+    * series is hash-identical cross-engine. */
+  private val gapFill: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_millis(date_trunc('day', ts)) div 86400000")
+          .as("day_num"),
+        col("value"))
+      .groupBy("event_type", "day_num")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("sval"))
+    val bounds = broadcast(daily.agg(
+      min("day_num").as("d0"), max("day_num").as("d1")))
+    val spine = daily.select("event_type").distinct()
+      .crossJoin(bounds)
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day_num"))
+    val filled = spine.join(daily, Seq("event_type", "day_num"), "left")
+      .select(col("event_type"), col("day_num"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sval"), lit(0).cast("decimal(18,6)")).as("sval"))
+    val w = Window.partitionBy("event_type").orderBy("day_num")
+    filled
+      .select(col("event_type"), col("day_num"), col("n_events"),
+        round(col("sval").cast("double"), 4).as("val"),
+        sum("n_events").over(w).as("cum_n"),
+        round(sum("sval").over(w).cast("double"), 4).as("cum_val"))
+      .orderBy("event_type", "day_num")
+  }
+  private val gapFillSql =
+    """WITH daily AS (
+  SELECT event_type, epoch_ms(date_trunc('day', ts)) // 86400000 AS day_num,
+    count(*) AS n_events, sum(CAST(value AS DECIMAL(18,6))) AS sval
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(day_num) AS d0, max(day_num) AS d1 FROM daily
+), spine AS (
+  SELECT event_type, unnest(range(d0, d1 + 1)) AS day_num
+  FROM (SELECT DISTINCT event_type FROM daily), bounds
+), filled AS (
+  SELECT s.event_type, s.day_num,
+    coalesce(d.n_events, 0) AS n_events,
+    coalesce(d.sval, CAST(0 AS DECIMAL(18,6))) AS sval
+  FROM spine s LEFT JOIN daily d USING (event_type, day_num)
+)
+SELECT event_type, day_num, CAST(n_events AS BIGINT) AS n_events,
+  round(CAST(sval AS DOUBLE), 4) AS val,
+  CAST(sum(n_events) OVER w AS BIGINT) AS cum_n,
+  round(CAST(sum(sval) OVER w AS DOUBLE), 4) AS cum_val
+FROM filled
+WINDOW w AS (PARTITION BY event_type ORDER BY day_num)
+ORDER BY event_type, day_num"""
+
   val queries: Map[String, Q] = Map(
     "events_ab_test" -> abTest,
+    "events_gap_fill" -> gapFill,
     "events_tumbling" -> tumbling,
     "events_sliding" -> sliding,
     "events_session" -> session,
@@ -1552,6 +1616,7 @@ FROM stats ORDER BY event_type"""
 
   val oracle: Map[String, String] = Map(
     "events_ab_test" -> abTestSql,
+    "events_gap_fill" -> gapFillSql,
     "events_tumbling" -> tumblingSql,
     "events_sliding" -> slidingSql,
     "events_session" -> sessionSql,

@@ -1055,7 +1055,9 @@ ORDER BY cid, vec_id"""
     * `localCheckpoint` pins the centered elements (reused 2× per
     * round) and cuts the iterate's lineage. */
   private val PcIters = 3
-  private val topPc: Q = (s, d) => {
+  /** Shared power-iteration state: (centered elements, final unit w).
+    * Both the loading report and the ABTT removal face reuse it. */
+  private def pcState(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val ex0 = embDouble(s, d)
       .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
     val m = ex0.groupBy("pos")
@@ -1080,10 +1082,14 @@ ORDER BY cid, vec_id"""
       w = u.crossJoin(n2).select(col("pos"), (col("u") / col("nrm")).as("w"))
         .localCheckpoint()
     }
+    (ex, w)
+  }
+  private val topPc: Q = (s, d) => {
+    val (_, w) = pcState(s, d)
     w.select(col("pos").cast("int").as("pos"), round(col("w"), 6).as("loading"))
       .orderBy("pos")
   }
-  private val topPcSql = {
+  private val pcCtes = {
     def iter(k: Int): String = {
       val prev = if (k == 1) "w0" else s"w${k - 1}"
       s"""s$k AS (
@@ -1113,10 +1119,57 @@ ORDER BY cid, vec_id"""
   SELECT vec_id, ex.pos, x - mu AS x FROM ex JOIN m USING (pos)
 ), w0 AS (
   SELECT pos, CAST(0.125 AS DOUBLE) AS w FROM m
-), ${(1 to PcIters).map(iter).mkString(", ")}
+), ${(1 to PcIters).map(iter).mkString(", ")}"""
+  }
+  private val topPcSql =
+    s"""$pcCtes
 SELECT CAST(pos AS INT) AS pos, round(w, 6) AS loading
 FROM w$PcIters ORDER BY pos"""
+
+  // -------------------------------------------------------------- ABTT
+  /** "All-but-the-top" common-direction removal (Mu & Viswanath 2018)
+    * — the embedding post-process that strips the dominant shared
+    * direction so cosine stops being swamped by corpus-wide bias:
+    * score each centered vector against the [[pcState]] top component
+    * and report the per-vector energy split (projection score, norm
+    * before, residual norm after removal). One extra broadcast-w score
+    * aggregate on top of the power iteration; the residual norm uses
+    * the SAME √(‖x‖²−s²) expression in both engines (not the
+    * mathematically-equal but IEEE-different elementwise form), with a
+    * 0-floor so rounding can't drive √ negative. Downstream dedup/ANN
+    * consume x − s·w without re-materializing anything. */
+  private val removeTopPc: Q = (s, d) => {
+    val (ex, w) = pcState(s, d)
+    val sc = ex.join(broadcast(w), "pos")
+      .groupBy("vec_id")
+      .agg(sum((col("x") * col("w")).cast("decimal(25,15)"))
+        .cast("double").as("score"))
+    val nb = ex.groupBy("vec_id")
+      .agg(sum((col("x") * col("x")).cast("decimal(25,15)"))
+        .cast("double").as("nb2"))
+    nb.join(sc, "vec_id")
+      .select(col("vec_id"), round(col("score"), 6).as("score"),
+        round(sqrt(col("nb2")), 6).as("norm_before"),
+        round(sqrt(greatest(col("nb2") - col("score") * col("score"),
+          lit(0.0))), 6).as("norm_after"))
+      .orderBy("vec_id")
   }
+  private val removeTopPcSql: String =
+    s"""$pcCtes, sc AS (
+  SELECT vec_id,
+    CAST(sum(CAST(cx.x * w$PcIters.w AS DECIMAL(25,15))) AS DOUBLE) AS score
+  FROM cx JOIN w$PcIters USING (pos) GROUP BY vec_id
+), nb AS (
+  SELECT vec_id,
+    CAST(sum(CAST(x * x AS DECIMAL(25,15))) AS DOUBLE) AS nb2
+  FROM cx GROUP BY vec_id
+)
+SELECT nb.vec_id, round(score, 6) AS score,
+  round(sqrt(nb2), 6) AS norm_before,
+  round(sqrt(greatest(nb2 - score * score, CAST(0 AS DOUBLE))), 6)
+    AS norm_after
+FROM nb JOIN sc USING (vec_id)
+ORDER BY vec_id"""
 
   // ------------------------------------------------- random projection
   /** Johnson–Lindenstrauss sign projection — the dimensionality-
@@ -1206,6 +1259,7 @@ ORDER BY e.query_id"""
     "ann_recall_eval" -> recallEval,
     "embed_random_projection" -> randomProjection,
     "embed_top_pc" -> topPc,
+    "embed_remove_top_pc" -> removeTopPc,
     "ann_topk_brute" -> topkBrute,
     "ann_range_search" -> rangeSearch,
     "ann_topk_ivf" -> topkIvf,
@@ -1224,6 +1278,7 @@ ORDER BY e.query_id"""
     "ann_recall_eval" -> recallEvalSql,
     "embed_random_projection" -> randomProjectionSql,
     "embed_top_pc" -> topPcSql,
+    "embed_remove_top_pc" -> removeTopPcSql,
     "ann_topk_brute" -> topkBruteSql,
     "ann_range_search" -> rangeSearchSql,
     "ann_topk_ivf" -> topkIvfSql,

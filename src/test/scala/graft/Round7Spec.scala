@@ -121,6 +121,40 @@ class Round7Spec extends SparkSpec {
       s"var along PC ${varAlong(w)} < var along start ${varAlong(u0)}")
   }
 
+  test("gap fill: dense per-type spine, zero-filled days, monotone cumulative") {
+    import graft.pipeline.EventQueries
+    val rows = EventQueries.queries("events_gap_fill")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(4)))
+    val byType = rows.groupBy(_._1)
+    val d0 = rows.map(_._2).min; val d1 = rows.map(_._2).max
+    byType.foreach { case (t, rs) =>
+      val days = rs.map(_._2).sorted
+      assert(days.head == d0 && days.last == d1,
+        s"$t spine must span the global [min,max] day range")
+      assert(days.length == (d1 - d0 + 1), s"$t spine has holes")
+      // cumulative count is the prefix sum of the zero-filled series
+      val sorted = rs.sortBy(_._2)
+      var acc = 0L
+      sorted.foreach { case (_, _, n, cum) =>
+        acc += n; assert(cum == acc, s"$t cumulative mismatch") }
+    }
+  }
+
+  test("ABTT: residual norm obeys Pythagoras and never exceeds the original") {
+    val r = SimilarityQueries.queries("embed_remove_top_pc")(spark, Sf)
+      .collect().map(x => (x.getDouble(1), x.getDouble(2), x.getDouble(3)))
+    assert(r.nonEmpty)
+    r.foreach { case (score, nb, na) =>
+      assert(na <= nb + 1e-6, "removal cannot grow the norm")
+      assert(math.abs(na * na + score * score - nb * nb) < 1e-2,
+        s"energy split violated: $na² + $score² != $nb²")
+    }
+    // the common direction carries real mass on this corpus
+    val frac = r.count { case (s2, nb, _) => math.abs(s2) > 0.05 * nb }
+    assert(frac > r.length / 4, "top-PC scores are all negligible")
+  }
+
   test("random projection: 16 dims preserve relative distances better than chance") {
     val proj = SimilarityQueries.queries("embed_random_projection")(spark, Sf)
     val cols = (0 until 16).map(j => col(s"p$j"))
