@@ -1573,9 +1573,85 @@ FROM filled
 WINDOW w AS (PARTITION BY event_type ORDER BY day_num)
 ORDER BY event_type, day_num"""
 
+  // ----------------------------------------------------- forecast base
+  /** Seasonal-naive forecast + backtest — the baseline every anomaly/
+    * capacity system must beat, and a one-query demonstration that the
+    * engine covers the train/score/evaluate loop: the hour-of-day
+    * profile (mean hourly event count per type over all training days,
+    * missing hours counting as zero via a fixed day denominator) is
+    * the model; the held-out last day is scored against it; the
+    * readout is per-type MAE over the 24-hour horizon plus actual/
+    * forecast day totals. One (type,day,hour) aggregate feeds both
+    * sides; the profile⋈actual join key space is |types|·24 — model
+    * size is constant in corpus scale, exactly the profile-serving
+    * shape at 100 TB. Counts exact, error terms decimal-summed —
+    * hash-identical cross-engine. */
+  private val forecastBaseline: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_millis(date_trunc('day', ts)) div 86400000")
+          .as("day_num"),
+        hour(col("ts")).as("hr"))
+      .groupBy("event_type", "day_num", "hr")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val last = broadcast(hourly.agg(max("day_num").as("maxd"),
+      (countDistinct("day_num") - 1).as("n_train")))
+    val profile = hourly.crossJoin(last)
+      .filter(col("day_num") < col("maxd"))
+      .groupBy("event_type", "hr")
+      .agg((sum(col("cnt")).cast("double")
+        / first(col("n_train"))).as("fc"))
+    val actual = hourly.crossJoin(last)
+      .filter(col("day_num") === col("maxd"))
+      .select(col("event_type"), col("hr"), col("cnt"))
+    profile.join(actual, Seq("event_type", "hr"), "full")
+      .select(col("event_type"),
+        coalesce(col("fc"), lit(0.0)).as("fc"),
+        coalesce(col("cnt"), lit(0L)).cast("double").as("a"))
+      .groupBy("event_type")
+      .agg(sum(col("a").cast("decimal(25,15)")).cast("long")
+          .as("actual_total"),
+        round(sum(col("fc").cast("decimal(25,15)")).cast("double"), 6)
+          .as("forecast_total"),
+        round((sum(abs(col("a") - col("fc")).cast("decimal(25,15)"))
+          .cast("double") / 24), 6).as("mae"))
+      .orderBy("event_type")
+  }
+  private val forecastBaselineSql =
+    """WITH hourly AS (
+  SELECT event_type,
+    epoch_ms(date_trunc('day', ts)) // 86400000 AS day_num,
+    hour(ts) AS hr, count(*) AS cnt
+  FROM events GROUP BY 1, 2, 3
+), last AS (
+  SELECT max(day_num) AS maxd, count(DISTINCT day_num) - 1 AS n_train
+  FROM hourly
+), profile AS (
+  SELECT event_type, hr,
+    CAST(sum(cnt) AS DOUBLE) / any_value(n_train) AS fc
+  FROM hourly, last WHERE day_num < maxd GROUP BY event_type, hr
+), actual AS (
+  SELECT event_type, hr, cnt FROM hourly, last WHERE day_num = maxd
+), joined AS (
+  SELECT coalesce(p.event_type, a.event_type) AS event_type,
+    coalesce(p.fc, CAST(0 AS DOUBLE)) AS fc,
+    CAST(coalesce(a.cnt, 0) AS DOUBLE) AS a
+  FROM profile p FULL JOIN actual a
+    ON p.event_type = a.event_type AND p.hr = a.hr
+)
+SELECT event_type,
+  CAST(sum(CAST(a AS DECIMAL(25,15))) AS BIGINT) AS actual_total,
+  round(CAST(sum(CAST(fc AS DECIMAL(25,15))) AS DOUBLE), 6)
+    AS forecast_total,
+  round(CAST(sum(CAST(abs(a - fc) AS DECIMAL(25,15))) AS DOUBLE) / 24, 6)
+    AS mae
+FROM joined GROUP BY event_type ORDER BY event_type"""
+
   val queries: Map[String, Q] = Map(
     "events_ab_test" -> abTest,
     "events_gap_fill" -> gapFill,
+    "events_forecast_baseline" -> forecastBaseline,
     "events_tumbling" -> tumbling,
     "events_sliding" -> sliding,
     "events_session" -> session,
@@ -1617,6 +1693,7 @@ ORDER BY event_type, day_num"""
   val oracle: Map[String, String] = Map(
     "events_ab_test" -> abTestSql,
     "events_gap_fill" -> gapFillSql,
+    "events_forecast_baseline" -> forecastBaselineSql,
     "events_tumbling" -> tumblingSql,
     "events_sliding" -> slidingSql,
     "events_session" -> sessionSql,

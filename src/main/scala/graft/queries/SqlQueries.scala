@@ -105,7 +105,10 @@ object SqlQueries {
     "sql_histogram" -> "events_histogram",
     "sql_intersect_days" -> "events_intersect_days",
     "sql_markov" -> "events_markov",
-    "sql_anomaly" -> "events_anomaly")
+    "sql_anomaly" -> "events_anomaly",
+    // Welch A/B readout from SQL text: chained CTEs of conditional
+    // DECIMAL moment aggregates + the IEEE stat projection
+    "sql_ab_test" -> "events_ab_test")
 
   /** The summary-rewrite face FROM SQL TEXT: registers the lineitem
     * summary, then executes `infra_summary_rewrite`'s oracle string via

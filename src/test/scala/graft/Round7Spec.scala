@@ -155,6 +155,24 @@ class Round7Spec extends SparkSpec {
     assert(frac > r.length / 4, "top-PC scores are all negligible")
   }
 
+  test("forecast baseline: actual totals reconcile with a direct last-day census") {
+    import graft.pipeline.EventQueries
+    val r = EventQueries.queries("events_forecast_baseline")(spark, Sf)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getDouble(3)))
+    assert(r.nonEmpty)
+    r.foreach { case (_, _, mae) => assert(mae >= 0.0) }
+    val ev = Tables.events(spark, Sf)
+      .select(col("event_type"),
+        expr("unix_millis(date_trunc('day', ts)) div 86400000").as("day_num"))
+    val maxd = ev.agg(max("day_num")).collect().head.getLong(0)
+    val census = ev.filter(col("day_num") === maxd)
+      .groupBy("event_type").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    r.foreach { case (t, actual, _) =>
+      assert(actual == census.getOrElse(t, 0L),
+        s"$t actual_total $actual != census ${census.get(t)}") }
+  }
+
   test("random projection: 16 dims preserve relative distances better than chance") {
     val proj = SimilarityQueries.queries("embed_random_projection")(spark, Sf)
     val cols = (0 until 16).map(j => col(s"p$j"))
