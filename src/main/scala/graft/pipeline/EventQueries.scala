@@ -1531,6 +1531,10 @@ FROM stats ORDER BY event_type"""
       .groupBy("event_type", "day_num")
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).as("sval"))
+      // |types|·|days| rows, materialized once: bounds, the type list,
+      // and the spine join all branch off it — without the checkpoint
+      // each branch re-scans and re-aggregates the fact.
+      .localCheckpoint()
     val bounds = broadcast(daily.agg(
       min("day_num").as("d0"), max("day_num").as("d1")))
     val spine = daily.select("event_type").distinct()

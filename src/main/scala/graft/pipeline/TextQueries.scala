@@ -914,7 +914,11 @@ ORDER BY source"""
     * shuffle on the corpus. */
   private val tempSample: Q = (s, d) => {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    // |domains| rows, materialized once: the rate derivation below
+    // branches over these stats 3× (total, normalizer, rates), and
+    // without the checkpoint each branch re-scans the corpus.
     val cnts = docs.groupBy("source").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val tot = broadcast(cnts.agg(sum("cnt").cast("long").as("total")))
     val w = cnts.crossJoin(tot)
       .withColumn("w", sqrt(col("cnt").cast("double") / col("total")))
