@@ -856,6 +856,128 @@ SELECT doc_id, source, n_chars, CAST(copy_id AS INT) AS copy_id
 FROM ex ORDER BY doc_id, copy_id"""
   }
 
+  // ------------------------------------------------------- bigram LM
+  /** Bigram MLE language model — the n-gram LM estimation pass (the
+    * model behind CCNet-style perplexity filters and the classical
+    * next-token baseline): corpus-wide bigram counts, min-count
+    * pruning, conditional probability P(next|head) = c(head,next) /
+    * c(head,·), and the top-3 continuations per surviving head. Bigram
+    * extraction is a per-row `transform(sequence)` riding the scan
+    * (no self-join, no shuffle until the count aggregate); the
+    * continuation rank partitions by head token — never global. The
+    * probability divides two exact longs (the head total is the sum of
+    * its SURVIVING continuations, so the ratio is a closed-vocabulary
+    * conditional — deterministic and self-consistent under pruning).
+    * At 100 TB this is the standard two-aggregate LM-count shape with
+    * map-side combine on (head, next). */
+  private val LmMinCount = 5
+  private def lmBigrams: Column = transform(
+    sequence(lit(1), size(col("toks")) - 1),
+    i => struct(element_at(col("toks"), i).as("head"),
+      element_at(col("toks"), i + 1).as("next")))
+  /** Pruned bigram counts with per-head totals — the LM's parameter
+    * relation, shared by the [[bigramLm]] report and the
+    * [[perplexityEval]] scorer. */
+  private def lmCounts(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.documents(s, d)
+      .select(toks.as("toks"))
+      // single-token docs emit no bigrams; also dodges the descending-
+      // sequence(1,0) trap on degenerate rows (mirrors the oracle's
+      // empty range(1,1))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(lmBigrams).as("bg"))
+      .select(col("bg.head").as("head"), col("bg.next").as("next"))
+      .groupBy("head", "next").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= LmMinCount)
+    val w = Window.partitionBy("head")
+    pairs.withColumn("head_cnt", sum("cnt").over(w))
+  }
+  private val bigramLm: Q = (s, d) => {
+    val wr = Window.partitionBy("head")
+      .orderBy(col("cnt").desc, col("next"))
+    lmCounts(s, d)
+      .withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 3)
+      .select(col("head"), col("next"), col("cnt"),
+        col("rank").cast("int").as("rank"),
+        round(col("cnt").cast("double") / col("head_cnt"), 6).as("prob"))
+      .orderBy("head", "rank")
+  }
+  private val lmCtes =
+    s"""WITH t AS (
+  SELECT doc_id, $ToksSql AS toks FROM documents
+), bg AS (
+  SELECT doc_id, toks[i] AS head, toks[i + 1] AS next
+  FROM t, unnest(range(1, greatest(len(toks), 1))) AS u(i)
+), cnts AS (
+  SELECT head, next, count(*) AS cnt FROM bg GROUP BY head, next
+  HAVING count(*) >= $LmMinCount
+), model AS (
+  SELECT head, next, cnt,
+    sum(cnt) OVER (PARTITION BY head) AS head_cnt
+  FROM cnts
+)"""
+  private val bigramLmSql =
+    s"""$lmCtes, ranked AS (
+  SELECT head, next, cnt, head_cnt,
+    row_number() OVER (PARTITION BY head ORDER BY cnt DESC, next) AS rank
+  FROM model
+)
+SELECT head, next, CAST(cnt AS BIGINT) AS cnt, CAST(rank AS INT) AS rank,
+  round(CAST(cnt AS DOUBLE) / head_cnt, 6) AS prob
+FROM ranked WHERE rank <= 3
+ORDER BY head, rank"""
+
+  // -------------------------------------------------------- LM scoring
+  /** Corpus scoring under the trained bigram LM — the second half of
+    * the LM-filter loop ([[bigramLm]] trains, this scores): every
+    * document's bigrams LEFT-join the pruned model and the document
+    * gets (bigram count, out-of-vocabulary count, mean inverse
+    * conditional probability). The metric is the ARITHMETIC mean of
+    * 1/P(next|head) with a fixed 10⁶ penalty for OOV bigrams — an
+    * exact-arithmetic stand-in for perplexity's geometric mean (same
+    * ordering on the quality tail, but every term is a ratio of two
+    * exact longs, no log/pow whose last-ulp behavior differs between
+    * engines — the same integer-exact-contract discipline as
+    * text_surprisal). The model is vocabulary-sized → broadcast; the
+    * scoring join rides the per-doc bigram fan-out; one per-doc
+    * aggregate ends it. A real neural LM swaps in as the same
+    * broadcast score table. */
+  private val lmScore: Q = (s, d) => {
+    val model = lmCounts(s, d)
+      .select(col("head"), col("next"),
+        (col("head_cnt").cast("double") / col("cnt")).as("inv_p"))
+    val docBg = Tables.documents(s, d)
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(lmBigrams).as("bg"))
+      .select(col("doc_id"), col("bg.head").as("head"),
+        col("bg.next").as("next"))
+    docBg.join(broadcast(model), Seq("head", "next"), "left")
+      .select(col("doc_id"),
+        when(col("inv_p").isNull, 1L).otherwise(0L).as("oov"),
+        coalesce(col("inv_p"), lit(1000000.0)).as("inv_p"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum("oov").cast("long").as("n_oov"),
+        round(sum(col("inv_p").cast("decimal(25,15)")).cast("double")
+          / count(lit(1)), 6).as("mean_inv_p"))
+      .orderBy("doc_id")
+  }
+  private val lmScoreSql =
+    s"""$lmCtes, scored AS (
+  SELECT bg.doc_id,
+    CASE WHEN m.cnt IS NULL THEN 1 ELSE 0 END AS oov,
+    coalesce(CAST(m.head_cnt AS DOUBLE) / m.cnt,
+      CAST(1000000 AS DOUBLE)) AS inv_p
+  FROM bg LEFT JOIN model m ON m.head = bg.head AND m.next = bg.next
+)
+SELECT doc_id, count(*) AS n_bigrams,
+  CAST(sum(oov) AS BIGINT) AS n_oov,
+  round(CAST(sum(CAST(inv_p AS DECIMAL(25,15))) AS DOUBLE) / count(*), 6)
+    AS mean_inv_p
+FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
   // ----------------------------------------------- diversity profile
   /** Per-domain lexical-diversity report — the curation dashboard
     * number that catches template farms and boilerplate-heavy sources
@@ -1403,6 +1525,8 @@ FROM a GROUP BY shard ORDER BY shard"""
     "text_domain_mix" -> domainMix,
     "text_temperature_sample" -> tempSample,
     "text_diversity_profile" -> diversityProfile,
+    "text_bigram_lm" -> bigramLm,
+    "text_lm_score" -> lmScore,
     "text_chunk_overlap" -> chunkOverlap,
     "text_chunk_dedup" -> chunkDedup,
     "text_surprisal" -> surprisal,
@@ -1434,6 +1558,8 @@ FROM a GROUP BY shard ORDER BY shard"""
     "text_domain_mix" -> domainMixSql,
     "text_temperature_sample" -> tempSampleSql,
     "text_diversity_profile" -> diversityProfileSql,
+    "text_bigram_lm" -> bigramLmSql,
+    "text_lm_score" -> lmScoreSql,
     "text_chunk_overlap" -> chunkOverlapSql,
     "text_chunk_dedup" -> chunkDedupSql,
     "text_surprisal" -> surprisalSql,

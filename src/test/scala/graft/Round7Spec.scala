@@ -173,6 +173,40 @@ class Round7Spec extends SparkSpec {
         s"$t actual_total $actual != census ${census.get(t)}") }
   }
 
+  test("bigram LM: <=3 contiguous ranks per head, count-ordered, probs form a sub-distribution") {
+    val rows = TextQueries.queries("text_bigram_lm")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getInt(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (head, rs) =>
+      val ranks = rs.map(_._4).sorted
+      assert(ranks.length <= 3 && ranks.sameElements(1 to ranks.length),
+        s"$head ranks ${ranks.toSeq}")
+      val byRank = rs.sortBy(_._4)
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._3 >= b._3; case _ => true },
+        s"$head continuations not count-ordered")
+      val pSum = rs.map(_._5).sum
+      assert(pSum <= 1.0 + 1e-6, s"$head top-3 prob mass $pSum > 1")
+    }
+  }
+
+  test("LM score: inverse-probability floor, OOV bounds, and model consistency") {
+    val scores = TextQueries.queries("text_lm_score")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(scores.nonEmpty)
+    scores.foreach { case (doc, nb, oov, m) =>
+      assert(nb > 0 && oov >= 0 && oov <= nb, s"doc $doc counts")
+      // every inverse conditional probability is >= 1 (cnt <= head_cnt)
+      // and the OOV penalty is 1e6, so the mean is bounded accordingly
+      assert(m >= 1.0 - 1e-9 && m <= 1e6 + 1e-3, s"doc $doc score $m")
+    }
+    // a corpus with planted template dups must contain SOME in-vocab mass
+    assert(scores.exists { case (_, nb, oov, _) => oov < nb },
+      "every bigram scored OOV — model join is broken")
+  }
+
   test("random projection: 16 dims preserve relative distances better than chance") {
     val proj = SimilarityQueries.queries("embed_random_projection")(spark, Sf)
     val cols = (0 until 16).map(j => col(s"p$j"))
