@@ -856,6 +856,69 @@ SELECT doc_id, source, n_chars, CAST(copy_id AS INT) AS copy_id
 FROM ex ORDER BY doc_id, copy_id"""
   }
 
+  // -------------------------------------------------- hash embedding
+  /** Feature-hashed document embeddings — the deterministic
+    * no-model-needed vectorizer (Weinberger et al.'s hashing trick,
+    * fastText's input layer): each token hashes to one of 16 buckets
+    * with a ±1 sign bit, per-doc bucket sums form the raw vector, and
+    * L2 normalization makes it cosine-ready. Everything up to the
+    * final divide is EXACT integer arithmetic (signed counts, sum of
+    * squares), so the oracle hash-matches without tolerance; the plan
+    * is one explode + ONE per-doc aggregate with 16 conditional sums
+    * (no pivot, no second shuffle), riding the scan's partitioning. At
+    * 100 TB this replaces the "call the embedding model" step for
+    * cheap dedup/clustering passes, and downstream ANN/k-means consume
+    * d0..d15 unchanged. All-cancelling docs emit the zero vector. */
+  private val HashEmbD = 16
+  private val hashEmbedding: Q = (s, d) => {
+    val ex = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("tok"))
+      .select(col("doc_id"),
+        DupCorpus.h60(concat(lit("emb:"), col("tok"))).as("h"))
+      .select(col("doc_id"), pmod(col("h"), lit(HashEmbD.toLong)).as("bucket"),
+        when(pmod(expr(s"h div $HashEmbD"), lit(2)) === 0, 1L)
+          .otherwise(-1L).as("sgn"))
+    val sums = (0 until HashEmbD).map(j =>
+      sum(when(col("bucket") === j, col("sgn")).otherwise(0L)).as(s"v$j"))
+    val raw = ex.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+    val ss = (0 until HashEmbD).map(j => col(s"v$j") * col(s"v$j"))
+      .reduce(_ + _)
+    val outs = (0 until HashEmbD).map(j =>
+      round(when(col("ss") === 0L, lit(0.0))
+        .otherwise(col(s"v$j").cast("double") / sqrt(col("ss").cast("double"))), 6)
+        .as(s"d$j"))
+    raw.withColumn("ss", ss)
+      .select((col("doc_id") +: outs): _*)
+      .orderBy("doc_id")
+  }
+  private val hashEmbeddingSql = {
+    val h = OraclePipeline.h60Sql("'emb:' || tok")
+    val vs = (0 until HashEmbD).map(j =>
+      s"sum(CASE WHEN bucket = $j THEN sgn ELSE 0 END) AS v$j")
+      .mkString(",\n    ")
+    val ssSql = (0 until HashEmbD).map(j => s"v$j * v$j").mkString(" + ")
+    val ds = (0 until HashEmbD).map(j =>
+      s"""round(CASE WHEN ss = 0 THEN CAST(0 AS DOUBLE)
+      ELSE CAST(v$j AS DOUBLE) / sqrt(CAST(ss AS DOUBLE)) END, 6) AS d$j""")
+      .mkString(",\n  ")
+    s"""WITH tok AS (
+  SELECT doc_id, unnest($ToksSql) AS tok FROM documents
+), f AS (
+  SELECT doc_id, h % $HashEmbD AS bucket,
+    CASE WHEN (h // $HashEmbD) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT doc_id, $h AS h FROM tok)
+), v AS (
+  SELECT doc_id,
+    $vs
+  FROM f GROUP BY doc_id
+), withss AS (
+  SELECT *, $ssSql AS ss FROM v
+)
+SELECT doc_id,
+  $ds
+FROM withss ORDER BY doc_id"""
+  }
+
   // ------------------------------------------------------- bigram LM
   /** Bigram MLE language model — the n-gram LM estimation pass (the
     * model behind CCNet-style perplexity filters and the classical
@@ -1527,6 +1590,7 @@ FROM a GROUP BY shard ORDER BY shard"""
     "text_diversity_profile" -> diversityProfile,
     "text_bigram_lm" -> bigramLm,
     "text_lm_score" -> lmScore,
+    "text_hash_embedding" -> hashEmbedding,
     "text_chunk_overlap" -> chunkOverlap,
     "text_chunk_dedup" -> chunkDedup,
     "text_surprisal" -> surprisal,
@@ -1560,6 +1624,7 @@ FROM a GROUP BY shard ORDER BY shard"""
     "text_diversity_profile" -> diversityProfileSql,
     "text_bigram_lm" -> bigramLmSql,
     "text_lm_score" -> lmScoreSql,
+    "text_hash_embedding" -> hashEmbeddingSql,
     "text_chunk_overlap" -> chunkOverlapSql,
     "text_chunk_dedup" -> chunkDedupSql,
     "text_surprisal" -> surprisalSql,

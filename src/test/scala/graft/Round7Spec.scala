@@ -207,6 +207,27 @@ class Round7Spec extends SparkSpec {
       "every bigram scored OOV — model join is broken")
   }
 
+  test("hash embedding: unit (or zero) norm, and near-dup docs land close in cosine") {
+    val rows = TextQueries.queries("text_hash_embedding")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val vecs = rows.map { r =>
+      r.getLong(0) -> (1 to 16).map(r.getDouble).toArray }.toMap
+    vecs.values.foreach { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      assert(math.abs(n - 1.0) < 1e-3 || n < 1e-9, s"norm $n")
+    }
+    // exact-dup docs (identical text) must hash to identical vectors
+    val dupPair = Tables.documents(spark, Sf)
+      .groupBy("text").agg(collect_list("doc_id").as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(col("ids")).collect()
+      .map(_.getSeq[Long](0)).headOption
+    dupPair.foreach { ids =>
+      assert(vecs(ids.head).sameElements(vecs(ids(1))),
+        "identical texts must produce identical hash embeddings")
+    }
+  }
+
   test("random projection: 16 dims preserve relative distances better than chance") {
     val proj = SimilarityQueries.queries("embed_random_projection")(spark, Sf)
     val cols = (0 until 16).map(j => col(s"p$j"))
