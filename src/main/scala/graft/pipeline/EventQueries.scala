@@ -1118,6 +1118,52 @@ SELECT from_type, to_type, count(*) AS n_transitions,
 FROM seq WHERE to_type IS NOT NULL
 GROUP BY from_type, to_type ORDER BY from_type, to_type"""
 
+  // ------------------------------------------------------ trigram paths
+  /** Top user paths at trigram grain — the sequence-mining step above
+    * [[markov]]'s bigram matrix (funnels tell you A→B; this surfaces
+    * the DOMINANT A→B→C journeys worth instrumenting): two leads over
+    * each user's ordered stream, a corpus-wide path census, and the
+    * global top-10 by (count, path). Same single user-partitioned
+    * window pass as markov — both leads share one shuffle and one sort
+    * — and the top-10 plans as TakeOrderedAndProject over the
+    * |types|³-bounded census, never a single-partition global sort.
+    * Counts exact → hash-stable. */
+  private val trigramPaths: Q = (s, d) => {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val census = Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("e1"),
+        lead(col("event_type"), 1).over(w).as("e2"),
+        lead(col("event_type"), 2).over(w).as("e3"))
+      .filter(col("e2").isNotNull && col("e3").isNotNull)
+      .groupBy("e1", "e2", "e3")
+      .agg(count(lit(1)).as("n_paths"),
+        countDistinct("user_id").as("n_users"))
+    census
+      .orderBy(col("n_paths").desc, col("e1"), col("e2"), col("e3"))
+      .limit(10)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        col("n_paths").desc, col("e1"), col("e2"), col("e3"))).cast("int"))
+      .select("rank", "e1", "e2", "e3", "n_paths", "n_users")
+  }
+  private val trigramPathsSql =
+    """WITH seq AS (
+  SELECT user_id, event_type AS e1,
+    lead(event_type, 1) OVER w AS e2,
+    lead(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), census AS (
+  SELECT e1, e2, e3, count(*) AS n_paths,
+    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+  GROUP BY e1, e2, e3
+)
+SELECT CAST(row_number() OVER (ORDER BY n_paths DESC, e1, e2, e3) AS INT)
+    AS rank,
+  e1, e2, e3, n_paths, n_users
+FROM census
+ORDER BY n_paths DESC, e1, e2, e3 LIMIT 10"""
+
   // --------------------------------------------- state history (SCD2)
   /** Gaps-and-islands → SCD-Type-2 state history: collapse each user's
     * consecutive same-type runs into validity intervals
@@ -1656,6 +1702,7 @@ FROM joined GROUP BY event_type ORDER BY event_type"""
     "events_ab_test" -> abTest,
     "events_gap_fill" -> gapFill,
     "events_forecast_baseline" -> forecastBaseline,
+    "events_trigram_paths" -> trigramPaths,
     "events_tumbling" -> tumbling,
     "events_sliding" -> sliding,
     "events_session" -> session,
@@ -1698,6 +1745,7 @@ FROM joined GROUP BY event_type ORDER BY event_type"""
     "events_ab_test" -> abTestSql,
     "events_gap_fill" -> gapFillSql,
     "events_forecast_baseline" -> forecastBaselineSql,
+    "events_trigram_paths" -> trigramPathsSql,
     "events_tumbling" -> tumblingSql,
     "events_sliding" -> slidingSql,
     "events_session" -> sessionSql,

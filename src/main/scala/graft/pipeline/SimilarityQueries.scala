@@ -1126,6 +1126,85 @@ ORDER BY cid, vec_id"""
 SELECT CAST(pos AS INT) AS pos, round(w, 6) AS loading
 FROM w$PcIters ORDER BY pos"""
 
+  // ------------------------------------------------------ kNN label eval
+  /** Leave-one-out kNN classification accuracy — the embedding-QUALITY
+    * harness next to [[recallEval]]'s index-quality one: every vector
+    * is classified by the majority label of its 3 nearest within-cell
+    * neighbors (k-means cells from the shared [[kmeansCentroids]]
+    * machinery — the honest blocked-candidate shape, identical to
+    * dedup_semantic's, never corpus all-pairs) and scored against its
+    * own label. Per-label n/correct/accuracy is the readout an
+    * embedding-model regression gate watches. Ties break to the
+    * smaller label; singleton-cell vectors have no neighbors and are
+    * excluded (counted by the census, visible as n_eval < n_vecs). */
+  private val knnLabelEval: Q = (s, d) => {
+    val e = embDouble(s, d).cache()
+    val cents = kmeansCentroids(s, e)
+    val cells = e.select(col("vec_id"), col("label"), col("v"),
+      cellCol(cents).as("cid"))
+    val a = cells.select(col("cid"), col("vec_id").as("a_id"),
+      col("label").as("a_label"), col("v").as("av"))
+    val b = cells.select(col("cid"), col("vec_id").as("b_id"),
+      col("label").as("b_label"), col("v").as("bv"))
+    val w = Window.partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
+    val top = a.join(b, "cid").filter(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("a_label"), col("b_id"), col("b_label"),
+        cosine(col("av"), col("bv")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+    val wv = Window.partitionBy("a_id").orderBy(col("nv").desc, col("b_label"))
+    val pred = top.groupBy("a_id", "a_label", "b_label")
+      .agg(count(lit(1)).as("nv"))
+      .withColumn("vr", row_number().over(wv))
+      .filter(col("vr") === 1)
+    val out = pred.groupBy(col("a_label").as("label"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("b_label") === col("a_label"), 1L).otherwise(0L))
+          .cast("long").as("n_correct"))
+      .select(col("label"), col("n_eval"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_eval"), 6)
+          .as("accuracy"))
+      .orderBy("label")
+    e.unpersist()
+    out
+  }
+  private val knnLabelEvalSql =
+    s"""WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $KmK
+), a1 AS (${assignSql("e", "c0")}
+), c1 AS (${updateSql("a1")}
+), a2 AS (${assignSql("e", "c1")}
+), c2 AS (${updateSql("a2")}
+), cells AS (${assignSql("e", "c2")}
+), lc AS (
+  SELECT c.cid, c.vec_id, c.v, e.label FROM cells c
+  JOIN e ON e.vec_id = c.vec_id
+), top AS (
+  SELECT * FROM (
+    SELECT a.vec_id AS a_id, a.label AS a_label, b.vec_id AS b_id,
+      b.label AS b_label,
+      row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))
+          * sqrt(list_dot_product(b.v, b.v))) DESC, b.vec_id) AS rank
+    FROM lc a JOIN lc b ON a.cid = b.cid AND a.vec_id <> b.vec_id)
+  WHERE rank <= 3
+), pred AS (
+  SELECT * FROM (
+    SELECT a_id, a_label, b_label, count(*) AS nv,
+      row_number() OVER (PARTITION BY a_id
+        ORDER BY count(*) DESC, b_label) AS vr
+    FROM top GROUP BY a_id, a_label, b_label)
+  WHERE vr = 1
+)
+SELECT a_label AS label, count(*) AS n_eval,
+  CAST(sum(CASE WHEN b_label = a_label THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_correct,
+  round(CAST(sum(CASE WHEN b_label = a_label THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*), 6) AS accuracy
+FROM pred GROUP BY a_label ORDER BY label"""
+
   // -------------------------------------------------------------- ABTT
   /** "All-but-the-top" common-direction removal (Mu & Viswanath 2018)
     * — the embedding post-process that strips the dominant shared
@@ -1272,7 +1351,8 @@ ORDER BY e.query_id"""
     "dedup_semantic" -> semDedup,
     "embed_quantize" -> quantize,
     "embed_cluster_profile" -> clusterProfile,
-    "knn_join" -> knnJoin)
+    "knn_join" -> knnJoin,
+    "knn_label_eval" -> knnLabelEval)
 
   val oracle: Map[String, String] = Map(
     "ann_recall_eval" -> recallEvalSql,
@@ -1292,5 +1372,6 @@ ORDER BY e.query_id"""
     "dedup_semantic" -> semDedupSql,
     "embed_quantize" -> quantizeSql,
     "embed_cluster_profile" -> clusterProfileSql,
-    "knn_join" -> knnJoinSql)
+    "knn_join" -> knnJoinSql,
+    "knn_label_eval" -> knnLabelEvalSql)
 }

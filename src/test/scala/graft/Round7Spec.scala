@@ -228,6 +228,37 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("trigram paths: ranked top-10, consistent with the bigram transition census") {
+    import graft.pipeline.EventQueries
+    val paths = EventQueries.queries("events_trigram_paths")(spark, Sf)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(paths.map(_._1).toSeq == (1 to paths.length),
+      "ranks must be 1..n")
+    assert(paths.sliding(2).forall {
+      case Array(a, b) => a._5 >= b._5; case _ => true }, "counts descending")
+    // a trigram (e1,e2,e3) cannot outnumber its (e1,e2) bigram
+    val bigram = EventQueries.queries("events_markov")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    paths.foreach { case (_, e1, e2, _, n) =>
+      assert(n <= bigram((e1, e2)),
+        s"trigram ($e1,$e2,*) count $n exceeds bigram ${bigram((e1, e2))}") }
+  }
+
+  test("knn label eval: counts bounded by the label census, accuracy in [0,1]") {
+    val r = SimilarityQueries.queries("knn_label_eval")(spark, Sf)
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2),
+        x.getDouble(3)))
+    assert(r.nonEmpty)
+    val census = Tables.embeddings(spark, Sf).groupBy("label").count()
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    r.foreach { case (l, nEval, nCorr, acc) =>
+      assert(nEval <= census(l), s"label $l evaluated more vecs than exist")
+      assert(nCorr <= nEval && acc >= 0.0 && acc <= 1.0)
+    }
+  }
+
   test("random projection: 16 dims preserve relative distances better than chance") {
     val proj = SimilarityQueries.queries("embed_random_projection")(spark, Sf)
     val cols = (0 until 16).map(j => col(s"p$j"))
