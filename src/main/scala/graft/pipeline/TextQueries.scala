@@ -856,6 +856,38 @@ SELECT doc_id, source, n_chars, CAST(copy_id AS INT) AS copy_id
 FROM ex ORDER BY doc_id, copy_id"""
   }
 
+  // ---------------------------------------------- CCNet quality buckets
+  /** CCNet-style quality bucketing (Wenzek et al. 2020): documents are
+    * split per LANGUAGE into head/middle/tail terciles of LM score,
+    * and downstream training mixes sample by bucket. Composes
+    * [[lmScore]] unchanged; the NTILE window partitions by lang (the
+    * published recipe — and the reason this never needs a global
+    * sort). The ordering key is (rounded score, doc_id), so the
+    * tercile boundary cannot flap on sub-ulp score differences
+    * cross-engine. Output volume = corpus; at 100 TB the bucket id
+    * becomes the partition column the mix-sampler prunes on. */
+  private val qualityBuckets: Q = (s, d) => {
+    val scores = lmScore(s, d).select(col("doc_id"), col("mean_inv_p"))
+    val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("mean_inv_p"), col("doc_id"))
+    langs.join(scores, "doc_id")
+      .select(col("doc_id"), col("lang"), col("mean_inv_p"),
+        ntile(3).over(w).cast("int").as("bucket"))
+      .orderBy("doc_id")
+  }
+  // lazy: lmScoreSql is defined further down the file, and a strict val
+  // here would capture null at object init
+  private lazy val qualityBucketsSql =
+    s"""WITH scores AS (
+  SELECT * FROM ($lmScoreSql)
+)
+SELECT d.doc_id, d.lang, s.mean_inv_p,
+  CAST(ntile(3) OVER (PARTITION BY d.lang
+    ORDER BY s.mean_inv_p, d.doc_id) AS INT) AS bucket
+FROM documents d JOIN scores s ON s.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
   // -------------------------------------------------- hash embedding
   /** Feature-hashed document embeddings — the deterministic
     * no-model-needed vectorizer (Weinberger et al.'s hashing trick,
@@ -1591,6 +1623,7 @@ FROM a GROUP BY shard ORDER BY shard"""
     "text_bigram_lm" -> bigramLm,
     "text_lm_score" -> lmScore,
     "text_hash_embedding" -> hashEmbedding,
+    "text_quality_buckets" -> qualityBuckets,
     "text_chunk_overlap" -> chunkOverlap,
     "text_chunk_dedup" -> chunkDedup,
     "text_surprisal" -> surprisal,
@@ -1625,6 +1658,7 @@ FROM a GROUP BY shard ORDER BY shard"""
     "text_bigram_lm" -> bigramLmSql,
     "text_lm_score" -> lmScoreSql,
     "text_hash_embedding" -> hashEmbeddingSql,
+    "text_quality_buckets" -> qualityBucketsSql,
     "text_chunk_overlap" -> chunkOverlapSql,
     "text_chunk_dedup" -> chunkDedupSql,
     "text_surprisal" -> surprisalSql,

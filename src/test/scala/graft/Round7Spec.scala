@@ -259,6 +259,26 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("quality buckets: per-lang terciles balanced within 1, ordered by score") {
+    val rows = TextQueries.queries("text_quality_buckets")(spark, Sf)
+      .collect().map(r => (r.getString(1), r.getDouble(2), r.getInt(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      val sizes = rs.groupBy(_._3).view.mapValues(_.length).toMap
+      assert(sizes.keySet.subsetOf(Set(1, 2, 3)), s"$lang buckets ${sizes.keySet}")
+      if (rs.length >= 3)
+        assert(sizes.values.max - sizes.values.min <= 1,
+          s"$lang tercile sizes $sizes not balanced")
+      // max score in bucket k <= min score in bucket k+1 (ties split by
+      // doc_id, so allow equality)
+      (1 to 2).foreach { k =>
+        for (lo <- rs.filter(_._3 == k).map(_._2).maxOption;
+             hi <- rs.filter(_._3 == k + 1).map(_._2).minOption)
+          assert(lo <= hi, s"$lang bucket $k max $lo > bucket ${k + 1} min $hi")
+      }
+    }
+  }
+
   test("random projection: 16 dims preserve relative distances better than chance") {
     val proj = SimilarityQueries.queries("embed_random_projection")(spark, Sf)
     val cols = (0 until 16).map(j => col(s"p$j"))
