@@ -1118,6 +1118,67 @@ SELECT from_type, to_type, count(*) AS n_transitions,
 FROM seq WHERE to_type IS NOT NULL
 GROUP BY from_type, to_type ORDER BY from_type, to_type"""
 
+  // ------------------------------------------------------- change point
+  /** CUSUM change-point detection — the "when did this metric shift"
+    * readout (deploy regressions, data-source cutover): per type, the
+    * cumulative sum of daily deviations from the overall mean peaks in
+    * magnitude at the most likely change day. Daily sums and the
+    * per-type mean both come from ONE daily aggregate ([[gapFill]]'s
+    * shape); the CUSUM is a day-ordered running sum of
+    * DECIMAL(25,15)-cast deviations, so every prefix is exact and
+    * order-free; the argmax breaks |CUSUM| ties to the earlier day.
+    * All windows partition by type — never global — and the relation
+    * under them is |types|·|days|. */
+  private val changepoint: Q = (s, d) => {
+    val daily = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_millis(date_trunc('day', ts)) div 86400000")
+          .as("day_num"),
+        col("value"))
+      .groupBy("event_type", "day_num")
+      .agg(sum(col("value").cast("decimal(18,6)")).cast("double").as("x"))
+      .localCheckpoint()
+    val means = daily.groupBy("event_type")
+      .agg((sum(col("x").cast("decimal(25,15)")).cast("double")
+        / count(lit(1))).as("mu"), count(lit(1)).as("n_days"))
+    val wc = Window.partitionBy("event_type").orderBy("day_num")
+    val wm = Window.partitionBy("event_type")
+      .orderBy(abs(col("cusum")).desc, col("day_num"))
+    daily.join(broadcast(means), "event_type")
+      .withColumn("cusum",
+        sum((col("x") - col("mu")).cast("decimal(25,15)")).over(wc)
+          .cast("double"))
+      .withColumn("rk", row_number().over(wm))
+      .filter(col("rk") === 1)
+      .select(col("event_type"), col("day_num").as("change_day"),
+        round(col("cusum"), 6).as("peak_cusum"), col("n_days"))
+      .orderBy("event_type")
+  }
+  private val changepointSql =
+    """WITH daily AS (
+  SELECT event_type,
+    epoch_ms(date_trunc('day', ts)) // 86400000 AS day_num,
+    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+), means AS (
+  SELECT event_type,
+    CAST(sum(CAST(x AS DECIMAL(25,15))) AS DOUBLE) / count(*) AS mu,
+    count(*) AS n_days
+  FROM daily GROUP BY event_type
+), cus AS (
+  SELECT d.event_type, d.day_num, m.n_days,
+    CAST(sum(CAST(d.x - m.mu AS DECIMAL(25,15)))
+      OVER (PARTITION BY d.event_type ORDER BY d.day_num) AS DOUBLE)
+      AS cusum
+  FROM daily d JOIN means m USING (event_type)
+)
+SELECT event_type, day_num AS change_day,
+  round(cusum, 6) AS peak_cusum, n_days
+FROM cus
+QUALIFY row_number() OVER (PARTITION BY event_type
+  ORDER BY abs(cusum) DESC, day_num) = 1
+ORDER BY event_type"""
+
   // ------------------------------------------------------ trigram paths
   /** Top user paths at trigram grain — the sequence-mining step above
     * [[markov]]'s bigram matrix (funnels tell you A→B; this surfaces
@@ -1703,6 +1764,7 @@ FROM joined GROUP BY event_type ORDER BY event_type"""
     "events_gap_fill" -> gapFill,
     "events_forecast_baseline" -> forecastBaseline,
     "events_trigram_paths" -> trigramPaths,
+    "events_changepoint" -> changepoint,
     "events_tumbling" -> tumbling,
     "events_sliding" -> sliding,
     "events_session" -> session,
@@ -1746,6 +1808,7 @@ FROM joined GROUP BY event_type ORDER BY event_type"""
     "events_gap_fill" -> gapFillSql,
     "events_forecast_baseline" -> forecastBaselineSql,
     "events_trigram_paths" -> trigramPathsSql,
+    "events_changepoint" -> changepointSql,
     "events_tumbling" -> tumblingSql,
     "events_sliding" -> slidingSql,
     "events_session" -> sessionSql,

