@@ -300,6 +300,90 @@ SELECT a AS doc_id, least(a, min(b)) AS cluster_id,
   (least(a, min(b)) = a) AS is_canonical
 FROM reach GROUP BY a ORDER BY doc_id"""
 
+  // ------------------------------------------------------------ winnowing
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS algorithm): the LOCAL-overlap dedup face next to minhash's
+    * whole-document signature — guaranteed to detect any shared run of
+    * ≥ k+w−1 tokens, which catches partial plagiarism/quotation that
+    * document-level Jaccard dilutes away. Per doc: k-gram hashes at
+    * every position, then the minimum hash of each w-window is kept
+    * (density 2/(w+1), positions guaranteed to overlap for shared
+    * runs); docs sharing ≥ 3 surviving fingerprints pair up. Both
+    * per-doc passes are higher-order `transform`s riding the scan
+    * (ZERO window shuffle — the k-gram and winnow arrays never leave
+    * the row); the only shuffles are the fingerprint distinct and the
+    * capped equi-join on fp (boilerplate fingerprints shared by > 20
+    * docs are dropped, the same frequency-cap discipline as every
+    * other blocker — pair volume ∝ true overlap, never corpus²). All
+    * integer hashes → hash-stable cross-engine. */
+  private val WinK = 4; private val WinW = 4
+  private val WinFpCap = 20; private val WinMinShared = 3
+  private val winnow: Q = (s, d) => {
+    // relational k-gram + winnow: posexplode + lead×3 + two framed
+    // windows, all sharing ONE doc_id distribution (the corpus cache
+    // is already doc_id-partitioned) and fully codegen'd — the
+    // transform(sequence(...)) array form is interpreted and re-hashes
+    // per element (measured 3× slower at sf0.1, the shingleRows
+    // lesson). Same fingerprints: the oracle keeps the array form.
+    val w = Window.partitionBy("doc_id").orderBy("idx")
+    val winFrame = w.rowsBetween(0, WinW - 1)
+    val whole = Window.partitionBy("doc_id")
+    val kgr = DupCorpus.corpus(s, d)
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), " ")).as(Seq("idx", "tok")))
+      .withColumn("t1", lead("tok", 1).over(w))
+      .withColumn("t2", lead("tok", 2).over(w))
+      .withColumn("t3", lead("tok", 3).over(w))
+      .filter(col("t3").isNotNull)
+      .select(col("doc_id"), col("idx"),
+        DupCorpus.h60(concat_ws(" ",
+          col("tok"), col("t1"), col("t2"), col("t3"))).as("h"))
+    val fps = kgr
+      .withColumn("fp", min("h").over(winFrame))
+      .withColumn("m", count(lit(1)).over(whole))
+      // last W-1 positions start truncated windows — not winnow picks
+      .filter(col("idx") <= col("m") - WinW)
+      .select("doc_id", "fp")
+      .distinct()
+    val ok = fps.join(
+      fps.groupBy("fp").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") <= WinFpCap).select("fp"),
+      "fp")
+    val a = ok.select(col("fp"), col("doc_id").as("doc_a"))
+    val b = ok.select(col("fp"), col("doc_id").as("doc_b"))
+    a.join(b, "fp").filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinMinShared)
+      .orderBy("doc_a", "doc_b")
+  }
+  private val winnowSql = {
+    val hk = graft.oracle.OraclePipeline.h60Sql(
+      s"array_to_string(toks[i+1:i+$WinK], ' ')")
+    s"""${graft.oracle.OraclePipeline.DupCte}, wt AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks FROM dup
+), wkg AS (
+  SELECT doc_id,
+    list_transform(range(0, len(toks) - $WinK + 1),
+      i -> $hk) AS kg
+  FROM wt WHERE len(toks) >= ${WinK + WinW - 1}
+), wfp AS (
+  SELECT DISTINCT doc_id, fp FROM (
+    SELECT doc_id,
+      unnest(list_transform(range(0, len(kg) - $WinW + 1),
+        j -> list_min(kg[j+1:j+$WinW]))) AS fp
+    FROM wkg)
+), wok AS (
+  SELECT wfp.* FROM wfp
+  JOIN (SELECT fp FROM wfp GROUP BY fp
+        HAVING count(*) <= $WinFpCap) c USING (fp)
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM wok a JOIN wok b ON a.fp = b.fp AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= $WinMinShared
+ORDER BY doc_a, doc_b"""
+  }
+
   // ------------------------------------------------------------ pagerank
   /** PageRank over the verified near-dup graph — the centrality face of
     * the dup relation: a document whose content is echoed by many other
@@ -773,6 +857,7 @@ FROM spans GROUP BY doc_id ORDER BY doc_id"""
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_cluster" -> cluster,
     "graph_pagerank" -> pagerank,
+    "dedup_winnow" -> winnow,
     "dedup_triangles" -> triangles,
     "dedup_containment" -> containment,
     "dedup_substring" -> substringDedup)
@@ -787,6 +872,7 @@ FROM spans GROUP BY doc_id ORDER BY doc_id"""
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_cluster" -> clusterSql,
     "graph_pagerank" -> pagerankSql,
+    "dedup_winnow" -> winnowSql,
     "dedup_triangles" -> trianglesSql,
     "dedup_containment" -> containmentSql,
     "dedup_substring" -> substringDedupSql)

@@ -299,6 +299,24 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("winnowing: every planted exact dup pairs with its source, volume tracks overlap") {
+    val pairs = DedupQueries.queries("dedup_winnow")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val pairSet = pairs.map(p => (p._1, p._2)).toSet
+    // DupCorpus plants an exact copy at doc_id+10000 for doc_id % 7 == 0;
+    // winnowing guarantees detection of shared runs >= k+w-1 tokens, and
+    // an identical doc shares EVERY fingerprint
+    val planted = Tables.documents(spark, Sf)
+      .filter(col("doc_id") % 7 === 0)
+      .select("doc_id", "n_chars").collect()
+      .filter(_.getLong(1) > 200).map(_.getLong(0))
+    assert(planted.nonEmpty)
+    val missed = planted.filterNot(id => pairSet.contains((id, id + 10000)))
+    assert(missed.isEmpty, s"exact dups not paired: ${missed.take(5).toSeq}")
+    // pair volume stays in the dup-graph regime, not corpus²
+    assert(pairs.length < 5000, s"${pairs.length} pairs — blocking broke")
+  }
+
   test("random projection: 16 dims preserve relative distances better than chance") {
     val proj = SimilarityQueries.queries("embed_random_projection")(spark, Sf)
     val cols = (0 until 16).map(j => col(s"p$j"))
