@@ -108,7 +108,10 @@ object SqlQueries {
     "sql_anomaly" -> "events_anomaly",
     // Welch A/B readout from SQL text: chained CTEs of conditional
     // DECIMAL moment aggregates + the IEEE stat projection
-    "sql_ab_test" -> "events_ab_test")
+    "sql_ab_test" -> "events_ab_test",
+    // trigram path mining from SQL text: a named WINDOW clause with two
+    // lead offsets + ranked LIMIT over the census
+    "sql_trigram_paths" -> "events_trigram_paths")
 
   /** The summary-rewrite face FROM SQL TEXT: registers the lineitem
     * summary, then executes `infra_summary_rewrite`'s oracle string via
