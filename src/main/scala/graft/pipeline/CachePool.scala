@@ -31,5 +31,19 @@ object CachePool {
   def release(): Unit = synchronized {
     pool.foreach(_.unpersist(false))
     pool.clear()
+    memo.clear()
+  }
+
+  // Memoized model state (trained once per (owner, dataset), reused by
+  // every query that serves it — the stored-model analog of the
+  // bucketed indexes). Cleared with [[release]] at the same corpus
+  // lifecycle boundaries; entries hold localCheckpointed relations
+  // whose blocks the ContextCleaner frees once dereferenced.
+  private val memo = scala.collection.mutable.HashMap.empty[Any, Any]
+
+  /** Build-once lookup: returns the cached value for `key`, building
+    * and remembering it on first touch. */
+  def memoized[T](key: Any)(build: => T): T = synchronized {
+    memo.getOrElseUpdate(key, build).asInstanceOf[T]
   }
 }
