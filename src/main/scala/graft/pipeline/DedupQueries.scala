@@ -257,11 +257,11 @@ ORDER BY doc_a, doc_b"""
     * 100 TB — and the convergence check is one count per round; this is
     * GraphX connectedComponents' shape on relational ops. Oracle:
     * recursive-CTE transitive closure over the same pairs. */
-  private val cluster: Q = (s, d) => {
-    VectorExpressions.register(s)
-    val sh = shingleRows(DupCorpus.corpus(s, d))
-    val pairs = jaccardVerify(minhashCandidates(s, d), shingleSketches(sh), 0.4)
-      .select("doc_a", "doc_b")
+  /** Pregel-style min-label connected components over an undirected
+    * pair relation (doc_a, doc_b) → (doc_id, cluster_id, is_canonical).
+    * Shared by the minhash [[cluster]] and the multimodal phash
+    * cluster; see [[cluster]]'s doc for the plan-size discipline. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.unionAll(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
@@ -283,6 +283,13 @@ ORDER BY doc_a, doc_b"""
     labels.select(col("doc_id"), col("label").as("cluster_id"),
       (col("doc_id") === col("label")).as("is_canonical"))
       .orderBy("doc_id")
+  }
+  private val cluster: Q = (s, d) => {
+    VectorExpressions.register(s)
+    val sh = shingleRows(DupCorpus.corpus(s, d))
+    connectedComponents(
+      jaccardVerify(minhashCandidates(s, d), shingleSketches(sh), 0.4)
+        .select("doc_a", "doc_b"))
   }
   private val clusterSql =
     minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s""", pairs AS (

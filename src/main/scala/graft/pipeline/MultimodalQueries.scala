@@ -434,8 +434,35 @@ WHERE $ham <= 10
 ORDER BY doc_a, doc_b"""
   }
 
+  // ------------------------------------------------------ phash cluster
+  /** Canonical-image selection — [[phashDedup]]'s pairs turned into a
+    * keep/drop decision, exactly as [[DedupQueries.connectedComponents]]
+    * does for text: connected components over the Hamming-verified
+    * phash pair graph, every doc labeled with its component's min
+    * doc_id. The label relation is |near-dup images| ≪ corpus; the
+    * oracle walks the same graph with a recursive CTE. */
+  private val phashCluster: Q = (s, d) =>
+    DedupQueries.connectedComponents(
+      phashDedup(s, d).select("doc_a", "doc_b"))
+  private val phashClusterSql =
+    s"""WITH RECURSIVE pp AS (
+  SELECT doc_a, doc_b FROM ($phashDedupSql)
+), psym AS (
+  SELECT doc_a, doc_b FROM pp
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pp
+), reach(a, b) AS (
+  SELECT doc_a, doc_b FROM psym
+  UNION
+  SELECT r.a, s.doc_b FROM reach r JOIN psym s ON r.b = s.doc_a
+)
+SELECT a AS doc_id, least(a, min(b)) AS cluster_id,
+  (least(a, min(b)) = a) AS is_canonical
+FROM reach GROUP BY a ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
     "multimodal_phash_dedup" -> phashDedup,
+    "multimodal_phash_cluster" -> phashCluster,
     "multimodal_audio_energy" -> audioEnergy,
     "multimodal_silence_split" -> silenceSplit,
     "multimodal_scene_cut" -> sceneCut,
@@ -446,6 +473,7 @@ ORDER BY doc_a, doc_b"""
 
   val oracle: Map[String, String] = Map(
     "multimodal_phash_dedup" -> phashDedupSql,
+    "multimodal_phash_cluster" -> phashClusterSql,
     "multimodal_audio_energy" -> audioEnergySql,
     "multimodal_silence_split" -> silenceSplitSql,
     "multimodal_scene_cut" -> sceneCutSql,
