@@ -1629,7 +1629,9 @@ FROM stats ORDER BY event_type"""
     * one daily group-by; the running-total window partitions by type
     * (never global). Counts exact, sums decimal → the cumulative
     * series is hash-identical cross-engine. */
-  private val gapFill: Q = (s, d) => {
+  /** The zero-filled per-(type, day) series with the global day origin
+    * carried as `d0` — shared by [[gapFill]] and the EWMA filter. */
+  private def filledDaily(s: SparkSession, d: String): DataFrame = {
     val daily = Tables.events(s, d)
       .select(col("event_type"),
         expr("unix_millis(date_trunc('day', ts)) div 86400000")
@@ -1647,13 +1649,15 @@ FROM stats ORDER BY event_type"""
     val spine = daily.select("event_type").distinct()
       .crossJoin(bounds)
       .select(col("event_type"),
-        explode(sequence(col("d0"), col("d1"))).as("day_num"))
-    val filled = spine.join(daily, Seq("event_type", "day_num"), "left")
-      .select(col("event_type"), col("day_num"),
+        explode(sequence(col("d0"), col("d1"))).as("day_num"), col("d0"))
+    spine.join(daily, Seq("event_type", "day_num"), "left")
+      .select(col("event_type"), col("day_num"), col("d0"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         coalesce(col("sval"), lit(0).cast("decimal(18,6)")).as("sval"))
+  }
+  private val gapFill: Q = (s, d) => {
     val w = Window.partitionBy("event_type").orderBy("day_num")
-    filled
+    filledDaily(s, d)
       .select(col("event_type"), col("day_num"), col("n_events"),
         round(col("sval").cast("double"), 4).as("val"),
         sum("n_events").over(w).as("cum_n"),
@@ -1682,6 +1686,55 @@ SELECT event_type, day_num, CAST(n_events AS BIGINT) AS n_events,
   round(CAST(sum(sval) OVER w AS DOUBLE), 4) AS cum_val
 FROM filled
 WINDOW w AS (PARTITION BY event_type ORDER BY day_num)
+ORDER BY event_type, day_num"""
+
+  // ------------------------------------------------------------- EWMA
+  /** Exponentially-weighted moving average over the zero-filled daily
+    * series — the IIR smoothing every monitoring stack runs, made
+    * HASH-EXACT by choosing α = ½: every weight is a power of two, so
+    * y_t = Σ x_k·2^(k−t−1) = (Σ x_k·2^k) / 2^(t+1) where the prefix
+    * sum accumulates x_k·2^k — a DECIMAL-exact quantity, because
+    * multiplying a 6-dp decimal by 2^k never grows its fraction digits
+    * — and the final divide is one exact IEEE scaling. The recurrence
+    * becomes one ordered window prefix-sum per type (the [[gapFill]]
+    * spine supplies the zeros the decay must see; day indexes are
+    * rebased to the spine origin so 2^k stays small). No transcendental
+    * is evaluated: pow(2, int) is exact in both engines. */
+  private val ewma: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy("rel")
+    filledDaily(s, d)
+      .select(col("event_type"), col("day_num"),
+        (col("day_num") - col("d0")).as("rel"),
+        col("sval").cast("double").as("x"))
+      .withColumn("scaled", (col("x") * pow(lit(2.0), col("rel")))
+        .cast("decimal(30,6)"))
+      .withColumn("ewma",
+        sum("scaled").over(w).cast("double") / pow(lit(2.0), col("rel") + 1))
+      .select(col("event_type"), col("day_num"),
+        round(col("x"), 4).as("val"), round(col("ewma"), 6).as("ewma"))
+      .orderBy("event_type", "day_num")
+  }
+  private val ewmaSql =
+    """WITH daily AS (
+  SELECT event_type, epoch_ms(date_trunc('day', ts)) // 86400000 AS day_num,
+    sum(CAST(value AS DECIMAL(18,6))) AS sval
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(day_num) AS d0, max(day_num) AS d1 FROM daily
+), spine AS (
+  SELECT event_type, unnest(range(d0, d1 + 1)) AS day_num, d0
+  FROM (SELECT DISTINCT event_type FROM daily), bounds
+), filled AS (
+  SELECT s.event_type, s.day_num, s.day_num - s.d0 AS rel,
+    CAST(coalesce(d.sval, CAST(0 AS DECIMAL(18,6))) AS DOUBLE) AS x
+  FROM spine s LEFT JOIN daily d USING (event_type, day_num)
+), scaled AS (
+  SELECT *, CAST(x * pow(2, rel) AS DECIMAL(30,6)) AS scaled FROM filled
+)
+SELECT event_type, day_num, round(x, 4) AS val,
+  round(CAST(sum(scaled) OVER w AS DOUBLE) / pow(2, rel + 1), 6) AS ewma
+FROM scaled
+WINDOW w AS (PARTITION BY event_type ORDER BY rel)
 ORDER BY event_type, day_num"""
 
   // ----------------------------------------------------- forecast base
@@ -1762,6 +1815,7 @@ FROM joined GROUP BY event_type ORDER BY event_type"""
   val queries: Map[String, Q] = Map(
     "events_ab_test" -> abTest,
     "events_gap_fill" -> gapFill,
+    "events_ewma" -> ewma,
     "events_forecast_baseline" -> forecastBaseline,
     "events_trigram_paths" -> trigramPaths,
     "events_changepoint" -> changepoint,
@@ -1806,6 +1860,7 @@ FROM joined GROUP BY event_type ORDER BY event_type"""
   val oracle: Map[String, String] = Map(
     "events_ab_test" -> abTestSql,
     "events_gap_fill" -> gapFillSql,
+    "events_ewma" -> ewmaSql,
     "events_forecast_baseline" -> forecastBaselineSql,
     "events_trigram_paths" -> trigramPathsSql,
     "events_changepoint" -> changepointSql,

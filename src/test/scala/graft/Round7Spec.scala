@@ -317,6 +317,25 @@ class Round7Spec extends SparkSpec {
     assert(pairs.length < 5000, s"${pairs.length} pairs — blocking broke")
   }
 
+  test("EWMA: the alpha=1/2 recurrence y_t = (x_t + y_{t-1})/2 holds exactly") {
+    import graft.pipeline.EventQueries
+    val rows = EventQueries.queries("events_ewma")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (t, rs) =>
+      val s = rs.sortBy(_._2)
+      // y_0 = x_0 / 2
+      assert(math.abs(s.head._4 - s.head._3 / 2) < 1e-4, s"$t first day")
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(math.abs(b._4 - (b._3 + a._4) / 2) < 1e-3,
+            s"$t day ${b._2}: ${b._4} != (${b._3} + ${a._4})/2")
+        case _ => ()
+      }
+    }
+  }
+
   test("random projection: 16 dims preserve relative distances better than chance") {
     val proj = SimilarityQueries.queries("embed_random_projection")(spark, Sf)
     val cols = (0 until 16).map(j => col(s"p$j"))
