@@ -336,6 +336,25 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("plan shapes: branch-shared aggregates stay materialized, scans bounded") {
+    import graft.pipeline.{EventQueries, TextQueries}
+    def scans(df: org.apache.spark.sql.DataFrame): Int =
+      "(?m)^\\s*[:+]?-? ?Scan parquet".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    // temperature sample: one stats pass is checkpointed at
+    // construction; the served plan re-scans documents once for the
+    // gated pass plus the broadcast rate relation's lineage-free side
+    val ts = TextQueries.queries("text_temperature_sample")(spark, Sf)
+    assert(scans(ts) <= 2, s"temperature sample scans ${scans(ts)} (was 6 pre-fix)")
+    // gap fill / EWMA / changepoint: the daily aggregate is
+    // checkpointed, so the served plan contains NO parquet re-scan of
+    // the fact per branch
+    Seq("events_gap_fill", "events_ewma", "events_changepoint").foreach { q =>
+      val df = EventQueries.queries(q)(spark, Sf)
+      assert(scans(df) <= 1, s"$q scans the fact ${scans(df)}× — checkpoint lost")
+    }
+  }
+
   test("random projection: 16 dims preserve relative distances better than chance") {
     val proj = SimilarityQueries.queries("embed_random_projection")(spark, Sf)
     val cols = (0 until 16).map(j => col(s"p$j"))
