@@ -1688,6 +1688,57 @@ FROM filled
 WINDOW w AS (PARTITION BY event_type ORDER BY day_num)
 ORDER BY event_type, day_num"""
 
+  // ------------------------------------------------------ MAD outliers
+  /** Median-absolute-deviation outliers — the ROBUST anomaly face next
+    * to `events_anomaly`'s 3-sigma gate (which a single extreme value
+    * drags; the median/MAD pair is what monitoring uses on heavy
+    * tails): per type, med = p50(value), MAD = p50(|value − med|),
+    * outliers are |value − med| > 4.4478·MAD (3σ-equivalent via the
+    * 1.4826 consistency constant, folded into ONE literal so both
+    * engines do a single multiply). Exact interpolated percentiles
+    * (the hash-proven `percentile`/`quantile_cont` pair) broadcast
+    * back — the winsorize discipline; the fact is scanned per stage
+    * (med → MAD → gate), the standard robust-stats cascade, with each
+    * stats relation |types| rows. */
+  private val madOutliers: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+    val med = broadcast(ev.groupBy("event_type")
+      .agg(percentile(col("value"), lit(0.5)).as("med")))
+    val dev = ev.join(med, "event_type")
+      .withColumn("dv", abs(col("value") - col("med")))
+    val mad = broadcast(dev.groupBy("event_type", "med")
+      .agg(percentile(col("dv"), lit(0.5)).as("mad"),
+        count(lit(1)).as("n_events")))
+    dev.select(col("event_type"), col("dv"))
+      .join(mad, "event_type")
+      .groupBy(col("event_type"), col("n_events"), col("med"), col("mad"))
+      .agg(sum(when(col("dv") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+        .cast("long").as("n_outliers"))
+      .select(col("event_type"), col("n_events"),
+        round(col("med"), 4).as("med"), round(col("mad"), 4).as("mad"),
+        col("n_outliers"))
+      .orderBy("event_type")
+  }
+  private val madOutliersSql =
+    """WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type
+), dev AS (
+  SELECT e.event_type, m.med, abs(e.value - m.med) AS dv
+  FROM events e JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, med, quantile_cont(dv, 0.5) AS mad,
+    count(*) AS n_events
+  FROM dev GROUP BY event_type, med
+)
+SELECT d.event_type, m.n_events,
+  round(m.med, 4) AS med, round(m.mad, 4) AS mad,
+  CAST(sum(CASE WHEN d.dv > CAST(4.4478 AS DOUBLE) * m.mad
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type)
+GROUP BY d.event_type, m.n_events, m.med, m.mad
+ORDER BY d.event_type"""
+
   // ------------------------------------------------------------- EWMA
   /** Exponentially-weighted moving average over the zero-filled daily
     * series — the IIR smoothing every monitoring stack runs, made
@@ -1816,6 +1867,7 @@ FROM joined GROUP BY event_type ORDER BY event_type"""
     "events_ab_test" -> abTest,
     "events_gap_fill" -> gapFill,
     "events_ewma" -> ewma,
+    "events_mad_outliers" -> madOutliers,
     "events_forecast_baseline" -> forecastBaseline,
     "events_trigram_paths" -> trigramPaths,
     "events_changepoint" -> changepoint,
@@ -1861,6 +1913,7 @@ FROM joined GROUP BY event_type ORDER BY event_type"""
     "events_ab_test" -> abTestSql,
     "events_gap_fill" -> gapFillSql,
     "events_ewma" -> ewmaSql,
+    "events_mad_outliers" -> madOutliersSql,
     "events_forecast_baseline" -> forecastBaselineSql,
     "events_trigram_paths" -> trigramPathsSql,
     "events_changepoint" -> changepointSql,

@@ -355,6 +355,26 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("MAD outliers: robust stats bounded by the value range, gate strictly robust") {
+    import graft.pipeline.EventQueries
+    val r = EventQueries.queries("events_mad_outliers")(spark, Sf)
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getDouble(2),
+        x.getDouble(3), x.getLong(4)))
+    assert(r.nonEmpty)
+    val bounds = Tables.events(spark, Sf).groupBy("event_type")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+      .collect().map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2)))
+      .toMap
+    r.foreach { case (t, n, med, mad, out) =>
+      val (lo, hi) = bounds(t)
+      assert(med >= lo && med <= hi, s"$t median outside value range")
+      assert(mad >= 0 && out >= 0 && out < n, s"$t degenerate stats")
+      // the MAD gate must flag at most half the data (deviations above
+      // the MEDIAN deviation scaled by 4.4478 are a strict minority)
+      assert(out <= n / 2, s"$t flags $out of $n — not a robust gate")
+    }
+  }
+
   test("random projection: 16 dims preserve relative distances better than chance") {
     val proj = SimilarityQueries.queries("embed_random_projection")(spark, Sf)
     val cols = (0 until 16).map(j => col(s"p$j"))
