@@ -1688,6 +1688,61 @@ FROM filled
 WINDOW w AS (PARTITION BY event_type ORDER BY day_num)
 ORDER BY event_type, day_num"""
 
+  // ----------------------------------------------------- cohort matrix
+  /** Cohort retention matrix — the acquisition-day × day-offset grid
+    * every growth dashboard renders (`events_retention` is the
+    * day-over-day diagonal; this is the full triangle): each user's
+    * cohort is their first active day, each (cohort, offset) cell
+    * counts distinct users active offset days later, and the rate
+    * divides by the cohort's size. Two aggregates over one distinct
+    * (user, day) reduction — cohort assignment is a per-user min, the
+    * grid is |days|² cells max. Exact integers; the rate is one IEEE
+    * divide of two longs. */
+  private val cohortMatrix: Q = (s, d) => {
+    val userDays = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_millis(date_trunc('day', ts)) div 86400000")
+          .as("day_num"))
+      .distinct()
+      .localCheckpoint()
+    val cohorts = userDays.groupBy("user_id")
+      .agg(min("day_num").as("cohort_day"))
+    val sizes = cohorts.groupBy("cohort_day")
+      .agg(countDistinct("user_id").as("cohort_size"))
+    userDays.join(cohorts, "user_id")
+      .groupBy(col("cohort_day"),
+        (col("day_num") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention"))
+      .orderBy("cohort_day", "day_offset")
+  }
+  private val cohortMatrixSql =
+    """WITH ud AS (
+  SELECT DISTINCT user_id,
+    epoch_ms(date_trunc('day', ts)) // 86400000 AS day_num
+  FROM events
+), cohorts AS (
+  SELECT user_id, min(day_num) AS cohort_day FROM ud GROUP BY user_id
+), sizes AS (
+  SELECT cohort_day, count(DISTINCT user_id) AS cohort_size
+  FROM cohorts GROUP BY cohort_day
+), cells AS (
+  SELECT c.cohort_day, u.day_num - c.cohort_day AS day_offset,
+    count(DISTINCT u.user_id) AS n_active
+  FROM ud u JOIN cohorts c USING (user_id)
+  GROUP BY c.cohort_day, u.day_num - c.cohort_day
+)
+SELECT l.cohort_day, l.day_offset,
+  CAST(l.n_active AS BIGINT) AS n_active,
+  CAST(s.cohort_size AS BIGINT) AS cohort_size,
+  round(CAST(l.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM cells l JOIN sizes s USING (cohort_day)
+ORDER BY cohort_day, day_offset"""
+
   // ------------------------------------------------------ MAD outliers
   /** Median-absolute-deviation outliers — the ROBUST anomaly face next
     * to `events_anomaly`'s 3-sigma gate (which a single extreme value
@@ -1868,6 +1923,7 @@ FROM joined GROUP BY event_type ORDER BY event_type"""
     "events_gap_fill" -> gapFill,
     "events_ewma" -> ewma,
     "events_mad_outliers" -> madOutliers,
+    "events_cohort_matrix" -> cohortMatrix,
     "events_forecast_baseline" -> forecastBaseline,
     "events_trigram_paths" -> trigramPaths,
     "events_changepoint" -> changepoint,
@@ -1914,6 +1970,7 @@ FROM joined GROUP BY event_type ORDER BY event_type"""
     "events_gap_fill" -> gapFillSql,
     "events_ewma" -> ewmaSql,
     "events_mad_outliers" -> madOutliersSql,
+    "events_cohort_matrix" -> cohortMatrixSql,
     "events_forecast_baseline" -> forecastBaselineSql,
     "events_trigram_paths" -> trigramPathsSql,
     "events_changepoint" -> changepointSql,

@@ -375,6 +375,24 @@ class Round7Spec extends SparkSpec {
     }
   }
 
+  test("cohort matrix: offset-0 is full retention, cells bounded by cohort size") {
+    import graft.pipeline.EventQueries
+    val rows = EventQueries.queries("events_cohort_matrix")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (cohort, rs) =>
+      val day0 = rs.find(_._2 == 0L)
+      assert(day0.isDefined, s"cohort $cohort missing offset 0")
+      // by construction every cohort member is active on their first day
+      assert(day0.get._3 == day0.get._4 && day0.get._5 == 1.0,
+        s"cohort $cohort offset-0 retention ${day0.get._5} != 1.0")
+      rs.foreach { case (_, off, n, size, rate) =>
+        assert(off >= 0 && n <= size && rate >= 0 && rate <= 1.0,
+          s"cohort $cohort offset $off cell out of bounds") }
+    }
+  }
+
   test("random projection: 16 dims preserve relative distances better than chance") {
     val proj = SimilarityQueries.queries("embed_random_projection")(spark, Sf)
     val cols = (0 until 16).map(j => col(s"p$j"))
