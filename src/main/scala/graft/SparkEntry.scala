@@ -22,6 +22,7 @@ object SparkEntry {
       graft.pipeline.DedupQueries.queries ++
       graft.pipeline.SimilarityQueries.queries ++
       graft.pipeline.TextQueries.queries ++
+      graft.pipeline.SearchQueries.queries ++
       graft.pipeline.EventQueries.queries ++
       graft.pipeline.BlockQueries.queries ++
       graft.pipeline.MultimodalQueries.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
       graft.pipeline.DedupQueries.oracle ++
       graft.pipeline.SimilarityQueries.oracle ++
       graft.pipeline.TextQueries.oracle ++
+      graft.pipeline.SearchQueries.oracle ++
       graft.pipeline.EventQueries.oracle ++
       graft.pipeline.BlockQueries.oracle ++
       graft.pipeline.MultimodalQueries.oracle ++

@@ -1,0 +1,246 @@
+package graft.pipeline
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus search/retrieval faces over the `documents` table — the
+  * keyword-side serving story next to the embedding-side ANN family
+  * (SimilarityQueries): build an inverted index, run conjunctive
+  * keyword search off the postings, rank with BM25, and link
+  * character-corrupted copies with blocked edit distance. The reference
+  * has no search surface (it is a document-ETL service, SURVEY.md §2);
+  * these extend it per the north-star LLM-pipeline brief (§7.2 M6) —
+  * a 100 TB corpus engine is also the tool that *finds* things in the
+  * corpus it curates.
+  *
+  * Scale posture: everything flows from ONE tokenize of the corpus (the
+  * tf relation); the index build is a single hash shuffle on token;
+  * search and BM25 touch only the |terms| slice of tf (a pushed-down
+  * IN-filter at the scan, never a full-index scan); the fuzzy-linkage
+  * candidate join is an equi-join on a content-bearing (lang, prefix)
+  * key with a frequency cap, so pair volume tracks true corruption
+  * pairs, never corpus².
+  */
+object SearchQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val toks = split(lower(col("text")), " ")
+  private val ToksSql = "string_split(lower(text), ' ')"
+
+  /** Per-(doc, token) term frequencies — the single tokenize every face
+    * below derives from (same discipline as TextQueries.tfidfTop). */
+  private def tf(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+  private val TfSql = s"""tf AS (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest($ToksSql) AS token FROM documents)
+  GROUP BY doc_id, token
+)"""
+
+  // ------------------------------------------------------ inverted index
+  /** Postings-prefix cap: real engines shard posting lists into fixed
+    * blocks; emitting the first [[PostK]] doc ids (plus full df/tf
+    * totals) is that shape — the per-token row stays bounded no matter
+    * how common the token, so the index build never materializes an
+    * unbounded collect_list for a stopword at 100 TB. */
+  val PostK = 32
+
+  /** Inverted index: token → (df, total tf, first-[[PostK]] posting
+    * prefix). One shuffle on token over the tf relation; collect_list
+    * arrives pre-bounded because the slice happens on the sorted dedup'd
+    * doc ids of the token group (testdata vocab is small, but the CAP is
+    * the contract the spec pins). */
+  private val invertedIndex: Q = (s, d) =>
+    tf(s, d).groupBy("token").agg(
+      count(lit(1)).as("df"),
+      sum("tf").as("tf_total"),
+      array_join(slice(sort_array(collect_list(col("doc_id"))), 1, PostK),
+        ",").as("postings"))
+      .orderBy("token")
+  private val invertedIndexSql = s"""WITH $TfSql
+SELECT token, count(*) AS df, CAST(sum(tf) AS BIGINT) AS tf_total,
+  array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, $PostK), ',')
+    AS postings
+FROM tf GROUP BY token ORDER BY token"""
+
+  // ----------------------------------------------------- keyword search
+  /** Conjunctive query terms for the search faces — fixed so the oracle
+    * is a literal mirror; chosen from the synthetic vocabulary at
+    * moderate selectivity. */
+  val Terms: Seq[String] = Seq("vector", "stream", "filter")
+
+  /** Conjunctive (AND) keyword search: docs containing ALL query terms,
+    * ranked by summed tf (integer — no float ranking ambiguity), top 20.
+    * The tf scan carries an IN (terms) filter, so at index-serving scale
+    * this reads |terms| postings, not the corpus; the HAVING-count
+    * conjunction is the posting-list intersection done relationally. */
+  private val keywordSearch: Q = (s, d) =>
+    tf(s, d).filter(col("token").isin(Terms: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("score"))
+      .filter(col("n_terms") === Terms.size)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  private val termList = Terms.map(t => s"'$t'").mkString(", ")
+  private val keywordSearchSql = s"""WITH $TfSql
+SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS score
+FROM tf WHERE token IN ($termList)
+GROUP BY doc_id HAVING count(*) = ${Terms.size}
+ORDER BY score DESC, doc_id LIMIT 20"""
+
+  // --------------------------------------------------------------- BM25
+  /** Okapi BM25 constants (the standard k1/b). */
+  val BmK1 = 1.2; val BmB = 0.75
+
+  /** BM25 top-20 for [[Terms]] (disjunctive — docs matching ANY term
+    * score on the terms they have). idf = ln((N−df+0.5)/(df+0.5)+1)
+    * (the Lucene non-negative form); per-term contributions land in
+    * FIXED summation order (one conditional max() per term, added
+    * left-to-right) so the double is bit-identical cross-engine — the
+    * same discipline as the events Welch t-test. df/avgdl come from
+    * broadcast 1-row / |terms|-row aggregates of the SAME tf relation —
+    * the corpus is tokenized once, and the per-doc side of the join is
+    * the IN-filtered tf slice, not the full index. */
+  private val bm25: Q = (s, d) => {
+    val t = tf(s, d)
+    val dl = t.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val dfRel = t.filter(col("token").isin(Terms: _*))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val contrib = t.filter(col("token").isin(Terms: _*))
+      .join(broadcast(dfRel), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("c",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (BmK1 + 1)) /
+          (col("tf") + lit(BmK1) *
+            (lit(1 - BmB) + lit(BmB) * col("dl") / col("avgdl"))))
+    val perTerm = Terms.zipWithIndex.map { case (term, i) =>
+      max(when(col("token") === term, col("c")).otherwise(lit(0.0))).as(s"c$i")
+    }
+    contrib.groupBy("doc_id").agg(perTerm.head, perTerm.tail: _*)
+      .withColumn("bm25", round(Terms.indices
+        .map(i => col(s"c$i")).reduceLeft(_ + _), 6))
+      .select(col("doc_id"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+  private val bm25Sql = {
+    val cases = Terms.indices.map(i =>
+      s"max(CASE WHEN token = '${Terms(i)}' THEN c ELSE 0.0 END) AS c$i")
+      .mkString(",\n    ")
+    val add = Terms.indices.map(i => s"c$i").mkString(" + ")
+    s"""WITH $TfSql, dl AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), dfr AS (
+  SELECT token, count(*) AS df FROM tf
+  WHERE token IN ($termList) GROUP BY token
+), contrib AS (
+  SELECT t.doc_id, t.token,
+    ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) *
+      (t.tf * (${BmK1} + 1)) /
+      (t.tf + ${BmK1} * (1 - ${BmB} + ${BmB} * d.dl / s.avgdl)) AS c
+  FROM tf t
+  JOIN dfr f ON t.token = f.token
+  JOIN dl d ON t.doc_id = d.doc_id
+  CROSS JOIN stats s
+), agg AS (
+  SELECT doc_id,
+    $cases
+  FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, round($add, 6) AS bm25
+FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20"""
+  }
+
+  // ------------------------------------------- fuzzy edit-distance link
+  /** Character-corruption linkage corpus: base documents ∪ corrupted
+    * copies (doc_id%13==0 → +30000) with every 25th character deleted —
+    * the OCR-noise / transcription-error shape that shingle dedup
+    * misses (every 3-gram crossing a deletion changes) but edit
+    * distance catches. The corruption is one global regexp_replace
+    * (`(.{24}).` → group 1), identical semantics in Java regex and RE2.
+    */
+  private def fuzzCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
+    docs.unionAll(docs.filter(col("doc_id") % 13 === 0).select(
+      (col("doc_id") + 30000).as("doc_id"),
+      regexp_replace(col("text"), "(.{24}).", "$1").as("text"),
+      col("lang")))
+  }
+  private val FuzzCteSql = s"""fuzz AS (
+  SELECT doc_id, text, lang FROM documents
+  UNION ALL
+  SELECT doc_id + 30000, regexp_replace(text, '(.{24}).', '\\1', 'g'), lang
+  FROM documents WHERE doc_id % 13 = 0
+)"""
+
+  /** Blocking-key frequency cap (same discipline as every DedupQueries
+    * blocker): a prefix shared by more than [[EditBlockCap]] docs is
+    * boilerplate and dropped — block fan-out stays bounded. */
+  val EditBlockCap = 50
+  /** Compared-head length and accept threshold: 4 deletions land inside
+    * a 120-char head (positions 25/50/75/100), plus tail drift from the
+    * shift — 12 covers corrupted pairs with margin while unrelated
+    * same-prefix docs (distance ~half the head) stay excluded. */
+  val EditHead = 120; val EditMaxDist = 12
+
+  /** Fuzzy near-dup pairs via blocked Levenshtein: block on
+    * (lang, first-16-chars) — content-bearing (corruption starts at
+    * char 25, so true pairs share the prefix) and frequency-capped —
+    * then verify candidates with levenshtein on the 120-char head
+    * (cost per pair bounded at 120², independent of document length).
+    * Output is exact integers → hash-stable cross-engine. */
+  private val editDistance: Q = (s, d) => {
+    val keyed = fuzzCorpus(s, d).select(col("doc_id"), col("lang"),
+      substring(col("text"), 1, 16).as("pfx"),
+      substring(col("text"), 1, EditHead).as("head"))
+    val ok = keyed.join(
+      keyed.groupBy("lang", "pfx").agg(count(lit(1)).as("n"))
+        .filter(col("n") <= EditBlockCap).drop("n"),
+      Seq("lang", "pfx"), "left_semi")
+    ok.as("a").join(ok.as("b"),
+        col("a.lang") === col("b.lang") && col("a.pfx") === col("b.pfx") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.head"), col("b.head")).as("edit_dist"))
+      .filter(col("edit_dist") <= EditMaxDist)
+      .orderBy("doc_a", "doc_b")
+  }
+  private val editDistanceSql = s"""WITH $FuzzCteSql, keyed AS (
+  SELECT doc_id, lang, substring(text, 1, 16) AS pfx,
+    substring(text, 1, $EditHead) AS head
+  FROM fuzz
+), ok AS (
+  SELECT k.* FROM keyed k
+  JOIN (SELECT lang, pfx FROM keyed GROUP BY lang, pfx
+        HAVING count(*) <= $EditBlockCap) g
+    ON k.lang = g.lang AND k.pfx = g.pfx
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(levenshtein(a.head, b.head) AS INT) AS edit_dist
+FROM ok a JOIN ok b
+  ON a.lang = b.lang AND a.pfx = b.pfx AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= $EditMaxDist
+ORDER BY doc_a, doc_b"""
+
+  val queries: Map[String, Q] = Map(
+    "text_inverted_index" -> invertedIndex,
+    "text_keyword_search" -> keywordSearch,
+    "text_bm25_topk" -> bm25,
+    "dedup_edit_distance" -> editDistance)
+  val oracle: Map[String, String] = Map(
+    "text_inverted_index" -> invertedIndexSql,
+    "text_keyword_search" -> keywordSearchSql,
+    "text_bm25_topk" -> bm25Sql,
+    "dedup_edit_distance" -> editDistanceSql)
+}
