@@ -307,6 +307,82 @@ SELECT a AS doc_id, least(a, min(b)) AS cluster_id,
   (least(a, min(b)) = a) AS is_canonical
 FROM reach GROUP BY a ORDER BY doc_id"""
 
+  // ------------------------------------------------------------ BFS hops
+  /** BFS-round safety cap: dup-graph components are near-cliques, so
+    * true eccentricity from the canonical node is tiny; the cap bounds
+    * the oracle's recursive CTE (which must not chase cycles forever)
+    * and the Spark loop alike. BfsSpec asserts convergence happens
+    * strictly below it. */
+  val BfsMaxHops = 8
+
+  /** Hop distance from each component's canonical doc through near-dup
+    * edges — the cluster-QUALITY diagnostic that complements
+    * [[triangles]]: hops==1 everywhere means the keeper directly
+    * matches every member (a clean template family); growing hop depth
+    * means the component is a CHAIN of borderline matches glued by
+    * transitivity, exactly the clusters a curation pipeline should
+    * re-verify before dropping members (minhash transitive closure is
+    * not similarity-transitive).
+    *
+    * Spark side: frontier-relaxation BFS seeded at the canonical nodes
+    * ([[connectedComponents]] labels), one equi-join on the
+    * localCheckpointed symmetric edge relation per level + a left_anti
+    * against the settled set; every relation is |dup-graph| scale,
+    * orders of magnitude below the corpus, and the loop runs
+    * eccentricity rounds (≤ [[BfsMaxHops]]). Oracle: recursive CTE with
+    * a hop counter capped at the same bound, min() per node. */
+  private val bfsHops: Q = (s, d) => {
+    VectorExpressions.register(s)
+    val sh = shingleRows(DupCorpus.corpus(s, d))
+    val e = jaccardVerify(minhashCandidates(s, d), shingleSketches(sh), 0.4)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val sym = e.unionAll(
+      e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    val labels = connectedComponents(e)
+    var dist = labels.filter(col("is_canonical"))
+      .select(col("doc_id"), lit(0).as("hops")).localCheckpoint()
+    var frontier = dist
+    var level = 0
+    while (level < BfsMaxHops && !frontier.isEmpty) {
+      val next = frontier.join(sym, frontier("doc_id") === sym("doc_a"))
+        .select(sym("doc_b").as("doc_id"))
+        .distinct()
+        .join(dist, Seq("doc_id"), "left_anti")
+        .withColumn("hops", lit(level + 1))
+        .localCheckpoint()
+      dist = dist.unionAll(next).localCheckpoint()
+      frontier = next
+      level += 1
+    }
+    labels.select("doc_id", "cluster_id").join(dist, "doc_id")
+      .select(col("doc_id"), col("cluster_id"), col("hops").cast("int").as("hops"))
+      .orderBy("doc_id")
+  }
+  private val bfsHopsSql =
+    minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s""", pairs AS (
+$minhashPairSelect
+), sym AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+), reach(a, b) AS (
+  SELECT doc_a, doc_b FROM sym
+  UNION
+  SELECT r.a, s.doc_b FROM reach r JOIN sym s ON r.b = s.doc_a
+), lab AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a
+), bfs(doc_id, hops) AS (
+  SELECT DISTINCT cluster_id, 0 FROM lab
+  UNION
+  SELECT s.doc_b, b.hops + 1
+  FROM bfs b JOIN sym s ON s.doc_a = b.doc_id
+  WHERE b.hops < $BfsMaxHops
+)
+SELECT l.doc_id, l.cluster_id, CAST(min(b.hops) AS INT) AS hops
+FROM lab l JOIN bfs b ON b.doc_id = l.doc_id
+GROUP BY l.doc_id, l.cluster_id ORDER BY l.doc_id"""
+
   // ------------------------------------------------------------ winnowing
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
     * MOSS algorithm): the LOCAL-overlap dedup face next to minhash's
@@ -864,6 +940,7 @@ FROM spans GROUP BY doc_id ORDER BY doc_id"""
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_cluster" -> cluster,
     "graph_pagerank" -> pagerank,
+    "graph_bfs_hops" -> bfsHops,
     "dedup_winnow" -> winnow,
     "dedup_triangles" -> triangles,
     "dedup_containment" -> containment,
@@ -879,6 +956,7 @@ FROM spans GROUP BY doc_id ORDER BY doc_id"""
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_cluster" -> clusterSql,
     "graph_pagerank" -> pagerankSql,
+    "graph_bfs_hops" -> bfsHopsSql,
     "dedup_winnow" -> winnowSql,
     "dedup_triangles" -> trianglesSql,
     "dedup_containment" -> containmentSql,

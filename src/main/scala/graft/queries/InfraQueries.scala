@@ -494,7 +494,100 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus"""
 
+  // ------------------------------------------------------ quality checks
+  /** Declarative data-quality audit — the dbt-test / Deequ-style
+    * constraint suite a pipeline runs before promoting a batch: PK
+    * uniqueness, FK integrity, domain membership, range bounds, and a
+    * cross-table temporal rule, emitted as one (check, violations,
+    * pass) report. Same-table scalar checks share ONE conditional-agg
+    * scan per table (count(when(...)) columns stacked into rows — no
+    * per-check scans); the relational checks (PK grouping, FK
+    * anti-joins, ship-after-order join) are each one equi-join or one
+    * grouping on the key they audit, the exact shuffles the constraint
+    * semantics require. At 100 TB each check is embarrassingly
+    * map-side except those key shuffles; nothing collects, and the
+    * report is a fixed 10 rows. The synthetic lineitem generator does
+    * NOT enforce (orderkey, linenumber) uniqueness, so the PK check
+    * reports real violations — the report proves it can fail, not just
+    * rubber-stamp. */
+  private val qualityChecks: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val liScan = li.agg(
+      count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)).as("v0"),
+      count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1)).as("v1"))
+      .select(expr("stack(2, 'lineitem_qty_range', v0, " +
+        "'lineitem_discount_range', v1) as (check_name, violations)"))
+    val ordScan = ord.agg(
+      count(when(!col("o_orderstatus").isin("O", "F", "P"), 1)).as("v0"),
+      count(when(col("o_orderdate").isNull, 1)).as("v1"))
+      .select(expr("stack(2, 'orders_status_domain', v0, " +
+        "'orders_date_nonnull', v1) as (check_name, violations)"))
+    val evScan = Tables.events(s, d)
+      .agg(count(when(col("user_id").isNull || col("value") <= 0, 1)).as("v0"))
+      .select(lit("events_user_value_valid").as("check_name"),
+        col("v0").as("violations"))
+    val docScan = Tables.documents(s, d)
+      .agg(count(when(!(col("n_chars") <=> length(col("text"))), 1)).as("v0"))
+      .select(lit("documents_nchars_consistent").as("check_name"),
+        col("v0").as("violations"))
+    val pkDup = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("lineitem_pk_unique").as("check_name"), col("violations"))
+    val fkLi = li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("lineitem_fk_orders").as("check_name"), col("violations"))
+    val fkOrd = ord.join(Tables.customer(s, d),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("orders_fk_customer").as("check_name"), col("violations"))
+    val ship = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") < col("o_orderdate"))
+      .agg(count(lit(1)).as("violations"))
+      .select(lit("lineitem_ship_after_order").as("check_name"),
+        col("violations"))
+    liScan.unionAll(ordScan).unionAll(evScan).unionAll(docScan)
+      .unionAll(pkDup).unionAll(fkLi).unionAll(fkOrd).unionAll(ship)
+      .withColumn("pass", col("violations") === 0)
+      .orderBy("check_name")
+  }
+  private val qualityChecksSql = """WITH li AS (
+  SELECT count(*) FILTER (WHERE l_quantity < 1 OR l_quantity > 50) AS v0,
+    count(*) FILTER (WHERE l_discount < 0 OR l_discount > 0.1) AS v1
+  FROM lineitem
+), ord AS (
+  SELECT count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F', 'P')) AS v0,
+    count(*) FILTER (WHERE o_orderdate IS NULL) AS v1
+  FROM orders
+), rep AS (
+  SELECT 'lineitem_qty_range' AS check_name, v0 AS violations FROM li
+  UNION ALL SELECT 'lineitem_discount_range', v1 FROM li
+  UNION ALL SELECT 'orders_status_domain', v0 FROM ord
+  UNION ALL SELECT 'orders_date_nonnull', v1 FROM ord
+  UNION ALL SELECT 'events_user_value_valid',
+    (SELECT count(*) FILTER (WHERE user_id IS NULL OR value <= 0) FROM events)
+  UNION ALL SELECT 'documents_nchars_consistent',
+    (SELECT count(*) FILTER (WHERE n_chars IS DISTINCT FROM length(text))
+     FROM documents)
+  UNION ALL SELECT 'lineitem_pk_unique',
+    (SELECT count(*) FROM (SELECT 1 AS x FROM lineitem
+      GROUP BY l_orderkey, l_linenumber HAVING count(*) > 1))
+  UNION ALL SELECT 'lineitem_fk_orders',
+    (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+      ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+  UNION ALL SELECT 'orders_fk_customer',
+    (SELECT count(*) FROM orders o LEFT JOIN customer c
+      ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+  UNION ALL SELECT 'lineitem_ship_after_order',
+    (SELECT count(*) FROM lineitem l JOIN orders o
+      ON l.l_orderkey = o.o_orderkey WHERE l.l_shipdate < o.o_orderdate)
+)
+SELECT check_name, violations, violations = 0 AS pass
+FROM rep ORDER BY check_name"""
+
   val queries: Map[String, Q] = Map(
+    "infra_quality_checks" -> qualityChecks,
     "infra_bucketed_join" -> bucketedJoin,
     "infra_skew_join" -> skewJoin,
     "infra_partitioned_scan" -> partitionedScan,
@@ -509,6 +602,7 @@ ORDER BY l_returnflag, l_linestatus"""
     "infra_summary_incremental" -> summaryIncremental)
 
   val oracle: Map[String, String] = Map(
+    "infra_quality_checks" -> qualityChecksSql,
     "infra_bucketed_join" -> bucketedJoinSql,
     "infra_skew_join" -> skewJoinSql,
     "infra_partitioned_scan" -> partitionedScanSql,
