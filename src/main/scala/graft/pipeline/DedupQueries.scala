@@ -830,6 +830,94 @@ JOIN nsh nb ON nb.doc_id = i.doc_b
 WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= 0.5
 ORDER BY doc_a, doc_b"""
 
+  // --------------------------------------------- prefix-filter jaccard
+  /** Exact set-similarity self-join via PREFIX FILTERING — the
+    * AllPairs/PPJoin family (Bayardo et al., "Scaling Up All Pairs
+    * Similarity Search", WWW'07), the standard EXACT-recall complement
+    * to the probabilistic LSH faces: unlike [[minhash]]/[[ngramJaccard]]
+    * (whose bands can miss borderline pairs), every pair with true
+    * Jaccard ≥ 0.5 is guaranteed to surface. The filter: order each
+    * doc's shingles by ascending GLOBAL document frequency (rarest
+    * first, ties by hash), keep only the first n − ⌈t·n⌉ + 1 as the
+    * doc's "prefix"; any qualifying pair must collide on ≥1 prefix
+    * shingle (pigeonhole: if two docs share none of each other's
+    * prefixes, their intersection is too small for J ≥ t). A length
+    * filter (sizes within ×2 of each other, implied by J ≥ 0.5) prunes
+    * further — both filters are lossless.
+    *
+    * Scale posture: the prefix relation is ~half the shingle volume
+    * (linear); the candidate join is an equi-join on the shingle hash,
+    * and because prefixes hold each doc's RAREST shingles, posting
+    * lists on the join key are short by construction — candidate
+    * volume tracks true overlap (spec-pinned vs pair output), not
+    * corpus². The frequency join and per-doc rank window are both
+    * doc_id/hash-partitioned — no global sort, no cross join. This is
+    * the join you run when the dedup SLA is "no false negatives"
+    * (e.g. benchmark decontamination), where LSH's recall<1 is not
+    * acceptable and 100 TB still can't afford corpus². */
+  /** The prefix-colliding candidate pairs — exposed for DedupSpec's
+    * candidate-volume bound. */
+  private[graft] def prefixCandidates(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(DupCorpus.corpus(s, d))
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val sized = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("cnt"), col("h"))
+    val pref = sh.select("doc_id", "h")
+      .join(freq, "h").join(sized, "doc_id")
+      .withColumn("rk", row_number().over(wDoc))
+      // t = 0.5: prefix length = n − ⌈n/2⌉ + 1
+      .filter(col("rk") <= col("n") - expr("(n + 1) div 2") + 1)
+      .select(col("doc_id"), col("h"), col("n"))
+      // both sides of the self-join read the prefix relation: cut the
+      // lineage so the freq-join + rank subtree runs ONCE (without this
+      // the composed plan doubles every upstream exchange — the same
+      // fix dedup_triangles needed, caught by PlanHygieneSpec's ceiling)
+      .localCheckpoint()
+    val b = pref.select(col("doc_id").as("doc_b_id"),
+      col("h").as("h_b"), col("n").as("n_b"))
+    pref.as("a").join(b,
+        col("a.h") === col("h_b") && col("a.doc_id") < col("doc_b_id") &&
+        // |A∩B| ≥ t·max ⇒ min·2 ≥ max at t = 0.5 — lossless size prune
+        col("n_b") * 2 >= col("a.n") && col("a.n") * 2 >= col("n_b"))
+      .select(col("a.doc_id").as("doc_a"), col("doc_b_id").as("doc_b"))
+      .distinct()
+  }
+  private val prefixJaccard: Q = (s, d) => {
+    VectorExpressions.register(s)
+    val sh = shingleRows(DupCorpus.corpus(s, d))
+    jaccardVerify(prefixCandidates(s, d), shingleSketches(sh), 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+  private val prefixJaccardSql =
+    s"""$DupCte$ShingleCtes, freq AS (
+  SELECT h, count(*) AS cnt FROM shh GROUP BY h
+), sized AS (
+  SELECT doc_id, count(*) AS n FROM shh GROUP BY doc_id
+), ordered AS (
+  SELECT s.doc_id, s.h, z.n,
+    row_number() OVER (PARTITION BY s.doc_id ORDER BY f.cnt, s.h) AS rk
+  FROM shh s JOIN freq f ON s.h = f.h JOIN sized z ON z.doc_id = s.doc_id
+), pref AS (
+  SELECT doc_id, h, n FROM ordered WHERE rk <= n - ((n + 1) // 2) + 1
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
+   AND b.n * 2 >= a.n AND a.n * 2 >= b.n
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ni
+  FROM cand c
+  JOIN skh sa ON sa.doc_id = c.doc_a
+  JOIN skh sb ON sb.doc_id = c.doc_b AND sb.h = sa.h
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+  round(CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni), 6) AS jaccard
+FROM inter i
+JOIN nsh na ON na.doc_id = i.doc_a
+JOIN nsh nb ON nb.doc_id = i.doc_b
+WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= 0.5
+ORDER BY doc_a, doc_b"""
+
   // ------------------------------------------------ substring dedup
   /** Cross-document repeated-SPAN exact dedup — the "deduplicate any
     * ≥N-token repeated substring" operation production LLM corpus
@@ -938,6 +1026,7 @@ FROM spans GROUP BY doc_id ORDER BY doc_id"""
     "dedup_minhash_incremental" -> minhashIncremental,
     "dedup_simhash" -> simhash,
     "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_jaccard_prefix" -> prefixJaccard,
     "dedup_cluster" -> cluster,
     "graph_pagerank" -> pagerank,
     "graph_bfs_hops" -> bfsHops,
@@ -954,6 +1043,7 @@ FROM spans GROUP BY doc_id ORDER BY doc_id"""
     "dedup_minhash_incremental" -> minhashIncrementalSql,
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
+    "dedup_jaccard_prefix" -> prefixJaccardSql,
     "dedup_cluster" -> clusterSql,
     "graph_pagerank" -> pagerankSql,
     "graph_bfs_hops" -> bfsHopsSql,

@@ -1918,8 +1918,78 @@ SELECT event_type,
     AS mae
 FROM joined GROUP BY event_type ORDER BY event_type"""
 
+  // ----------------------------------------------------- autocorrelation
+  /** Lagged autocorrelation of the hourly count series per event type —
+    * the seasonality/burstiness probe behind lag-aware anomaly models
+    * (a strong lag-24 says "daily cycle"; a strong lag-1 says "bursty"):
+    * Pearson r between the series and its k-hour-shifted self, k ∈
+    * {1, 2, 24}, over the hour pairs where BOTH ends exist (sparse
+    * convention — no gap fill, documented). All five moments (Σx, Σy,
+    * Σx², Σy², Σxy) are exact BIGINT aggregates over integer counts;
+    * r touches doubles once in a single closed-form expression
+    * (products of exact longs, one sqrt), so the value is IEEE-
+    * identical cross-engine. Scale: the series relation is
+    * |types|·|hours| (tiny vs the fact table, one aggregate to build);
+    * the lag join is an equi-join on (type, hour+k) over that
+    * aggregate, never over raw events — at 100 TB this is one
+    * map-side-combinable pass plus joins on a relation ~10⁶× smaller
+    * than the input. */
+  private val autocorr: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_millis(ts) div 3600000").as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("x"))
+      .localCheckpoint()
+    val lags = hourly
+      .select(col("event_type"), col("h"), col("x"),
+        explode(array(lit(1), lit(2), lit(24))).as("lag"))
+    val shifted = hourly.select(col("event_type"),
+      col("h").as("hb"), col("x").as("y"))
+    val num = (col("m") * col("sxy") - col("sx") * col("sy"))
+      .cast("double")
+    val varx = col("m") * col("sxx") - col("sx") * col("sx")
+    val vary = col("m") * col("syy") - col("sy") * col("sy")
+    lags.join(shifted,
+        lags("event_type") === shifted("event_type") &&
+        col("h") + col("lag") === col("hb"))
+      .select(lags("event_type"), col("lag"), col("x"), col("y"))
+      .groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("m"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("lag"), col("m").as("n_pairs"),
+        when(varx > 0 && vary > 0,
+          round(num / sqrt(varx.cast("double") * vary.cast("double")), 6))
+          .as("r"))
+      .orderBy("event_type", "lag")
+  }
+  private val autocorrSql =
+    """WITH hourly AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS h, count(*) AS x
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, l.lag, a.x, b.x AS y
+  FROM hourly a, (SELECT unnest([1, 2, 24]) AS lag) l
+  JOIN hourly b
+    ON b.event_type = a.event_type AND b.h = a.h + l.lag
+), mom AS (
+  SELECT event_type, lag, count(*) AS m,
+    sum(x) AS sx, sum(y) AS sy,
+    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pairs GROUP BY event_type, lag
+)
+SELECT event_type, CAST(lag AS INT) AS lag, CAST(m AS BIGINT) AS n_pairs,
+  CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+    THEN round(CAST(m * sxy - sx * sy AS DOUBLE)
+      / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+           * CAST(m * syy - sy * sy AS DOUBLE)), 6)
+    ELSE NULL END AS r
+FROM mom ORDER BY event_type, lag"""
+
   val queries: Map[String, Q] = Map(
     "events_ab_test" -> abTest,
+    "events_autocorr" -> autocorr,
     "events_gap_fill" -> gapFill,
     "events_ewma" -> ewma,
     "events_mad_outliers" -> madOutliers,
@@ -1968,6 +2038,7 @@ FROM joined GROUP BY event_type ORDER BY event_type"""
   val oracle: Map[String, String] = Map(
     "events_ab_test" -> abTestSql,
     "events_gap_fill" -> gapFillSql,
+    "events_autocorr" -> autocorrSql,
     "events_ewma" -> ewmaSql,
     "events_mad_outliers" -> madOutliersSql,
     "events_cohort_matrix" -> cohortMatrixSql,

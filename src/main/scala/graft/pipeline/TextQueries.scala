@@ -1476,6 +1476,96 @@ SELECT doc_id, count(*) AS n_features,
 FROM b JOIN model USING (bucket)
 GROUP BY doc_id ORDER BY doc_id"""
 
+  // -------------------------------------------------- classifier AUC
+  /** Classifier evaluation — ROC AUC of [[classifierScore]]'s hashed
+    * linear score against a reference binary label (`lang = 'en'`,
+    * standing in for the held-out human label an eval harness would
+    * join in), computed EXACTLY via the Mann-Whitney rank-sum identity
+    * AUC = [#(pos>neg pairs) + ½·#ties] / (n_pos·n_neg) — no trapezoid
+    * sweep, no sampled thresholds. Everything until the final division
+    * is integer: group docs by distinct score into (n_pos, n_neg)
+    * cells, prefix-sum the negatives in ascending-score order, and
+    * fold u2 = Σ n_pos·(2·cum_neg_below + n_neg) (the ×2 keeps tie
+    * half-credit integral). The prefix sum is the DISTRIBUTED
+    * two-phase pattern (range-partition on score → per-partition
+    * running sum → broadcast per-partition offsets, ≤32-row offset
+    * relation) — same machinery as text_surprisal's vocabulary rank;
+    * the score relation never sorts on one task. At 100 TB: two
+    * map-side-combinable aggregates over the scoring join plus a
+    * constant-size offset broadcast — AUC over any corpus for the
+    * price of a groupBy. */
+  private val classifierAuc: Q = (s, d) => {
+    val n = size(toks)
+    val bigrams = zip_with(slice(toks, lit(1), n - 1),
+      slice(toks, lit(2), n - 1), (a, b) => concat_ws(" ", a, b))
+    val feats = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(concat(toks, bigrams)).as("f"))
+      .select(col("doc_id"), col("lang"),
+        pmod(DupCorpus.h60(col("f")), lit(ClassifierBuckets)).as("bucket"))
+    val model = s.range(0, ClassifierBuckets).select(
+      col("id").as("bucket"),
+      (col("id") * 2654435761L % ClassifierBuckets - 2048L).as("w"))
+    val scored = feats.join(broadcast(model), "bucket")
+      .groupBy("doc_id", "lang").agg(sum("w").as("score"))
+    val cells = scored.groupBy("score").agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("np"),
+      sum(when(col("lang") === "en", 0L).otherwise(1L)).as("nn"))
+    val parted = cells.repartitionByRange(32, col("score"))
+      .withColumn("pid", spark_partition_id())
+    val wP = Window.partitionBy("pid").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parted
+      .withColumn("loc", coalesce(sum("nn").over(wP), lit(0L)))
+    val ptot = parted.groupBy("pid").agg(sum("nn").as("pnn"))
+    val wOff = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = ptot.select(col("pid"),
+      coalesce(sum("pnn").over(wOff), lit(0L)).as("off"))
+    local.join(broadcast(offs), "pid")
+      .withColumn("cnb", col("loc") + col("off"))
+      .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+        sum(col("np") * (col("cnb") * 2 + col("nn"))).as("u2"))
+      .select(col("n_pos"), col("n_neg"), col("u2"),
+        round(col("u2").cast("double") /
+          (col("n_pos") * col("n_neg") * 2).cast("double"), 6).as("auc"))
+  }
+  private val classifierAucSql =
+    s"""WITH tok AS (
+  SELECT doc_id, lang, $ToksSql AS toks FROM documents
+), feats AS (
+  SELECT doc_id, lang, unnest(list_concat(toks,
+    list_transform(list_zip(toks[1:-2], toks[2:-1]),
+                   p -> p[1] || ' ' || p[2]))) AS f
+  FROM tok
+), model AS (
+  SELECT i AS bucket, (i * 2654435761) % ${ClassifierBuckets} - 2048 AS w
+  FROM range(0, ${ClassifierBuckets}) t(i)
+), b AS (
+  SELECT doc_id, lang,
+    ${OraclePipeline.h60Sql("f")} % ${ClassifierBuckets} AS bucket
+  FROM feats
+), scored AS (
+  SELECT doc_id, lang, sum(w) AS score
+  FROM b JOIN model USING (bucket) GROUP BY doc_id, lang
+), g AS (
+  SELECT score,
+    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np,
+    sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS nn
+  FROM scored GROUP BY score
+), c AS (
+  SELECT score, np, nn,
+    coalesce(sum(nn) OVER (ORDER BY score
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cnb
+  FROM g
+)
+SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+  CAST(sum(nn) AS BIGINT) AS n_neg,
+  CAST(sum(np * (2 * cnb + nn)) AS BIGINT) AS u2,
+  round(CAST(sum(np * (2 * cnb + nn)) AS DOUBLE)
+        / (2.0 * sum(np) * sum(nn)), 6) AS auc
+FROM c"""
+
   // -------------------------------------------------- DSIR importance weight
   /** Data Selection via Importance Resampling (Xie et al. 2023): score
     * every document by how much more likely its hashed n-gram features
@@ -1629,6 +1719,7 @@ FROM a GROUP BY shard ORDER BY shard"""
     "text_surprisal" -> surprisal,
     "text_filter_funnel" -> filterFunnel,
     "text_classifier_score" -> classifierScore,
+    "text_classifier_auc" -> classifierAuc,
     "text_dsir_weights" -> dsirWeights,
     "text_shuffle_shards" -> shuffleShards)
 
@@ -1664,6 +1755,7 @@ FROM a GROUP BY shard ORDER BY shard"""
     "text_surprisal" -> surprisalSql,
     "text_filter_funnel" -> filterFunnelSql,
     "text_classifier_score" -> classifierScoreSql,
+    "text_classifier_auc" -> classifierAucSql,
     "text_dsir_weights" -> dsirWeightsSql,
     "text_shuffle_shards" -> shuffleShardsSql)
 }

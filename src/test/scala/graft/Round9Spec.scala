@@ -1,0 +1,60 @@
+package graft
+
+import graft.pipeline.{DedupQueries, EventQueries, TextQueries}
+import org.apache.spark.sql.functions._
+
+/** Properties of the round-9 additions the oracle compare can't see:
+  * the prefix-filter join's exact-recall guarantee and candidate-volume
+  * bound, the AUC identity's integer bounds, and autocorrelation's
+  * mathematical range. */
+class Round9Spec extends SparkSpec {
+
+  test("prefix jaccard: exact recall ⊇ LSH result, candidates stay bounded") {
+    val exactPairs = DedupQueries.queries("dedup_jaccard_prefix")(spark, Sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lshPairs = DedupQueries.queries("dedup_ngram_jaccard")(spark, Sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // prefix filtering is lossless at the threshold: every pair the
+    // probabilistic LSH bands surface must also be found here
+    assert(lshPairs.subsetOf(exactPairs),
+      s"prefix join missed LSH pairs: ${lshPairs -- exactPairs}")
+    assert(exactPairs.nonEmpty)
+    // the scale property: candidate volume tracks true overlap, not
+    // corpus² (docs² at sf0.001 would be ~570² ≈ 325k)
+    val nCand = DedupQueries.prefixCandidates(spark, Sf).count()
+    val corpus = graft.pipeline.DupCorpus.corpus(spark, Sf).count()
+    assert(nCand < corpus * 10,
+      s"$nCand candidates for $corpus docs — prefix blocking degenerated")
+    assert(exactPairs.size <= nCand)
+  }
+
+  test("classifier auc: rank-sum identity bounds hold") {
+    val r = TextQueries.queries("text_classifier_auc")(spark, Sf).collect()
+    assert(r.length == 1)
+    val (nPos, nNeg, u2, auc) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getDouble(3))
+    assert(nPos > 0 && nNeg > 0)
+    // U is bounded by the pair count; AUC is its normalization
+    assert(u2 >= 0 && u2 <= 2 * nPos * nNeg)
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(math.abs(auc - u2.toDouble / (2.0 * nPos * nNeg)) < 1e-6)
+  }
+
+  test("autocorr: r within [-1,1], all requested lags per type") {
+    val rows = EventQueries.queries("events_autocorr")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getInt(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, lag, r) =>
+      assert(Set(1, 2, 24).contains(lag), s"$t lag $lag")
+      r.foreach(v => assert(v >= -1.0 && v <= 1.0, s"$t lag $lag r=$v"))
+    }
+    // every type present must carry all three lags (hourly series at
+    // sf0.001 spans a month — no lag can be empty)
+    rows.groupBy(_._1).foreach { case (t, g) =>
+      assert(g.map(_._2).toSet == Set(1, 2, 24), s"$t lags ${g.map(_._2)}")
+    }
+  }
+}
