@@ -1987,9 +1987,129 @@ SELECT event_type, CAST(lag AS INT) AS lag, CAST(m AS BIGINT) AS n_pairs,
     ELSE NULL END AS r
 FROM mom ORDER BY event_type, lag"""
 
+  // ----------------------------------------------------- basket lift
+  /** Association rules over the (user, event_type) basket — the
+    * market-basket co-occurrence readout (support / confidence / lift)
+    * that drives "users who do A also do B" recommendations and
+    * feature-correlation audits. The fact table first reduces to the
+    * DISTINCT (user, type) relation (one map-side-combinable pass —
+    * the same distinct-reduction events_dau_mau uses), so the pair
+    * self-join fans out at most |types| rows per user and the pair key
+    * space is |types|² — both bounded by the type vocabulary, NOT the
+    * corpus. Counts are exact longs; support/confidence/lift each
+    * touch doubles once from integer inputs (lift cross-multiplied as
+    * n_ab·n_users / n_a·n_b), so nothing flaps cross-engine. At
+    * 100 TB: one distinct shuffle + one bounded self-join + a
+    * |types|²-row aggregate — the classic two-pass frequent-pair scan. */
+  private val basketLift: Q = (s, d) => {
+    val ut = Tables.events(s, d)
+      .select(col("user_id"), col("event_type")).distinct()
+      .localCheckpoint()
+    val nUsers = ut.agg(countDistinct("user_id").as("n_users"))
+    val perType = ut.groupBy("event_type").agg(count(lit(1)).as("n_t"))
+    val b = ut.select(col("user_id"), col("event_type").as("type_b"))
+    val pairs = ut.join(b, Seq("user_id"))
+      .filter(col("event_type") < col("type_b"))
+      .groupBy(col("event_type").as("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), "type_a")
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_users"), 6).as("support"),
+        round(col("n_ab").cast("double") / col("n_a"), 6).as("confidence"),
+        round((col("n_ab") * col("n_users")).cast("double")
+          / (col("n_a") * col("n_b")).cast("double"), 6).as("lift"))
+      .orderBy("type_a", "type_b")
+  }
+  private val basketLiftSql =
+    """WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+pt AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY event_type),
+pr AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, CAST(n_ab AS BIGINT) AS n_ab,
+  round(CAST(n_ab AS DOUBLE) / n_users, 6) AS support,
+  round(CAST(n_ab AS DOUBLE) / pa.n_t, 6) AS confidence,
+  round(CAST(n_ab * n_users AS DOUBLE) / CAST(pa.n_t * pb.n_t AS DOUBLE), 6)
+    AS lift
+FROM pr
+JOIN pt pa ON pa.event_type = pr.type_a
+JOIN pt pb ON pb.event_type = pr.type_b, nu
+ORDER BY type_a, type_b"""
+
+  // ------------------------------------------------ seasonal anomaly
+  /** Deseasonalized spike detection on the COUNT series — the
+    * time-series twin of [[anomaly]] (which z-scores per-row values
+    * against a global per-type mean): here each (type, day, hour)
+    * cell's count is z-scored against that type's HOUR-OF-DAY profile
+    * (mean/σ over all days at the same wall-clock hour, absent days
+    * counting as zero via a fixed day denominator — the
+    * [[forecastBaseline]] convention), so a 3 a.m. spike isn't masked
+    * by the 3 p.m. rush. Moments are exact BIGINT sums over integer
+    * counts; mean/σ/z are closed-form doubles from those integers.
+    * Scale: the series aggregate is the only fact-table pass; the
+    * profile relation is |types|·24 — broadcast — and the z-gate rides
+    * the series relation. */
+  private val seasonalAnomaly: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_millis(date_trunc('day', ts)) div 86400000")
+          .as("day_num"),
+        hour(col("ts")).as("hr"))
+      .groupBy("event_type", "day_num", "hr")
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val nDays = hourly.agg(countDistinct("day_num").as("nd"))
+    val profile = hourly.groupBy("event_type", "hr")
+      .agg(sum("cnt").as("sc"), sum(col("cnt") * col("cnt")).as("sc2"))
+      .crossJoin(broadcast(nDays))
+      .select(col("event_type"), col("hr"),
+        (col("sc").cast("double") / col("nd")).as("mean"),
+        sqrt((col("sc2") - col("sc") * col("sc") / col("nd").cast("double"))
+          / (col("nd") - 1).cast("double")).as("std"))
+    val z = (col("cnt") - col("mean")) / col("std")
+    hourly.join(broadcast(profile), Seq("event_type", "hr"))
+      .filter(col("std") > 0 && z > 3.0)
+      .select(col("event_type"), col("day_num"), col("hr"), col("cnt"),
+        round(z, 4).as("z"))
+      .orderBy("event_type", "day_num", "hr")
+  }
+  private val seasonalAnomalySql =
+    """WITH hourly AS (
+  SELECT event_type,
+    epoch_ms(date_trunc('day', ts)) // 86400000 AS day_num,
+    hour(ts) AS hr, count(*) AS cnt
+  FROM events GROUP BY 1, 2, 3
+), nd AS (SELECT count(DISTINCT day_num) AS nd FROM hourly),
+profile AS (
+  SELECT event_type, hr,
+    CAST(sum(cnt) AS DOUBLE) / nd AS mean,
+    sqrt((sum(cnt * cnt) - sum(cnt) * sum(cnt) / CAST(nd AS DOUBLE))
+         / CAST(nd - 1 AS DOUBLE)) AS std
+  FROM hourly, nd GROUP BY event_type, hr, nd
+)
+SELECT h.event_type, h.day_num, CAST(h.hr AS INT) AS hr,
+  CAST(h.cnt AS BIGINT) AS cnt,
+  round((h.cnt - p.mean) / p.std, 4) AS z
+FROM hourly h JOIN profile p
+  ON h.event_type = p.event_type AND h.hr = p.hr
+WHERE p.std > 0 AND (h.cnt - p.mean) / p.std > 3.0
+ORDER BY h.event_type, h.day_num, h.hr"""
+
   val queries: Map[String, Q] = Map(
     "events_ab_test" -> abTest,
     "events_autocorr" -> autocorr,
+    "events_basket_lift" -> basketLift,
+    "events_seasonal_anomaly" -> seasonalAnomaly,
     "events_gap_fill" -> gapFill,
     "events_ewma" -> ewma,
     "events_mad_outliers" -> madOutliers,
@@ -2039,6 +2159,8 @@ FROM mom ORDER BY event_type, lag"""
     "events_ab_test" -> abTestSql,
     "events_gap_fill" -> gapFillSql,
     "events_autocorr" -> autocorrSql,
+    "events_basket_lift" -> basketLiftSql,
+    "events_seasonal_anomaly" -> seasonalAnomalySql,
     "events_ewma" -> ewmaSql,
     "events_mad_outliers" -> madOutliersSql,
     "events_cohort_matrix" -> cohortMatrixSql,

@@ -42,6 +42,38 @@ class Round9Spec extends SparkSpec {
     assert(math.abs(auc - u2.toDouble / (2.0 * nPos * nNeg)) < 1e-6)
   }
 
+  test("basket lift: pair space bounded by type vocabulary, ratios valid") {
+    val rows = EventQueries.queries("events_basket_lift")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    // pair key space is C(|types|, 2), never corpus-sized
+    val types = rows.flatMap(r => Seq(r._1, r._2)).distinct.length
+    assert(rows.length <= types * (types - 1) / 2)
+    rows.foreach { case (a, b, nab, sup, conf, lift) =>
+      assert(a < b, s"unordered pair $a/$b")
+      assert(nab > 0)
+      assert(sup > 0 && sup <= 1.0)
+      assert(conf > 0 && conf <= 1.0)
+      assert(lift > 0)
+    }
+  }
+
+  test("seasonal anomaly: only >3σ spikes surface, and few of them") {
+    val flagged = EventQueries.queries("events_seasonal_anomaly")(spark, Sf)
+      .collect()
+    // the gate can only emit positive z beyond the threshold
+    flagged.foreach(r => assert(r.getDouble(4) > 3.0))
+    // spikes are the tail, not the body: far fewer than the cell count
+    val nCells = graft.Tables.events(spark, Sf)
+      .selectExpr("event_type",
+        "unix_millis(date_trunc('day', ts)) div 86400000 AS d",
+        "hour(ts) AS hr")
+      .distinct().count()
+    assert(flagged.length < nCells / 10,
+      s"${flagged.length} anomalies over $nCells cells — gate too loose")
+  }
+
   test("autocorr: r within [-1,1], all requested lags per type") {
     val rows = EventQueries.queries("events_autocorr")(spark, Sf)
       .collect().map(r => (r.getString(0), r.getInt(1),
