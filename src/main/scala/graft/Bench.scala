@@ -33,6 +33,9 @@ object Bench {
       // 30+ distinct query plans overflow the default 100-entry codegen
       // cache: the timed pass would recompile what the warmup compiled.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // let one-file-per-bucket scans advertise their in-bucket sort
+      // (required by the layout-served as-of face; see BucketedStore)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // managed-table home for the bucketed-store queries (kept out of
       // the repo working dir, which is the default warehouse location)
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse-bench")

@@ -24,6 +24,9 @@ object Profile {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
         math.max(4, cpus.toInt / 4).toString)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // let one-file-per-bucket scans advertise their in-bucket sort
+      // (required by the layout-served as-of face; see BucketedStore)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse-profile")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -22,6 +22,9 @@ object Verify {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionNum",
         math.max(4, cpus.toInt / 4).toString)
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // let one-file-per-bucket scans advertise their in-bucket sort
+      // (required by the layout-served as-of face; see BucketedStore)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       // managed-table home for the bucketed-store queries (kept out of
       // the repo working dir, which is the default warehouse location)
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse-verify")

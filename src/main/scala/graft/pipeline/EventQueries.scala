@@ -206,6 +206,59 @@ LATERAL (
 ) c
 ORDER BY purchase_id"""
 
+  // ------------------------------------------------- as-of from layout
+  /** The native as-of join served ENTIRELY FROM STORAGE LAYOUT — the
+    * 100 TB serving shape for a continuously-queried as-of relation
+    * (market data, feature stores): both sides persisted once as
+    * bucketed-by-user, sorted-by-(user, ts[, tie]) tables with one
+    * file per bucket, so the scans advertise both the hash
+    * partitioning AND the in-bucket order, and [[graft.plans
+    * .AsofJoinExec]]'s sort-merge-regime requirements are satisfied
+    * without ANY exchange or sort — the whole join is a zipped
+    * streaming merge over co-located bucket files (spec-pinned: zero
+    * shuffles, zero sorts in the join subtree). The write shuffle is
+    * paid once and amortized over every subsequent as-of query — vs
+    * [[asofNative]] which pays one exchange + sort per side per query.
+    * Same semantics, same oracle as the runtime forms. */
+  private val asofStoreDone = scala.collection.mutable.Set[String]()
+  private[graft] def asofBucketedJoined(s: SparkSession, d: String): DataFrame = {
+    val suf = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(d) & 0x7fffffff)
+    val (pt, ct) = (s"graft_asof_purchase_$suf", s"graft_asof_click_$suf")
+    val key = s"${s.sparkContext.applicationId}|$d"
+    asofStoreDone.synchronized {
+      if (!asofStoreDone(key)) {
+        val ev = Tables.events(s, d)
+        graft.sources.BucketedStore.write(
+          graft.sources.BucketedStore.oneFilePerBucket(
+            ev.filter(col("event_type") === "purchase")
+              .select("user_id", "ts", "event_id"), Seq("user_id"), 8),
+          pt, Seq("user_id"), Seq("user_id", "ts"), 8)
+        graft.sources.BucketedStore.write(
+          graft.sources.BucketedStore.oneFilePerBucket(
+            ev.filter(col("event_type") === "click")
+              .select("user_id", "ts", "event_id", "value"),
+            Seq("user_id"), 8),
+          ct, Seq("user_id"), Seq("user_id", "ts", "event_id"), 8)
+        asofStoreDone += key
+      }
+    }
+    val purchases = s.table(pt)
+    val clicks = s.table(ct).select(col("user_id").as("c_user"),
+      col("ts").as("c_ts"), col("event_id").as("c_eid"),
+      col("value").as("c_val"))
+    graft.plans.AsofJoin.asof(purchases, clicks,
+        key = "user_id", time = "ts",
+        rightKey = "c_user", rightTime = "c_ts", rightTie = "c_eid")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        unix_millis(col("ts")).as("purchase_ms"),
+        col("c_eid").as("click_id"),
+        unix_millis(col("c_ts")).as("click_ms"),
+        col("c_val").as("click_value"))
+  }
+  private val asofBucketed: Q = (s, d) =>
+    asofBucketedJoined(s, d).orderBy("purchase_id")
+
   // --------------------------------------------------------- range join
   /** Binned range join — the scale-safe form of an interval join (an
     * operator Spark's optimizer has no native strategy for; the oracle
@@ -2123,6 +2176,7 @@ ORDER BY h.event_type, h.day_num, h.hr"""
     "events_topk_users" -> topkUsers,
     "events_asof_join" -> asofJoin,
     "events_asof_native" -> asofNative,
+    "events_asof_bucketed" -> asofBucketed,
     "events_interval_join" -> intervalJoin,
     "events_range_join" -> rangeJoin,
     "events_running_total" -> runningTotal,
@@ -2174,6 +2228,8 @@ ORDER BY h.event_type, h.day_num, h.hr"""
     "events_asof_join" -> asofJoinSql,
     // the native-operator form shares the composition form's oracle
     "events_asof_native" -> asofJoinSql,
+    // layout-served shape, identical semantics: shares the oracle
+    "events_asof_bucketed" -> asofJoinSql,
     "events_interval_join" -> intervalJoinSql,
     "events_range_join" -> rangeJoinSql,
     "events_running_total" -> runningTotalSql,

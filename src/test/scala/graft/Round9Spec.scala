@@ -42,6 +42,23 @@ class Round9Spec extends SparkSpec {
     assert(math.abs(auc - u2.toDouble / (2.0 * nPos * nNeg)) < 1e-6)
   }
 
+  test("bucketed as-of: joins with zero exchanges and zero sorts, rows match native") {
+    val df = EventQueries.asofBucketedJoined(spark, Sf)
+    df.collect() // force execution so the (possibly adaptive) plan is final
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"native operator must plan:\n$plan")
+    // the whole point of the layout: the scans advertise bucketing +
+    // in-bucket order, so the merge needs NO exchange and NO sort
+    assert(!plan.contains("Exchange"), s"exchange in layout-served plan:\n$plan")
+    assert(!"Sort \\[".r.findFirstIn(plan).isDefined,
+      s"sort in layout-served plan:\n$plan")
+    // and the layout changes nothing about the answer
+    val fromLayout = df.collect().map(_.toSeq).toSet
+    val fromRuntime = EventQueries.queries("events_asof_native")(spark, Sf)
+      .collect().map(_.toSeq).toSet
+    assert(fromLayout == fromRuntime)
+  }
+
   test("basket lift: pair space bounded by type vocabulary, ratios valid") {
     val rows = EventQueries.queries("events_basket_lift")(spark, Sf)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),

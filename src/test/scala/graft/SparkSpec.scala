@@ -17,6 +17,7 @@ object SparkSpec {
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
       // managed-table home for the bucketed-store tests; keeps
       // `spark-warehouse` litter out of the repo root
