@@ -1741,6 +1741,61 @@ FROM filled
 WINDOW w AS (PARTITION BY event_type ORDER BY day_num)
 ORDER BY event_type, day_num"""
 
+  // ----------------------------------------------------------- trend
+  /** Per-type linear trend — ordinary least squares over the
+    * zero-filled daily count series (the [[gapFill]] spine, so a quiet
+    * day pulls the slope down instead of vanishing): slope and
+    * intercept in events/day from the five classic moments, all exact
+    * BIGINT sums over integer (day-offset, count) pairs; the two
+    * closed-form double expressions are written identically in both
+    * engines. The growth/decay readout next to [[forecastBaseline]]'s
+    * seasonal profile and [[ewma]]'s smoother. Scale: one fact
+    * aggregate to |types|·|days|, then a |types|-row result — the
+    * moments fold map-side. */
+  private val trend: Q = (s, d) => {
+    val xy = filledDaily(s, d)
+      .select(col("event_type"), (col("day_num") - col("d0")).as("x"),
+        col("n_events").as("y"))
+    val cov = col("m") * col("sxy") - col("sx") * col("sy")
+    val varx = col("m") * col("sxx") - col("sx") * col("sx")
+    val slope = cov.cast("double") / varx.cast("double")
+    xy.groupBy("event_type")
+      .agg(count(lit(1)).as("m"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("event_type"), col("m").as("n_days"),
+        round(slope, 6).as("slope"),
+        round((col("sy").cast("double") - slope * col("sx").cast("double"))
+          / col("m").cast("double"), 6).as("intercept"))
+      .orderBy("event_type")
+  }
+  private val trendSql =
+    """WITH daily AS (
+  SELECT event_type, epoch_ms(date_trunc('day', ts)) // 86400000 AS day_num,
+    count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT min(day_num) AS d0, max(day_num) AS d1 FROM daily
+), spine AS (
+  SELECT event_type, unnest(range(d0, d1 + 1)) AS day_num, d0
+  FROM (SELECT DISTINCT event_type FROM daily), bounds
+), xy AS (
+  SELECT s.event_type, s.day_num - s.d0 AS x, coalesce(d.n_events, 0) AS y
+  FROM spine s LEFT JOIN daily d USING (event_type, day_num)
+), mom AS (
+  SELECT event_type, count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+    sum(x * x) AS sxx, sum(x * y) AS sxy
+  FROM xy GROUP BY event_type
+)
+SELECT event_type, CAST(m AS BIGINT) AS n_days,
+  round(CAST(m * sxy - sx * sy AS DOUBLE)
+      / CAST(m * sxx - sx * sx AS DOUBLE), 6) AS slope,
+  round((CAST(sy AS DOUBLE)
+       - CAST(m * sxy - sx * sy AS DOUBLE)
+       / CAST(m * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      / CAST(m AS DOUBLE), 6) AS intercept
+FROM mom ORDER BY event_type"""
+
   // ----------------------------------------------------- cohort matrix
   /** Cohort retention matrix — the acquisition-day × day-offset grid
     * every growth dashboard renders (`events_retention` is the
@@ -2163,6 +2218,7 @@ ORDER BY h.event_type, h.day_num, h.hr"""
     "events_autocorr" -> autocorr,
     "events_basket_lift" -> basketLift,
     "events_seasonal_anomaly" -> seasonalAnomaly,
+    "events_trend" -> trend,
     "events_gap_fill" -> gapFill,
     "events_ewma" -> ewma,
     "events_mad_outliers" -> madOutliers,
@@ -2215,6 +2271,7 @@ ORDER BY h.event_type, h.day_num, h.hr"""
     "events_autocorr" -> autocorrSql,
     "events_basket_lift" -> basketLiftSql,
     "events_seasonal_anomaly" -> seasonalAnomalySql,
+    "events_trend" -> trendSql,
     "events_ewma" -> ewmaSql,
     "events_mad_outliers" -> madOutliersSql,
     "events_cohort_matrix" -> cohortMatrixSql,

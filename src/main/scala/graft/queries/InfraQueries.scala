@@ -586,8 +586,59 @@ ORDER BY l_returnflag, l_linestatus"""
 SELECT check_name, violations, violations = 0 AS pass
 FROM rep ORDER BY check_name"""
 
+  // ------------------------------------------------- column profiler
+  /** Column-statistics profiler — the Deequ-Analyzer/ANALYZE-TABLE-
+    * style per-column report (row count, null count, exact distinct
+    * count, min, max) the constraint suite ([[qualityChecks]]) reads
+    * BEFORE anyone writes constraints: profiling discovers the
+    * invariants, checking then enforces them. One scan computes every
+    * column's stats in a single aggregate (the count-distincts share
+    * one Expand), then the wide row unpivots to the per-column report.
+    * min/max ship as strings so the report schema is column-type-
+    * agnostic (timestamps via epoch-ms to dodge cross-engine timestamp
+    * rendering). At 100 TB this is the one-pass stats collection that
+    * feeds CBO and layout decisions — never one scan per column. */
+  private val columnProfile: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    def stats(c: org.apache.spark.sql.Column, tag: String) = Seq(
+      sum(when(c.isNull, 1L).otherwise(0L)).as(s"nn_$tag"),
+      countDistinct(c).as(s"nd_$tag"),
+      min(c).cast("string").as(s"mn_$tag"),
+      max(c).cast("string").as(s"mx_$tag"))
+    val aggs = Seq(count(lit(1)).as("n")) ++
+      stats(col("l_orderkey"), "ok") ++
+      stats(col("l_partkey"), "pk") ++
+      stats(col("l_returnflag"), "rf") ++
+      // the loader yields TIMESTAMP_NTZ; session TZ is UTC, so the
+      // cast-then-epoch matches the oracle's epoch_ms exactly
+      stats(unix_millis(col("l_shipdate").cast("timestamp")), "sd")
+    def row(name: String, tag: String) = struct(
+      lit(name).as("col_name"), col("n").as("n_rows"),
+      col(s"nn_$tag").as("n_null"), col(s"nd_$tag").as("n_distinct"),
+      col(s"mn_$tag").as("min_s"), col(s"mx_$tag").as("max_s"))
+    li.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(
+        row("l_orderkey", "ok"), row("l_partkey", "pk"),
+        row("l_returnflag", "rf"), row("l_shipdate_ms", "sd"))).as("p"))
+      .select("p.*")
+      .orderBy("col_name")
+  }
+  private val columnProfileSql = {
+    def one(name: String, c: String) =
+      s"""SELECT '$name' AS col_name, count(*) AS n_rows,
+  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+  CAST(min($c) AS VARCHAR) AS min_s, CAST(max($c) AS VARCHAR) AS max_s
+FROM lineitem"""
+    Seq(one("l_orderkey", "l_orderkey"), one("l_partkey", "l_partkey"),
+      one("l_returnflag", "l_returnflag"),
+      one("l_shipdate_ms", "epoch_ms(l_shipdate)"))
+      .mkString("", "\nUNION ALL ", "\nORDER BY col_name")
+  }
+
   val queries: Map[String, Q] = Map(
     "infra_quality_checks" -> qualityChecks,
+    "infra_column_profile" -> columnProfile,
     "infra_bucketed_join" -> bucketedJoin,
     "infra_skew_join" -> skewJoin,
     "infra_partitioned_scan" -> partitionedScan,
@@ -603,6 +654,7 @@ FROM rep ORDER BY check_name"""
 
   val oracle: Map[String, String] = Map(
     "infra_quality_checks" -> qualityChecksSql,
+    "infra_column_profile" -> columnProfileSql,
     "infra_bucketed_join" -> bucketedJoinSql,
     "infra_skew_join" -> skewJoinSql,
     "infra_partitioned_scan" -> partitionedScanSql,

@@ -1,6 +1,7 @@
 package graft
 
 import graft.pipeline.{DedupQueries, EventQueries, TextQueries}
+import graft.queries.InfraQueries
 import org.apache.spark.sql.functions._
 
 /** Properties of the round-9 additions the oracle compare can't see:
@@ -89,6 +90,38 @@ class Round9Spec extends SparkSpec {
       .distinct().count()
     assert(flagged.length < nCells / 10,
       s"${flagged.length} anomalies over $nCells cells — gate too loose")
+  }
+
+  test("trend: one row per type over a shared spine, finite fit") {
+    val rows = EventQueries.queries("events_trend")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // the zero-filled spine gives every type the SAME day count
+    assert(rows.map(_._2).distinct.length == 1)
+    assert(rows.head._2 >= 2)
+    rows.foreach { case (t, _, slope, icpt) =>
+      assert(!slope.isNaN && !slope.isInfinite, s"$t slope $slope")
+      assert(!icpt.isNaN && !icpt.isInfinite, s"$t intercept $icpt")
+    }
+  }
+
+  test("column profile: one scan's stats are internally consistent") {
+    val rows = InfraQueries.queries("infra_column_profile")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getString(5)))
+    assert(rows.length == 4)
+    // every row reports the same scan's cardinality
+    assert(rows.map(_._2).distinct.length == 1)
+    rows.foreach { case (c, n, nNull, nd, mn, mx) =>
+      assert(nNull >= 0 && nNull <= n, c)
+      assert(nd >= 1 && nd <= n - nNull, c)
+      assert(mn != null && mx != null, c)
+    }
+    // the PK column must be near-unique, the flag column tiny-domain
+    val byName = rows.map(r => r._1 -> r._4).toMap
+    assert(byName("l_returnflag") <= 3)
+    assert(byName("l_orderkey") > byName("l_returnflag"))
   }
 
   test("autocorr: r within [-1,1], all requested lags per type") {
