@@ -137,12 +137,15 @@ FROM dup GROUP BY md5(text) ORDER BY keeper_doc_id"""
   private[graft] def minhashCandidates(s: SparkSession, d: String): DataFrame =
     bandPairs(bandRows(shingleRows(DupCorpus.corpus(s, d))))
 
-  private val minhash: Q = (s, d) => {
+  /** The verified minhash pair relation before output ordering —
+    * shared by the registered face and the curation funnel. */
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.register(s)
     val sh = shingleRows(DupCorpus.corpus(s, d))
     jaccardVerify(minhashCandidates(s, d), shingleSketches(sh), 0.4)
-      .orderBy("doc_a", "doc_b")
   }
+  private val minhash: Q = (s, d) =>
+    minhashPairs(s, d).orderBy("doc_a", "doc_b")
 
   /** The SERVING shape of minhash dedup — the dedup analog of
     * `ann_topk_ivf_bucketed`: the banded signature relation is
@@ -1019,8 +1022,125 @@ SELECT doc_id, CAST(sum(nsh) AS BIGINT) AS n_dup_shingles,
   CAST(sum(en - st) AS BIGINT) AS tokens_removed
 FROM spans GROUP BY doc_id ORDER BY doc_id"""
 
+  // ------------------------------------------------- curation funnel
+  /** The END-TO-END curation run in one declarative plan — the report
+    * a production corpus pipeline ships after each build: every
+    * document of the dup corpus charged to its FIRST failing stage,
+    * in pipeline order
+    *   1 `quality`   — any Gopher-style gate fails (length, langid
+    *                   vote, repetition, diversity — the
+    *                   text_filter_funnel gates, same expressions),
+    *   2 `exact_dup` — not the min-doc_id keeper of its md5(text)
+    *                   group,
+    *   3 `near_dup`  — duplicates an EARLIER surviving document: the
+    *                   doc appears as doc_b (the larger id) in a
+    *                   verified minhash pair — the C4-style greedy
+    *                   pair rule, no transitive closure needed,
+    *   4 `kept`      — the gold corpus,
+    * with exact counts and integer permille shares. Composes three
+    * registered families (funnel gates + exact keeper + minhash
+    * pairs) into ONE plan: the gates ride the corpus scan, the keeper
+    * is one md5 shuffle, the near-dup flag is a semi-join against the
+    * LSH pair relation — nothing new shuffles beyond what the parts
+    * already pay, which is the point: curation at 100 TB is these
+    * exact primitives composed, not a new engine. */
+  private val curation: Q = (s, d) => {
+    VectorExpressions.register(s)
+    import s.implicits._
+    val toksC = split(lower(col("text")), " ")
+    val nTok = size(toksC).cast("long")
+    val maxVote = greatest(TextQueries.Stopwords.map { case (_, sw) =>
+      call_function("graft_count_in", toksC, typedlit(sw)).cast("long")
+    }: _*)
+    val topFreq = call_function("graft_top_freq", toksC).cast("long")
+    val dupBig = call_function("graft_dup_bigrams", toksC).cast("long")
+    val nDist = size(array_distinct(toksC)).cast("long")
+    val qualityFail = nTok < 25 || col("n_chars") > 20000 ||
+      maxVote === 0 || topFreq * 8 > nTok || dupBig * 16 > nTok - 1 ||
+      nDist * 10 < nTok * 4
+    val corpus = DupCorpus.corpus(s, d)
+    val keeper = corpus.groupBy(md5(col("text")).as("k"))
+      .agg(min("doc_id").as("keep_id"))
+    val nearDup = minhashPairs(s, d)
+      .select(col("doc_b").as("doc_id")).distinct()
+      .withColumn("nd", lit(true))
+      // the pair relation is dup-graph-sized; checkpointing it keeps
+      // the whole minhash subtree out of the composed plan (the
+      // dedup_triangles lesson — without this the funnel re-plans 66
+      // exchanges and trips PlanHygieneSpec's ceiling)
+      .localCheckpoint()
+    val staged = corpus
+      .select(col("doc_id"), md5(col("text")).as("k"), qualityFail.as("qf"))
+      .join(keeper, "k")
+      .join(nearDup, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("qf"), 1)
+          .when(col("doc_id") =!= col("keep_id"), 2)
+          .when(col("nd").isNotNull, 3)
+          .otherwise(4).as("stage_ord"))
+    val byStage = staged.groupBy("stage_ord").agg(count(lit(1)).as("n_docs"))
+    val dim = Seq((1, "quality"), (2, "exact_dup"), (3, "near_dup"),
+      (4, "kept")).toDF("stage_ord", "stage")
+    val total = broadcast(byStage.agg(sum("n_docs").as("n_total")))
+    dim.join(broadcast(byStage), Seq("stage_ord"), "left")
+      .crossJoin(total)
+      .select(col("stage_ord"), col("stage"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        expr("(coalesce(n_docs, 0) * 1000) div n_total").as("permille"))
+      .orderBy("stage_ord")
+  }
+  private val curationSql = {
+    val votes = TextQueries.Stopwords
+      .map { case (_, sw) => TextQueries.swHitsSqlShared(sw) }
+      .mkString(", ")
+    s"""$minhashCtes, mh AS (
+$minhashPairSelect
+), ndx AS (
+  SELECT DISTINCT doc_b AS doc_id FROM mh
+), keeper AS (
+  SELECT md5(text) AS k, min(doc_id) AS keep_id FROM dup GROUP BY 1
+), tokc AS (
+  SELECT doc_id, n_chars, text, string_split(lower(text), ' ') AS toks
+  FROM dup
+), freqc AS (
+  SELECT doc_id, max(c) AS top_freq FROM (
+    SELECT doc_id, t, count(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS t FROM tokc) GROUP BY 1, 2
+  ) GROUP BY 1
+), featc AS (
+  SELECT t.doc_id, md5(t.text) AS k, t.n_chars, len(t.toks) AS n_tok,
+    greatest($votes) AS max_vote, f.top_freq,
+    (len(t.toks) - 1) - len(list_distinct(
+      list_transform(list_zip(t.toks[1:-2], t.toks[2:-1]),
+                     p -> p[1] || ' ' || p[2]))) AS dup_big,
+    len(list_distinct(t.toks)) AS n_dist
+  FROM tokc t JOIN freqc f USING (doc_id)
+), staged AS (
+  SELECT f.doc_id,
+    CASE WHEN f.n_tok < 25 OR f.n_chars > 20000 OR f.max_vote = 0
+           OR f.top_freq * 8 > f.n_tok OR f.dup_big * 16 > f.n_tok - 1
+           OR f.n_dist * 10 < f.n_tok * 4 THEN 1
+         WHEN f.doc_id <> kp.keep_id THEN 2
+         WHEN nx.doc_id IS NOT NULL THEN 3
+         ELSE 4 END AS stage_ord
+  FROM featc f
+  JOIN keeper kp ON f.k = kp.k
+  LEFT JOIN ndx nx ON f.doc_id = nx.doc_id
+), bys AS (
+  SELECT stage_ord, count(*) AS n_docs FROM staged GROUP BY 1
+), tot AS (SELECT sum(n_docs) AS n_total FROM bys),
+sdim AS (SELECT * FROM (VALUES (1, 'quality'), (2, 'exact_dup'),
+  (3, 'near_dup'), (4, 'kept')) AS t(stage_ord, stage))
+SELECT CAST(sd.stage_ord AS INT) AS stage_ord, sd.stage,
+  CAST(coalesce(b.n_docs, 0) AS BIGINT) AS n_docs,
+  CAST((coalesce(b.n_docs, 0) * 1000) // n_total AS BIGINT) AS permille
+FROM sdim sd LEFT JOIN bys b USING (stage_ord), tot
+ORDER BY stage_ord"""
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exact,
+    "dedup_curation" -> curation,
     "dedup_minhash" -> minhash,
     "dedup_minhash_bucketed" -> minhashBucketed,
     "dedup_minhash_incremental" -> minhashIncremental,
@@ -1037,6 +1157,7 @@ FROM spans GROUP BY doc_id ORDER BY doc_id"""
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
+    "dedup_curation" -> curationSql,
     "dedup_minhash" -> minhashSql,
     // serving shape, identical semantics: shares the runtime-join oracle
     "dedup_minhash_bucketed" -> minhashSql,

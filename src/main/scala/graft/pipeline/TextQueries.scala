@@ -37,6 +37,10 @@ object TextQueries {
   private def swListSql(sw: Seq[String]): String =
     sw.map(w => s"'$w'").mkString("[", ", ", "]")
   private val ToksSql = "string_split(lower(text), ' ')"
+  /** Oracle mirror of [[swHits]] — shared with DedupQueries' curation
+    * funnel, which re-runs the quality gates over the dup corpus. */
+  private[pipeline] def swHitsSqlShared(sw: Seq[String]): String =
+    swHitsSql(sw)
   private def swHitsSql(sw: Seq[String]): String =
     s"len(list_filter($ToksSql, t -> list_contains(${swListSql(sw)}, t)))"
 

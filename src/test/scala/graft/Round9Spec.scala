@@ -92,6 +92,26 @@ class Round9Spec extends SparkSpec {
       s"${flagged.length} anomalies over $nCells cells — gate too loose")
   }
 
+  test("curation funnel: stages partition the corpus, every stage does work") {
+    val rows = DedupQueries.queries("dedup_curation")(spark, Sf)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    // first-failing-stage charging partitions the corpus exactly
+    val corpus = graft.pipeline.DupCorpus.corpus(spark, Sf).count()
+    assert(rows.map(_._3).sum == corpus)
+    // the synthetic corpus plants exact AND near dups — a curation
+    // report that can't catch them proves nothing
+    val byStage = rows.map(r => r._2 -> r._3).toMap
+    assert(byStage("exact_dup") > 0)
+    assert(byStage("near_dup") > 0)
+    // at sf0.001 the quality gates bite hard (short docs); the pin is
+    // that a real gold corpus survives, not a specific share
+    assert(byStage("kept") > 0, s"kept ${byStage("kept")} of $corpus")
+    // permille shares are the exact integer division of the counts
+    rows.foreach { case (_, _, n, pm) => assert(pm == n * 1000 / corpus) }
+  }
+
   test("trend: one row per type over a shared spine, finite fit") {
     val rows = EventQueries.queries("events_trend")(spark, Sf)
       .collect().map(r => (r.getString(0), r.getLong(1),
