@@ -111,7 +111,10 @@ object SqlQueries {
     "sql_ab_test" -> "events_ab_test",
     // trigram path mining from SQL text: a named WINDOW clause with two
     // lead offsets + ranked LIMIT over the census
-    "sql_trigram_paths" -> "events_trigram_paths")
+    "sql_trigram_paths" -> "events_trigram_paths",
+    // market-basket association rules from SQL text: DISTINCT reduction,
+    // inequality self-join, and a comma scalar join mixed with ANSI JOINs
+    "sql_basket_lift" -> "events_basket_lift")
 
   /** The summary-rewrite face FROM SQL TEXT: registers the lineitem
     * summary, then executes `infra_summary_rewrite`'s oracle string via
