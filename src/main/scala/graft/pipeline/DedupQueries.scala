@@ -1022,6 +1022,50 @@ SELECT doc_id, CAST(sum(nsh) AS BIGINT) AS n_dup_shingles,
   CAST(sum(en - st) AS BIGINT) AS tokens_removed
 FROM spans GROUP BY doc_id ORDER BY doc_id"""
 
+  // --------------------------------------------------- LSH recall eval
+  /** Empirical recall of the PROBABILISTIC minhash-LSH dedup against
+    * the EXACT prefix-filter ground truth at the same J ≥ 0.5
+    * threshold — the eval loop every production LSH deployment runs
+    * before trusting its band parameters (the dedup analog of
+    * ann_recall_eval): |LSH ∩ exact| / |exact|, with the counts exact
+    * longs and recall both as integer permille and one rounded double.
+    * Composes two REGISTERED faces — the measurement is of the plans
+    * users actually run, not a simplified model — and the eval join is
+    * pair-relation-sized (dup-graph, not corpus). The LSH side's
+    * b=4/r=2 bands give pairs at J=0.5 a 1−(1−0.25)⁴ ≈ 68% per-band
+    * catch floor that rises steeply toward J=1; the measured number
+    * quantifies the real mix. */
+  private val recallEval: Q = (s, d) => {
+    val exact = prefixJaccard(s, d)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val lsh = minhashPairs(s, d).filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val common = exact.join(lsh, Seq("doc_a", "doc_b"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(lsh.agg(count(lit(1)).as("n_lsh")))
+      .crossJoin(common.agg(count(lit(1)).as("n_common")))
+      .select(col("n_exact"), col("n_lsh"), col("n_common"),
+        expr("(n_common * 1000) div n_exact").as("recall_permille"),
+        round(col("n_common").cast("double") / col("n_exact"), 6)
+          .as("recall"))
+  }
+  private val recallEvalSql =
+    s"""WITH ex AS (
+  SELECT doc_a, doc_b FROM ($prefixJaccardSql)
+), mh AS (
+  SELECT doc_a, doc_b FROM ($minhashSql) WHERE jaccard >= 0.5
+), agg AS (
+  SELECT
+    (SELECT count(*) FROM ex) AS n_exact,
+    (SELECT count(*) FROM mh) AS n_lsh,
+    (SELECT count(*) FROM ex JOIN mh USING (doc_a, doc_b)) AS n_common
+)
+SELECT CAST(n_exact AS BIGINT) AS n_exact, CAST(n_lsh AS BIGINT) AS n_lsh,
+  CAST(n_common AS BIGINT) AS n_common,
+  CAST((n_common * 1000) // n_exact AS BIGINT) AS recall_permille,
+  round(CAST(n_common AS DOUBLE) / n_exact, 6) AS recall
+FROM agg"""
+
   // ------------------------------------------------- curation funnel
   /** The END-TO-END curation run in one declarative plan — the report
     * a production corpus pipeline ships after each build: every
@@ -1147,6 +1191,7 @@ ORDER BY stage_ord"""
     "dedup_simhash" -> simhash,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_jaccard_prefix" -> prefixJaccard,
+    "dedup_recall_eval" -> recallEval,
     "dedup_cluster" -> cluster,
     "graph_pagerank" -> pagerank,
     "graph_bfs_hops" -> bfsHops,
@@ -1165,6 +1210,7 @@ ORDER BY stage_ord"""
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_jaccard_prefix" -> prefixJaccardSql,
+    "dedup_recall_eval" -> recallEvalSql,
     "dedup_cluster" -> clusterSql,
     "graph_pagerank" -> pagerankSql,
     "graph_bfs_hops" -> bfsHopsSql,

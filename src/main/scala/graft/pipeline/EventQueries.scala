@@ -2213,9 +2213,67 @@ FROM hourly h JOIN profile p
 WHERE p.std > 0 AND (h.cnt - p.mean) / p.std > 3.0
 ORDER BY h.event_type, h.day_num, h.hr"""
 
+  // ----------------------------------------------- cross-correlation
+  /** Cross-correlation matrix between event types — Pearson r between
+    * each type pair's hourly count series at lag 0 ("do purchases move
+    * with logins?"), the co-movement readout next to [[autocorr]]'s
+    * self-lags and [[basketLift]]'s user-level co-occurrence. Series
+    * align on the shared hour grid via inner join (hours where both
+    * types are present — sparse convention, same as autocorr); the
+    * five moments are exact BIGINT sums, r is one closed-form double.
+    * Scale: the |types|·|hours| aggregate is the only fact pass; the
+    * pair join is |types|-bounded fan-out over that tiny relation,
+    * output is C(|types|, 2) rows. */
+  private val typeCorr: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .select(col("event_type"),
+        expr("unix_millis(ts) div 3600000").as("h"))
+      .groupBy("event_type", "h").agg(count(lit(1)).as("x"))
+      .localCheckpoint()
+    val b = hourly.select(col("event_type").as("type_b"), col("h"),
+      col("x").as("y"))
+    val num = (col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+    val varx = col("m") * col("sxx") - col("sx") * col("sx")
+    val vary = col("m") * col("syy") - col("sy") * col("sy")
+    hourly.join(b, Seq("h"))
+      .filter(col("event_type") < col("type_b"))
+      .groupBy(col("event_type").as("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("m"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .select(col("type_a"), col("type_b"), col("m").as("n_hours"),
+        when(varx > 0 && vary > 0,
+          round(num / sqrt(varx.cast("double") * vary.cast("double")), 6))
+          .as("r"))
+      .orderBy("type_a", "type_b")
+  }
+  private val typeCorrSql =
+    """WITH hourly AS (
+  SELECT event_type, epoch_ms(ts) // 3600000 AS h, count(*) AS x
+  FROM events GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, a.x, b.x AS y
+  FROM hourly a JOIN hourly b
+    ON a.h = b.h AND a.event_type < b.event_type
+), mom AS (
+  SELECT type_a, type_b, count(*) AS m,
+    sum(x) AS sx, sum(y) AS sy,
+    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pairs GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, CAST(m AS BIGINT) AS n_hours,
+  CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0
+    THEN round(CAST(m * sxy - sx * sy AS DOUBLE)
+      / sqrt(CAST(m * sxx - sx * sx AS DOUBLE)
+           * CAST(m * syy - sy * sy AS DOUBLE)), 6)
+    ELSE NULL END AS r
+FROM mom ORDER BY type_a, type_b"""
+
   val queries: Map[String, Q] = Map(
     "events_ab_test" -> abTest,
     "events_autocorr" -> autocorr,
+    "events_type_corr" -> typeCorr,
     "events_basket_lift" -> basketLift,
     "events_seasonal_anomaly" -> seasonalAnomaly,
     "events_trend" -> trend,
@@ -2269,6 +2327,7 @@ ORDER BY h.event_type, h.day_num, h.hr"""
     "events_ab_test" -> abTestSql,
     "events_gap_fill" -> gapFillSql,
     "events_autocorr" -> autocorrSql,
+    "events_type_corr" -> typeCorrSql,
     "events_basket_lift" -> basketLiftSql,
     "events_seasonal_anomaly" -> seasonalAnomalySql,
     "events_trend" -> trendSql,

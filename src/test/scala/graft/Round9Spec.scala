@@ -92,6 +92,33 @@ class Round9Spec extends SparkSpec {
       s"${flagged.length} anomalies over $nCells cells — gate too loose")
   }
 
+  test("recall eval: common pairs bound both sides, ratios consistent") {
+    val r = DedupQueries.queries("dedup_recall_eval")(spark, Sf).collect()
+    assert(r.length == 1)
+    val (nEx, nLsh, nCom, pm, rec) = (r(0).getLong(0), r(0).getLong(1),
+      r(0).getLong(2), r(0).getLong(3), r(0).getDouble(4))
+    assert(nEx > 0)
+    assert(nCom <= math.min(nEx, nLsh))
+    // the LSH bands are tuned to catch nearly everything at J>=0.5 on
+    // this corpus — an eval reporting poor recall means the composition
+    // (not the bands) broke
+    assert(rec > 0.9 && rec <= 1.0, s"recall $rec")
+    assert(pm == nCom * 1000 / nEx)
+    assert(math.abs(rec - nCom.toDouble / nEx) < 1e-6)
+  }
+
+  test("type corr: full C(|types|,2) matrix, r within [-1,1]") {
+    val rows = EventQueries.queries("events_type_corr")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    val types = rows.flatMap(r => Seq(r._1, r._2)).distinct.length
+    assert(rows.length == types * (types - 1) / 2)
+    rows.foreach { case (a, b, r) =>
+      assert(a < b, s"unordered pair $a/$b")
+      r.foreach(v => assert(v >= -1.0 && v <= 1.0, s"$a/$b r=$v"))
+    }
+  }
+
   test("curation funnel: stages partition the corpus, every stage does work") {
     val rows = DedupQueries.queries("dedup_curation")(spark, Sf)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
