@@ -2167,6 +2167,30 @@ ORDER BY type_a, type_b"""
     * Scale: the series aggregate is the only fact-table pass; the
     * profile relation is |types|·24 — broadcast — and the z-gate rides
     * the series relation. */
+  /** Hour-of-day profile (mean/σ per (type, wall-clock hour), absent
+    * days as zero via a fixed day denominator) from the (type, day,
+    * hour) count cells — the trained model side of the seasonal gate,
+    * shared with the stream face like [[anomalyStats]]. */
+  private[graft] def seasonalProfile(hourly: DataFrame): DataFrame = {
+    val nDays = hourly.agg(countDistinct("day_num").as("nd"))
+    hourly.groupBy("event_type", "hr")
+      .agg(sum("cnt").as("sc"), sum(col("cnt") * col("cnt")).as("sc2"))
+      .crossJoin(broadcast(nDays))
+      .select(col("event_type"), col("hr"),
+        (col("sc").cast("double") / col("nd")).as("mean"),
+        sqrt((col("sc2") - col("sc") * col("sc") / col("nd").cast("double"))
+          / (col("nd") - 1).cast("double")).as("std"))
+  }
+  /** The z > 3σ spike gate over count cells — shared batch/stream
+    * (parity by construction, like [[flagAnomalies]]). */
+  private[graft] def flagSeasonalCells(cells: DataFrame,
+                                       profile: DataFrame): DataFrame = {
+    val z = (col("cnt") - col("mean")) / col("std")
+    cells.join(broadcast(profile), Seq("event_type", "hr"))
+      .filter(col("std") > 0 && z > 3.0)
+      .select(col("event_type"), col("day_num"), col("hr"), col("cnt"),
+        round(z, 4).as("z"))
+  }
   private val seasonalAnomaly: Q = (s, d) => {
     val hourly = Tables.events(s, d)
       .select(col("event_type"),
@@ -2176,19 +2200,7 @@ ORDER BY type_a, type_b"""
       .groupBy("event_type", "day_num", "hr")
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
-    val nDays = hourly.agg(countDistinct("day_num").as("nd"))
-    val profile = hourly.groupBy("event_type", "hr")
-      .agg(sum("cnt").as("sc"), sum(col("cnt") * col("cnt")).as("sc2"))
-      .crossJoin(broadcast(nDays))
-      .select(col("event_type"), col("hr"),
-        (col("sc").cast("double") / col("nd")).as("mean"),
-        sqrt((col("sc2") - col("sc") * col("sc") / col("nd").cast("double"))
-          / (col("nd") - 1).cast("double")).as("std"))
-    val z = (col("cnt") - col("mean")) / col("std")
-    hourly.join(broadcast(profile), Seq("event_type", "hr"))
-      .filter(col("std") > 0 && z > 3.0)
-      .select(col("event_type"), col("day_num"), col("hr"), col("cnt"),
-        round(z, 4).as("z"))
+    flagSeasonalCells(hourly, seasonalProfile(hourly))
       .orderBy("event_type", "day_num", "hr")
   }
   private val seasonalAnomalySql =

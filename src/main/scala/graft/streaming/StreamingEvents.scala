@@ -106,6 +106,28 @@ object StreamingEvents {
   def anomalyStream(events: DataFrame, stats: DataFrame): DataFrame =
     EventQueries.flagAnomalies(events, stats)
 
+  /** Streaming SEASONAL anomaly — the deseasonalized spike gate's
+    * stream face (batch: `events_seasonal_anomaly`): live events fold
+    * into watermarked 1-hour count cells; each CLOSED cell probes the
+    * batch-trained hour-of-day profile (a broadcast stream-static
+    * join, same regime as [[anomalyStream]]) and appends only >3σ
+    * spikes. Train-batch/score-stream is exactly how seasonal anomaly
+    * detection deploys: the profile cannot be learned inside the
+    * unbounded stream, the scoring is stateless beyond the windowed
+    * count. Shares [[EventQueries.flagSeasonalCells]] with the batch
+    * face — parity by construction. */
+  def seasonalAnomalyStream(events: DataFrame, profile: DataFrame,
+                            delay: String = "2 hours"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cells = events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"),
+        expr("unix_millis(w.start) div 86400000").as("day_num"),
+        hour(col("w.start")).as("hr"), col("cnt"))
+    EventQueries.flagSeasonalCells(cells, profile)
+  }
+
   /** Streaming first/last-touch attribution — the unbounded face of
     * `events_attribution`. min_by/max_by partials merge associatively
     * across micro-batches like any combinable aggregate, so this is a

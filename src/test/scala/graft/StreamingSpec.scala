@@ -366,6 +366,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static seasonal anomaly: closed cells probe the batch profile") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // batch-trained profile: hour 1 of 'click' has mean 11, σ=2 over
+    // 4 days (counts 10,10,10,14); hour 2 is constant (σ=0 — the gate
+    // must never flag it, whatever arrives)
+    val hist = Seq(
+      (0L, 1, 10L), (1L, 1, 10L), (2L, 1, 10L), (3L, 1, 14L),
+      (0L, 2, 7L), (1L, 2, 7L), (2L, 2, 7L), (3L, 2, 7L))
+      .toDF("day_num", "hr", "cnt").withColumn("event_type", lit("click"))
+    val profile = graft.pipeline.EventQueries.seasonalProfile(hist)
+    val mem = MemoryStream[(Long, String)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_ms", "event_type")
+      .select(timestamp_millis(col("ts_ms")).as("ts"), col("event_type"))
+    val q = StreamingEvents.seasonalAnomalyStream(typed(mem.toDF()), profile)
+      .writeStream.format("memory").queryName("seas").outputMode("append")
+      .start()
+    val h1 = 3600L * 1000
+    try {
+      // hour-1 cell: 20 click events → z = (20−11)/2 = 4.5 — a spike;
+      // hour-2 cell: 30 events into the σ=0 hour — must NOT flag
+      val spikes = (1 to 20).map(i => (h1 + i * 1000L, "click"))
+      val flat = (1 to 30).map(i => (2 * h1 + i * 1000L, "click"))
+      mem.addData(spikes ++ flat: _*)
+      q.processAllAvailable()
+      mem.addData((12 * h1, "noop")) // advance the watermark: close both
+      q.processAllAvailable()
+      val got = spark.table("seas").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3),
+          r.getDouble(4))).toSet
+      assert(got === Set(("click", 0L, 1, 20L, 4.5)))
+      // parity: the batch gate over the same closed cells
+      val cells = Seq((0L, 1, 20L), (0L, 2, 30L))
+        .toDF("day_num", "hr", "cnt").withColumn("event_type", lit("click"))
+      val batch = graft.pipeline.EventQueries
+        .flagSeasonalCells(cells, profile)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("streaming session windows: cross-batch merge, watermark emission, batch parity") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
