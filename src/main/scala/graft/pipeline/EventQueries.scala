@@ -2282,10 +2282,64 @@ SELECT type_a, type_b, CAST(m AS BIGINT) AS n_hours,
     ELSE NULL END AS r
 FROM mom ORDER BY type_a, type_b"""
 
+  // ----------------------------------------------------------- pareto
+  /** Traffic-concentration readout — the Lorenz/Gini answer to "how
+    * top-heavy is the workload": Gini coefficient of per-user event
+    * counts (0 = uniform, →1 = one user is the corpus) plus the share
+    * of events from the top user decile, in integer permille. Needs a
+    * GLOBAL rank of users by count — produced with the distributed
+    * two-phase rank (range-partition on (count, user) → per-partition
+    * row_number → broadcast ≤32-row offsets; the same machinery as
+    * text_surprisal's vocabulary rank and the AUC prefix sum — never a
+    * single-task sort). Everything is integer (Σx, Σi·x exact longs)
+    * until the two closed-form divisions. The skew diagnostic that
+    * justifies [[graft.operators.SkewJoin]]'s salting at 100 TB. */
+  private val pareto: Q = (s, d) => {
+    val u = Tables.events(s, d)
+      .groupBy("user_id").agg(count(lit(1)).as("x"))
+    val parted = u.repartitionByRange(32, col("x"), col("user_id"))
+      .withColumn("pid", spark_partition_id())
+    val wP = Window.partitionBy("pid").orderBy(col("x"), col("user_id"))
+    val local = parted.withColumn("rn", row_number().over(wP).cast("long"))
+    val counts = parted.groupBy("pid").agg(count(lit(1)).as("pc"))
+    val wOff = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = counts.select(col("pid"),
+      coalesce(sum("pc").over(wOff), lit(0L)).as("off"))
+    val ranked = local.join(broadcast(offs), "pid")
+      .select(col("x"), (col("rn") + col("off")).as("i"))
+      .localCheckpoint()
+    val tot = broadcast(ranked.agg(count(lit(1)).as("n"), sum("x").as("s"),
+      sum(col("i") * col("x")).as("t")))
+    val top = ranked.crossJoin(tot)
+      .filter(col("i") > col("n") - expr("n div 10"))
+      .agg(sum("x").as("topx"))
+    tot.crossJoin(broadcast(top))
+      .select(col("n").as("n_users"), col("s").as("n_events"),
+        round(lit(2.0) * col("t") / (col("n") * col("s"))
+          - (col("n") + lit(1.0)) / col("n"), 6).as("gini"),
+        expr("(1000 * topx) div s").as("top_decile_permille"))
+  }
+  private val paretoSql =
+    """WITH u AS (
+  SELECT user_id, count(*) AS x FROM events GROUP BY user_id
+), r AS (
+  SELECT user_id, x, row_number() OVER (ORDER BY x, user_id) AS i FROM u
+), t AS (
+  SELECT count(*) AS n, sum(x) AS s, sum(i * x) AS t FROM r
+), td AS (
+  SELECT sum(x) AS topx FROM r, t WHERE i > n - n // 10
+)
+SELECT CAST(n AS BIGINT) AS n_users, CAST(s AS BIGINT) AS n_events,
+  round(2.0 * t / (n * s) - (n + 1.0) / n, 6) AS gini,
+  CAST((1000 * topx) // s AS BIGINT) AS top_decile_permille
+FROM t, td"""
+
   val queries: Map[String, Q] = Map(
     "events_ab_test" -> abTest,
     "events_autocorr" -> autocorr,
     "events_type_corr" -> typeCorr,
+    "events_pareto" -> pareto,
     "events_basket_lift" -> basketLift,
     "events_seasonal_anomaly" -> seasonalAnomaly,
     "events_trend" -> trend,
@@ -2340,6 +2394,7 @@ FROM mom ORDER BY type_a, type_b"""
     "events_gap_fill" -> gapFillSql,
     "events_autocorr" -> autocorrSql,
     "events_type_corr" -> typeCorrSql,
+    "events_pareto" -> paretoSql,
     "events_basket_lift" -> basketLiftSql,
     "events_seasonal_anomaly" -> seasonalAnomalySql,
     "events_trend" -> trendSql,

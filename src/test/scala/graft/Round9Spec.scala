@@ -119,6 +119,18 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("pareto: gini in range, top decile carries at least its share") {
+    val r = EventQueries.queries("events_pareto")(spark, Sf).collect()
+    assert(r.length == 1)
+    val (n, s, gini, topPm) = (r(0).getLong(0), r(0).getLong(1),
+      r(0).getDouble(2), r(0).getLong(3))
+    assert(n > 0 && s >= n)
+    assert(gini >= 0.0 && gini < 1.0, s"gini $gini")
+    // the HEAVIEST decile can never carry less than a uniform decile
+    // (floor rounding of n/10 users and the permille div allow ~1‰ slack)
+    assert(topPm >= 1000 * (n / 10) / n - 1, s"top decile $topPm‰ of $n users")
+  }
+
   test("curation funnel: stages partition the corpus, every stage does work") {
     val rows = DedupQueries.queries("dedup_curation")(spark, Sf)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
