@@ -2282,6 +2282,52 @@ SELECT type_a, type_b, CAST(m AS BIGINT) AS n_hours,
     ELSE NULL END AS r
 FROM mom ORDER BY type_a, type_b"""
 
+  // ------------------------------------------------------ funnel time
+  /** Time-to-convert — the latency half of the funnel story
+    * ([[funnel]] counts who converts; this measures HOW LONG):
+    * per user, first click → first purchase at-or-after it, with the
+    * latency distribution reported as exact interpolated percentiles
+    * (the [[quantiles]] percentile↔quantile_cont pair) plus the max.
+    * Two per-user min-aggregates and one equi-join — latencies are
+    * exact epoch-ms longs, the percentile interpolation is the only
+    * double. Scale: both aggregates fold map-side; the join carries
+    * one row per (user, purchase), and the final distribution is one
+    * combinable aggregate — no windows, no ordering. */
+  private val funnelTime: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val firstClick = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(min("ts").as("t0"))
+    val lat = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("tp"))
+      .join(firstClick, "user_id")
+      .filter(col("tp") >= col("t0"))
+      .groupBy("user_id").agg(min("tp").as("t1"), min("t0").as("t0"))
+      .select((unix_millis(col("t1")) - unix_millis(col("t0")))
+        .as("lat_ms"))
+    lat.agg(count(lit(1)).as("n_converted"),
+        percentile(col("lat_ms"), array(lit(0.5), lit(0.9))).as("qs"),
+        max("lat_ms").as("max_ms"))
+      .select(col("n_converted"),
+        round(col("qs").getItem(0), 4).as("p50_ms"),
+        round(col("qs").getItem(1), 4).as("p90_ms"), col("max_ms"))
+  }
+  private val funnelTimeSql =
+    """WITH fc AS (
+  SELECT user_id, min(ts) AS t0 FROM events
+  WHERE event_type = 'click' GROUP BY user_id
+), conv AS (
+  SELECT e.user_id,
+    epoch_ms(min(e.ts)) - epoch_ms(min(f.t0)) AS lat_ms
+  FROM events e JOIN fc f ON e.user_id = f.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= f.t0
+  GROUP BY e.user_id
+)
+SELECT count(*) AS n_converted,
+  round(quantile_cont(lat_ms, 0.5), 4) AS p50_ms,
+  round(quantile_cont(lat_ms, 0.9), 4) AS p90_ms,
+  CAST(max(lat_ms) AS BIGINT) AS max_ms
+FROM conv"""
+
   // ----------------------------------------------------------- pareto
   /** Traffic-concentration readout — the Lorenz/Gini answer to "how
     * top-heavy is the workload": Gini coefficient of per-user event
@@ -2340,6 +2386,7 @@ FROM t, td"""
     "events_autocorr" -> autocorr,
     "events_type_corr" -> typeCorr,
     "events_pareto" -> pareto,
+    "events_funnel_time" -> funnelTime,
     "events_basket_lift" -> basketLift,
     "events_seasonal_anomaly" -> seasonalAnomaly,
     "events_trend" -> trend,
@@ -2395,6 +2442,7 @@ FROM t, td"""
     "events_autocorr" -> autocorrSql,
     "events_type_corr" -> typeCorrSql,
     "events_pareto" -> paretoSql,
+    "events_funnel_time" -> funnelTimeSql,
     "events_basket_lift" -> basketLiftSql,
     "events_seasonal_anomaly" -> seasonalAnomalySql,
     "events_trend" -> trendSql,

@@ -119,6 +119,18 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("funnel time: latency percentiles ordered and bounded") {
+    val r = EventQueries.queries("events_funnel_time")(spark, Sf).collect()
+    assert(r.length == 1)
+    val (n, p50, p90, mx) = (r(0).getLong(0), r(0).getDouble(1),
+      r(0).getDouble(2), r(0).getLong(3))
+    assert(n > 0, "no conversions in testdata")
+    // latency is defined as at-or-after the first click: non-negative,
+    // and the distribution must be internally ordered
+    assert(p50 >= 0.0 && p50 <= p90 && p90 <= mx.toDouble,
+      s"p50=$p50 p90=$p90 max=$mx")
+  }
+
   test("pareto: gini in range, top decile carries at least its share") {
     val r = EventQueries.queries("events_pareto")(spark, Sf).collect()
     assert(r.length == 1)
