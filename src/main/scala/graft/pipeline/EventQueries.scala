@@ -2282,6 +2282,78 @@ SELECT type_a, type_b, CAST(m AS BIGINT) AS n_hours,
     ELSE NULL END AS r
 FROM mom ORDER BY type_a, type_b"""
 
+  // -------------------------------------------------- user lifecycle
+  /** Growth accounting — every day's active users classified as
+    * `new` (first day ever), `retained` (active yesterday),
+    * `resurrected` (seen before, but not yesterday), plus the day's
+    * `churned` count (active yesterday, absent today) — the
+    * new/retained/resurrected/churned ledger every growth team reads.
+    * One distinct (user, day) reduction; per-user lag/min windows
+    * classify each active day; churn falls out of the identity
+    * churned(d) = active(d−1) − retained(d) — no second pass, no
+    * anti-join. All counts exact longs. Scale: the windows partition
+    * by user over the distinct relation (corpus-independent width),
+    * and the final aggregate is |days|-sized. */
+  private val userLifecycle: Q = (s, d) => {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_millis(date_trunc('day', ts)) div 86400000")
+          .as("day_num"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day_num")
+    val classed = ud
+      .withColumn("prev", lag("day_num", 1).over(w))
+      .select(col("day_num"),
+        when(col("prev").isNull, "new")
+          .when(col("prev") === col("day_num") - 1, "retained")
+          .otherwise("resurrected").as("cls"))
+    val daily = classed.groupBy("day_num").agg(
+      sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+      sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+      sum(when(col("cls") === "resurrected", 1L).otherwise(0L))
+        .as("n_resurrected"))
+    val active = ud.groupBy("day_num").agg(count(lit(1)).as("n_active"))
+    val prevActive = active.select((col("day_num") + 1).as("day_num"),
+      col("n_active").as("prev_active"))
+    daily.join(active, "day_num").join(prevActive, Seq("day_num"), "left")
+      .select(col("day_num"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"),
+        (coalesce(col("prev_active"), lit(0L)) - col("n_retained"))
+          .as("n_churned"))
+      .orderBy("day_num")
+  }
+  private val userLifecycleSql =
+    """WITH ud AS (
+  SELECT DISTINCT user_id,
+    epoch_ms(date_trunc('day', ts)) // 86400000 AS day_num
+  FROM events
+), classed AS (
+  SELECT day_num,
+    CASE WHEN prev IS NULL THEN 'new'
+         WHEN prev = day_num - 1 THEN 'retained'
+         ELSE 'resurrected' END AS cls
+  FROM (SELECT user_id, day_num,
+          lag(day_num) OVER (PARTITION BY user_id ORDER BY day_num) AS prev
+        FROM ud)
+), daily AS (
+  SELECT day_num,
+    sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS n_new,
+    sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS n_retained,
+    sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS n_resurrected
+  FROM classed GROUP BY day_num
+), active AS (
+  SELECT day_num, count(*) AS n_active FROM ud GROUP BY day_num
+)
+SELECT d.day_num, CAST(a.n_active AS BIGINT) AS n_active,
+  CAST(d.n_new AS BIGINT) AS n_new,
+  CAST(d.n_retained AS BIGINT) AS n_retained,
+  CAST(d.n_resurrected AS BIGINT) AS n_resurrected,
+  CAST(coalesce(p.n_active, 0) - d.n_retained AS BIGINT) AS n_churned
+FROM daily d
+JOIN active a ON a.day_num = d.day_num
+LEFT JOIN active p ON p.day_num = d.day_num - 1
+ORDER BY d.day_num"""
+
   // ------------------------------------------------------ funnel time
   /** Time-to-convert — the latency half of the funnel story
     * ([[funnel]] counts who converts; this measures HOW LONG):
@@ -2387,6 +2459,7 @@ FROM t, td"""
     "events_type_corr" -> typeCorr,
     "events_pareto" -> pareto,
     "events_funnel_time" -> funnelTime,
+    "events_user_lifecycle" -> userLifecycle,
     "events_basket_lift" -> basketLift,
     "events_seasonal_anomaly" -> seasonalAnomaly,
     "events_trend" -> trend,
@@ -2443,6 +2516,7 @@ FROM t, td"""
     "events_type_corr" -> typeCorrSql,
     "events_pareto" -> paretoSql,
     "events_funnel_time" -> funnelTimeSql,
+    "events_user_lifecycle" -> userLifecycleSql,
     "events_basket_lift" -> basketLiftSql,
     "events_seasonal_anomaly" -> seasonalAnomalySql,
     "events_trend" -> trendSql,

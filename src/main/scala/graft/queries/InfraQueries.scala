@@ -586,6 +586,62 @@ ORDER BY l_returnflag, l_linestatus"""
 SELECT check_name, violations, violations = 0 AS pass
 FROM rep ORDER BY check_name"""
 
+  // ------------------------------------------------- snapshot diff
+  /** Table reconciliation — the snapshot-diff report every migration /
+    * replication / backfill validates with: two deterministic
+    * "snapshots" of orders (v1 drops orderkey ≡ 0 mod 10; v2 instead
+    * drops ≡ 1 mod 10 and re-prices ≡ 0 mod 7) are compared by a
+    * single FULL OUTER join on the key with md5 row-hashes deciding
+    * changed-vs-unchanged — added / removed / changed / unchanged
+    * counts, exact. The row hash collapses arbitrary row width to one
+    * 16-byte compare, so at 100 TB the diff is one co-partitionable
+    * join on the key carrying (key, hash) only — never a column-wise
+    * compare of wide rows — and at 10⁹ rows md5 collisions are
+    * ~10⁻²⁰: the operational trade every diff tool makes. */
+  private val snapshotDiff: Q = (s, d) => {
+    val base = Tables.orders(s, d)
+    def rowHash(price: org.apache.spark.sql.Column) = md5(concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      price.cast("decimal(18,2)").cast("string")))
+    val v1 = base.filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+      .select(col("o_orderkey").as("k"),
+        rowHash(col("o_totalprice")).as("h1"))
+    val v2 = base.filter(pmod(col("o_orderkey"), lit(10)) =!= 1)
+      .select(col("o_orderkey").as("k"),
+        rowHash(when(pmod(col("o_orderkey"), lit(7)) === 0,
+          col("o_totalprice") * 1.1).otherwise(col("o_totalprice")))
+          .as("h2"))
+    v1.join(v2, Seq("k"), "full")
+      .agg(
+        sum(when(col("h1").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("h2").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("h1").isNotNull && col("h2").isNotNull &&
+          col("h1") =!= col("h2"), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("h1") === col("h2"), 1L).otherwise(0L))
+          .as("n_unchanged"))
+  }
+  private val snapshotDiffSql =
+    """WITH v1 AS (
+  SELECT o_orderkey AS k,
+    md5(o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|'
+        || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)) AS h1
+  FROM orders WHERE o_orderkey % 10 <> 0
+), v2 AS (
+  SELECT o_orderkey AS k,
+    md5(o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|'
+        || CAST(CAST(CASE WHEN o_orderkey % 7 = 0
+             THEN o_totalprice * 1.1 ELSE o_totalprice END
+           AS DECIMAL(18,2)) AS VARCHAR)) AS h2
+  FROM orders WHERE o_orderkey % 10 <> 1
+)
+SELECT
+  CAST(sum(CASE WHEN h1 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+  CAST(sum(CASE WHEN h2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+  CAST(sum(CASE WHEN h1 IS NOT NULL AND h2 IS NOT NULL AND h1 <> h2
+    THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+  CAST(sum(CASE WHEN h1 = h2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+FROM v1 FULL JOIN v2 USING (k)"""
+
   // ------------------------------------------------- column profiler
   /** Column-statistics profiler — the Deequ-Analyzer/ANALYZE-TABLE-
     * style per-column report (row count, null count, exact distinct
@@ -639,6 +695,7 @@ FROM lineitem"""
   val queries: Map[String, Q] = Map(
     "infra_quality_checks" -> qualityChecks,
     "infra_column_profile" -> columnProfile,
+    "infra_snapshot_diff" -> snapshotDiff,
     "infra_bucketed_join" -> bucketedJoin,
     "infra_skew_join" -> skewJoin,
     "infra_partitioned_scan" -> partitionedScan,
@@ -655,6 +712,7 @@ FROM lineitem"""
   val oracle: Map[String, String] = Map(
     "infra_quality_checks" -> qualityChecksSql,
     "infra_column_profile" -> columnProfileSql,
+    "infra_snapshot_diff" -> snapshotDiffSql,
     "infra_bucketed_join" -> bucketedJoinSql,
     "infra_skew_join" -> skewJoinSql,
     "infra_partitioned_scan" -> partitionedScanSql,

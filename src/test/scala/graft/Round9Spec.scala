@@ -119,6 +119,38 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("lifecycle: classes partition each day's actives, churn identity holds") {
+    val rows = EventQueries.queries("events_user_lifecycle")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val byDay = rows.map(r => r._1 -> r).toMap
+    rows.foreach { case (d, active, nw, ret, res, churn) =>
+      // new + retained + resurrected IS the day's active set
+      assert(nw + ret + res == active, s"day $d")
+      assert(churn >= 0, s"day $d churn $churn")
+      // churn identity: churned(d) = active(d-1) - retained(d)
+      byDay.get(d - 1).foreach { prev =>
+        assert(churn == prev._2 - ret, s"day $d churn identity")
+      }
+    }
+    // day one has no history: everyone is new
+    val first = rows.minBy(_._1)
+    assert(first._3 == first._2 && first._4 == 0 && first._5 == 0)
+  }
+
+  test("snapshot diff: the planted edits are counted exactly") {
+    val r = InfraQueries.queries("infra_snapshot_diff")(spark, Sf).collect()
+    val (added, removed, changed, unchanged) = (r(0).getLong(0),
+      r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    // v2 restores the mod-10 keys v1 dropped and drops mod-10-1 keys
+    assert(added > 0 && removed > 0 && changed > 0 && unchanged > 0)
+    val totalOrders = graft.Tables.orders(spark, Sf).count()
+    // every order lands in exactly one diff class (keys in either side)
+    val keysEitherSide = totalOrders // v1 ∪ v2 covers all keys
+    assert(added + removed + changed + unchanged == keysEitherSide)
+  }
+
   test("funnel time: latency percentiles ordered and bounded") {
     val r = EventQueries.queries("events_funnel_time")(spark, Sf).collect()
     assert(r.length == 1)
