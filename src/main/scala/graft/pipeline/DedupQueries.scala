@@ -833,6 +833,70 @@ JOIN nsh nb ON nb.doc_id = i.doc_b
 WHERE CAST(i.ni AS DOUBLE) / (na.n + nb.n - i.ni) >= 0.5
 ORDER BY doc_a, doc_b"""
 
+  // ------------------------------------------------ substring removal
+  /** The TEXT-PRODUCING half of substring dedup — [[substringDedup]]
+    * accounts for repeated spans; this face actually EXCISES them and
+    * emits the cleaned documents (as md5 + token counts, so the oracle
+    * pins the exact output text without shipping it): every token
+    * position covered by any duplicated [[SpanN]]-window is dropped,
+    * survivors re-join in position order. Covered positions come from
+    * a bounded SpanN-fan-out of the dup positions (∝ repeated spans,
+    * not corpus); the anti-join and the ordered re-assembly
+    * (array_sort over (pos, tok) structs — a per-doc operation, no
+    * global sort) ride the affected-docs slice only. This is the Lee
+    * et al. suffix-dedup WRITE path: at 100 TB the affected slice is
+    * the small side, and untouched documents never enter the plan. */
+  private val substringClean: Q = (s, d) => {
+    val dupPos = spanDupPos(s, d).localCheckpoint()
+    val cov = dupPos.select(col("doc_id"),
+      explode(sequence(col("i"), col("i") + SpanN - 1)).as("pos"))
+      .distinct()
+    val affected = dupPos.select("doc_id").distinct()
+    val toksC = split(lower(col("text")), " ")
+    val tokPos = DupCorpus.corpus(s, d)
+      .join(affected, "doc_id")
+      .select(col("doc_id"), posexplode(toksC).as(Seq("pos", "tok")))
+    val cleaned = tokPos.join(cov, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens_after"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("cleaned"))
+    tokPos.groupBy("doc_id").agg(count(lit(1)).as("n_tokens_before"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens_before"),
+        coalesce(col("n_tokens_after"), lit(0L)).as("n_tokens_after"),
+        md5(coalesce(col("cleaned"), lit(""))).as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+  // lazy: spanDupPosCtes/SpanN are declared later in the object — an
+  // eager val here would capture null/0 at init order
+  private lazy val substringCleanSql = spanDupPosCtes + s""", cov AS (
+  SELECT DISTINCT doc_id, i + o.o AS pos
+  FROM dup_pos, (SELECT unnest(range(0, $SpanN)) AS o) o
+), aff AS (
+  SELECT DISTINCT doc_id FROM dup_pos
+), tp AS (
+  SELECT t.doc_id, u.i AS pos, t.toks[u.i + 1] AS tok
+  FROM tok t JOIN aff USING (doc_id),
+    unnest(range(0, len(t.toks))) AS u(i)
+), kept AS (
+  SELECT tp.doc_id, tp.pos, tp.tok
+  FROM tp LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.pos = cov.pos
+  WHERE cov.doc_id IS NULL
+), cleaned AS (
+  SELECT doc_id, count(*) AS n_after,
+    string_agg(tok, ' ' ORDER BY pos) AS cleaned
+  FROM kept GROUP BY doc_id
+), before AS (
+  SELECT t.doc_id, len(t.toks) AS n_before FROM tok t JOIN aff USING (doc_id)
+)
+SELECT b.doc_id, CAST(b.n_before AS BIGINT) AS n_tokens_before,
+  CAST(coalesce(c.n_after, 0) AS BIGINT) AS n_tokens_after,
+  md5(coalesce(c.cleaned, '')) AS cleaned_md5
+FROM before b LEFT JOIN cleaned c USING (doc_id)
+ORDER BY b.doc_id"""
+
   // --------------------------------------------- prefix-filter jaccard
   /** Exact set-similarity self-join via PREFIX FILTERING — the
     * AllPairs/PPJoin family (Bayardo et al., "Scaling Up All Pairs
@@ -947,7 +1011,11 @@ ORDER BY doc_a, doc_b"""
     * doc_id·10⁹ + pos (pos < 10⁹ — testdata max ~10² tokens/doc, and
     * any real corpus chunks long before a billion tokens per doc). */
   private val SpanN = 16
-  private val substringDedup: Q = (s, d) => {
+  /** Duplicated span positions (doc_id, i): every length-[[SpanN]]
+    * window occurring anywhere except its global first occurrence —
+    * shared by the accounting face ([[substringDedup]]) and the
+    * text-producing face ([[substringClean]]). */
+  private[graft] def spanDupPos(s: SparkSession, d: String): DataFrame = {
     val toksC = split(lower(col("text")), " ")
     val sh = DupCorpus.corpus(s, d)
       .select(col("doc_id"), toksC.as("toks"), size(toksC).as("n"))
@@ -959,11 +1027,13 @@ ORDER BY doc_a, doc_b"""
           .as("key"),
         (col("doc_id") * lit(1000000000L) + col("i")).as("mk"))
     val wK = Window.partitionBy("key")
-    val dup = sh
-      .withColumn("n_occ", count(lit(1)).over(wK))
+    sh.withColumn("n_occ", count(lit(1)).over(wK))
       .withColumn("first_mk", min("mk").over(wK))
       .filter(col("n_occ") > 1 && col("mk") =!= col("first_mk"))
       .select("doc_id", "i")
+  }
+  private val substringDedup: Q = (s, d) => {
+    val dup = spanDupPos(s, d)
     val wD = Window.partitionBy("doc_id").orderBy("i")
     val prevEnd = max(col("i") + SpanN)
       .over(wD.rowsBetween(Window.unboundedPreceding, -1))
@@ -981,7 +1051,9 @@ ORDER BY doc_a, doc_b"""
         sum(col("en") - col("st")).cast("long").as("tokens_removed"))
       .orderBy("doc_id")
   }
-  private val substringDedupSql = DupCte + s""", tok AS (
+  /** CTE chain through dup_pos — shared by the accounting and the
+    * span-removal oracles. */
+  private val spanDupPosCtes = DupCte + s""", tok AS (
   SELECT doc_id, string_split(lower(text), ' ') AS toks,
          len(string_split(lower(text), ' ')) AS n
   FROM dup
@@ -1000,7 +1072,9 @@ ORDER BY doc_a, doc_b"""
       min(mk) OVER (PARTITION BY key) AS first_mk
     FROM sh)
   WHERE n_occ > 1 AND mk <> first_mk
-), isl AS (
+)"""
+
+  private val substringDedupSql = spanDupPosCtes + s""", isl AS (
   SELECT doc_id, i,
     CASE WHEN max(i + $SpanN) OVER w1 IS NULL
            OR i > max(i + $SpanN) OVER w1 THEN 1 ELSE 0 END AS new_isl
@@ -1198,7 +1272,8 @@ ORDER BY stage_ord"""
     "dedup_winnow" -> winnow,
     "dedup_triangles" -> triangles,
     "dedup_containment" -> containment,
-    "dedup_substring" -> substringDedup)
+    "dedup_substring" -> substringDedup,
+    "dedup_substring_clean" -> substringClean)
 
   val oracle: Map[String, String] = Map(
     "dedup_exact" -> exactSql,
@@ -1217,5 +1292,6 @@ ORDER BY stage_ord"""
     "dedup_winnow" -> winnowSql,
     "dedup_triangles" -> trianglesSql,
     "dedup_containment" -> containmentSql,
-    "dedup_substring" -> substringDedupSql)
+    "dedup_substring" -> substringDedupSql,
+    "dedup_substring_clean" -> substringCleanSql)
 }

@@ -119,6 +119,22 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("substring clean: removal agrees with the accounting face per doc") {
+    val clean = DedupQueries.queries("dedup_substring_clean")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val acct = DedupQueries.queries("dedup_substring")(spark, Sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(clean.nonEmpty)
+    // exactly the accounted docs are rewritten
+    assert(clean.keySet == acct.keySet)
+    clean.foreach { case (doc, (before, after)) =>
+      assert(after < before, s"doc $doc removed nothing")
+      // tokens_removed (span accounting) == tokens actually excised
+      assert(before - after == acct(doc),
+        s"doc $doc: excised ${before - after}, accounted ${acct(doc)}")
+    }
+  }
+
   test("lifecycle: classes partition each day's actives, churn identity holds") {
     val rows = EventQueries.queries("events_user_lifecycle")(spark, Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
