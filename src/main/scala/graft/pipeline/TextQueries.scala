@@ -619,6 +619,67 @@ WINDOW w AS (ORDER BY tf DESC, token)
 QUALIFY row_number() OVER w <= 50
 ORDER BY rank"""
 
+  // ------------------------------------------------------ OOV rate
+  /** Vocabulary-coverage eval — the OOV-rate readout a tokenizer /
+    * vocabulary decision ships with: against the df ≥ 5 pruned
+    * vocabulary (the [[vocab]] criterion, unlimited — not the top-50
+    * report slice), what fraction of each language's token
+    * OCCURRENCES fall outside it. High OOV = the vocab underserves
+    * that language (the multilingual-fairness check). Counts exact;
+    * the rate ships as integer permille. Scale: the vocabulary
+    * relation is Heaps-law-bounded (≪ corpus) and the membership
+    * probe is one equi-join on the token — the same shape a real
+    * subword-vocab coverage pass takes. */
+  private val oovRate: Q = (s, d) => {
+    val inVocab = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("token"))
+      .groupBy("token").agg(count_distinct(col("doc_id")).as("df"))
+      .filter(col("df") >= 5)
+      .select(col("token"), lit(true).as("iv"))
+    Tables.documents(s, d)
+      .select(col("lang"), explode(toks).as("token"))
+      .join(inVocab, Seq("token"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        expr("(n_oov * 1000) div n_tokens").as("oov_permille"))
+      .orderBy("lang")
+  }
+  private val oovRateSql =
+    s"""WITH t AS (
+  SELECT doc_id, lang, unnest($ToksSql) AS token FROM documents
+), v AS (
+  SELECT token FROM (
+    SELECT token, count(DISTINCT doc_id) AS df FROM t GROUP BY token
+  ) WHERE df >= 5
+), j AS (
+  SELECT t.lang, CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+  FROM t LEFT JOIN v ON t.token = v.token
+)
+SELECT lang, count(*) AS n_tokens, CAST(sum(oov) AS BIGINT) AS n_oov,
+  CAST((sum(oov) * 1000) // count(*) AS BIGINT) AS oov_permille
+FROM j GROUP BY lang ORDER BY lang"""
+
+  // ------------------------------------------- language confusion
+  /** Language-ID confusion matrix — [[langid]]'s eval face: predicted
+    * vs actual label cells with exact counts, the error-analysis
+    * artifact behind every classifier deployment (which languages leak
+    * into 'und'? which pairs confuse?). Pure composition: the langid
+    * prediction relation re-aggregated to the (actual, predicted)
+    * grid — ≤ (|langs|+1)² rows, one extra map-side-combinable
+    * aggregate over the per-doc predictions. */
+  private val langConfusion: Q = (s, d) =>
+    langid(s, d)
+      .groupBy("actual_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("actual_lang", "predicted_lang")
+  private lazy val langConfusionSql =
+    s"""SELECT actual_lang, predicted_lang, count(*) AS n_docs
+FROM ($langidSql)
+GROUP BY actual_lang, predicted_lang
+ORDER BY actual_lang, predicted_lang"""
+
   // ------------------------------------------------- tf-idf top terms
   /** Per-document top-3 distinctive terms by tf·idf — the keyword /
     * topic-signal pass a corpus pipeline runs for routing and quality
@@ -1707,6 +1768,8 @@ FROM a GROUP BY shard ORDER BY shard"""
     "text_ngram_topk" -> ngramTopk,
     "text_ngram_topk_agg" -> ngramTopkAgg,
     "text_vocab" -> vocab,
+    "text_oov_rate" -> oovRate,
+    "text_lang_confusion" -> langConfusion,
     "text_tfidf_top" -> tfidfTop,
     "text_stratified_sample" -> stratifiedSample,
     "text_repetition_filter" -> repetitionFilter,
@@ -1743,6 +1806,8 @@ FROM a GROUP BY shard ORDER BY shard"""
     // same math, different physical path (bounded-buffer aggregate)
     "text_ngram_topk_agg" -> ngramTopkSql,
     "text_vocab" -> vocabSql,
+    "text_oov_rate" -> oovRateSql,
+    "text_lang_confusion" -> langConfusionSql,
     "text_tfidf_top" -> tfidfTopSql,
     "text_stratified_sample" -> stratifiedSampleSql,
     "text_repetition_filter" -> repetitionFilterSql,

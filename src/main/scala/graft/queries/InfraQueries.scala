@@ -586,6 +586,68 @@ ORDER BY l_returnflag, l_linestatus"""
 SELECT check_name, violations, violations = 0 AS pass
 FROM rep ORDER BY check_name"""
 
+  // --------------------------------------------- write-audit-publish
+  /** The WAP (write-audit-publish) pattern — the lakehouse release
+    * gate: a derived snapshot is STAGED to a scratch location, AUDITED
+    * there (row count, null keys, non-positive measures), and
+    * PUBLISHED — one atomic directory rename — only if every audit
+    * passes; a failing audit leaves staging in place and publishes
+    * nothing. Consumers only ever see fully-audited data. The
+    * registered query runs the clean path and reports the decision
+    * plus the published table's cardinality FROM THE PUBLISHED FILES
+    * (not from intent — the oracle recomputes the expectation from
+    * base data, so a silently-skipped publish hash-mismatches);
+    * the audit-failure path (planted null key → no publish) is
+    * spec-pinned via [[wapRun]]. Runs once per (app, dataset) through
+    * the materialize memo like every storage face here. */
+  private[graft] def wapRun(s: SparkSession, d: String,
+                            plant: Boolean): DataFrame = {
+    val name = if (plant) "wap-violating" else "wap-clean"
+    val root = materialize(s, name, d) { p =>
+      val staging = new org.apache.hadoop.fs.Path(p, "staging")
+      val fs = staging.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val snap0 = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("unix_millis(date_trunc('day', ts)) div 86400000")
+            .as("day_num"))
+        .agg(count(lit(1)).as("n_events"))
+      val snap = if (plant)
+        snap0.unionByName(s.range(1).select(
+          lit(null).cast("string").as("event_type"),
+          lit(0L).as("day_num"), lit(1L).as("n_events")))
+      else snap0
+      snap.coalesce(1).write.mode("overwrite").parquet(staging.toString)
+      val staged = s.read.parquet(staging.toString)
+      val bad = staged.filter(col("event_type").isNull ||
+        col("n_events") <= 0).count()
+      if (bad == 0 && staged.count() > 0)
+        fs.rename(staging, new org.apache.hadoop.fs.Path(p, "published"))
+    }
+    val pubPath = new org.apache.hadoop.fs.Path(root, "published")
+    val fs = pubPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(pubPath))
+      s.read.parquet(pubPath.toString)
+        .agg(count(lit(1)).as("n_rows_published"),
+          countDistinct("event_type").as("n_types"))
+        .select(lit(true).as("checks_passed"), lit(true).as("published"),
+          col("n_rows_published"), col("n_types"))
+    else {
+      import s.implicits._
+      Seq((false, false, 0L, 0L)).toDF("checks_passed", "published",
+        "n_rows_published", "n_types")
+    }
+  }
+  private val wapPublish: Q = (s, d) => wapRun(s, d, plant = false)
+  private val wapPublishSql =
+    """WITH cells AS (
+  SELECT event_type, epoch_ms(date_trunc('day', ts)) // 86400000 AS day_num
+  FROM events GROUP BY 1, 2
+)
+SELECT TRUE AS checks_passed, TRUE AS published,
+  count(*) AS n_rows_published,
+  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+FROM cells"""
+
   // ------------------------------------------------- snapshot diff
   /** Table reconciliation — the snapshot-diff report every migration /
     * replication / backfill validates with: two deterministic
@@ -696,6 +758,7 @@ FROM lineitem"""
     "infra_quality_checks" -> qualityChecks,
     "infra_column_profile" -> columnProfile,
     "infra_snapshot_diff" -> snapshotDiff,
+    "infra_wap_publish" -> wapPublish,
     "infra_bucketed_join" -> bucketedJoin,
     "infra_skew_join" -> skewJoin,
     "infra_partitioned_scan" -> partitionedScan,
@@ -713,6 +776,7 @@ FROM lineitem"""
     "infra_quality_checks" -> qualityChecksSql,
     "infra_column_profile" -> columnProfileSql,
     "infra_snapshot_diff" -> snapshotDiffSql,
+    "infra_wap_publish" -> wapPublishSql,
     "infra_bucketed_join" -> bucketedJoinSql,
     "infra_skew_join" -> skewJoinSql,
     "infra_partitioned_scan" -> partitionedScanSql,

@@ -119,6 +119,17 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("WAP: clean snapshot publishes, planted violation blocks the publish") {
+    val ok = InfraQueries.queries("infra_wap_publish")(spark, Sf).collect()
+    assert(ok(0).getBoolean(0) && ok(0).getBoolean(1))
+    assert(ok(0).getLong(2) > 0 && ok(0).getLong(3) > 0)
+    // a snapshot carrying a null key must NOT reach consumers — the
+    // audit blocks the rename and the report says so
+    val bad = InfraQueries.wapRun(spark, Sf, plant = true).collect()
+    assert(!bad(0).getBoolean(0) && !bad(0).getBoolean(1))
+    assert(bad(0).getLong(2) == 0)
+  }
+
   test("substring clean: removal agrees with the accounting face per doc") {
     val clean = DedupQueries.queries("dedup_substring_clean")(spark, Sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
