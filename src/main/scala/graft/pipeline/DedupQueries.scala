@@ -310,6 +310,26 @@ SELECT a AS doc_id, least(a, min(b)) AS cluster_id,
   (least(a, min(b)) = a) AS is_canonical
 FROM reach GROUP BY a ORDER BY doc_id"""
 
+  // ------------------------------------------------------ component sizes
+  /** Dup-component size distribution — the one-glance cluster census
+    * next to [[triangles]] (density) and [[bfsHops]] (depth): how many
+    * near-dup families of each size exist. A size-2 wall means
+    * pairwise dups; a long tail of big components means template
+    * farms — the number that decides whether dedup drops 1% or 30% of
+    * the corpus. Pure composition: two tiny aggregates over the
+    * cluster labels (dup-graph-sized, ≪ corpus). */
+  private val ccSizes: Q = (s, d) =>
+    cluster(s, d)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("cluster_size")
+  private lazy val ccSizesSql =
+    s"""SELECT cluster_size, count(*) AS n_clusters FROM (
+  SELECT cluster_id, count(*) AS cluster_size FROM (
+$clusterSql
+  ) GROUP BY cluster_id
+) GROUP BY cluster_size ORDER BY cluster_size"""
+
   // ------------------------------------------------------------ BFS hops
   /** BFS-round safety cap: dup-graph components are near-cliques, so
     * true eccentricity from the canonical node is tiny; the cap bounds
@@ -1269,6 +1289,7 @@ ORDER BY stage_ord"""
     "dedup_cluster" -> cluster,
     "graph_pagerank" -> pagerank,
     "graph_bfs_hops" -> bfsHops,
+    "graph_cc_sizes" -> ccSizes,
     "dedup_winnow" -> winnow,
     "dedup_triangles" -> triangles,
     "dedup_containment" -> containment,
@@ -1289,6 +1310,7 @@ ORDER BY stage_ord"""
     "dedup_cluster" -> clusterSql,
     "graph_pagerank" -> pagerankSql,
     "graph_bfs_hops" -> bfsHopsSql,
+    "graph_cc_sizes" -> ccSizesSql,
     "dedup_winnow" -> winnowSql,
     "dedup_triangles" -> trianglesSql,
     "dedup_containment" -> containmentSql,

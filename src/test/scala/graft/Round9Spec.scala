@@ -119,6 +119,15 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("cc sizes: census sums back to the labeled node count") {
+    val census = DedupQueries.queries("graph_cc_sizes")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(census.nonEmpty)
+    census.foreach { case (sz, n) => assert(sz >= 2 && n > 0) }
+    val nodes = DedupQueries.queries("dedup_cluster")(spark, Sf).count()
+    assert(census.map { case (sz, n) => sz * n }.sum == nodes)
+  }
+
   test("WAP: clean snapshot publishes, planted violation blocks the publish") {
     val ok = InfraQueries.queries("infra_wap_publish")(spark, Sf).collect()
     assert(ok(0).getBoolean(0) && ok(0).getBoolean(1))
