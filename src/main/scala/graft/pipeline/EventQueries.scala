@@ -2294,20 +2294,24 @@ FROM mom ORDER BY type_a, type_b"""
     * anti-join. All counts exact longs. Scale: the windows partition
     * by user over the distinct relation (corpus-independent width),
     * and the final aggregate is |days|-sized. */
+  /** Per-(user, active-day) lifecycle class from the distinct
+    * (user_id, day_num) relation — shared with the stream face
+    * ([[graft.streaming.StreamingEvents.lifecycleStream]]). */
+  private[graft] def lifecycleClassed(ud: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("day_num")
+    ud.withColumn("prev", lag("day_num", 1).over(w))
+      .select(col("user_id"), col("day_num"),
+        when(col("prev").isNull, "new")
+          .when(col("prev") === col("day_num") - 1, "retained")
+          .otherwise("resurrected").as("cls"))
+  }
   private val userLifecycle: Q = (s, d) => {
     val ud = Tables.events(s, d)
       .select(col("user_id"),
         expr("unix_millis(date_trunc('day', ts)) div 86400000")
           .as("day_num"))
       .distinct()
-    val w = Window.partitionBy("user_id").orderBy("day_num")
-    val classed = ud
-      .withColumn("prev", lag("day_num", 1).over(w))
-      .select(col("day_num"),
-        when(col("prev").isNull, "new")
-          .when(col("prev") === col("day_num") - 1, "retained")
-          .otherwise("resurrected").as("cls"))
-    val daily = classed.groupBy("day_num").agg(
+    val daily = lifecycleClassed(ud).groupBy("day_num").agg(
       sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
       sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
       sum(when(col("cls") === "resurrected", 1L).otherwise(0L))

@@ -395,6 +395,51 @@ object StreamingEvents {
       }
   }
 
+  case class LcState(pending: List[Long], lastDay: Long, hasLast: Boolean)
+  case class LcClass(user_id: Long, day_num: Long, cls: String)
+
+  /** Streaming growth-accounting classification — the unbounded face
+    * of `events_user_lifecycle`'s per-(user, day) classed relation:
+    * per user, remember the LAST released active day and classify each
+    * newly released day as new / retained / resurrected; the batch
+    * ledger is then a plain downstream count per (day, class). Same
+    * watermark-release discipline as [[markovStream]] (buffer until
+    * the watermark strictly passes, release in order); state per user
+    * is the pending buffer plus ONE remembered day — the lifetime
+    * scope is inherent to the metric (a user's first-ever day defines
+    * `new`), exactly like [[attributionStream]]'s lifetime argmin. */
+  def lifecycleStream(events: DataFrame, delay: String = "2 hours"): Dataset[LcClass] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LcState, LcClass](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, it, state) =>
+          val prev = state.getOption.getOrElse(LcState(Nil, 0L, false))
+          val incoming = it.map(_._2.getTime).toList
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, pending) =
+            (prev.pending ++ incoming).partition(_ < wm)
+          var last = prev.lastDay
+          var has = prev.hasLast
+          val out = List.newBuilder[LcClass]
+          ready.map(_ / 86400000L).distinct.sorted.foreach { d =>
+            if (!has) { out += LcClass(user, d, "new"); last = d; has = true }
+            else if (d > last) {
+              out += LcClass(user, d,
+                if (d == last + 1) "retained" else "resurrected")
+              last = d
+            } // d <= last: the day already released in an earlier batch
+          }
+          state.update(LcState(pending, last, has))
+          if (pending.nonEmpty) state.setTimeoutTimestamp(pending.min)
+          out.result().iterator
+      }
+  }
+
   case class MkEv(tsMs: Long, eventId: Long, etype: String)
   case class MkState(pending: List[MkEv], lastType: String, hasLast: Boolean)
   case class MkTransition(user_id: Long, event_id: Long,

@@ -410,6 +410,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming lifecycle: day classes across batches, batch parity") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_ms", "user_id")
+      .select(timestamp_millis(col("ts_ms")).as("ts"), col("user_id"))
+    val q = StreamingEvents.lifecycleStream(typed(mem.toDF()), "2 hours")
+      .writeStream.format("memory").queryName("lc").outputMode("append")
+      .start()
+    val day = 86400000L
+    // user 1: days 0,1,3 (new, retained, resurrected) — split across
+    // micro-batches; user 2: day 1 only (new); a second event on an
+    // already-released day must emit nothing
+    val b1 = Seq((0 * day + 1000, 1L), (1 * day + 1000, 2L))
+    val b2 = Seq((1 * day + 2000, 1L), (0 * day + 5000, 1L))
+    val b3 = Seq((3 * day + 1000, 1L))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      mem.addData(b3: _*); q.processAllAvailable()
+      mem.addData((30 * day, 99L)); q.processAllAvailable() // advance wm
+      val got = spark.table("lc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      val expect = Set((1L, 0L, "new"), (1L, 1L, "retained"),
+        (1L, 3L, "resurrected"), (2L, 1L, "new"))
+      assert(got === expect)
+      // parity: the batch classification over the same released days
+      val ud = (b1 ++ b2 ++ b3).map { case (ts, u) => (u, ts / day) }
+        .distinct.toDF("user_id", "day_num")
+      val batch = graft.pipeline.EventQueries.lifecycleClassed(ud)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .toSet
+      assert(batch === got)
+    } finally q.stop()
+  }
+
   test("streaming session windows: cross-batch merge, watermark emission, batch parity") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
