@@ -114,7 +114,10 @@ object SqlQueries {
     "sql_trigram_paths" -> "events_trigram_paths",
     // market-basket association rules from SQL text: DISTINCT reduction,
     // inequality self-join, and a comma scalar join mixed with ANSI JOINs
-    "sql_basket_lift" -> "events_basket_lift")
+    "sql_basket_lift" -> "events_basket_lift",
+    // Q15 argmax shape from SQL text: 1-row scalar-max CTE joined back
+    // with decimal-exact tie semantics
+    "sql_top_supplier" -> "tpch_top_supplier")
 
   /** The summary-rewrite face FROM SQL TEXT: registers the lineitem
     * summary, then executes `infra_summary_rewrite`'s oracle string via
