@@ -1312,9 +1312,11 @@ FROM ex GROUP BY vec_id ORDER BY vec_id"""
     * evaluation cost is independent of corpus size, and at 100 TB the
     * same harness runs over a sampled query set. All-integer counts;
     * the recall ratio divides two exact longs — hash-safe. */
-  private val recallEval: Q = (s, d) => {
-    val exact = topkBrute(s, d).select(col("query_id"), col("neighbor_id"))
-    val approx = topkIvf(s, d)
+  /** recall@k of an approximate top-k face against the brute-force
+    * ground truth — shared by the IVF eval and the PQ eval. */
+  private def recallAgainstBrute(exact: DataFrame,
+                                 approx0: DataFrame): DataFrame = {
+    val approx = approx0
       .select(col("query_id").as("a_qid"), col("neighbor_id").as("a_nid"))
     exact.join(broadcast(approx),
         exact("query_id") === approx("a_qid") &&
@@ -1326,6 +1328,24 @@ FROM ex GROUP BY vec_id ORDER BY vec_id"""
         round(col("n_hit").cast("double") / col("k"), 6).as("recall"))
       .orderBy("query_id")
   }
+  private val recallEval: Q = (s, d) =>
+    recallAgainstBrute(
+      topkBrute(s, d).select(col("query_id"), col("neighbor_id")),
+      topkIvf(s, d))
+
+  // ------------------------------------------------- PQ recall eval
+  /** Quantization-loss eval — recall@k of the PRODUCT-QUANTIZED
+    * search ([[topkPq]]: corpus stored as 4 subspace codes, ADC
+    * distance tables) against exact brute force: the number that
+    * prices PQ's 128× compression in retrieval quality, measured on
+    * the REGISTERED faces exactly as a deployment would. Same harness
+    * as [[recallEval]] (IVF's pruning loss) — together the two evals
+    * separate the index's two loss sources: which rows are scanned
+    * (IVF) vs how distances are approximated (PQ). */
+  private val pqRecallEval: Q = (s, d) =>
+    recallAgainstBrute(
+      topkBrute(s, d).select(col("query_id"), col("neighbor_id")),
+      topkPq(s, d))
   private val recallEvalSql =
     s"""WITH exact AS (
   SELECT query_id, neighbor_id FROM ($topkBruteSql)
@@ -1339,9 +1359,23 @@ FROM exact e LEFT JOIN approx a
   ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
 GROUP BY e.query_id
 ORDER BY e.query_id"""
+  private lazy val pqRecallEvalSql =
+    s"""WITH exact AS (
+  SELECT query_id, neighbor_id FROM ($topkBruteSql)
+), approx AS (
+  SELECT query_id, neighbor_id FROM ($topkPqSql)
+)
+SELECT e.query_id, CAST(count(*) AS INT) AS k,
+  CAST(count(a.neighbor_id) AS INT) AS n_hit,
+  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6) AS recall
+FROM exact e LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id"""
 
   val queries: Map[String, Q] = Map(
     "ann_recall_eval" -> recallEval,
+    "ann_recall_eval_pq" -> pqRecallEval,
     "embed_random_projection" -> randomProjection,
     "embed_top_pc" -> topPc,
     "embed_remove_top_pc" -> removeTopPc,
@@ -1362,6 +1396,7 @@ ORDER BY e.query_id"""
 
   val oracle: Map[String, String] = Map(
     "ann_recall_eval" -> recallEvalSql,
+    "ann_recall_eval_pq" -> pqRecallEvalSql,
     "embed_random_projection" -> randomProjectionSql,
     "embed_top_pc" -> topPcSql,
     "embed_remove_top_pc" -> removeTopPcSql,

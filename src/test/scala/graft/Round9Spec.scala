@@ -119,6 +119,20 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("pq recall eval: per-query identities hold, loss is real but not total") {
+    val rows = graft.pipeline.SimilarityQueries
+      .queries("ann_recall_eval_pq")(spark, Sf)
+      .collect().map(r => (r.getInt(1), r.getInt(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, hit, rec) =>
+      assert(hit >= 0 && hit <= k)
+      assert(math.abs(rec - hit.toDouble / k) < 1e-6)
+    }
+    // 4x16 PQ on 16-dim vectors loses real recall (that's the point of
+    // the eval) but must still beat random: some queries hit
+    assert(rows.map(_._2).sum > 0, "PQ search found nothing at all")
+  }
+
   test("cc sizes: census sums back to the labeled node count") {
     val census = DedupQueries.queries("graph_cc_sizes")(spark, Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
