@@ -119,6 +119,26 @@ class Round9Spec extends SparkSpec {
     }
   }
 
+  test("two-phase ranks stay distributed in the AUC and pareto plans") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // same pin as SurprisalSpec, applied to the pattern's other users:
+    // the data-sized window must partition by pid; any partitionless
+    // window may only ride the ≤32-row per-partition-counts relation
+    for (q <- Seq("text_classifier_auc", "events_pareto")) {
+      val df = SparkEntry.queries(q)(spark, Sf)
+      val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, s"$q: expected window operators")
+      assert(wins.exists(_.partitionSpec.exists(
+        _.references.exists(_.name == "pid"))),
+        s"$q: the data-sized window must partition by pid")
+      val offenders = wins.filter(w => w.partitionSpec.isEmpty &&
+        !w.child.output.exists(a => a.name == "pc" || a.name == "pnn"))
+      assert(offenders.isEmpty,
+        s"$q: partitionless window over data-sized input:\n" +
+          offenders.mkString("\n"))
+    }
+  }
+
   test("pq recall eval: per-query identities hold, loss is real but not total") {
     val rows = graft.pipeline.SimilarityQueries
       .queries("ann_recall_eval_pq")(spark, Sf)
