@@ -602,6 +602,42 @@ JOIN nsh nb ON nb.doc_id = i.doc_b
 WHERE CAST(i.ni AS DOUBLE) / least(na.n, nb.n) >= 0.7
 ORDER BY doc_a, doc_b"""
 
+  // ---------------------------------------------------- degree histogram
+  /** Degree distribution of the verified near-dup graph — the third
+    * one-glance structural census next to [[ccSizes]] (component sizes)
+    * and [[triangles]] (density): how many docs have exactly k verified
+    * near-dup partners. A mass at degree 1 means pairwise dups; a heavy
+    * tail is the template-farm signature AND the skew forecast for
+    * every downstream self-join on this graph (the wedge fan-out in
+    * [[triangles]] and the propagation width in [[cluster]] are both
+    * degree-driven — this histogram is how an operator decides whether
+    * those runs need salting). Two tiny aggregates over the edge list,
+    * dup-graph scale ≪ corpus scale. */
+  private val degreeHist: Q = (s, d) => {
+    VectorExpressions.register(s)
+    val sh = shingleRows(DupCorpus.corpus(s, d))
+    val e = jaccardVerify(minhashCandidates(s, d), shingleSketches(sh), 0.4)
+      .select("doc_a", "doc_b")
+    e.select(col("doc_a").as("v"))
+      .unionAll(e.select(col("doc_b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_docs"))
+      .orderBy("degree")
+  }
+  private val degreeHistSql = s"""$minhashCtes, pairs AS (
+  SELECT doc_a, doc_b FROM (
+$minhashPairSelect
+  )
+), deg AS (
+  SELECT v, count(*) AS degree FROM (
+    SELECT doc_a AS v FROM pairs
+    UNION ALL
+    SELECT doc_b AS v FROM pairs
+  ) GROUP BY v
+)
+SELECT degree, count(*) AS n_docs FROM deg
+GROUP BY degree ORDER BY degree"""
+
   // ------------------------------------------------------------ triangles
   /** Exact triangle census of the verified near-dup graph — the
     * cluster-density diagnostic (a clean duplicate group is a clique:
@@ -1290,6 +1326,7 @@ ORDER BY stage_ord"""
     "graph_pagerank" -> pagerank,
     "graph_bfs_hops" -> bfsHops,
     "graph_cc_sizes" -> ccSizes,
+    "graph_degree_hist" -> degreeHist,
     "dedup_winnow" -> winnow,
     "dedup_triangles" -> triangles,
     "dedup_containment" -> containment,
@@ -1311,6 +1348,7 @@ ORDER BY stage_ord"""
     "graph_pagerank" -> pagerankSql,
     "graph_bfs_hops" -> bfsHopsSql,
     "graph_cc_sizes" -> ccSizesSql,
+    "graph_degree_hist" -> degreeHistSql,
     "dedup_winnow" -> winnowSql,
     "dedup_triangles" -> trianglesSql,
     "dedup_containment" -> containmentSql,

@@ -2416,7 +2416,11 @@ FROM conv"""
     * single-task sort). Everything is integer (Σx, Σi·x exact longs)
     * until the two closed-form divisions. The skew diagnostic that
     * justifies [[graft.operators.SkewJoin]]'s salting at 100 TB. */
-  private val pareto: Q = (s, d) => {
+  /** The distributed two-phase global rank of users by event count —
+    * exposed pre-checkpoint so Round9Spec can pin the plan shape (the
+    * checkpoint in [[pareto]] is an eager barrier that hides the
+    * WindowExec from the final query plan). */
+  private[graft] def paretoRanked(s: SparkSession, d: String): DataFrame = {
     val u = Tables.events(s, d)
       .groupBy("user_id").agg(count(lit(1)).as("x"))
     val parted = u.repartitionByRange(32, col("x"), col("user_id"))
@@ -2428,9 +2432,11 @@ FROM conv"""
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = counts.select(col("pid"),
       coalesce(sum("pc").over(wOff), lit(0L)).as("off"))
-    val ranked = local.join(broadcast(offs), "pid")
+    local.join(broadcast(offs), "pid")
       .select(col("x"), (col("rn") + col("off")).as("i"))
-      .localCheckpoint()
+  }
+  private val pareto: Q = (s, d) => {
+    val ranked = paretoRanked(s, d).localCheckpoint()
     val tot = broadcast(ranked.agg(count(lit(1)).as("n"), sum("x").as("s"),
       sum(col("i") * col("x")).as("t")))
     val top = ranked.crossJoin(tot)
@@ -2457,7 +2463,165 @@ SELECT CAST(n AS BIGINT) AS n_users, CAST(s AS BIGINT) AS n_events,
   CAST((1000 * topx) // s AS BIGINT) AS top_decile_permille
 FROM t, td"""
 
+  // ------------------------------------------------------------- CUPED
+  /** CUPED variance-reduced experiment readout — the standard upgrade
+    * to [[abTest]] every experimentation platform ships (Deng et al.,
+    * WSDM'13): regress the experiment metric on a pre-experiment
+    * covariate and analyze the residual, cutting variance by the
+    * squared correlation ρ². The observed time range is split at its
+    * integer-millisecond midpoint (a 1-row broadcast bounds aggregate,
+    * the gap-fill pattern); per user, X = pre-period value sum and
+    * Y = post-period value sum; θ = cov(X,Y)/var(X) is pooled across
+    * both cohorts (assignment-independent, so the adjustment is
+    * unbiased). Shape at 100 TB: one fact scan → one combinable
+    * group-by on user_id → a single 9-sum global aggregate over the
+    * per-user relation; no self-join, no window. Determinism: X and Y
+    * are exact decimal sums cast once to double; the cross-moment
+    * products are single IEEE multiplies cast to decimal for the
+    * order-free global sum (the [[abTest]] contract); every reported
+    * stat is a fixed closed-form expression over those exact partials. */
+  private val cuped: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val mid = broadcast(ev.agg(
+      expr("(min(unix_millis(ts)) + max(unix_millis(ts))) div 2")
+        .as("mid_ms")))
+    val z = lit(0).cast("decimal(18,6)")
+    val perUser = ev.crossJoin(mid)
+      .groupBy("user_id")
+      .agg(
+        sum(when(unix_millis(col("ts")) < col("mid_ms"),
+          col("value").cast("decimal(18,6)")).otherwise(z))
+          .cast("double").as("x"),
+        sum(when(unix_millis(col("ts")) >= col("mid_ms"),
+          col("value").cast("decimal(18,6)")).otherwise(z))
+          .cast("double").as("y"))
+    def dsum(c: Column) = sum(c.cast("decimal(25,10)"))
+    val m = perUser.agg(
+      sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n1"),
+      dsum(when(col("user_id") % 2 === 0, col("x"))).as("sx0"),
+      dsum(when(col("user_id") % 2 === 1, col("x"))).as("sx1"),
+      dsum(when(col("user_id") % 2 === 0, col("y"))).as("sy0"),
+      dsum(when(col("user_id") % 2 === 1, col("y"))).as("sy1"),
+      dsum(col("x") * col("y")).as("sxy"),
+      dsum(col("x") * col("x")).as("sxx"),
+      dsum(col("y") * col("y")).as("syy"))
+    def D(name: String) = col(name).cast("double")
+    m.select(col("n0"), col("n1"),
+        (D("n0") + D("n1")).as("n"),
+        (D("sx0") + D("sx1")).as("sx"), (D("sy0") + D("sy1")).as("sy"),
+        D("sxy").as("sxy"), D("sxx").as("sxx"), D("syy").as("syy"),
+        (D("sy0") / D("n0") - D("sy1") / D("n1")).as("diff_raw"),
+        (D("sx0") / D("n0") - D("sx1") / D("n1")).as("diff_x"))
+      .select(col("n0"), col("n1"), col("diff_raw"), col("diff_x"),
+        ((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx"))).as("theta"),
+        (((col("n") * col("sxy") - col("sx") * col("sy"))
+          * (col("n") * col("sxy") - col("sx") * col("sy")))
+          / ((col("n") * col("sxx") - col("sx") * col("sx"))
+            * (col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("rho_sq"))
+      .select(col("n0"), col("n1"),
+        round(col("diff_raw"), 6).as("diff_raw"),
+        round(col("theta"), 6).as("theta"),
+        round(col("diff_raw") - col("theta") * col("diff_x"), 6)
+          .as("diff_cuped"),
+        round(col("rho_sq"), 6).as("rho_sq"))
+  }
+  private val cupedSql =
+    """WITH mid AS (
+  SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS mid_ms FROM events
+), pu AS (
+  SELECT user_id,
+    CAST(sum(CASE WHEN epoch_ms(ts) < mid_ms
+      THEN CAST(value AS DECIMAL(18,6))
+      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS x,
+    CAST(sum(CASE WHEN epoch_ms(ts) >= mid_ms
+      THEN CAST(value AS DECIMAL(18,6))
+      ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE) AS y
+  FROM events, mid GROUP BY user_id
+), m AS (
+  SELECT
+    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    sum(CASE WHEN user_id % 2 = 0 THEN CAST(x AS DECIMAL(25,10)) END) AS sx0,
+    sum(CASE WHEN user_id % 2 = 1 THEN CAST(x AS DECIMAL(25,10)) END) AS sx1,
+    sum(CASE WHEN user_id % 2 = 0 THEN CAST(y AS DECIMAL(25,10)) END) AS sy0,
+    sum(CASE WHEN user_id % 2 = 1 THEN CAST(y AS DECIMAL(25,10)) END) AS sy1,
+    sum(CAST(x * y AS DECIMAL(25,10))) AS sxy,
+    sum(CAST(x * x AS DECIMAL(25,10))) AS sxx,
+    sum(CAST(y * y AS DECIMAL(25,10))) AS syy
+  FROM pu
+), f AS (
+  SELECT n0, n1,
+    CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) AS n,
+    CAST(sx0 AS DOUBLE) + CAST(sx1 AS DOUBLE) AS sx,
+    CAST(sy0 AS DOUBLE) + CAST(sy1 AS DOUBLE) AS sy,
+    CAST(sxy AS DOUBLE) AS sxy, CAST(sxx AS DOUBLE) AS sxx,
+    CAST(syy AS DOUBLE) AS syy,
+    CAST(sy0 AS DOUBLE) / n0 - CAST(sy1 AS DOUBLE) / n1 AS diff_raw,
+    CAST(sx0 AS DOUBLE) / n0 - CAST(sx1 AS DOUBLE) / n1 AS diff_x
+  FROM m
+)
+SELECT n0, n1, round(diff_raw, 6) AS diff_raw,
+  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta,
+  round(diff_raw
+    - (n * sxy - sx * sy) / (n * sxx - sx * sx) * diff_x, 6) AS diff_cuped,
+  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS rho_sq
+FROM f"""
+
+  // -------------------------------------------------- audience overlap
+  /** Audience-overlap matrix — "how much do the users of feature A and
+    * feature B coincide", the segment-sizing query behind every
+    * cross-sell / cannibalization readout: for each unordered pair of
+    * event types, |users(A) ∩ users(B)| and the Jaccard overlap.
+    * Shape at 100 TB: the fact reduces FIRST to the distinct
+    * (event_type, user_id) relation (≤ |types|·|users|, orders of
+    * magnitude below the fact — the [[dauMau]] reduction), the pair
+    * count is a self-equi-join on user_id whose per-user fan-out is
+    * capped at C(|types|,2) (type vocabulary, not data, scale), and
+    * per-type sizes arrive by a broadcast join. Never an all-pairs
+    * comparison of users. */
+  private val audienceOverlap: Q = (s, d) => {
+    val du = Tables.events(s, d)
+      .select("event_type", "user_id").distinct()
+    val sizes = du.groupBy("event_type").agg(count(lit(1)).as("na"))
+    val pairs = du.toDF("type_a", "user_id")
+      .join(du.toDF("type_b", "ub"),
+        col("user_id") === col("ub") && col("type_a") < col("type_b"))
+      .groupBy("type_a", "type_b").agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(sizes.toDF("type_a", "n_a")), "type_a")
+      .join(broadcast(sizes.toDF("type_b", "n_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        round(col("n_both").cast("double")
+          / (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
+      .orderBy("type_a", "type_b")
+  }
+  private val audienceOverlapSql =
+    """WITH du AS (
+  SELECT DISTINCT event_type, user_id FROM events
+), sizes AS (
+  SELECT event_type, count(*) AS na FROM du GROUP BY event_type
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+    count(*) AS n_both
+  FROM du a JOIN du b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, sa.na AS n_a, sb.na AS n_b, n_both,
+  round(CAST(n_both AS DOUBLE) / (sa.na + sb.na - n_both), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.event_type = type_a
+JOIN sizes sb ON sb.event_type = type_b
+ORDER BY type_a, type_b"""
+
   val queries: Map[String, Q] = Map(
+    "events_cuped" -> cuped,
+    "events_audience_overlap" -> audienceOverlap,
     "events_ab_test" -> abTest,
     "events_autocorr" -> autocorr,
     "events_type_corr" -> typeCorr,
@@ -2514,6 +2678,8 @@ FROM t, td"""
     "events_dau_mau_approx" -> dauMauApprox)
 
   val oracle: Map[String, String] = Map(
+    "events_cuped" -> cupedSql,
+    "events_audience_overlap" -> audienceOverlapSql,
     "events_ab_test" -> abTestSql,
     "events_gap_fill" -> gapFillSql,
     "events_autocorr" -> autocorrSql,

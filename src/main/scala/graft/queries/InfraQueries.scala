@@ -494,6 +494,115 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 ORDER BY l_returnflag, l_linestatus"""
 
+  // ------------------------------------------------------ delete vectors
+  /** Merge-on-read equality deletes — the lakehouse delete path
+    * (Iceberg v2 equality-delete files / Delta deletion vectors): a
+    * delete is a small FILE of keys written next to the data, not a
+    * rewrite of the base snapshot, and every reader applies it on the
+    * fly. The three snapshot components (base seq 0, an appended batch
+    * seq 1, a delete file seq 1) are physically written to scratch
+    * parquet once per (app, dataset) and read BACK — the query works
+    * on storage, not lineage. Apply rule is Iceberg's: a delete with
+    * sequence s removes rows whose data sequence is < s, so the
+    * appended seq-1 rows survive the seq-1 delete entries that name
+    * them (the reconciliation subtlety this query exists to prove).
+    * Shape at 100 TB: the delete relation is collapsed to max(del_seq)
+    * per key (delete-file-sized, ≪ data) and applied with ONE
+    * left join + filter — AQE turns it into a broadcast join while
+    * delete files are small, and it degrades to a shuffle join, never
+    * a rewrite, when they are not. */
+  private def morPaths(s: SparkSession, d: String): String =
+    materialize(s, "mor-deletes", d) { p =>
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+      val mx = docs.agg((max("doc_id") + 1).as("base_id"))
+      docs.withColumn("seq", lit(0L))
+        .write.mode("overwrite").parquet(s"$p/base")
+      docs.filter(col("doc_id") % 17 === 0).crossJoin(broadcast(mx))
+        .select((col("doc_id") + col("base_id")).as("doc_id"),
+          lit("xx").as("lang"), lit("append").as("source"),
+          (col("doc_id") % 991).as("n_chars"), lit(1L).as("seq"))
+        .write.mode("overwrite").parquet(s"$p/append")
+      docs.filter(col("doc_id") % 13 === 5)
+        .select(col("doc_id"), lit(1L).as("del_seq"))
+        .unionByName(docs
+          .filter(col("doc_id") % 17 === 0 && col("doc_id") % 2 === 0)
+          .crossJoin(broadcast(mx))
+          .select((col("doc_id") + col("base_id")).as("doc_id"),
+            lit(1L).as("del_seq")))
+        .write.mode("overwrite").parquet(s"$p/deletes")
+    }
+  private val deleteVectors: Q = (s, d) => {
+    val p = morPaths(s, d)
+    val rows = s.read.parquet(s"$p/base")
+      .unionByName(s.read.parquet(s"$p/append"))
+    val dels = s.read.parquet(s"$p/deletes")
+      .groupBy("doc_id").agg(max("del_seq").as("del_seq"))
+    rows.join(dels, Seq("doc_id"), "left_outer")
+      .filter(col("del_seq").isNull || col("del_seq") <= col("seq"))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+  private val deleteVectorsSql =
+    """WITH mx AS (SELECT max(doc_id) + 1 AS base_id FROM documents),
+rows_ AS (
+  SELECT doc_id, lang, source, n_chars, 0 AS seq FROM documents
+  UNION ALL
+  SELECT d.doc_id + mx.base_id, 'xx', 'append', d.doc_id % 991, 1
+  FROM documents d, mx WHERE d.doc_id % 17 = 0
+), dels AS (
+  SELECT doc_id, 1 AS del_seq FROM documents WHERE doc_id % 13 = 5
+  UNION ALL
+  SELECT d.doc_id + mx.base_id, 1
+  FROM documents d, mx WHERE d.doc_id % 17 = 0 AND d.doc_id % 2 = 0
+), dmax AS (
+  SELECT doc_id, max(del_seq) AS del_seq FROM dels GROUP BY doc_id
+)
+SELECT r.doc_id, r.lang, r.source, r.n_chars
+FROM rows_ r LEFT JOIN dmax dm ON r.doc_id = dm.doc_id
+WHERE dm.del_seq IS NULL OR dm.del_seq <= r.seq
+ORDER BY r.doc_id"""
+
+  // -------------------------------------------------- join incremental
+  /** Incremental JOIN-view maintenance — the delta-propagation rule
+    * for materialized joins (ΔJ = ΔA ⋈ B when only A changed): the
+    * orders⋈customer revenue-by-nation view is maintained by joining
+    * ONLY the delta orders batch against customer and folding its
+    * partial aggregates into the standing snapshot, never rescanning
+    * the base fact. Complements [[summaryIncremental]] (aggregate IVM)
+    * with the join half of the view-maintenance story; at 100 TB the
+    * avoided work per refresh is the full base-fact join, the dominant
+    * recurring cost of a naive reporting join. The snapshot is an
+    * eager localCheckpoint — the delta path provably cannot re-read
+    * the base relation. Counts sum as longs and revenue as exact
+    * decimals (associative), so fold(snapshot, delta) is
+    * hash-identical to the oracle's full recompute. */
+  private val joinIncremental: Q = (s, d) => {
+    val cust = Tables.raw(s, d, "customer").select("c_custkey", "c_nationkey")
+    def partials(ords: DataFrame): DataFrame = ords
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+    val ords = Tables.raw(s, d, "orders")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val snapshot = partials(ords.filter(col("o_orderkey") % 10 =!= 0))
+      .localCheckpoint()
+    partials(ords.filter(col("o_orderkey") % 10 === 0))
+      .unionByName(snapshot)
+      .groupBy("c_nationkey")
+      .agg(sum("n_orders").as("n_orders"), sum("rev").as("rev_w"))
+      .select(col("c_nationkey"), col("n_orders"),
+        round(col("rev_w").cast("double"), 2).as("revenue"))
+      .orderBy("c_nationkey")
+  }
+  private val joinIncrementalSql =
+    """SELECT c_nationkey, count(*) AS n_orders,
+  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+    AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey ORDER BY c_nationkey"""
+
   // ------------------------------------------------------ quality checks
   /** Declarative data-quality audit — the dbt-test / Deequ-style
     * constraint suite a pipeline runs before promoting a batch: PK
@@ -770,7 +879,9 @@ FROM lineitem"""
     "infra_summary_rewrite" -> summaryRewrite,
     "infra_cdc_merge" -> cdcMerge,
     "infra_schema_evolution" -> schemaEvolution,
-    "infra_summary_incremental" -> summaryIncremental)
+    "infra_summary_incremental" -> summaryIncremental,
+    "infra_delete_vectors" -> deleteVectors,
+    "infra_join_incremental" -> joinIncremental)
 
   val oracle: Map[String, String] = Map(
     "infra_quality_checks" -> qualityChecksSql,
@@ -788,5 +899,7 @@ FROM lineitem"""
     "infra_summary_rewrite" -> summaryRewriteSql,
     "infra_cdc_merge" -> cdcMergeSql,
     "infra_schema_evolution" -> schemaEvolutionSql,
-    "infra_summary_incremental" -> summaryIncrementalSql)
+    "infra_summary_incremental" -> summaryIncrementalSql,
+    "infra_delete_vectors" -> deleteVectorsSql,
+    "infra_join_incremental" -> joinIncrementalSql)
 }

@@ -1,0 +1,81 @@
+package graft
+
+import graft.pipeline.{DedupQueries, EventQueries}
+import graft.queries.InfraQueries
+import org.apache.spark.sql.functions._
+
+/** Properties of the round-10 additions the oracle compare can't see:
+  * CUPED's variance-reduction algebra, the overlap matrix's set
+  * identities, the merge-on-read sequence rule, and the join-IVM
+  * snapshot barrier. */
+class Round10Spec extends SparkSpec {
+
+  test("cuped: rho² in [0,1], cohorts partition the users, theta finite") {
+    val r = EventQueries.queries("events_cuped")(spark, Sf).collect()
+    assert(r.length == 1)
+    val (n0, n1) = (r(0).getLong(0), r(0).getLong(1))
+    val (theta, rho) = (r(0).getDouble(3), r(0).getDouble(5))
+    assert(n0 > 0 && n1 > 0)
+    val users = Tables.events(spark, Sf)
+      .select("user_id").distinct().count()
+    assert(n0 + n1 == users, s"cohorts $n0+$n1 != $users users")
+    assert(!theta.isNaN && !theta.isInfinite)
+    // ρ² is a squared correlation — the variance-reduction fraction
+    assert(rho >= 0.0 && rho <= 1.0, s"rho_sq=$rho")
+  }
+
+  test("audience overlap: full C(types,2) matrix, intersection bounds hold") {
+    val types = Tables.events(spark, Sf)
+      .select("event_type").distinct().count().toInt
+    val rows = EventQueries.queries("events_audience_overlap")(spark, Sf)
+      .collect()
+    assert(rows.length == types * (types - 1) / 2)
+    rows.foreach { r =>
+      val (a, b) = (r.getString(1), r.getString(0))
+      val (na, nb, both) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val j = r.getDouble(5)
+      assert(both <= math.min(na, nb), s"$a/$b |A∩B| exceeds a side")
+      assert(j >= 0.0 && j <= 1.0, s"$a/$b jaccard=$j")
+    }
+  }
+
+  test("delete vectors: deletes land, the sequence rule shields same-seq appends") {
+    val live = InfraQueries.queries("infra_delete_vectors")(spark, Sf)
+    val docs = Tables.documents(spark, Sf).select("doc_id")
+    val baseId = docs.agg(max("doc_id")).head().getLong(0) + 1
+    // base rows named by the seq-1 delete file are gone
+    assert(live.filter(col("doc_id") < baseId &&
+      col("doc_id") % 13 === 5).isEmpty)
+    // appended seq-1 rows survive the seq-1 delete entries that name
+    // them (Iceberg's strict `<` sequence rule — the MoR subtlety)
+    val appendedEven = docs
+      .filter(col("doc_id") % 17 === 0 && col("doc_id") % 2 === 0).count()
+    assert(appendedEven > 0)
+    assert(live.filter(col("doc_id") >= baseId &&
+      (col("doc_id") - baseId) % 2 === 0).count() == appendedEven)
+  }
+
+  test("join ivm: fold(snapshot, delta) equals the full recompute") {
+    val inc = InfraQueries.queries("infra_join_incremental")(spark, Sf)
+    val cust = Tables.raw(spark, Sf, "customer")
+      .select("c_custkey", "c_nationkey")
+    val full = Tables.raw(spark, Sf, "orders")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2)
+          .as("revenue"))
+      .orderBy("c_nationkey")
+    assert(inc.collect().toSeq == full.collect().toSeq)
+  }
+
+  test("degree hist: handshake parity and node conservation") {
+    val rows = DedupQueries.queries("graph_degree_hist")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (deg, n) => assert(deg >= 1 && n >= 1) }
+    // Σ degree·n_docs = 2|E| — the handshake lemma, so it must be even
+    val degSum = rows.map { case (d, n) => d * n }.sum
+    assert(degSum % 2 == 0, s"odd total degree $degSum")
+  }
+}

@@ -124,8 +124,15 @@ class Round9Spec extends SparkSpec {
     // same pin as SurprisalSpec, applied to the pattern's other users:
     // the data-sized window must partition by pid; any partitionless
     // window may only ride the ≤32-row per-partition-counts relation
-    for (q <- Seq("text_classifier_auc", "events_pareto")) {
-      val df = SparkEntry.queries(q)(spark, Sf)
+    // events_pareto checkpoints its ranked relation (an eager barrier
+    // that hides the window from the final plan), so the pin inspects
+    // the exposed pre-checkpoint relation instead.
+    val plans = Seq(
+      "text_classifier_auc" ->
+        SparkEntry.queries("text_classifier_auc")(spark, Sf),
+      "events_pareto" ->
+        graft.pipeline.EventQueries.paretoRanked(spark, Sf))
+    for ((q, df) <- plans) {
       val wins = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
       assert(wins.nonEmpty, s"$q: expected window operators")
       assert(wins.exists(_.partitionSpec.exists(
