@@ -203,6 +203,82 @@ WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
   AND ts < TIMESTAMP '2024-01-12 00:00:00'
 GROUP BY event_type ORDER BY event_type"""
 
+  /** Hash-clustered events layout + its file-level Bloom index, built
+    * once per (app, dataset): `repartition(user_id)` puts each user's
+    * rows in exactly one file, then ONE pass over the written files
+    * derives a 1024-bit Bloom filter per file (two salted hash
+    * positions per key, 16 bit-or'd long words — the index Iceberg
+    * and Delta keep for point-lookup columns that min/max stats can't
+    * serve, because a hash-clustered column has no per-file range).
+    * The bitmap is built with plain relational ops: explode the two
+    * bit positions, group by (file, word), `bit_or` the one-hot words
+    * — no UDF, no driver loop. Returns (dataPath, statsPath). */
+  def bloomEventsPaths(s: SparkSession, d: String): (String, String) = {
+    val root = materialize(s, "bloom-events", d) { p =>
+      Tables.events(s, d).repartition(16, col("user_id"))
+        .write.mode("overwrite").parquet(s"$p/data")
+      s.read.parquet(s"$p/data")
+        .select(input_file_name().as("file"),
+          pmod(col("user_id") * lit(2654435761L), lit(1024L)).as("p1"),
+          pmod(col("user_id") * lit(2246822519L) + lit(1013904223L),
+            lit(1024L)).as("p2"))
+        .select(col("file"), explode(array(col("p1"), col("p2"))).as("pos"))
+        .select(col("file"), expr("CAST(pos div 64 AS INT)").as("word"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+            .as("bits"))
+        .groupBy("file", "word").agg(expr("bit_or(bits)").as("bits"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$p/stats")
+    }
+    (s"$root/data", s"$root/stats")
+  }
+
+  /** Files whose Bloom bitmap has BOTH probe bits set — the candidate
+    * set a point-lookup scan opens. No false negatives by
+    * construction (the build bit-or's every present key's positions);
+    * false positives only cost an extra file open. */
+  def bloomSurvivors(s: SparkSession, statsPath: String,
+      probe: Long): Seq[String] = {
+    val (p1, p2) = (
+      java.lang.Math.floorMod(probe * 2654435761L, 1024L),
+      java.lang.Math.floorMod(probe * 2246822519L + 1013904223L, 1024L))
+    def hit(pos: Long) =
+      s.read.parquet(statsPath)
+        .filter(col("word") === (pos / 64).toInt &&
+          (col("bits").bitwiseAND(lit(1L << (pos % 64).toInt))) =!= 0L)
+        .select("file").collect().map(_.getString(0)).toSet
+    (hit(p1) intersect hit(p2)).toSeq.sorted
+  }
+
+  /** File-level Bloom-filter data skipping — the point-lookup
+    * complement to [[minmaxSkipping]]: a hash-clustered column has no
+    * usable per-file [min,max], so the per-file Bloom index answers
+    * "which files COULD contain key k" instead; the scan opens only
+    * those (typically 1 of 16 here, ≈1 + FP-rate at any file count —
+    * pinned by InfraScanSpec). The stats read is file-level METADATA
+    * (16 words × files), never data. The probe key is the corpus
+    * max(user_id) — data-derived, deterministic. The oracle runs the
+    * plain point filter on the unclustered source: layout and index
+    * must be semantics-free. */
+  private val bloomSkipping: Q = (s, d) => {
+    val (data, stats) = bloomEventsPaths(s, d)
+    val probe = s.read.parquet(data).agg(max("user_id")).head().getLong(0)
+    val survivors = bloomSurvivors(s, stats, probe)
+    s.read.parquet(survivors: _*)
+      .filter(col("user_id") === probe)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4)
+          .as("val_sum"))
+      .orderBy("event_type")
+  }
+  private val bloomSkippingSql =
+    """SELECT event_type, count(*) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS val_sum
+FROM events
+WHERE user_id = (SELECT max(user_id) FROM events)
+GROUP BY event_type ORDER BY event_type"""
+
   /** CSV source round trip with an EXPLICIT schema — the format-breadth
     * face: integer/string columns survive text serialization losslessly,
     * and the declared schema means no inference pass (schema inference
@@ -881,7 +957,8 @@ FROM lineitem"""
     "infra_schema_evolution" -> schemaEvolution,
     "infra_summary_incremental" -> summaryIncremental,
     "infra_delete_vectors" -> deleteVectors,
-    "infra_join_incremental" -> joinIncremental)
+    "infra_join_incremental" -> joinIncremental,
+    "infra_bloom_skipping" -> bloomSkipping)
 
   val oracle: Map[String, String] = Map(
     "infra_quality_checks" -> qualityChecksSql,
@@ -901,5 +978,6 @@ FROM lineitem"""
     "infra_schema_evolution" -> schemaEvolutionSql,
     "infra_summary_incremental" -> summaryIncrementalSql,
     "infra_delete_vectors" -> deleteVectorsSql,
-    "infra_join_incremental" -> joinIncrementalSql)
+    "infra_join_incremental" -> joinIncrementalSql,
+    "infra_bloom_skipping" -> bloomSkippingSql)
 }

@@ -117,7 +117,11 @@ object SqlQueries {
     "sql_basket_lift" -> "events_basket_lift",
     // Q15 argmax shape from SQL text: 1-row scalar-max CTE joined back
     // with decimal-exact tie semantics
-    "sql_top_supplier" -> "tpch_top_supplier")
+    "sql_top_supplier" -> "tpch_top_supplier",
+    // audience-overlap matrix from SQL text: DISTINCT reduction, an
+    // inequality self-join, ordinal GROUP BY, and two dimension
+    // re-joins of one CTE
+    "sql_audience_overlap" -> "events_audience_overlap")
 
   /** The summary-rewrite face FROM SQL TEXT: registers the lineitem
     * summary, then executes `infra_summary_rewrite`'s oracle string via

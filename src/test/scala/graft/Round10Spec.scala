@@ -69,6 +69,27 @@ class Round10Spec extends SparkSpec {
     assert(inc.collect().toSeq == full.collect().toSeq)
   }
 
+  test("bloom skipping: prunes files, never a false negative") {
+    val (data, stats) = InfraQueries.bloomEventsPaths(spark, Sf)
+    val all = spark.read.parquet(data)
+      .select(input_file_name().as("f"), col("user_id"))
+    val nFiles = all.select("f").distinct().count()
+    assert(nFiles > 1, "layout produced a single file — nothing to prune")
+    // several real keys: every file that truly holds the key must
+    // survive (no false negatives), and pruning must actually drop
+    // most files (hash clustering puts each user in exactly one)
+    val probes = all.select("user_id").distinct()
+      .orderBy(col("user_id").desc).limit(5)
+      .collect().map(_.getLong(0))
+    probes.foreach { k =>
+      val truth = all.filter(col("user_id") === k)
+        .select("f").distinct().collect().map(_.getString(0)).toSet
+      val surv = InfraQueries.bloomSurvivors(spark, stats, k).toSet
+      assert(truth.subsetOf(surv), s"user $k: bloom dropped a true file")
+      assert(surv.size < nFiles, s"user $k: no pruning (${surv.size}/$nFiles)")
+    }
+  }
+
   test("degree hist: handshake parity and node conservation") {
     val rows = DedupQueries.queries("graph_degree_hist")(spark, Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
