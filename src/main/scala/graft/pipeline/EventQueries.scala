@@ -2480,21 +2480,27 @@ FROM t, td"""
     * products are single IEEE multiplies cast to decimal for the
     * order-free global sum (the [[abTest]] contract); every reported
     * stat is a fixed closed-form expression over those exact partials. */
-  private val cuped: Q = (s, d) => {
-    val ev = Tables.events(s, d)
-    val mid = broadcast(ev.agg(
-      expr("(min(unix_millis(ts)) + max(unix_millis(ts))) div 2")
-        .as("mid_ms")))
+  /** Per-user covariate/metric moments keyed by the pre/post split at
+    * `mid_ms` — shared verbatim with
+    * [[graft.streaming.StreamingEvents.cupedStream]] (there the split
+    * point is the known experiment start; here it is the data range
+    * midpoint carried on each row by a broadcast bounds aggregate).
+    * Decimal sums: mergeable across micro-batches, order-free. */
+  private[graft] val cupedUserAggs: Seq[Column] = {
     val z = lit(0).cast("decimal(18,6)")
-    val perUser = ev.crossJoin(mid)
-      .groupBy("user_id")
-      .agg(
-        sum(when(unix_millis(col("ts")) < col("mid_ms"),
-          col("value").cast("decimal(18,6)")).otherwise(z))
-          .cast("double").as("x"),
-        sum(when(unix_millis(col("ts")) >= col("mid_ms"),
-          col("value").cast("decimal(18,6)")).otherwise(z))
-          .cast("double").as("y"))
+    Seq(
+      sum(when(unix_millis(col("ts")) < col("mid_ms"),
+        col("value").cast("decimal(18,6)")).otherwise(z)).as("xd"),
+      sum(when(unix_millis(col("ts")) >= col("mid_ms"),
+        col("value").cast("decimal(18,6)")).otherwise(z)).as("yd"))
+  }
+  /** Stateless CUPED readout over the per-user (xd, yd) moment
+    * relation: one 9-sum global aggregate + the closed-form θ/ρ²
+    * projection. Shared by the batch query and the streaming face's
+    * query-time finish. */
+  private[graft] def cupedFinish(perUser0: DataFrame): DataFrame = {
+    val perUser = perUser0.select(col("user_id"),
+      col("xd").cast("double").as("x"), col("yd").cast("double").as("y"))
     def dsum(c: Column) = sum(c.cast("decimal(25,10)"))
     val m = perUser.agg(
       sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n0"),
@@ -2527,6 +2533,15 @@ FROM t, td"""
         round(col("diff_raw") - col("theta") * col("diff_x"), 6)
           .as("diff_cuped"),
         round(col("rho_sq"), 6).as("rho_sq"))
+  }
+  private val cuped: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val mid = broadcast(ev.agg(
+      expr("(min(unix_millis(ts)) + max(unix_millis(ts))) div 2")
+        .as("mid_ms")))
+    cupedFinish(ev.crossJoin(mid)
+      .groupBy("user_id")
+      .agg(cupedUserAggs.head, cupedUserAggs.tail: _*))
   }
   private val cupedSql =
     """WITH mid AS (

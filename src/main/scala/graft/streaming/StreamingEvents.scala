@@ -169,6 +169,30 @@ object StreamingEvents {
       .agg(EventQueries.attributionAggs.head,
         EventQueries.attributionAggs.tail: _*)
 
+  /** Streaming CUPED maintenance — the unbounded face of
+    * `events_cuped`: per-user pre/post decimal moments
+    * ([[EventQueries.cupedUserAggs]], shared verbatim with the batch
+    * query) as a plain streaming aggregation keyed by user_id. The
+    * split point is the KNOWN experiment start (`midMs`) — in batch it
+    * has to be inferred from the data range; a live experiment carries
+    * it as configuration. State is one (x, y) decimal pair per
+    * enrolled user — the experiment population, bounded by design —
+    * and each micro-batch folds in order-insensitively because the
+    * sums are decimal. [[cupedServe]] turns the live state into the
+    * variance-reduced readout at query time, so the dashboard watches
+    * the CUPED-adjusted effect converge as traffic arrives. */
+  def cupedStream(events: DataFrame, midMs: Long): DataFrame =
+    events.withColumn("mid_ms", lit(midMs))
+      .groupBy("user_id")
+      .agg(EventQueries.cupedUserAggs.head,
+        EventQueries.cupedUserAggs.tail: _*)
+
+  /** Query-time CUPED finish over the streamed per-user moments —
+    * the stateless 9-sum + closed-form θ/ρ² projection, shared
+    * verbatim with the batch query. */
+  def cupedServe(perUser: DataFrame): DataFrame =
+    EventQueries.cupedFinish(perUser)
+
   /** Streaming summary maintenance — the unbounded face of
     * `infra_summary_incremental`: each micro-batch folds its rows into
     * the keyed partial states ([[graft.queries.InfraQueries.summaryAggs]],

@@ -734,6 +734,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming CUPED: per-user moments merge across batches, batch parity") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_ms", "user_id", "event_type", "value")
+      .select(timestamp_millis(col("ts_ms")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    val midMs = 5000L
+    val q = StreamingEvents.cupedStream(typed(mem.toDF()), midMs)
+      .writeStream.format("memory").queryName("cup").outputMode("complete")
+      .start()
+    // users 1-4 span both cohorts (parity split); batch 2 adds pre- AND
+    // post-period mass to users already in state, so the cross-batch
+    // decimal merge on BOTH moments is exercised
+    val b1 = Seq((1000L, 1L, "c", 10.5), (6000L, 1L, "c", 12.25),
+      (2000L, 2L, "c", 8.0), (7000L, 2L, "c", 9.5),
+      (1500L, 3L, "c", 4.75), (8000L, 4L, "c", 6.0))
+    val b2 = Seq((3000L, 1L, "c", 2.5), (9000L, 2L, "c", 1.25),
+      (4000L, 3L, "c", 3.0), (9500L, 3L, "c", 7.5),
+      (2500L, 4L, "c", 5.0))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val got = StreamingEvents.cupedServe(spark.table("cup"))
+        .collect().map(_.mkString("|")).toSeq
+      val want = graft.pipeline.EventQueries.cupedFinish(
+        typed((b1 ++ b2).toDF()).withColumn("mid_ms", lit(midMs))
+          .groupBy("user_id")
+          .agg(graft.pipeline.EventQueries.cupedUserAggs.head,
+            graft.pipeline.EventQueries.cupedUserAggs.tail: _*))
+        .collect().map(_.mkString("|")).toSeq
+      assert(got === want,
+        "streamed moments + stateless finish must equal the batch readout")
+      assert(got.length == 1 && got.head.split('|').length == 6)
+    } finally q.stop()
+  }
+
   test("streaming attribution: cross-batch argmin/argmax merge, tie-break, batch parity") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
