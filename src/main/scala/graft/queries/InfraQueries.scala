@@ -442,7 +442,10 @@ FROM evolved GROUP BY 1, 2 ORDER BY 1, 2"""
     * inserts arrive above max(doc_id) via a broadcast 1-row scalar (no
     * driver round trip). The oracle replays the identical merge in SQL
     * — the full merged state is hashed, not a summary of it. */
-  private val cdcMerge: Q = (s, d) => {
+  /** The merged post-CDC snapshot (unordered) — shared by [[cdcMerge]]
+    * and the versioned-snapshot store behind [[timeTravel]] (where it
+    * is version 2's content). */
+  private[graft] def cdcMerged(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select("doc_id", "lang", "source", "n_chars")
     val mx = docs.agg((max("doc_id") + 1).as("base_id"))
@@ -467,8 +470,8 @@ FROM evolved GROUP BY 1, 2 ORDER BY 1, 2"""
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("op") =!= "D")
       .select("doc_id", "lang", "source", "n_chars")
-      .orderBy("doc_id")
   }
+  private val cdcMerge: Q = (s, d) => cdcMerged(s, d).orderBy("doc_id")
   private val cdcMergeSql =
     """WITH mx AS (SELECT max(doc_id) + 1 AS base_id FROM documents),
 allrows AS (
@@ -522,6 +525,70 @@ WHERE rn = 1 AND op <> 'D' ORDER BY doc_id"""
   round(CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_qty,
   min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  // --------------------------------------------------------- time travel
+  /** Versioned snapshots + time travel — the lakehouse read-side
+    * contract that makes [[cdcMerge]] safe to consume: each commit
+    * writes a NEW snapshot directory and appends one row to a tiny
+    * commit log; readers resolve "version N" (or "latest") through
+    * the LOG, never by listing data paths, so a half-written snapshot
+    * is invisible until its log row lands and historical reads stay
+    * stable after later commits. The store here has version 1 (the
+    * base documents snapshot) and version 2 (the post-CDC state,
+    * [[cdcMerged]]); the query reads BOTH through the log — v1 as a
+    * time-travel read issued while v2 is current — and reconciles
+    * them per lang with a full outer join (v2's inserted 'xx' lang
+    * exists only on one side). The log read is one tiny parquet
+    * (metadata scale); each snapshot read is a plain pruned scan —
+    * time travel costs nothing at read time beyond the log lookup.
+    * The oracle recomputes both versions from base data: the store
+    * must be a faithful materialization, not a semantic layer. */
+  private def timeTravelRoot(s: SparkSession, d: String): String =
+    materialize(s, "timetravel", d) { p =>
+      Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$p/v1")
+      cdcMerged(s, d).write.mode("overwrite").parquet(s"$p/v2")
+      import s.implicits._
+      Seq((1L, "v1"), (2L, "v2")).toDF("version", "path")
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/_log")
+    }
+  /** Resolve a snapshot through the commit log: the data path of the
+    * greatest committed version ≤ the requested one. */
+  def snapshotAt(s: SparkSession, root: String, version: Long): DataFrame = {
+    val entry = s.read.parquet(s"$root/_log")
+      .filter(col("version") <= version)
+      .orderBy(col("version").desc).limit(1)
+      .head()
+    s.read.parquet(s"$root/${entry.getString(1)}")
+  }
+  private val timeTravel: Q = (s, d) => {
+    val root = timeTravelRoot(s, d)
+    def langAgg(df: DataFrame, n: String, c: String) = df.groupBy("lang")
+      .agg(count(lit(1)).as(n), sum("n_chars").as(c))
+    val v1 = langAgg(snapshotAt(s, root, 1L), "n_v1", "chars_v1")
+    val v2 = langAgg(snapshotAt(s, root, 2L), "n_v2", "chars_v2")
+    v1.join(v2, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        coalesce(col("chars_v1"), lit(0L)).as("chars_v1"),
+        coalesce(col("n_v2"), lit(0L)).as("n_v2"),
+        coalesce(col("chars_v2"), lit(0L)).as("chars_v2"))
+      .orderBy("lang")
+  }
+  private val timeTravelSql = s"""WITH v2 AS (
+$cdcMergeSql
+), a1 AS (
+  SELECT lang, count(*) AS n_v1, CAST(sum(n_chars) AS BIGINT) AS chars_v1
+  FROM documents GROUP BY lang
+), a2 AS (
+  SELECT lang, count(*) AS n_v2, CAST(sum(n_chars) AS BIGINT) AS chars_v2
+  FROM v2 GROUP BY lang
+)
+SELECT coalesce(a1.lang, a2.lang) AS lang,
+  coalesce(n_v1, 0) AS n_v1, coalesce(chars_v1, 0) AS chars_v1,
+  coalesce(n_v2, 0) AS n_v2, coalesce(chars_v2, 0) AS chars_v2
+FROM a1 FULL JOIN a2 ON a1.lang = a2.lang
+ORDER BY lang"""
 
   /** Incremental summary maintenance — the other half of the
     * [[graft.plans.SummaryRewrite]] story: when a delta batch lands, the
@@ -958,7 +1025,8 @@ FROM lineitem"""
     "infra_summary_incremental" -> summaryIncremental,
     "infra_delete_vectors" -> deleteVectors,
     "infra_join_incremental" -> joinIncremental,
-    "infra_bloom_skipping" -> bloomSkipping)
+    "infra_bloom_skipping" -> bloomSkipping,
+    "infra_time_travel" -> timeTravel)
 
   val oracle: Map[String, String] = Map(
     "infra_quality_checks" -> qualityChecksSql,
@@ -979,5 +1047,6 @@ FROM lineitem"""
     "infra_summary_incremental" -> summaryIncrementalSql,
     "infra_delete_vectors" -> deleteVectorsSql,
     "infra_join_incremental" -> joinIncrementalSql,
-    "infra_bloom_skipping" -> bloomSkippingSql)
+    "infra_bloom_skipping" -> bloomSkippingSql,
+    "infra_time_travel" -> timeTravelSql)
 }

@@ -90,6 +90,24 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("time travel: historical read is stable after the newer commit") {
+    // force the store (and v2) to exist first, then time-travel to v1:
+    // the historical read must equal the pre-CDC base snapshot exactly
+    InfraQueries.queries("infra_time_travel")(spark, Sf).collect()
+    val ds = new org.apache.hadoop.fs.Path(Sf).getName
+    val root = s"/tmp/graft-scratch/${spark.sparkContext.applicationId}" +
+      s"/timetravel-$ds"
+    val v1 = InfraQueries.snapshotAt(spark, root, 1L)
+      .agg(count(lit(1)), sum("n_chars")).head()
+    val base = Tables.documents(spark, Sf)
+      .agg(count(lit(1)), sum("n_chars")).head()
+    assert(v1 == base, "v1 read-through-log drifted from the base snapshot")
+    // resolving a version beyond the log's head clamps to the latest
+    val vHead = InfraQueries.snapshotAt(spark, root, 99L).count()
+    val v2 = InfraQueries.snapshotAt(spark, root, 2L).count()
+    assert(vHead == v2)
+  }
+
   test("degree hist: handshake parity and node conservation") {
     val rows = DedupQueries.queries("graph_degree_hist")(spark, Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
