@@ -1289,20 +1289,27 @@ ORDER BY n_paths DESC, e1, e2, e3 LIMIT 10"""
     * All three windows share the user_id partitioning, so the whole
     * query is ONE shuffle + per-user local sorts; epoch-ms integers
     * keep the hash engine-stable. */
-  private val stateHistory: Q = (s, d) => {
+  /** Gaps-and-islands run derivation: collapse a per-user event stream
+    * into its consecutive same-type runs, (user_id, island, event_type,
+    * valid_from_ms, n_events). Shared by [[stateHistory]] and the
+    * point-in-time join ([[scd2Join]]). One shuffle on user_id. */
+  private def stateRuns(events: DataFrame): DataFrame = {
     val wRow = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val prevType = lag(col("event_type"), 1).over(wRow)
     val changed = when(prevType.isNull ||
       prevType =!= col("event_type"), 1L).otherwise(0L)
     val island = sum(changed)
       .over(wRow.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    val wIsl = Window.partitionBy("user_id").orderBy(col("island"))
-    Tables.events(s, d)
+    events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("island", island)
       .groupBy("user_id", "island", "event_type")
       .agg(min(unix_millis(col("ts"))).as("valid_from_ms"),
         count(lit(1)).as("n_events"))
+  }
+  private val stateHistory: Q = (s, d) => {
+    val wIsl = Window.partitionBy("user_id").orderBy(col("island"))
+    stateRuns(Tables.events(s, d))
       .select(col("user_id"), col("event_type"), col("valid_from_ms"),
         lead(col("valid_from_ms"), 1).over(wIsl).as("valid_to_ms"),
         col("n_events"))
@@ -1334,6 +1341,76 @@ SELECT user_id, event_type, valid_from_ms,
   (lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY island)
     IS NULL) AS is_current
 FROM runs ORDER BY user_id, valid_from_ms"""
+
+  // ------------------------------------------------------- SCD2 join
+  /** Point-in-time dimension join — the "which version of the
+    * dimension was true WHEN the fact happened" lookup every
+    * history-correct warehouse (and every feature store) must answer:
+    * each purchase is enriched with the user's activity state (the
+    * SCD2 run from [[stateRuns]], derived from the NON-purchase
+    * stream) that was valid at the purchase timestamp, then revenue
+    * rolls up per state. Joining on is_current instead would silently
+    * leak future states into past facts — the classic SCD2 bug this
+    * query exists to demonstrate against. Implementation is the
+    * ASOF-backward composition, not a range join: version rows
+    * (k=0) and facts (k=1) union into one per-user stream ordered by
+    * (t, k), and `last(state, ignoreNulls)` propagates the most
+    * recent version boundary forward — one shuffle on user_id, one
+    * window pass, per-row state O(1), regardless of how many
+    * versions a user has (a per-fact interval probe would fan out by
+    * version count instead). Purchases before any state map to
+    * 'none' explicitly. */
+  private val scd2Join: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val versions = stateRuns(ev.filter(col("event_type") =!= "purchase"))
+      .select(col("user_id"), col("valid_from_ms").as("t"),
+        lit(0).as("k"), col("event_type").as("state"),
+        lit(null).cast("decimal(18,6)").as("v"))
+    val facts = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("t"),
+        lit(1).as("k"), lit(null).cast("string").as("state"),
+        col("value").cast("decimal(18,6)").as("v"))
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    versions.unionByName(facts)
+      .withColumn("cur_state", last(col("state"), ignoreNulls = true).over(w))
+      .filter(col("k") === 1)
+      .groupBy(coalesce(col("cur_state"), lit("none")).as("state"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum("v").cast("double"), 4).as("val_sum"))
+      .orderBy("state")
+  }
+  private val scd2JoinSql =
+    """WITH marked AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(event_type) OVER w IS NULL
+           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END
+      AS changed
+  FROM events WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+  SELECT user_id, ts, event_type,
+    sum(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+), runs AS (
+  SELECT user_id, island, event_type,
+    min(epoch_ms(ts)) AS valid_from_ms
+  FROM islands GROUP BY user_id, island, event_type
+), p AS (
+  SELECT user_id, epoch_ms(ts) AS pms,
+    CAST(value AS DECIMAL(18,6)) AS v
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT p.user_id, p.pms, p.v,
+    (SELECT r.event_type FROM runs r
+     WHERE r.user_id = p.user_id AND r.valid_from_ms <= p.pms
+     ORDER BY r.valid_from_ms DESC LIMIT 1) AS state
+  FROM p
+)
+SELECT coalesce(state, 'none') AS state, count(*) AS n_purchases,
+  round(CAST(sum(v) AS DOUBLE), 4) AS val_sum
+FROM j GROUP BY 1 ORDER BY 1"""
 
   // ----------------------------------------------------------- DAU/MAU
   /** DAU / trailing-30-day MAU / stickiness per day — the engagement
@@ -2637,6 +2714,7 @@ ORDER BY type_a, type_b"""
   val queries: Map[String, Q] = Map(
     "events_cuped" -> cuped,
     "events_audience_overlap" -> audienceOverlap,
+    "events_scd2_join" -> scd2Join,
     "events_ab_test" -> abTest,
     "events_autocorr" -> autocorr,
     "events_type_corr" -> typeCorr,
@@ -2695,6 +2773,7 @@ ORDER BY type_a, type_b"""
   val oracle: Map[String, String] = Map(
     "events_cuped" -> cupedSql,
     "events_audience_overlap" -> audienceOverlapSql,
+    "events_scd2_join" -> scd2JoinSql,
     "events_ab_test" -> abTestSql,
     "events_gap_fill" -> gapFillSql,
     "events_autocorr" -> autocorrSql,

@@ -108,6 +108,32 @@ class Round10Spec extends SparkSpec {
     assert(vHead == v2)
   }
 
+  test("scd2 join: purchases conserved, matches the interval-probe form") {
+    val rows = EventQueries.queries("events_scd2_join")(spark, Sf).collect()
+    val total = rows.map(_.getLong(1)).sum
+    val ev = Tables.events(spark, Sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    assert(total == purchases.count, "every purchase maps to exactly one state")
+    // independent oracle-shape check: per-fact interval probe (join on
+    // user, keep max valid_from <= fact ts) must agree with the
+    // union+window composition on a sample of users
+    val nonP = ev.filter(col("event_type") =!= "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("vms"),
+        col("event_type").as("state"))
+    val probed = purchases
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("pms"))
+      .join(nonP, Seq("user_id"), "left_outer")
+      .groupBy("user_id", "event_id", "pms")
+      .agg(max(when(col("vms") <= col("pms"),
+        struct(col("vms"), col("state")))).as("m"))
+      .groupBy(coalesce(col("m.state"), lit("none")).as("state"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == probed, s"composition $got != interval probe $probed")
+  }
+
   test("degree hist: handshake parity and node conservation") {
     val rows = DedupQueries.queries("graph_degree_hist")(spark, Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
