@@ -359,7 +359,11 @@ FROM cuts ORDER BY doc_id, cut_id"""
     * Σ bit_count(xor(band)) ≤ 10 of 64. Docs shorter than the 72-char
     * grid are not "images" and are excluded by contract. */
   val PhashBucketCap = 64
-  private[graft] def phashSignatures(s: SparkSession, d: String): DataFrame = {
+  /** dHash signatures (4 × 16-bit bands) over any (doc_id, text)
+    * media relation — the payload-generic core behind
+    * [[phashSignatures]] and the cross-modal classifier's own media
+    * set. */
+  private[graft] def phashSignaturesOf(media: DataFrame): DataFrame = {
     def px(r: Int, c: Int) = ascii(col("text").substr(
       expr(s"cast(((${r * 9 + c} * n) div 72) + 1 as int)"), lit(1)))
     def band(k: Int) =
@@ -367,19 +371,21 @@ FROM cuts ORDER BY doc_id, cut_id"""
         when(px(2 * k + rr, c) < px(2 * k + rr, c + 1),
           lit(1 << (8 * rr + c)).cast("int")).otherwise(lit(0)))
         .reduce(_ + _).cast("int")
-    // one row of 4 ints per doc; the band explode AND both sides of the
-    // candidate self-join read it — cache so the 72-sample extraction
-    // runs once (the simhash fp pattern)
-    CachePool.cached(DupCorpus.corpus(s, d)
+    media
       .select(col("doc_id"), col("text"), length(col("text")).as("n"))
       .filter(col("n") >= 72)
       .select(col("doc_id"), band(0).as("b0"), band(1).as("b1"),
-        band(2).as("b2"), band(3).as("b3")))
+        band(2).as("b2"), band(3).as("b3"))
   }
+  private[graft] def phashSignatures(s: SparkSession, d: String): DataFrame =
+    // one row of 4 ints per doc; the band explode AND both sides of the
+    // candidate self-join read it — cache so the 72-sample extraction
+    // runs once (the simhash fp pattern)
+    CachePool.cached(phashSignaturesOf(DupCorpus.corpus(s, d)))
   /** Band-collision pairs with their full Hamming distance — exposed
     * for the candidate-volume bound in MultimodalSpec. */
-  private[graft] def phashCandidates(s: SparkSession, d: String): DataFrame = {
-    val bands = phashSignatures(s, d).select(
+  private[graft] def phashCandidatesOf(sig: DataFrame): DataFrame = {
+    val bands = sig.select(
       col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
       expr("""inline(array(
         struct(0 as bi, b0 as bv), struct(1 as bi, b1 as bv),
@@ -396,12 +402,18 @@ FROM cuts ORDER BY doc_id, cut_id"""
         hamming.cast("int").as("hamming"))
       .distinct()
   }
+  private[graft] def phashCandidates(s: SparkSession, d: String): DataFrame =
+    phashCandidatesOf(phashSignatures(s, d))
   private val phashDedup: Q = (s, d) =>
     phashCandidates(s, d)
       .filter(col("hamming") <= 10)
       .orderBy("doc_a", "doc_b")
-  private val phashDedupSql = {
-    import graft.oracle.OraclePipeline.DupCte
+  /** The phash CTE chain from a `media(doc_id, text)` relation to the
+    * verified pair relation `ppairs` — shared by [[phashDedup]]'s
+    * oracle (media = the dup corpus), the cluster face, and the
+    * cross-modal classifier (media = its asset/caption set). Emitted
+    * WITHOUT a leading WITH so the caller prepends its media CTE. */
+  private lazy val phashChainSql = {
     def px(i: Int) =
       s"ascii(substring(text, CAST(($i * n) // 72 + 1 AS INT), 1))"
     def band(k: Int) = (for (rr <- 0 to 1; c <- 0 to 7) yield {
@@ -410,8 +422,9 @@ FROM cuts ORDER BY doc_id, cut_id"""
     }).mkString(" + ")
     val ham = (0 to 3).map(k => s"bit_count(xor(a.b$k, b.b$k))")
       .mkString(" + ")
-    s"""$DupCte, base AS (
-  SELECT doc_id, text, length(text) AS n FROM dup WHERE length(text) >= 72
+    s"""base AS (
+  SELECT doc_id, text, length(text) AS n FROM media
+  WHERE length(text) >= 72
 ), sig AS (
   SELECT doc_id, CAST(${band(0)} AS INT) AS b0, CAST(${band(1)} AS INT) AS b1,
     CAST(${band(2)} AS INT) AS b2, CAST(${band(3)} AS INT) AS b3
@@ -425,14 +438,77 @@ FROM cuts ORDER BY doc_id, cut_id"""
 ), ok AS (
   SELECT bands.* FROM bands JOIN sz USING (bi, bv)
   WHERE sz.bcnt <= $PhashBucketCap
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-  CAST($ham AS INT) AS hamming
-FROM ok a JOIN ok b
-  ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
-WHERE $ham <= 10
+), ppairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST($ham AS INT) AS hamming
+  FROM ok a JOIN ok b
+    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+  WHERE $ham <= 10
+)"""
+  }
+  private val phashDedupSql = {
+    import graft.oracle.OraclePipeline.DupCte
+    s"""$DupCte, media AS (
+  SELECT doc_id, text FROM dup
+), $phashChainSql
+SELECT doc_a, doc_b, hamming FROM ppairs
 ORDER BY doc_a, doc_b"""
   }
+
+  // ------------------------------------------------- cross-modal dup
+  /** Cross-modal duplicate classification — the curation decision a
+    * multimodal corpus needs right after visual near-dup: a reposted
+    * IMAGE with a different caption must dedup the asset but keep both
+    * captions; a reposted image+caption is a whole-document dup and
+    * drops outright. The media set plants both patterns from the base
+    * payloads: whole-doc reposts (doc_id ≡ 0 mod 7 — payload AND
+    * caption identical) and asset reuse (doc_id ≡ 0 mod 11 — same
+    * payload, fresh caption). The perceptual-hash pairs
+    * ([[phashCandidatesOf]] over this media set, same banded
+    * machinery) are then classified by caption equality — one tiny
+    * equi-join per side onto the pair relation (dup-graph scale).
+    * Both classes must occur by construction (spec-pinned): a
+    * classifier that can only say "duplicate" is not a classifier. */
+  private def crossmodalMedia(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.raw(s, d, "documents").select("doc_id", "text")
+    val base = docs.select(col("doc_id"), col("text"),
+      md5(col("text")).as("caption"))
+    val whole = base.filter(col("doc_id") % 7 === 0)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    val reuse = base.filter(col("doc_id") % 11 === 0)
+      .withColumn("doc_id", col("doc_id") + 200000L)
+      .withColumn("caption", concat(lit("alt-"), col("doc_id")))
+    base.unionByName(whole).unionByName(reuse)
+  }
+  private val crossmodalDup: Q = (s, d) => {
+    val media = CachePool.cached(crossmodalMedia(s, d))
+    val caps = media.select("doc_id", "caption")
+    phashCandidatesOf(phashSignaturesOf(media))
+      .filter(col("hamming") <= 10)
+      .join(caps.toDF("doc_a", "ca"), "doc_a")
+      .join(caps.toDF("doc_b", "cb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        (col("ca") === col("cb")).as("same_caption"))
+      .orderBy("doc_a", "doc_b")
+  }
+  private val crossmodalDupSql =
+    s"""WITH media0 AS (
+  SELECT doc_id, text, md5(text) AS caption FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, md5(text) FROM documents
+  WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 200000, text, 'alt-' || (doc_id + 200000)
+  FROM documents WHERE doc_id % 11 = 0
+), media AS (
+  SELECT doc_id, text FROM media0
+), $phashChainSql
+SELECT p.doc_a, p.doc_b, p.hamming,
+  (ca.caption = cb.caption) AS same_caption
+FROM ppairs p
+JOIN media0 ca ON ca.doc_id = p.doc_a
+JOIN media0 cb ON cb.doc_id = p.doc_b
+ORDER BY doc_a, doc_b"""
 
   // ------------------------------------------------------ phash cluster
   /** Canonical-image selection — [[phashDedup]]'s pairs turned into a
@@ -463,6 +539,7 @@ FROM reach GROUP BY a ORDER BY doc_id"""
   val queries: Map[String, Q] = Map(
     "multimodal_phash_dedup" -> phashDedup,
     "multimodal_phash_cluster" -> phashCluster,
+    "multimodal_crossmodal_dup" -> crossmodalDup,
     "multimodal_audio_energy" -> audioEnergy,
     "multimodal_silence_split" -> silenceSplit,
     "multimodal_scene_cut" -> sceneCut,
@@ -473,6 +550,7 @@ FROM reach GROUP BY a ORDER BY doc_id"""
 
   val oracle: Map[String, String] = Map(
     "multimodal_phash_dedup" -> phashDedupSql,
+    "multimodal_crossmodal_dup" -> crossmodalDupSql,
     "multimodal_phash_cluster" -> phashClusterSql,
     "multimodal_audio_energy" -> audioEnergySql,
     "multimodal_silence_split" -> silenceSplitSql,

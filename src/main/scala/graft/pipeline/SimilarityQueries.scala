@@ -73,6 +73,54 @@ WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
 QUALIFY row_number() OVER w <= 5
 ORDER BY query_id, rank"""
 
+  // ------------------------------------------------- filtered search
+  /** Filtered vector search — top-k restricted to a metadata
+    * predicate (here: the candidate must share the query's label —
+    * category-scoped retrieval, the "similar items in the same
+    * department" shape every vector store now ships as first-class).
+    * The filter composes into the JOIN condition, so Catalyst prunes
+    * candidates BEFORE the cosine evaluates — pre-filtering, not the
+    * post-filter trap where top-k is cut first and the predicate then
+    * starves the result set below k. At 100 TB the same predicate
+    * rides the IVF probe (filter the posting scan) or a label-
+    * partitioned layout (partition pruning); this face pins the
+    * semantics those layouts must preserve. */
+  private val filteredTopk: Q = (s, d) => {
+    val e = embDouble(s, d)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("v").as("qv"))
+    val sims = e.join(broadcast(q),
+        col("vec_id") =!= col("query_id") && col("label") === col("qlabel"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("label"), cosine(col("qv"), col("v")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("label"),
+        col("rank"), round(col("sim"), 6).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+  private val filteredTopkSql =
+    """WITH e AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, label AS qlabel, v AS qv FROM e
+  WHERE vec_id < 10
+), sims AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+    list_dot_product(q.qv, e.v) /
+      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+  FROM q JOIN e ON e.vec_id <> q.query_id AND e.label = q.qlabel
+)
+SELECT query_id, neighbor_id, label,
+  CAST(row_number() OVER w AS INT) AS rank, round(sim, 6) AS sim
+FROM sims
+WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+QUALIFY row_number() OVER w <= 5
+ORDER BY query_id, rank"""
+
   /** Range search — the other similarity-query face next to top-k:
     * ALL neighbors with cosine ≥ τ per query (radius queries,
     * duplicate-candidate pulls, "everything this similar" audits).
@@ -1380,6 +1428,7 @@ ORDER BY e.query_id"""
     "embed_top_pc" -> topPc,
     "embed_remove_top_pc" -> removeTopPc,
     "ann_topk_brute" -> topkBrute,
+    "ann_filtered_topk" -> filteredTopk,
     "ann_range_search" -> rangeSearch,
     "ann_topk_ivf" -> topkIvf,
     "ann_topk_ivf_kmeans" -> topkKmeans,
@@ -1401,6 +1450,7 @@ ORDER BY e.query_id"""
     "embed_top_pc" -> topPcSql,
     "embed_remove_top_pc" -> removeTopPcSql,
     "ann_topk_brute" -> topkBruteSql,
+    "ann_filtered_topk" -> filteredTopkSql,
     "ann_range_search" -> rangeSearchSql,
     "ann_topk_ivf" -> topkIvfSql,
     "ann_topk_ivf_kmeans" -> topkKmeansSql,

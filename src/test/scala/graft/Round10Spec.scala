@@ -134,6 +134,34 @@ class Round10Spec extends SparkSpec {
     assert(got == probed, s"composition $got != interval probe $probed")
   }
 
+  test("crossmodal dup: both caption classes occur") {
+    val rows = graft.pipeline.MultimodalQueries
+      .queries("multimodal_crossmodal_dup")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val classes = rows.map(_.getBoolean(3)).toSet
+    // the corpus plants exact dups (text identical → whole-doc dup)
+    // AND near dups (text perturbed → visual-only) — both must surface
+    assert(classes == Set(true, false),
+      s"degenerate classification: only $classes")
+  }
+
+  test("filtered topk: predicate holds on every result, k respected") {
+    val rows = graft.pipeline.SimilarityQueries
+      .queries("ann_filtered_topk")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val qLabel = graft.Tables(spark, Sf, "embeddings")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq == (1 to rs.length),
+        s"query $q: ranks not dense")
+      assert(rs.length <= 5)
+      rs.foreach(r => assert(r.getInt(2) == qLabel(q),
+        s"query $q: neighbor ${r.getLong(1)} violates the label filter"))
+    }
+  }
+
   test("degree hist: handshake parity and node conservation") {
     val rows = DedupQueries.queries("graph_degree_hist")(spark, Sf)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
