@@ -616,8 +616,12 @@ ORDER BY doc_a, doc_b"""
   private val degreeHist: Q = (s, d) => {
     VectorExpressions.register(s)
     val sh = shingleRows(DupCorpus.corpus(s, d))
+    // both endpoint projections read the edge list — materialize it
+    // once (dup-graph scale) so the minhash pipeline doesn't plan
+    // twice (the [[triangles]] localCheckpoint discipline; without it
+    // this plan hits ~49 exchanges, caught by PlanHygieneSpec)
     val e = jaccardVerify(minhashCandidates(s, d), shingleSketches(sh), 0.4)
-      .select("doc_a", "doc_b")
+      .select("doc_a", "doc_b").localCheckpoint()
     e.select(col("doc_a").as("v"))
       .unionAll(e.select(col("doc_b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("degree"))
@@ -637,6 +641,67 @@ $minhashPairSelect
 )
 SELECT degree, count(*) AS n_docs FROM deg
 GROUP BY degree ORDER BY degree"""
+
+  // --------------------------------------------------- link prediction
+  /** Common-neighbor link prediction over the verified near-dup graph
+    * — the transitivity-repair pass for LSH misses: minhash banding is
+    * probabilistic, so a genuine duplicate family occasionally
+    * surfaces as a path (A~B, B~C) with the closing A~C edge missed.
+    * A non-adjacent pair sharing a verified neighbor is the
+    * transitivity candidate (A~B~C ⇒ A~C?) a curation pipeline
+    * re-verifies with the exact sketch compare before trusting the
+    * closure; the support count ships so a consumer can demand ≥2 on
+    * denser graphs (dup components here are 3-5-cliques, so one held
+    * edge leaves exactly one witness). Wedges enumerate per common MIDPOINT (one
+    * self-equi-join of the symmetric edge list on the mid vertex, the
+    * [[triangles]] relation scale — dup-graph, ≪ corpus), existing
+    * edges leave via one anti-join, and the support column bounds the
+    * output to near-clique gaps.
+    *
+    * On this corpus the bands happen to find EVERY true edge, so the
+    * miss is simulated: a deterministic 1-in-5 of the verified edges
+    * is held out ((doc_a+doc_b) ≡ 0 mod 5 — the evaluation-standard
+    * edge-holdout protocol), prediction runs on the remainder, and
+    * Round11Spec pins that held-out edges are actually recovered. */
+  private val linkPredict: Q = (s, d) => {
+    VectorExpressions.register(s)
+    val sh = shingleRows(DupCorpus.corpus(s, d))
+    val e = jaccardVerify(minhashCandidates(s, d), shingleSketches(sh), 0.4)
+      .select("doc_a", "doc_b")
+      .filter((col("doc_a") + col("doc_b")) % 5 =!= 0)
+      .localCheckpoint()
+    val sym = e.unionAll(
+      e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val cn = sym.as("x").join(sym.as("y"),
+        col("x.doc_a") === col("y.doc_a") &&
+          col("x.doc_b") < col("y.doc_b"))
+      .groupBy(col("x.doc_b").as("doc_a"), col("y.doc_b").as("doc_b"))
+      .agg(count(lit(1)).as("common_neighbors"))
+    cn.filter(col("common_neighbors") >= 1)
+      .join(e, Seq("doc_a", "doc_b"), "left_anti")
+      .orderBy("doc_a", "doc_b")
+  }
+  private val linkPredictSql = s"""$minhashCtes, apairs AS (
+  SELECT doc_a, doc_b FROM (
+$minhashPairSelect
+  )
+), pairs AS (
+  SELECT doc_a, doc_b FROM apairs WHERE (doc_a + doc_b) % 5 <> 0
+), sym AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+), cn AS (
+  SELECT x.doc_b AS doc_a, y.doc_b AS doc_b, count(*) AS common_neighbors
+  FROM sym x JOIN sym y
+    ON x.doc_a = y.doc_a AND x.doc_b < y.doc_b
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common_neighbors FROM cn
+WHERE common_neighbors >= 1
+  AND NOT EXISTS (SELECT 1 FROM pairs p
+    WHERE p.doc_a = cn.doc_a AND p.doc_b = cn.doc_b)
+ORDER BY doc_a, doc_b"""
 
   // ------------------------------------------------------------ triangles
   /** Exact triangle census of the verified near-dup graph — the
@@ -1327,6 +1392,7 @@ ORDER BY stage_ord"""
     "graph_bfs_hops" -> bfsHops,
     "graph_cc_sizes" -> ccSizes,
     "graph_degree_hist" -> degreeHist,
+    "graph_link_predict" -> linkPredict,
     "dedup_winnow" -> winnow,
     "dedup_triangles" -> triangles,
     "dedup_containment" -> containment,
@@ -1349,6 +1415,7 @@ ORDER BY stage_ord"""
     "graph_bfs_hops" -> bfsHopsSql,
     "graph_cc_sizes" -> ccSizesSql,
     "graph_degree_hist" -> degreeHistSql,
+    "graph_link_predict" -> linkPredictSql,
     "dedup_winnow" -> winnowSql,
     "dedup_triangles" -> trianglesSql,
     "dedup_containment" -> containmentSql,

@@ -279,6 +279,43 @@ FROM events
 WHERE user_id = (SELECT max(user_id) FROM events)
 GROUP BY event_type ORDER BY event_type"""
 
+  /** Small-file compaction, oracle-faced — [[graft.sources.Compactor]]
+    * run END-TO-END inside the materialize memo: the store is written
+    * as 64 deliberately-tiny files (the streaming-accretion pathology),
+    * compacted toward the byte target with the two-rename atomic swap,
+    * and the query aggregates FROM THE COMPACTED FILES — the oracle's
+    * read of the original table proves the rewrite lost and changed
+    * nothing. The file-count drop ships as a contract boolean (the
+    * WAP/CMS pattern: the oracle pins TRUE; a compaction that didn't
+    * compact hash-mismatches). Runs once per (app, dataset); repeat
+    * constructions reuse the already-compacted store. */
+  private val compaction: Q = (s, d) => {
+    val root = materialize(s, "compact-events", d) { p =>
+      Tables.events(s, d).select("event_type", "user_id", "value")
+        .repartition(64).write.mode("overwrite").parquet(s"$p/data")
+      val (b, a) = graft.sources.Compactor.compact(s, s"$p/data",
+        targetBytes = 8L * 1024 * 1024)
+      import s.implicits._
+      Seq((b, a)).toDF("files_before", "files_after")
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/meta")
+    }
+    val meta = broadcast(s.read.parquet(s"$root/meta"))
+    s.read.parquet(s"$root/data")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4)
+          .as("val_sum"))
+      .crossJoin(meta)
+      .select(col("event_type"), col("n_events"), col("val_sum"),
+        (col("files_after") < col("files_before")).as("compacted"))
+      .orderBy("event_type")
+  }
+  private val compactionSql =
+    """SELECT event_type, count(*) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS val_sum,
+  TRUE AS compacted
+FROM events GROUP BY event_type ORDER BY event_type"""
+
   /** CSV source round trip with an EXPLICIT schema — the format-breadth
     * face: integer/string columns survive text serialization losslessly,
     * and the declared schema means no inference pass (schema inference
@@ -1026,7 +1063,8 @@ FROM lineitem"""
     "infra_delete_vectors" -> deleteVectors,
     "infra_join_incremental" -> joinIncremental,
     "infra_bloom_skipping" -> bloomSkipping,
-    "infra_time_travel" -> timeTravel)
+    "infra_time_travel" -> timeTravel,
+    "infra_compaction" -> compaction)
 
   val oracle: Map[String, String] = Map(
     "infra_quality_checks" -> qualityChecksSql,
@@ -1048,5 +1086,6 @@ FROM lineitem"""
     "infra_delete_vectors" -> deleteVectorsSql,
     "infra_join_incremental" -> joinIncrementalSql,
     "infra_bloom_skipping" -> bloomSkippingSql,
-    "infra_time_travel" -> timeTravelSql)
+    "infra_time_travel" -> timeTravelSql,
+    "infra_compaction" -> compactionSql)
 }

@@ -1,0 +1,44 @@
+package graft
+
+import graft.pipeline.DedupQueries
+import graft.queries.InfraQueries
+import org.apache.spark.sql.functions._
+
+/** Properties of the round-11 additions: edge-holdout recovery for
+  * link prediction and the compaction contract. */
+class Round11Spec extends SparkSpec {
+
+  test("link predict: held-out edges are recovered, predictions are non-edges") {
+    val predicted = DedupQueries.queries("graph_link_predict")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(predicted.nonEmpty, "nothing predicted — holdout had no effect")
+    // ground truth: the full verified edge set and its 1-in-5 holdout
+    val all = DedupQueries.queries("dedup_minhash")(spark, Sf)
+      .select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val held = all.filter { case (a, b) => (a + b) % 5 == 0 }
+    val kept = all -- held
+    // every prediction is a non-edge of the observed (kept) graph
+    assert((predicted intersect kept).isEmpty,
+      "predicted an edge that was already observed")
+    // and the holdout is actually recovered (transitivity repair works)
+    assert((predicted intersect held).nonEmpty,
+      s"recovered none of the ${held.size} held-out edges")
+  }
+
+  test("compaction face: file count actually dropped, data conserved") {
+    val rows = InfraQueries.queries("infra_compaction")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // the contract boolean is TRUE on every row (oracle pins this too,
+    // but here we also check against the store on disk)
+    rows.foreach(r => assert(r.getBoolean(3), "compaction did not compact"))
+    val ds = new org.apache.hadoop.fs.Path(Sf).getName
+    val root = s"/tmp/graft-scratch/${spark.sparkContext.applicationId}" +
+      s"/compact-events-$ds"
+    val files = new java.io.File(s"$root/data")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files < 64, s"store still has $files files")
+    val n = spark.read.parquet(s"$root/data").count()
+    assert(n == Tables.events(spark, Sf).count())
+  }
+}
