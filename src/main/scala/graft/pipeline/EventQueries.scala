@@ -2675,9 +2675,11 @@ FROM f"""
     * capped at C(|types|,2) (type vocabulary, not data, scale), and
     * per-type sizes arrive by a broadcast join. Never an all-pairs
     * comparison of users. */
-  private val audienceOverlap: Q = (s, d) => {
-    val du = Tables.events(s, d)
-      .select("event_type", "user_id").distinct()
+  /** The pairwise matrix over an already-distinct (event_type,
+    * user_id) relation — shared by the batch query and the streaming
+    * face's query-time serve (there the distinct relation is the
+    * accreted dropDuplicates state). */
+  private[graft] def audienceOverlapOf(du: DataFrame): DataFrame = {
     val sizes = du.groupBy("event_type").agg(count(lit(1)).as("na"))
     val pairs = du.toDF("type_a", "user_id")
       .join(du.toDF("type_b", "ub"),
@@ -2692,6 +2694,9 @@ FROM f"""
           / (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
       .orderBy("type_a", "type_b")
   }
+  private val audienceOverlap: Q = (s, d) =>
+    audienceOverlapOf(
+      Tables.events(s, d).select("event_type", "user_id").distinct())
   private val audienceOverlapSql =
     """WITH du AS (
   SELECT DISTINCT event_type, user_id FROM events

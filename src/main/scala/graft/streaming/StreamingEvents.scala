@@ -193,6 +193,25 @@ object StreamingEvents {
   def cupedServe(perUser: DataFrame): DataFrame =
     EventQueries.cupedFinish(perUser)
 
+  /** Streaming audience-distinct maintenance — the unbounded face of
+    * `events_audience_overlap`: the distinct (event_type, user_id)
+    * relation kept as streaming `dropDuplicates` state (one row per
+    * distinct pair — the SAME reduction the batch query starts from,
+    * and the honest state cost of an all-time distinct; it is bounded
+    * by |types|·|users|, not by traffic). Each pair is emitted exactly
+    * once, on first sight, in append mode — the store accretes the
+    * distinct relation incrementally. [[audienceOverlapServe]] folds
+    * the accreted store into the pairwise Jaccard matrix at query
+    * time (the dauMau store/serve split). */
+  def audienceDistinctStream(events: DataFrame): DataFrame =
+    events.select("event_type", "user_id")
+      .dropDuplicates("event_type", "user_id")
+
+  /** Query-time overlap matrix over the accreted distinct store —
+    * shared verbatim with the batch query. */
+  def audienceOverlapServe(du: DataFrame): DataFrame =
+    EventQueries.audienceOverlapOf(du)
+
   /** Streaming summary maintenance — the unbounded face of
     * `infra_summary_incremental`: each micro-batch folds its rows into
     * the keyed partial states ([[graft.queries.InfraQueries.summaryAggs]],

@@ -773,6 +773,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming audience overlap: cross-batch distinct state, batch parity") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Long)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("event_type", "user_id")
+    val q = StreamingEvents.audienceDistinctStream(typed(mem.toDF()))
+      .writeStream.format("memory").queryName("aud").outputMode("append")
+      .start()
+    // batch 2 repeats pairs from batch 1 (cross-batch dedup state must
+    // swallow them) and adds genuinely new ones
+    val b1 = Seq(("click", 1L), ("click", 2L), ("view", 1L), ("view", 3L))
+    val b2 = Seq(("click", 1L), ("view", 1L), ("click", 3L), ("buy", 2L))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val store = spark.table("aud")
+      // exactly-once accretion: the store IS the distinct relation
+      assert(store.count() == store.distinct().count(),
+        "cross-batch duplicate leaked into the distinct store")
+      val got = StreamingEvents.audienceOverlapServe(store)
+        .collect().map(_.mkString("|")).toSeq
+      val want = graft.pipeline.EventQueries.audienceOverlapOf(
+        typed((b1 ++ b2).toDF()).distinct())
+        .collect().map(_.mkString("|")).toSeq
+      assert(got === want,
+        "accreted distinct store + serve must equal the batch matrix")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming attribution: cross-batch argmin/argmax merge, tie-break, batch parity") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
