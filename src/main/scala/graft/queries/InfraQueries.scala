@@ -279,6 +279,61 @@ FROM events
 WHERE user_id = (SELECT max(user_id) FROM events)
 GROUP BY event_type ORDER BY event_type"""
 
+  /** The production lakehouse layout in full: hive-partitioned by the
+    * categorical column AND range-clustered by time WITHIN each
+    * partition, with a per-file min/max stats index over the whole
+    * store. Partition pruning (directory level, at planning) and file
+    * skipping (stats level, before I/O) then compose — the two-level
+    * pruning every Delta/Iceberg table relies on. Built once per
+    * (app, dataset); returns (dataPath, statsPath). */
+  def twoLevelPaths(s: SparkSession, d: String): (String, String) = {
+    val root = materialize(s, "twolevel-events", d) { p =>
+      Tables.events(s, d)
+        .repartitionByRange(8, col("event_type"), col("ts"))
+        .write.mode("overwrite").partitionBy("event_type")
+        .parquet(s"$p/data")
+      s.read.parquet(s"$p/data")
+        .groupBy(input_file_name().as("file"), col("event_type"))
+        .agg(min("ts").as("ts_min"), max("ts").as("ts_max"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$p/stats")
+    }
+    (s"$root/data", s"$root/stats")
+  }
+
+  /** Two-level pruned scan: the stats index first cuts to the target
+    * PARTITION (directory pruning made explicit at the index level),
+    * then to the files whose [ts_min, ts_max] overlaps the window —
+    * the scan opens only that intersection, and the residual filter
+    * still runs (stats are necessary, not sufficient). The oracle is
+    * the plain two-predicate filter on the unclustered source: both
+    * pruning levels must be semantics-free. */
+  private val twoLevelPruning: Q = (s, d) => {
+    val (_, stats) = twoLevelPaths(s, d)
+    val (lo, hi) = ("2024-01-08 00:00:00", "2024-01-12 00:00:00")
+    val survivors = s.read.parquet(stats)
+      .filter(col("event_type") === "click" &&
+        col("ts_max") >= expr(s"TIMESTAMP '$lo'") &&
+        col("ts_min") < expr(s"TIMESTAMP '$hi'"))
+      .select("file").collect().map(_.getString(0)).toSeq.sorted
+    s.read.parquet(survivors: _*)
+      .filter(col("ts") >= expr(s"TIMESTAMP '$lo'") &&
+        col("ts") < expr(s"TIMESTAMP '$hi'"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,6)")).cast("double"), 4)
+          .as("val_sum"))
+      .orderBy("user_id")
+  }
+  private val twoLevelPruningSql =
+    """SELECT user_id, count(*) AS n_events,
+  round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS val_sum
+FROM events
+WHERE event_type = 'click'
+  AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+  AND ts < TIMESTAMP '2024-01-12 00:00:00'
+GROUP BY user_id ORDER BY user_id"""
+
   /** Small-file compaction, oracle-faced — [[graft.sources.Compactor]]
     * run END-TO-END inside the materialize memo: the store is written
     * as 64 deliberately-tiny files (the streaming-accretion pathology),
@@ -1064,7 +1119,8 @@ FROM lineitem"""
     "infra_join_incremental" -> joinIncremental,
     "infra_bloom_skipping" -> bloomSkipping,
     "infra_time_travel" -> timeTravel,
-    "infra_compaction" -> compaction)
+    "infra_compaction" -> compaction,
+    "infra_two_level_pruning" -> twoLevelPruning)
 
   val oracle: Map[String, String] = Map(
     "infra_quality_checks" -> qualityChecksSql,
@@ -1087,5 +1143,6 @@ FROM lineitem"""
     "infra_join_incremental" -> joinIncrementalSql,
     "infra_bloom_skipping" -> bloomSkippingSql,
     "infra_time_travel" -> timeTravelSql,
-    "infra_compaction" -> compactionSql)
+    "infra_compaction" -> compactionSql,
+    "infra_two_level_pruning" -> twoLevelPruningSql)
 }

@@ -26,6 +26,22 @@ class Round11Spec extends SparkSpec {
       s"recovered none of the ${held.size} held-out edges")
   }
 
+  test("two-level pruning: both levels cut, survivors stay in the partition") {
+    val (data, stats) = InfraQueries.twoLevelPaths(spark, Sf)
+    val idx = spark.read.parquet(stats)
+    val nAll = idx.count()
+    val clickFiles = idx.filter(col("event_type") === "click").count()
+    assert(clickFiles < nAll, "partition level did not cut anything")
+    val surv = idx.filter(col("event_type") === "click" &&
+      col("ts_max") >= expr("TIMESTAMP '2024-01-08 00:00:00'") &&
+      col("ts_min") < expr("TIMESTAMP '2024-01-12 00:00:00'"))
+      .select("file").collect().map(_.getString(0))
+    assert(surv.nonEmpty && surv.length <= clickFiles)
+    // every surviving file lives under the click partition directory
+    surv.foreach(f => assert(f.contains("event_type=click"),
+      s"survivor outside the partition: $f"))
+  }
+
   test("compaction face: file count actually dropped, data conserved") {
     val rows = InfraQueries.queries("infra_compaction")(spark, Sf).collect()
     assert(rows.nonEmpty)
