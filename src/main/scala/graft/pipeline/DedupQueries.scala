@@ -720,17 +720,11 @@ ORDER BY doc_a, doc_b"""
     * oracle enumerates the same triangles by plain a<b<c ID order
     * (orientation choice is semantics-free). Edge relation = dup-graph
     * nodes, orders of magnitude below corpus scale. */
-  private val triangles: Q = (s, d) => {
-    VectorExpressions.register(s)
-    val sh = shingleRows(DupCorpus.corpus(s, d))
-    // the verified pair relation is referenced five times below (degree,
-    // orientation, wedge self-join, closing probe); materialize it once
-    // — dup-graph edges are orders of magnitude below corpus scale —
-    // so each reference is a read of ~|pairs| rows instead of a replay
-    // of the whole minhash pipeline (same localCheckpoint discipline as
-    // [[cluster]]; without it the composed plan exceeds 300 exchanges)
-    val e = jaccardVerify(minhashCandidates(s, d), shingleSketches(sh), 0.4)
-      .select("doc_a", "doc_b").localCheckpoint()
+  /** Per-node triangle counts over an already-materialized edge list —
+    * the compact-forward enumeration body, shared by [[triangles]] and
+    * the clustering-coefficient face. `e` MUST be checkpointed by the
+    * caller (it is referenced five times). */
+  private def triangleCounts(e: DataFrame): DataFrame = {
     val deg = e.select(col("doc_a").as("v"))
       .unionAll(e.select(col("doc_b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))
@@ -755,8 +749,78 @@ ORDER BY doc_a, doc_b"""
       Seq("v", "w"), "left_semi")
     tri.select(explode(array(col("u"), col("v"), col("w"))).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_triangles"))
+  }
+  private val triangles: Q = (s, d) => {
+    VectorExpressions.register(s)
+    val sh = shingleRows(DupCorpus.corpus(s, d))
+    // the verified pair relation is referenced five times in the
+    // enumeration (degree, orientation, wedge self-join, closing
+    // probe); materialize it once — dup-graph edges are orders of
+    // magnitude below corpus scale — so each reference is a read of
+    // ~|pairs| rows instead of a replay of the whole minhash pipeline
+    // (same localCheckpoint discipline as [[cluster]]; without it the
+    // composed plan exceeds 300 exchanges)
+    val e = jaccardVerify(minhashCandidates(s, d), shingleSketches(sh), 0.4)
+      .select("doc_a", "doc_b").localCheckpoint()
+    triangleCounts(e).orderBy("doc_id")
+  }
+
+  // ------------------------------------------------ clustering coeff
+  /** Local clustering coefficient per node — the fourth structural
+    * census over the dup graph (sizes → [[ccSizes]], depth →
+    * [[bfsHops]], density → [[triangles]], and now HOW CLIQUE-LIKE
+    * each doc's neighborhood is): c(v) = 2·t(v) / (deg(v)·(deg(v)−1))
+    * for deg ≥ 2. c≈1 everywhere says the components are true
+    * template families (safe to drop all but the canonical); low c on
+    * a high-degree node is a hub gluing UNRELATED docs through
+    * borderline matches — the node whose edges a curation pipeline
+    * re-verifies first. One checkpointed edge list feeds both the
+    * triangle enumeration and the degree count; the coefficient is a
+    * fixed IEEE expression over exact integers. */
+  private val clusteringCoeff: Q = (s, d) => {
+    VectorExpressions.register(s)
+    val sh = shingleRows(DupCorpus.corpus(s, d))
+    val e = jaccardVerify(minhashCandidates(s, d), shingleSketches(sh), 0.4)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val deg = e.select(col("doc_a").as("doc_id"))
+      .unionAll(e.select(col("doc_b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("degree"))
+    deg.filter(col("degree") >= 2)
+      .join(triangleCounts(e), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round(lit(2.0) * coalesce(col("n_triangles"), lit(0L))
+          / (col("degree") * (col("degree") - 1)), 6).as("coeff"))
       .orderBy("doc_id")
   }
+  private val clusteringCoeffSql = s"""$minhashCtes, pairs AS (
+  SELECT doc_a, doc_b FROM (
+$minhashPairSelect
+  )
+), tri AS (
+  SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e2.doc_a = e1.doc_b
+  JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+), tcnt AS (
+  SELECT doc_id, count(*) AS n_triangles FROM (
+    SELECT unnest([a, b, c]) AS doc_id FROM tri
+  ) GROUP BY doc_id
+), deg AS (
+  SELECT doc_id, count(*) AS degree FROM (
+    SELECT doc_a AS doc_id FROM pairs
+    UNION ALL
+    SELECT doc_b AS doc_id FROM pairs
+  ) GROUP BY doc_id
+)
+SELECT d.doc_id, d.degree,
+  coalesce(t.n_triangles, 0) AS n_triangles,
+  round(2.0 * coalesce(t.n_triangles, 0)
+    / (d.degree * (d.degree - 1)), 6) AS coeff
+FROM deg d LEFT JOIN tcnt t ON t.doc_id = d.doc_id
+WHERE d.degree >= 2
+ORDER BY d.doc_id"""
+
   private val trianglesSql = s"""$minhashCtes, pairs AS (
   SELECT doc_a, doc_b FROM (
 $minhashPairSelect
@@ -1393,6 +1457,7 @@ ORDER BY stage_ord"""
     "graph_cc_sizes" -> ccSizes,
     "graph_degree_hist" -> degreeHist,
     "graph_link_predict" -> linkPredict,
+    "graph_clustering_coeff" -> clusteringCoeff,
     "dedup_winnow" -> winnow,
     "dedup_triangles" -> triangles,
     "dedup_containment" -> containment,
@@ -1416,6 +1481,7 @@ ORDER BY stage_ord"""
     "graph_cc_sizes" -> ccSizesSql,
     "graph_degree_hist" -> degreeHistSql,
     "graph_link_predict" -> linkPredictSql,
+    "graph_clustering_coeff" -> clusteringCoeffSql,
     "dedup_winnow" -> winnowSql,
     "dedup_triangles" -> trianglesSql,
     "dedup_containment" -> containmentSql,

@@ -42,6 +42,26 @@ class Round11Spec extends SparkSpec {
       s"survivor outside the partition: $f"))
   }
 
+  test("clustering coeff: bounded, consistent with the triangle census") {
+    val rows = DedupQueries.queries("graph_clustering_coeff")(spark, Sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, deg, t, c) =>
+      assert(deg >= 2)
+      assert(c >= 0.0 && c <= 1.0, s"doc $id coeff=$c")
+      // identity up to rounding: c = 2t / (deg(deg-1))
+      assert(math.abs(c - 2.0 * t / (deg * (deg - 1))) < 1e-5)
+    }
+    // dup components are planted near-cliques — perfect neighborhoods
+    // must exist, or the census is measuring the wrong graph
+    assert(rows.exists(_._4 == 1.0), "no clique-like neighborhood found")
+    // per-node counts must sum to 3 × the number of distinct triangles
+    val nodeSum = DedupQueries.queries("dedup_triangles")(spark, Sf)
+      .agg(sum("n_triangles")).head().getLong(0)
+    assert(nodeSum % 3 == 0, s"triangle node-count sum $nodeSum not 3-divisible")
+  }
+
   test("compaction face: file count actually dropped, data conserved") {
     val rows = InfraQueries.queries("infra_compaction")(spark, Sf).collect()
     assert(rows.nonEmpty)
