@@ -594,6 +594,58 @@ ORDER BY lang, rank"""
     * NOT a single-partition window sort, so a 100 TB vocabulary never
     * funnels through one task; the rank column is then a window over
     * the surviving 50 rows only. */
+  // ------------------------------------------------------ Heaps curve
+  /** Vocabulary-growth (Heaps-law) curve — the corpus-planning readout
+    * behind "how much NEW vocabulary does the next slice of data buy":
+    * docs are split into 16 equal doc_id buckets (the ingestion-order
+    * proxy), each token is charged to the bucket where it FIRST
+    * appears (one min-aggregate over the tokenized corpus — no
+    * per-prefix rescans), and the running sums give the (cumulative
+    * tokens, cumulative types) pairs whose log-log slope is Heaps' β.
+    * Sublinear growth here is what justifies [[vocab]]'s df-pruning
+    * and the surprisal table's size at 100×. All exact integers; the
+    * only windows ride the 16-row bucket spine (constant — never
+    * data-sized, per the two-phase-rank house rule). */
+  private val heapsCurve: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val mx = broadcast(docs.agg((max("doc_id") + 1).as("n_ids")))
+    val tk = docs.crossJoin(mx)
+      .select(expr("(doc_id * 16) div n_ids").as("bucket"),
+        explode(toks).as("token"))
+    val newTypes = tk.groupBy("token").agg(min("bucket").as("first_b"))
+      .groupBy(col("first_b").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val tokCnt = tk.groupBy("bucket").agg(count(lit(1)).as("n_tokens"))
+    val w = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokCnt.join(newTypes, Seq("bucket"), "left_outer")
+      .select(col("bucket"), col("n_tokens"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("cum_types", sum("new_types").over(w))
+      .orderBy("bucket")
+  }
+  private val heapsCurveSql =
+    s"""WITH mx AS (SELECT max(doc_id) + 1 AS n_ids FROM documents),
+tk AS (
+  SELECT (doc_id * 16) // n_ids AS bucket, unnest($ToksSql) AS token
+  FROM documents, mx
+), nt AS (
+  SELECT first_b AS bucket, count(*) AS new_types FROM (
+    SELECT token, min(bucket) AS first_b FROM tk GROUP BY token
+  ) GROUP BY first_b
+), tc AS (
+  SELECT bucket, count(*) AS n_tokens FROM tk GROUP BY bucket
+)
+SELECT tc.bucket AS bucket, tc.n_tokens,
+  coalesce(nt.new_types, 0) AS new_types,
+  CAST(sum(tc.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+  CAST(sum(coalesce(nt.new_types, 0)) OVER w AS BIGINT) AS cum_types
+FROM tc LEFT JOIN nt ON tc.bucket = nt.bucket
+WINDOW w AS (ORDER BY tc.bucket
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY tc.bucket"""
+
   private val vocab: Q = (s, d) => {
     val counts = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks).as("token"))
@@ -1768,6 +1820,7 @@ FROM a GROUP BY shard ORDER BY shard"""
     "text_ngram_topk" -> ngramTopk,
     "text_ngram_topk_agg" -> ngramTopkAgg,
     "text_vocab" -> vocab,
+    "text_heaps_curve" -> heapsCurve,
     "text_oov_rate" -> oovRate,
     "text_lang_confusion" -> langConfusion,
     "text_tfidf_top" -> tfidfTop,
@@ -1806,6 +1859,7 @@ FROM a GROUP BY shard ORDER BY shard"""
     // same math, different physical path (bounded-buffer aggregate)
     "text_ngram_topk_agg" -> ngramTopkSql,
     "text_vocab" -> vocabSql,
+    "text_heaps_curve" -> heapsCurveSql,
     "text_oov_rate" -> oovRateSql,
     "text_lang_confusion" -> langConfusionSql,
     "text_tfidf_top" -> tfidfTopSql,

@@ -62,6 +62,31 @@ class Round11Spec extends SparkSpec {
     assert(nodeSum % 3 == 0, s"triangle node-count sum $nodeSum not 3-divisible")
   }
 
+  test("heaps curve: conservation, monotone accumulation, sublinear growth") {
+    val rows = graft.pipeline.TextQueries
+      .queries("text_heaps_curve")(spark, Sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 16)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 > a._4 && b._5 >= a._5, "cumulatives must be monotone")
+    }
+    val (tokSum, typSum) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    assert(rows.last._4 == tokSum && rows.last._5 == typSum)
+    // conservation against independent counts
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, Sf)
+      .select(explode(split(lower(col("text")), " ")).as("t"))
+    assert(tokSum == docs.count(), "token total drifted")
+    assert(typSum == docs.distinct().count(), "type total drifted")
+    // Heaps: the second half of the corpus must add FEWER new types
+    // than the first half — vocabulary growth is sublinear
+    val firstHalf = rows.filter(_._1 < 8).map(_._3).sum
+    val secondHalf = typSum - firstHalf
+    assert(secondHalf < firstHalf,
+      s"no sublinearity: $firstHalf then $secondHalf new types")
+  }
+
   test("compaction face: file count actually dropped, data conserved") {
     val rows = InfraQueries.queries("infra_compaction")(spark, Sf).collect()
     assert(rows.nonEmpty)
