@@ -2540,6 +2540,91 @@ SELECT CAST(n AS BIGINT) AS n_users, CAST(s AS BIGINT) AS n_events,
   CAST((1000 * topx) // s AS BIGINT) AS top_decile_permille
 FROM t, td"""
 
+  // --------------------------------------------------- clamped balance
+  /** Clamped running balance — inventory / credit-limit / token-bucket
+    * semantics: per user, purchases credit `value` and other events
+    * debit value/8, with the balance CLAMPED into [0, 500] after every
+    * step. The clamp makes the fold NON-ASSOCIATIVE (the running total
+    * is no longer a prefix sum — each step depends on the clamped
+    * previous state), so no window frame or combinable aggregate can
+    * express it: this is the documented boundary where the engine
+    * drops to typed per-group iteration (`groupByKey.mapGroups`, rung
+    * (d) of the custom-operator ladder — the same rung the streaming
+    * as-of join uses for its state). Cost shape at 100 TB: ONE
+    * shuffle on user_id, then a per-group in-memory sort and O(n)
+    * fold — identical exchange structure to the window form of
+    * [[runningTotal]]; arithmetic is java.math.BigDecimal at scale 6,
+    * so the fold is exact and cross-engine-identical to the oracle's
+    * recursive CTE replay. */
+  case class BalRow(user_id: Long, final_balance: java.math.BigDecimal,
+                    n_floor: Long, n_cap: Long, n_events: Long)
+  private val clampedBalance: Q = (s, d) => {
+    import s.implicits._
+    // all arithmetic at scale 9: the debit factor 1/8 = 0.125 is exact,
+    // so the fold never rounds — no rounding-mode drift vs the oracle
+    val zero = java.math.BigDecimal.ZERO.setScale(9)
+    val cap = new java.math.BigDecimal("500").setScale(9)
+    val eighth = new java.math.BigDecimal("0.125")
+    Tables.events(s, d)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("event_id"), col("event_type"),
+        col("value").cast("decimal(18,6)").as("v"))
+      .as[(Long, Long, Long, String, java.math.BigDecimal)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val evs = it.toArray.sortBy(e => (e._2, e._3))
+        var bal = zero
+        var nFloor = 0L; var nCap = 0L
+        evs.foreach { case (_, _, _, etype, v) =>
+          val delta =
+            if (etype == "purchase") v.setScale(9)
+            else v.multiply(eighth).negate()
+          bal = bal.add(delta).setScale(9)
+          if (bal.compareTo(zero) < 0) { bal = zero; nFloor += 1 }
+          else if (bal.compareTo(cap) > 0) { bal = cap; nCap += 1 }
+        }
+        BalRow(uid, bal, nFloor, nCap, evs.length.toLong)
+      }
+      .toDF()
+      .select(col("user_id"),
+        col("final_balance").cast("decimal(21,9)").cast("double")
+          .as("final_balance"),
+        col("n_floor"), col("n_cap"), col("n_events"))
+      .orderBy("user_id")
+  }
+  private val clampedBalanceSql =
+    """WITH RECURSIVE s AS (
+  SELECT user_id,
+    CAST(row_number() OVER (PARTITION BY user_id
+      ORDER BY epoch_ms(ts), event_id) AS BIGINT) AS rn,
+    CAST(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6))
+         ELSE -(CAST(value AS DECIMAL(18,6)) * CAST(0.125 AS DECIMAL(4,3)))
+         END AS DECIMAL(21,9)) AS delta
+  FROM events
+), rec(user_id, rn, bal, n_floor, n_cap) AS (
+  SELECT user_id, rn,
+    CAST(greatest(CAST(0 AS DECIMAL(21,9)),
+      least(CAST(500 AS DECIMAL(21,9)), delta)) AS DECIMAL(21,9)),
+    CASE WHEN delta < 0 THEN 1 ELSE 0 END,
+    CASE WHEN delta > 500 THEN 1 ELSE 0 END
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.user_id, s.rn,
+    CAST(greatest(CAST(0 AS DECIMAL(21,9)),
+      least(CAST(500 AS DECIMAL(21,9)), rec.bal + s.delta))
+      AS DECIMAL(21,9)),
+    rec.n_floor + CASE WHEN rec.bal + s.delta < 0 THEN 1 ELSE 0 END,
+    rec.n_cap + CASE WHEN rec.bal + s.delta > 500 THEN 1 ELSE 0 END
+  FROM rec JOIN s ON s.user_id = rec.user_id AND s.rn = rec.rn + 1
+), last AS (
+  SELECT user_id, max(rn) AS n_events FROM s GROUP BY user_id
+)
+SELECT r.user_id, CAST(CAST(r.bal AS DECIMAL(21,9)) AS DOUBLE) AS final_balance,
+  CAST(r.n_floor AS BIGINT) AS n_floor, CAST(r.n_cap AS BIGINT) AS n_cap,
+  l.n_events
+FROM rec r JOIN last l ON l.user_id = r.user_id AND r.rn = l.n_events
+ORDER BY r.user_id"""
+
   // ------------------------------------------------------------- CUPED
   /** CUPED variance-reduced experiment readout — the standard upgrade
     * to [[abTest]] every experimentation platform ships (Deng et al.,
@@ -2720,6 +2805,7 @@ ORDER BY type_a, type_b"""
     "events_cuped" -> cuped,
     "events_audience_overlap" -> audienceOverlap,
     "events_scd2_join" -> scd2Join,
+    "events_clamped_balance" -> clampedBalance,
     "events_ab_test" -> abTest,
     "events_autocorr" -> autocorr,
     "events_type_corr" -> typeCorr,
@@ -2779,6 +2865,7 @@ ORDER BY type_a, type_b"""
     "events_cuped" -> cupedSql,
     "events_audience_overlap" -> audienceOverlapSql,
     "events_scd2_join" -> scd2JoinSql,
+    "events_clamped_balance" -> clampedBalanceSql,
     "events_ab_test" -> abTestSql,
     "events_gap_fill" -> gapFillSql,
     "events_autocorr" -> autocorrSql,

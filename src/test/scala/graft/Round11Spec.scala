@@ -1,6 +1,6 @@
 package graft
 
-import graft.pipeline.DedupQueries
+import graft.pipeline.{DedupQueries, EventQueries}
 import graft.queries.InfraQueries
 import org.apache.spark.sql.functions._
 
@@ -85,6 +85,22 @@ class Round11Spec extends SparkSpec {
     val secondHalf = typSum - firstHalf
     assert(secondHalf < firstHalf,
       s"no sublinearity: $firstHalf then $secondHalf new types")
+  }
+
+  test("clamped balance: bounds hold, clamps fire, events conserved") {
+    val rows = EventQueries.queries("events_clamped_balance")(spark, Sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, bal, fl, cp, n) =>
+      assert(bal >= 0.0 && bal <= 500.0, s"user $u balance $bal out of range")
+      assert(fl + cp <= n, s"user $u clamped more often than it has events")
+    }
+    assert(rows.map(_._5).sum == Tables.events(spark, Sf).count(),
+      "event conservation")
+    // the operator only differs from a plain running total when the
+    // clamp fires — it must actually fire on this corpus
+    assert(rows.exists(r => r._3 > 0 || r._4 > 0), "clamp never fired")
   }
 
   test("compaction face: file count actually dropped, data conserved") {
