@@ -284,6 +284,67 @@ object StreamingEvents {
       }
   }
 
+  case class CbEv(tsMs: Long, eventId: Long, etype: String, value: Double)
+  case class CbState(pending: List[CbEv], balUnscaled9: Long,
+    nFloor: Long, nCap: Long, seq: Long)
+  case class CbRow(user_id: Long, event_id: Long, ts_ms: Long,
+    balance: Double, n_floor: Long, n_cap: Long, event_seq: Long)
+
+  /** Streaming clamped balance — the unbounded face of
+    * `events_clamped_balance`, and the op whose natural home IS the
+    * stream (a token bucket / credit limit is enforced live, not in
+    * nightly batch). Same buffer-then-replay skeleton as
+    * [[runningTotalStream]]: the watermark releases each user's events
+    * in (ts, event_id) order and the non-associative clamp fold runs
+    * exactly as the batch mapGroups body. The balance is carried as
+    * its EXACT unscaled scale-9 long (the 1/8 debit is ×125 on the
+    * scale-6 unscaled value — integer-exact, and the clamp bounds the
+    * accumulator at 5·10¹¹ so it can never overflow); emitted rows
+    * show the post-event balance, so the LAST row per user equals the
+    * batch query's final state (parity-pinned). State per user after
+    * the buffer drains: three longs — O(active users) forever. */
+  def clampedBalanceStream(events: DataFrame,
+      delay: String = "2 hours"): Dataset[CbRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val CapUnscaled = 500L * 1000000000L
+    events.withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[(Long, java.sql.Timestamp, Long, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[CbState, CbRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, it, state) =>
+          val prev = state.getOption.getOrElse(CbState(Nil, 0L, 0L, 0L, 0L))
+          val incoming = it.map(e => CbEv(e._2.getTime, e._3, e._4, e._5)).toList
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, pending) =
+            (prev.pending ++ incoming).partition(_.tsMs < wm)
+          var bal = prev.balUnscaled9
+          var (nF, nC, seq) = (prev.nFloor, prev.nCap, prev.seq)
+          val out = List.newBuilder[CbRow]
+          ready.sortBy(e => (e.tsMs, e.eventId)).foreach { e =>
+            // value → decimal(18,6) exactly as Spark's cast, then to
+            // unscaled scale-9: ×1000 credit, ×125 (= 0.125) debit
+            val u6 = JBD.valueOf(e.value)
+              .setScale(6, RoundingMode.HALF_UP).unscaledValue().longValueExact()
+            val delta = if (e.etype == "purchase") u6 * 1000L else -u6 * 125L
+            bal += delta
+            if (bal < 0L) { bal = 0L; nF += 1 }
+            else if (bal > CapUnscaled) { bal = CapUnscaled; nC += 1 }
+            seq += 1
+            out += CbRow(user, e.eventId, e.tsMs,
+              new JBD(java.math.BigInteger.valueOf(bal), 9).doubleValue(),
+              nF, nC, seq)
+          }
+          state.update(CbState(pending, bal, nF, nC, seq))
+          if (pending.nonEmpty) state.setTimeoutTimestamp(pending.map(_.tsMs).min)
+          out.result().iterator
+      }
+  }
+
   case class AsofEv(tsMs: Long, tag: Int, eventId: Long, value: Double)
   case class AsofState(pending: List[AsofEv], clickId: Long, clickMs: Long,
     clickValue: Double, hasClick: Boolean)

@@ -192,6 +192,50 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming clamped balance: ordered replay, clamps fire, fold parity") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_ms", "user_id", "event_id", "event_type", "value")
+      .select(timestamp_millis(col("ts_ms")).as("ts"), col("user_id"),
+        col("event_id"), col("event_type"), col("value"))
+    val q = StreamingEvents.clampedBalanceStream(typed(mem.toDF()), "1 hour")
+      .toDF().writeStream.format("memory").queryName("cb")
+      .outputMode("append").start()
+    val h0 = 3600L * 1000; val m = 60000L
+    // user 1: credit 10, then debits that FLOOR the balance (10 - 2 - 2
+    // would stay positive, so use a big debit), then a huge credit that
+    // CAPS it; event 104 arrives a batch late but lands mid-sequence
+    val batch1 = Seq(
+      (h0 + 1 * m, 1L, 101L, "purchase", 10.0),
+      (h0 + 3 * m, 1L, 103L, "click", 100.0),   // debit 12.5 → floor
+      (h0 + 4 * m, 1L, 105L, "purchase", 600.0), // credit 600 → cap
+      (h0 + 2 * m, 2L, 201L, "click", 8.0))      // debit 1 → floor at 0
+    val batch2 = Seq((h0 + 2 * m, 1L, 102L, "view", 16.0)) // late, debit 2
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      mem.addData((h0 + 8 * 3600000, 9L, 999L, "view", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("cb").collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))
+      // user 1 in (ts, id) order: 101 credit 10 → 10; 102 (late) debit
+      // 2 → 8; 103 debit 12.5 → floor at 0; 105 credit 600 → cap at 500
+      val u1 = rows.filter(_._1 == 1L).sortBy(_._6)
+      assert(u1.map(_._2).toSeq == Seq(101L, 102L, 103L, 105L),
+        s"replay order broke: ${u1.toSeq}")
+      assert(u1.map(_._3).toSeq == Seq(10.0, 8.0, 0.0, 500.0))
+      assert(u1.last._4 == 1L && u1.last._5 == 1L,
+        "floor and cap must each have fired once for user 1")
+      // user 2: one debit from zero → floored immediately
+      val u2 = rows.filter(_._1 == 2L)
+      assert(u2.map(_._3).toSeq == Seq(0.0) && u2.head._4 == 1L)
+    } finally q.stop()
+  }
+
   test("streaming transitions: out-of-order replay preserves sequence order, batch parity") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
