@@ -2625,6 +2625,123 @@ SELECT r.user_id, CAST(CAST(r.bal AS DECIMAL(21,9)) AS DOUBLE) AS final_balance,
 FROM rec r JOIN last l ON l.user_id = r.user_id AND r.rn = l.n_events
 ORDER BY r.user_id"""
 
+  // ----------------------------------------------------- bitemporal
+  /** Bitemporal snapshot — the two-axis temporal query a
+    * history-correct warehouse must answer: "what did we BELIEVE (at
+    * transaction time T) the state was AT valid time V". Valid time
+    * comes from the [[stateRuns]] intervals; transaction time is when
+    * each version was recorded — originals at their valid_from, plus
+    * planted CORRECTIONS (every run with island ≡ 3 mod 7 is revised
+    * to 'corrected' in one end-of-data restatement batch, tx = the
+    * corpus max timestamp — the quarter-end restatement
+    * bitemporality exists for). The query reports, per
+    * state, how many users were in it at the valid-time midpoint V as
+    * believed at T₁ = V (corrections not yet recorded) vs T₂ = ∞
+    * (full hindsight) — the delta IS the restatement effect, and
+    * joining on is_current or ignoring tx time would silently show
+    * hindsight as history. Shape: per-user windows for intervals and
+    * per-(user, island) latest-belief rank — all user-partitioned —
+    * then two tiny per-type aggregates full-outer-joined ('corrected'
+    * exists only in hindsight). */
+  private val bitemporal: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val mid = broadcast(ev.agg(
+      expr("(min(unix_millis(ts)) + max(unix_millis(ts))) div 2")
+        .as("v_ms"),
+      expr("max(unix_millis(ts))").as("restate_ms")))
+    val wIsl = Window.partitionBy("user_id").orderBy("island")
+    val runs = stateRuns(ev.filter(col("event_type") =!= "purchase"))
+      .select(col("user_id"), col("island"), col("event_type"),
+        col("valid_from_ms"),
+        lead(col("valid_from_ms"), 1).over(wIsl).as("valid_to_ms"))
+      .localCheckpoint() // originals + corrections both read it
+    val originals = runs.select(col("user_id"), col("island"),
+      col("event_type").as("state"), col("valid_from_ms"),
+      col("valid_to_ms"), col("valid_from_ms").as("tx_ms"))
+    val corrections = runs.crossJoin(mid.select("restate_ms"))
+      .filter(col("island") % 7 === 3)
+      .select(col("user_id"), col("island"), lit("corrected").as("state"),
+        col("valid_from_ms"), col("valid_to_ms"),
+        col("restate_ms").as("tx_ms"))
+    val versions = originals.unionByName(corrections)
+    def snapAt(txCut: Column): DataFrame = {
+      val wVer = Window.partitionBy("user_id", "island")
+        .orderBy(col("tx_ms").desc)
+      versions.crossJoin(mid)
+        .filter(txCut)
+        .withColumn("rn", row_number().over(wVer))
+        .filter(col("rn") === 1 &&
+          col("valid_from_ms") <= col("v_ms") &&
+          (col("valid_to_ms").isNull || col("v_ms") < col("valid_to_ms")))
+        .groupBy("state").agg(count(lit(1)).as("n"))
+    }
+    val before = snapAt(col("tx_ms") <= col("v_ms"))
+    val after = snapAt(lit(true))
+    before.toDF("state", "n_before")
+      .join(after.toDF("state", "n_after"), Seq("state"), "full_outer")
+      .select(col("state"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+      .orderBy("state")
+  }
+  private val bitemporalSql =
+    """WITH mid AS (
+  SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS v_ms,
+    max(epoch_ms(ts)) AS restate_ms
+  FROM events
+), marked AS (
+  SELECT user_id, ts, event_id, event_type,
+    CASE WHEN lag(event_type) OVER w IS NULL
+           OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END
+      AS changed
+  FROM events WHERE event_type <> 'purchase'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), islands AS (
+  SELECT user_id, ts, event_type,
+    sum(changed) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+), runs0 AS (
+  SELECT user_id, island, event_type,
+    min(epoch_ms(ts)) AS valid_from_ms
+  FROM islands GROUP BY user_id, island, event_type
+), runs AS (
+  SELECT user_id, island, event_type, valid_from_ms,
+    lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY island)
+      AS valid_to_ms
+  FROM runs0
+), versions AS (
+  SELECT user_id, island, event_type AS state, valid_from_ms,
+    valid_to_ms, valid_from_ms AS tx_ms
+  FROM runs
+  UNION ALL
+  SELECT user_id, island, 'corrected', valid_from_ms, valid_to_ms,
+    restate_ms
+  FROM runs, mid WHERE island % 7 = 3
+), s1 AS (
+  SELECT state, count(*) AS n_before FROM (
+    SELECT v.*, row_number() OVER (PARTITION BY user_id, island
+      ORDER BY tx_ms DESC) AS rn
+    FROM versions v, mid WHERE tx_ms <= v_ms
+  ), mid
+  WHERE rn = 1 AND valid_from_ms <= v_ms
+    AND (valid_to_ms IS NULL OR v_ms < valid_to_ms)
+  GROUP BY state
+), s2 AS (
+  SELECT state, count(*) AS n_after FROM (
+    SELECT v.*, row_number() OVER (PARTITION BY user_id, island
+      ORDER BY tx_ms DESC) AS rn
+    FROM versions v
+  ), mid
+  WHERE rn = 1 AND valid_from_ms <= v_ms
+    AND (valid_to_ms IS NULL OR v_ms < valid_to_ms)
+  GROUP BY state
+)
+SELECT coalesce(s1.state, s2.state) AS state,
+  coalesce(n_before, 0) AS n_before, coalesce(n_after, 0) AS n_after
+FROM s1 FULL JOIN s2 ON s1.state = s2.state
+ORDER BY state"""
+
   // ------------------------------------------------------------- CUPED
   /** CUPED variance-reduced experiment readout — the standard upgrade
     * to [[abTest]] every experimentation platform ships (Deng et al.,
@@ -2806,6 +2923,7 @@ ORDER BY type_a, type_b"""
     "events_audience_overlap" -> audienceOverlap,
     "events_scd2_join" -> scd2Join,
     "events_clamped_balance" -> clampedBalance,
+    "events_bitemporal" -> bitemporal,
     "events_ab_test" -> abTest,
     "events_autocorr" -> autocorr,
     "events_type_corr" -> typeCorr,
@@ -2866,6 +2984,7 @@ ORDER BY type_a, type_b"""
     "events_audience_overlap" -> audienceOverlapSql,
     "events_scd2_join" -> scd2JoinSql,
     "events_clamped_balance" -> clampedBalanceSql,
+    "events_bitemporal" -> bitemporalSql,
     "events_ab_test" -> abTestSql,
     "events_gap_fill" -> gapFillSql,
     "events_autocorr" -> autocorrSql,

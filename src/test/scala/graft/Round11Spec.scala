@@ -103,6 +103,21 @@ class Round11Spec extends SparkSpec {
     assert(rows.exists(r => r._3 > 0 || r._4 > 0), "clamp never fired")
   }
 
+  test("bitemporal: totals conserved across belief times, restatement visible") {
+    val rows = EventQueries.queries("events_bitemporal")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // the same users are in SOME state at V under either belief time —
+    // corrections re-label, they don't add or remove users
+    assert(rows.map(_._2).sum == rows.map(_._3).sum,
+      "snapshot user totals drifted between belief times")
+    val corrected = rows.find(_._1 == "corrected")
+    assert(corrected.exists(c => c._2 == 0L && c._3 > 0L),
+      s"restatement must be invisible at T1 and visible at T2: $corrected")
+    // and hindsight must actually differ from the T1 belief somewhere
+    assert(rows.exists(r => r._2 != r._3), "no restatement effect")
+  }
+
   test("compaction face: file count actually dropped, data conserved") {
     val rows = InfraQueries.queries("infra_compaction")(spark, Sf).collect()
     assert(rows.nonEmpty)
