@@ -2625,6 +2625,63 @@ SELECT r.user_id, CAST(CAST(r.bal AS DECIMAL(21,9)) AS DOUBLE) AS final_balance,
 FROM rec r JOIN last l ON l.user_id = r.user_id AND r.rn = l.n_events
 ORDER BY r.user_id"""
 
+  // ----------------------------------------------- budget allocation
+  /** Largest-remainder (Hamilton) integer allocation — the exact
+    * proportional-split every ads/finance pipeline needs: divide a
+    * fixed integer budget of 1 000 000 units across event types in
+    * proportion to their exact decimal revenue, with NO unit lost or
+    * invented. Floor shares are integer division on the milli-unit
+    * integer weights (overflow-safe: budget·wᵢ needs wtot < 9·10¹²,
+    * i.e. corpus revenue below ~9 billion currency units — raise the
+    * weight scale or split the budget hierarchically past that); the
+    * leftover units
+    * go to the largest fractional remainders, ranked by the exact
+    * integer (remainder, type) order. The whole computation is
+    * integer-exact — the allocation column provably sums to the
+    * budget (spec-pinned), which no rounded-double split guarantees.
+    * Rank window rides the |types|-row relation only. */
+  private val BudgetUnits = 1000000L
+  private val budgetAllocation: Q = (s, d) => {
+    val byType = Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(sum(col("value").cast("decimal(18,6)")).as("rev"))
+      // unscaled long of the scale-6 decimal — exact integer weight
+      .select(col("event_type"),
+        (col("rev") * lit(1000L)).cast("long").as("w"))
+    val tot = broadcast(byType.agg(sum("w").as("wtot")))
+    val shares = byType.crossJoin(tot)
+      .select(col("event_type"), col("w"),
+        expr(s"($BudgetUnits * w) div wtot").as("floor_share"),
+        expr(s"($BudgetUnits * w) % wtot").as("rem"))
+    val leftover = broadcast(shares
+      .agg((lit(BudgetUnits) - sum("floor_share")).as("k")))
+    val wRank = Window.orderBy(col("rem").desc, col("event_type"))
+    shares.crossJoin(leftover)
+      .withColumn("rnk", row_number().over(wRank))
+      .select(col("event_type"), col("floor_share"),
+        (col("floor_share") +
+          when(col("rnk") <= col("k"), 1L).otherwise(0L)).as("allocated"))
+      .orderBy("event_type")
+  }
+  private val budgetAllocationSql =
+    s"""WITH byt AS (
+  SELECT event_type,
+    CAST(sum(CAST(value AS DECIMAL(18,6))) * 1000 AS BIGINT) AS w
+  FROM events GROUP BY event_type
+), tot AS (SELECT sum(w) AS wtot FROM byt),
+shares AS (
+  SELECT event_type, w,
+    ($BudgetUnits * w) // wtot AS floor_share,
+    ($BudgetUnits * w) % wtot AS rem
+  FROM byt, tot
+), lo AS (SELECT $BudgetUnits - sum(floor_share) AS k FROM shares)
+SELECT event_type, CAST(floor_share AS BIGINT) AS floor_share,
+  CAST(floor_share + CASE WHEN row_number()
+      OVER (ORDER BY rem DESC, event_type) <= k
+    THEN 1 ELSE 0 END AS BIGINT) AS allocated
+FROM shares, lo
+ORDER BY event_type"""
+
   // ----------------------------------------------------- bitemporal
   /** Bitemporal snapshot — the two-axis temporal query a
     * history-correct warehouse must answer: "what did we BELIEVE (at
@@ -2924,6 +2981,7 @@ ORDER BY type_a, type_b"""
     "events_scd2_join" -> scd2Join,
     "events_clamped_balance" -> clampedBalance,
     "events_bitemporal" -> bitemporal,
+    "events_budget_allocation" -> budgetAllocation,
     "events_ab_test" -> abTest,
     "events_autocorr" -> autocorr,
     "events_type_corr" -> typeCorr,
@@ -2985,6 +3043,7 @@ ORDER BY type_a, type_b"""
     "events_scd2_join" -> scd2JoinSql,
     "events_clamped_balance" -> clampedBalanceSql,
     "events_bitemporal" -> bitemporalSql,
+    "events_budget_allocation" -> budgetAllocationSql,
     "events_ab_test" -> abTestSql,
     "events_gap_fill" -> gapFillSql,
     "events_autocorr" -> autocorrSql,

@@ -118,6 +118,31 @@ class Round11Spec extends SparkSpec {
     assert(rows.exists(r => r._2 != r._3), "no restatement effect")
   }
 
+  test("budget allocation: exact conservation, remainder rule bounded") {
+    val rows = EventQueries.queries("events_budget_allocation")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // the whole point: allocations sum EXACTLY to the budget
+    assert(rows.map(_._3).sum == 1000000L, s"allocation leaked units: $rows")
+    rows.foreach { case (t, fl, al) =>
+      assert(al - fl == 0L || al - fl == 1L,
+        s"$t: largest-remainder bump must be 0 or 1, got ${al - fl}")
+    }
+  }
+
+  test("matryoshka eval: recall bounded and non-degrading with dimensions") {
+    val rows = graft.pipeline.SimilarityQueries
+      .queries("ann_matryoshka_eval")(spark, Sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(8, 16, 32))
+    rows.foreach { case (dim, ne, nh, rec) =>
+      assert(nh <= ne && rec >= 0.0 && rec <= 1.0, s"dim $dim: $nh/$ne")
+    }
+    // more dimensions must not LOSE signal end-to-end
+    assert(rows.last._4 >= rows.head._4,
+      "recall at 32 dims fell below recall at 8")
+  }
+
   test("compaction face: file count actually dropped, data conserved") {
     val rows = InfraQueries.queries("infra_compaction")(spark, Sf).collect()
     assert(rows.nonEmpty)
