@@ -2625,6 +2625,70 @@ SELECT r.user_id, CAST(CAST(r.bal AS DECIMAL(21,9)) AS DOUBLE) AS final_balance,
 FROM rec r JOIN last l ON l.user_id = r.user_id AND r.rn = l.n_events
 ORDER BY r.user_id"""
 
+  // ---------------------------------------------- conversion A/B test
+  /** Two-proportion experiment readout — the conversion-rate half of
+    * the A/B story ([[abTest]] compares MEANS; most product launches
+    * compare RATES): per cohort (user-parity split, as everywhere),
+    * the conversion rate is "users with a high-value purchase
+    * (value > 95) / users" — a non-degenerate gate on this corpus,
+    * where plain any-purchase converts everyone — and the
+    * pooled two-proportion z statistic prices the difference. Shape at
+    * 100 TB: the fact reduces once to per-user flags (one combinable
+    * group-by), then ONE 4-sum global aggregate — no self-join, no
+    * window. Exact integer counts; the z expression is a fixed IEEE
+    * closed form over them. */
+  private val abConversion: Q = (s, d) => {
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(max(when(col("event_type") === "purchase" &&
+          col("value") > 95, 1L).otherwise(0L))
+        .as("converted"))
+    val m = perUser.agg(
+      sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("user_id") % 2 === 0, col("converted")).otherwise(0L))
+        .as("c0"),
+      sum(when(col("user_id") % 2 === 1, col("converted")).otherwise(0L))
+        .as("c1"))
+    def D(n: String) = col(n).cast("double")
+    m.select(col("n0"), col("n1"), col("c0"), col("c1"),
+        (D("c0") / D("n0")).as("p0"), (D("c1") / D("n1")).as("p1"),
+        ((D("c0") + D("c1")) / (D("n0") + D("n1"))).as("pp"))
+      .select(col("n0"), col("n1"), col("c0"), col("c1"),
+        round(col("p0"), 6).as("rate_a"), round(col("p1"), 6).as("rate_b"),
+        round((col("p0") - col("p1"))
+          / sqrt(col("pp") * (lit(1.0) - col("pp"))
+            * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6)
+          .as("z_stat"))
+  }
+  private val abConversionSql =
+    """WITH pu AS (
+  SELECT user_id,
+    max(CASE WHEN event_type = 'purchase' AND value > 95
+      THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), m AS (
+  SELECT
+    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN user_id % 2 = 0 THEN converted ELSE 0 END)
+      AS BIGINT) AS c0,
+    CAST(sum(CASE WHEN user_id % 2 = 1 THEN converted ELSE 0 END)
+      AS BIGINT) AS c1
+  FROM pu
+), f AS (
+  SELECT n0, n1, c0, c1,
+    CAST(c0 AS DOUBLE) / n0 AS p0, CAST(c1 AS DOUBLE) / n1 AS p1,
+    (CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE))
+      / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) AS pp
+  FROM m
+)
+SELECT n0, n1, c0, c1,
+  round(p0, 6) AS rate_a, round(p1, 6) AS rate_b,
+  round((p0 - p1) / sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1)), 6)
+    AS z_stat
+FROM f"""
+
   // ----------------------------------------------- budget allocation
   /** Largest-remainder (Hamilton) integer allocation — the exact
     * proportional-split every ads/finance pipeline needs: divide a
@@ -2982,6 +3046,7 @@ ORDER BY type_a, type_b"""
     "events_clamped_balance" -> clampedBalance,
     "events_bitemporal" -> bitemporal,
     "events_budget_allocation" -> budgetAllocation,
+    "events_ab_conversion" -> abConversion,
     "events_ab_test" -> abTest,
     "events_autocorr" -> autocorr,
     "events_type_corr" -> typeCorr,
@@ -3044,6 +3109,7 @@ ORDER BY type_a, type_b"""
     "events_clamped_balance" -> clampedBalanceSql,
     "events_bitemporal" -> bitemporalSql,
     "events_budget_allocation" -> budgetAllocationSql,
+    "events_ab_conversion" -> abConversionSql,
     "events_ab_test" -> abTestSql,
     "events_gap_fill" -> gapFillSql,
     "events_autocorr" -> autocorrSql,

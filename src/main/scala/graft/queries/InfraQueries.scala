@@ -682,6 +682,59 @@ SELECT coalesce(a1.lang, a2.lang) AS lang,
 FROM a1 FULL JOIN a2 ON a1.lang = a2.lang
 ORDER BY lang"""
 
+  // -------------------------------------------------------- vacuum
+  /** Snapshot vacuum — the GC half of the [[timeTravel]] lifecycle: a
+    * versioned store accretes a snapshot per commit forever unless
+    * expired ones are REMOVED, and removal must be log-first (drop the
+    * log row, THEN delete the directory) so a concurrent reader
+    * resolving through the log can never open a half-deleted
+    * snapshot. This face clones the time-travel store once per (app,
+    * dataset), vacuums version 1 with a retain-latest-1 policy, and
+    * reads the HEAD through the rewritten log; contract booleans pin
+    * that the expired version is gone from both log and disk while
+    * the head still serves exactly the pre-vacuum current state (the
+    * oracle recomputes it from base data). */
+  private def vacuumedRoot(s: SparkSession, d: String): String =
+    materialize(s, "vacuumed", d) { p =>
+      Tables.documents(s, d).select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$p/v1")
+      cdcMerged(s, d).write.mode("overwrite").parquet(s"$p/v2")
+      import s.implicits._
+      Seq((1L, "v1"), (2L, "v2")).toDF("version", "path")
+        .coalesce(1).write.mode("overwrite").parquet(s"$p/_log")
+      // vacuum: retain the latest 1 version — log rewrite FIRST, then
+      // the directory delete (reader-safe ordering)
+      val keep = s.read.parquet(s"$p/_log")
+        .orderBy(col("version").desc).limit(1)
+      keep.coalesce(1).write.mode("overwrite").parquet(s"$p/_log_new")
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$p/_log"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$p/_log_new"),
+        new org.apache.hadoop.fs.Path(s"$p/_log"))
+      fs.delete(new org.apache.hadoop.fs.Path(s"$p/v1"), true)
+    }
+  private val vacuum: Q = (s, d) => {
+    val root = vacuumedRoot(s, d)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val log = s.read.parquet(s"$root/_log")
+    val v1Gone = log.filter(col("version") === 1L).isEmpty &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$root/v1"))
+    snapshotAt(s, root, Long.MaxValue)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      .withColumn("expired_removed", lit(v1Gone))
+      .orderBy("lang")
+  }
+  private val vacuumSql = s"""WITH v2 AS (
+$cdcMergeSql
+)
+SELECT lang, count(*) AS n_docs,
+  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+  TRUE AS expired_removed
+FROM v2 GROUP BY lang ORDER BY lang"""
+
   /** Incremental summary maintenance — the other half of the
     * [[graft.plans.SummaryRewrite]] story: when a delta batch lands, the
     * summary is NOT rebuilt from the full fact table; the delta's
@@ -1120,7 +1173,8 @@ FROM lineitem"""
     "infra_bloom_skipping" -> bloomSkipping,
     "infra_time_travel" -> timeTravel,
     "infra_compaction" -> compaction,
-    "infra_two_level_pruning" -> twoLevelPruning)
+    "infra_two_level_pruning" -> twoLevelPruning,
+    "infra_vacuum" -> vacuum)
 
   val oracle: Map[String, String] = Map(
     "infra_quality_checks" -> qualityChecksSql,
@@ -1144,5 +1198,6 @@ FROM lineitem"""
     "infra_bloom_skipping" -> bloomSkippingSql,
     "infra_time_travel" -> timeTravelSql,
     "infra_compaction" -> compactionSql,
-    "infra_two_level_pruning" -> twoLevelPruningSql)
+    "infra_two_level_pruning" -> twoLevelPruningSql,
+    "infra_vacuum" -> vacuumSql)
 }

@@ -143,6 +143,28 @@ class Round11Spec extends SparkSpec {
       "recall at 32 dims fell below recall at 8")
   }
 
+  test("ab conversion: counts consistent, z finite, rates non-degenerate") {
+    val r = EventQueries.queries("events_ab_conversion")(spark, Sf).collect()
+    assert(r.length == 1)
+    val (n0, n1, c0, c1) =
+      (r(0).getLong(0), r(0).getLong(1), r(0).getLong(2), r(0).getLong(3))
+    val z = r(0).getDouble(6)
+    assert(c0 <= n0 && c1 <= n1 && n0 > 0 && n1 > 0)
+    // non-degenerate on this corpus: somebody converts, somebody doesn't
+    assert(c0 + c1 > 0 && c0 + c1 < n0 + n1, s"degenerate gate: $c0+$c1")
+    assert(!z.isNaN && !z.isInfinite)
+  }
+
+  test("vacuum: expired snapshot gone from log and disk, head intact") {
+    val rows = InfraQueries.queries("infra_vacuum")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getBoolean(3), "v1 still reachable"))
+    // the head read-through-log equals the post-CDC state
+    val n = rows.map(_.getLong(1)).sum
+    assert(n == InfraQueries.cdcMerged(spark, Sf).count(),
+      "head snapshot drifted after vacuum")
+  }
+
   test("compaction face: file count actually dropped, data conserved") {
     val rows = InfraQueries.queries("infra_compaction")(spark, Sf).collect()
     assert(rows.nonEmpty)
