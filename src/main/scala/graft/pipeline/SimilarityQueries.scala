@@ -121,6 +121,71 @@ WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
 QUALIFY row_number() OVER w <= 5
 ORDER BY query_id, rank"""
 
+  // ------------------------------------------------- embedding drift
+  /** Embedding-space drift monitor — the ML-observability readout that
+    * catches a silently-changed upstream encoder or a population
+    * shift: the corpus is split into 8 ingestion batches (vec_id
+    * order), each batch's centroid is computed exactly (per-dimension
+    * DECIMAL sums — order-free — divided once by the batch count), and
+    * consecutive centroids are compared by cosine. A drift spike
+    * between batches k and k+1 is the re-embed/retrain alarm. The
+    * whole computation never materializes an array: centroids live as
+    * the (batch, dim) relation (8×64 rows) and the consecutive-batch
+    * cosine is one equi-join on dim + a decimal-exact 3-sum aggregate
+    * — at 100 TB the only data-sized work is the one posexplode scan
+    * feeding the per-(batch, dim) partial sums. */
+  private val embedDrift: Q = (s, d) => {
+    val e = embDouble(s, d)
+    val mx = broadcast(e.agg((max("vec_id") + 1).as("n_ids")))
+    val means = e.crossJoin(mx)
+      .select(expr("(vec_id * 8) div n_ids").as("batch"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("batch", "dim")
+      .agg((sum(col("x").cast("decimal(25,15)")).cast("double")
+        / count(lit(1))).as("m"))
+      // 8×64 rows; both sides of the consecutive-batch join read it —
+      // materialize once so the posexplode scan doesn't plan twice
+      .localCheckpoint()
+    val a = means.toDF("batch", "dim", "ma")
+    val b = means.toDF("b2", "dim", "mb")
+    def dsum(c: Column) = sum(c.cast("decimal(30,18)")).cast("double")
+    a.join(b, col("b2") === col("batch") + 1 && a("dim") === b("dim"))
+      .groupBy(col("batch").as("batch_from"), col("b2").as("batch_to"))
+      .agg(dsum(col("ma") * col("mb")).as("dot"),
+        dsum(col("ma") * col("ma")).as("na"),
+        dsum(col("mb") * col("mb")).as("nb"))
+      .select(col("batch_from"), col("batch_to"),
+        round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6)
+          .as("cos_sim"),
+        round(lit(1.0) - col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 6)
+          .as("drift"))
+      .orderBy("batch_from")
+  }
+  private val embedDriftSql =
+    """WITH mx AS (SELECT max(vec_id) + 1 AS n_ids FROM embeddings),
+dims AS (SELECT unnest(range(1, 65)) AS dim),
+pts AS (
+  SELECT (vec_id * 8) // n_ids AS batch, d.dim - 1 AS dim,
+    CAST(CAST(embedding AS DOUBLE[])[d.dim] AS DOUBLE) AS x
+  FROM embeddings, mx, dims d
+), means AS (
+  SELECT batch, dim,
+    CAST(sum(CAST(x AS DECIMAL(25,15))) AS DOUBLE) / count(*) AS m
+  FROM pts GROUP BY batch, dim
+), pairs AS (
+  SELECT a.batch AS batch_from, b.batch AS batch_to,
+    CAST(sum(CAST(a.m * b.m AS DECIMAL(30,18))) AS DOUBLE) AS dot,
+    CAST(sum(CAST(a.m * a.m AS DECIMAL(30,18))) AS DOUBLE) AS na,
+    CAST(sum(CAST(b.m * b.m AS DECIMAL(30,18))) AS DOUBLE) AS nb
+  FROM means a JOIN means b
+    ON b.batch = a.batch + 1 AND a.dim = b.dim
+  GROUP BY 1, 2
+)
+SELECT batch_from, batch_to,
+  round(dot / (sqrt(na) * sqrt(nb)), 6) AS cos_sim,
+  round(1.0 - dot / (sqrt(na) * sqrt(nb)), 6) AS drift
+FROM pairs ORDER BY batch_from"""
+
   // --------------------------------------------- matryoshka dim eval
   /** Dimension-truncation eval (Matryoshka-style) — the
     * storage/quality tradeoff curve for prefix-truncatable embeddings:
@@ -1512,6 +1577,7 @@ ORDER BY e.query_id"""
     "ann_topk_brute" -> topkBrute,
     "ann_filtered_topk" -> filteredTopk,
     "ann_matryoshka_eval" -> matryoshkaEval,
+    "embed_drift" -> embedDrift,
     "ann_range_search" -> rangeSearch,
     "ann_topk_ivf" -> topkIvf,
     "ann_topk_ivf_kmeans" -> topkKmeans,
@@ -1535,6 +1601,7 @@ ORDER BY e.query_id"""
     "ann_topk_brute" -> topkBruteSql,
     "ann_filtered_topk" -> filteredTopkSql,
     "ann_matryoshka_eval" -> matryoshkaEvalSql,
+    "embed_drift" -> embedDriftSql,
     "ann_range_search" -> rangeSearchSql,
     "ann_topk_ivf" -> topkIvfSql,
     "ann_topk_ivf_kmeans" -> topkKmeansSql,

@@ -165,6 +165,20 @@ class Round11Spec extends SparkSpec {
       "head snapshot drifted after vacuum")
   }
 
+  test("embed drift: full transition chain, cosine bounded") {
+    val rows = graft.pipeline.SimilarityQueries
+      .queries("embed_drift")(spark, Sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(r => (r._1, r._2)).toSeq ==
+      (0L to 6L).map(k => (k, k + 1)),
+      "must cover every consecutive batch transition exactly once")
+    rows.foreach { case (_, _, cos, drift) =>
+      assert(cos >= -1.0 && cos <= 1.0)
+      assert(math.abs(1.0 - cos - drift) < 1e-9)
+    }
+  }
+
   test("compaction face: file count actually dropped, data conserved") {
     val rows = InfraQueries.queries("infra_compaction")(spark, Sf).collect()
     assert(rows.nonEmpty)
