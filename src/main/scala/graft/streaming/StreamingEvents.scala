@@ -106,6 +106,28 @@ object StreamingEvents {
   def anomalyStream(events: DataFrame, stats: DataFrame): DataFrame =
     EventQueries.flagAnomalies(events, stats)
 
+  /** Streaming point-in-time enrichment — the feature-store serving
+    * face of `events_scd2_join`: live facts are joined to the
+    * BATCH-BUILT SCD2 dimension (validity intervals) on
+    * `valid_from ≤ ts < valid_to`, so each fact picks up exactly the
+    * version that was true when it happened — never is_current, which
+    * would leak future states into the stream. Stream-static regime
+    * (the dimension broadcasts like [[anomalyStream]]'s stats): the
+    * join is stateless per micro-batch, and dimension refreshes swap
+    * the static side between restarts, which is precisely how a
+    * feature store versions its features. Facts before any version
+    * emit with a null state (left join) — the caller decides the
+    * default. */
+  def scd2JoinStream(facts: DataFrame, versions: DataFrame): DataFrame =
+    facts.join(versions,
+      facts("user_id") === versions("user_id") &&
+        versions("valid_from_ms") <= unix_millis(facts("ts")) &&
+        (versions("valid_to_ms").isNull ||
+          unix_millis(facts("ts")) < versions("valid_to_ms")),
+      "left_outer")
+      .select(facts("user_id"), facts("event_id"), facts("ts"),
+        facts("value"), versions("event_type").as("state"))
+
   /** Streaming SEASONAL anomaly — the deseasonalized spike gate's
     * stream face (batch: `events_seasonal_anomaly`): live events fold
     * into watermarked 1-hour count cells; each CLOSED cell probes the

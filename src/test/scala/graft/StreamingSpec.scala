@@ -849,6 +849,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming scd2 enrichment: interval-correct state, no future leak") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Double)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_ms", "user_id", "event_id", "value")
+      .select(timestamp_millis(col("ts_ms")).as("ts"), col("user_id"),
+        col("event_id"), col("value"))
+    // user 1's dimension history: silver [1000, 5000), gold [5000, ∞)
+    val versions = Seq(
+      (1L, "silver", 1000L, Some(5000L)),
+      (1L, "gold", 5000L, None: Option[Long]))
+      .toDF("user_id", "event_type", "valid_from_ms", "valid_to_ms")
+    val q = StreamingEvents.scd2JoinStream(typed(mem.toDF()), versions)
+      .writeStream.format("memory").queryName("s2s").outputMode("append")
+      .start()
+    try {
+      // one fact per regime: before any version, mid-silver, the gold
+      // boundary instant (inclusive), and a late-arriving silver fact
+      // AFTER gold already exists — is_current would mislabel it gold
+      mem.addData((500L, 1L, 1L, 1.0), (2000L, 1L, 2L, 1.0),
+        (5000L, 1L, 3L, 1.0))
+      q.processAllAvailable()
+      mem.addData((4999L, 1L, 4L, 1.0))
+      q.processAllAvailable()
+      val got = spark.table("s2s").collect()
+        .map(r => r.getLong(1) -> (if (r.isNullAt(4)) "none" else r.getString(4)))
+        .toMap
+      assert(got == Map(1L -> "none", 2L -> "silver",
+        3L -> "gold", 4L -> "silver"), s"wrong states: $got")
+    } finally q.stop()
+  }
+
   test("streaming attribution: cross-batch argmin/argmax merge, tie-break, batch parity") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
