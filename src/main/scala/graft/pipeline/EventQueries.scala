@@ -2656,9 +2656,10 @@ ORDER BY r.user_id"""
         ((D("c0") + D("c1")) / (D("n0") + D("n1"))).as("pp"))
       .select(col("n0"), col("n1"), col("c0"), col("c1"),
         round(col("p0"), 6).as("rate_a"), round(col("p1"), 6).as("rate_b"),
-        round((col("p0") - col("p1"))
-          / sqrt(col("pp") * (lit(1.0) - col("pp"))
-            * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6)
+        when(col("pp") > 0 && col("pp") < 1 && col("n0") > 0 && col("n1") > 0,
+          round((col("p0") - col("p1"))
+            / sqrt(col("pp") * (lit(1.0) - col("pp"))
+              * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6))
           .as("z_stat"))
   }
   private val abConversionSql =
@@ -2685,9 +2686,86 @@ ORDER BY r.user_id"""
 )
 SELECT n0, n1, c0, c1,
   round(p0, 6) AS rate_a, round(p1, 6) AS rate_b,
-  round((p0 - p1) / sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1)), 6)
-    AS z_stat
+  CASE WHEN pp > 0 AND pp < 1 AND n0 > 0 AND n1 > 0
+    THEN round((p0 - p1) / sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1)), 6)
+    ELSE NULL END AS z_stat
 FROM f"""
+
+  // -------------------------------------------------- segment uplift
+  /** Segmented experiment readout (heterogeneous treatment effects) —
+    * the question after any flat A/B result: WHO moved? Users are cut
+    * into activity terciles (NTILE(3) by event count with the
+    * deterministic (count, user) order — the [[rfm]] segmentation
+    * idiom, a window over the |users|-sized relation, never the
+    * fact), and the two-proportion conversion readout runs per
+    * tercile. A launch that helps light users while hurting heavy
+    * ones nets to zero in [[abConversion]] — this face is where that
+    * shows. Exact counts per cell; the per-segment z is the same
+    * fixed closed form. */
+  private val uplift: Q = (s, d) => {
+    val perUser = Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "purchase" &&
+          col("value") > 95, 1L).otherwise(0L)).as("converted"))
+    val seg = perUser.withColumn("segment",
+      ntile(3).over(Window.orderBy(col("n_ev"), col("user_id"))))
+    val m = seg.groupBy("segment").agg(
+      sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("user_id") % 2 === 0, col("converted")).otherwise(0L))
+        .as("c0"),
+      sum(when(col("user_id") % 2 === 1, col("converted")).otherwise(0L))
+        .as("c1"))
+    def D(n: String) = col(n).cast("double")
+    m.select(col("segment"), col("n0"), col("n1"), col("c0"), col("c1"),
+        (D("c0") / D("n0")).as("p0"), (D("c1") / D("n1")).as("p1"),
+        ((D("c0") + D("c1")) / (D("n0") + D("n1"))).as("pp"))
+      .select(col("segment"), col("n0"), col("n1"), col("c0"), col("c1"),
+        round(col("p0") - col("p1"), 6).as("lift"),
+        // a degenerate cell (everyone or no one converts) has zero
+        // pooled variance — the z is undefined, reported as null in
+        // BOTH engines rather than an engine-specific inf/error
+        when(col("pp") > 0 && col("pp") < 1 && col("n0") > 0 && col("n1") > 0,
+          round((col("p0") - col("p1"))
+            / sqrt(col("pp") * (lit(1.0) - col("pp"))
+              * (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6))
+          .as("z_stat"))
+      .orderBy("segment")
+  }
+  private val upliftSql =
+    """WITH pu AS (
+  SELECT user_id, count(*) AS n_ev,
+    max(CASE WHEN event_type = 'purchase' AND value > 95
+      THEN 1 ELSE 0 END) AS converted
+  FROM events GROUP BY user_id
+), seg AS (
+  SELECT user_id, converted,
+    ntile(3) OVER (ORDER BY n_ev, user_id) AS segment
+  FROM pu
+), m AS (
+  SELECT segment,
+    CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(sum(CASE WHEN user_id % 2 = 0 THEN converted ELSE 0 END)
+      AS BIGINT) AS c0,
+    CAST(sum(CASE WHEN user_id % 2 = 1 THEN converted ELSE 0 END)
+      AS BIGINT) AS c1
+  FROM seg GROUP BY segment
+), f AS (
+  SELECT segment, n0, n1, c0, c1,
+    CAST(c0 AS DOUBLE) / n0 AS p0, CAST(c1 AS DOUBLE) / n1 AS p1,
+    (CAST(c0 AS DOUBLE) + CAST(c1 AS DOUBLE))
+      / (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) AS pp
+  FROM m
+)
+SELECT CAST(segment AS INT) AS segment, n0, n1, c0, c1,
+  round(p0 - p1, 6) AS lift,
+  CASE WHEN pp > 0 AND pp < 1 AND n0 > 0 AND n1 > 0
+    THEN round((p0 - p1)
+      / sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1)), 6)
+    ELSE NULL END AS z_stat
+FROM f ORDER BY segment"""
 
   // ----------------------------------------------- budget allocation
   /** Largest-remainder (Hamilton) integer allocation — the exact
@@ -3047,6 +3125,7 @@ ORDER BY type_a, type_b"""
     "events_bitemporal" -> bitemporal,
     "events_budget_allocation" -> budgetAllocation,
     "events_ab_conversion" -> abConversion,
+    "events_uplift" -> uplift,
     "events_ab_test" -> abTest,
     "events_autocorr" -> autocorr,
     "events_type_corr" -> typeCorr,
@@ -3110,6 +3189,7 @@ ORDER BY type_a, type_b"""
     "events_bitemporal" -> bitemporalSql,
     "events_budget_allocation" -> budgetAllocationSql,
     "events_ab_conversion" -> abConversionSql,
+    "events_uplift" -> upliftSql,
     "events_ab_test" -> abTestSql,
     "events_gap_fill" -> gapFillSql,
     "events_autocorr" -> autocorrSql,

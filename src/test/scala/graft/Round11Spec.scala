@@ -179,6 +179,21 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("uplift: segments partition users, cells sum to the flat readout") {
+    val segs = EventQueries.queries("events_uplift")(spark, Sf)
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(segs.map(_._1).toSeq == Seq(1, 2, 3))
+    val flat = EventQueries.queries("events_ab_conversion")(spark, Sf)
+      .head()
+    // the terciles are a partition of the users: per-cohort user and
+    // converter counts must sum back to the flat readout exactly
+    assert(segs.map(_._2).sum == flat.getLong(0))
+    assert(segs.map(_._3).sum == flat.getLong(1))
+    assert(segs.map(_._4).sum == flat.getLong(2))
+    assert(segs.map(_._5).sum == flat.getLong(3))
+  }
+
   test("compaction face: file count actually dropped, data conserved") {
     val rows = InfraQueries.queries("infra_compaction")(spark, Sf).collect()
     assert(rows.nonEmpty)
