@@ -2691,6 +2691,103 @@ SELECT n0, n1, c0, c1,
     ELSE NULL END AS z_stat
 FROM f"""
 
+  // ------------------------------------------------------ cohort LTV
+  /** Cohort lifetime-value curve — the revenue half of the retention
+    * triangle ([[cohortMatrix]] counts WHO came back; this sums what
+    * they SPENT): users grouped by acquisition day (their min event
+    * day), purchase revenue bucketed by day offset since acquisition,
+    * and accumulated across offsets — each cohort row traces its LTV
+    * curve, the payback readout acquisition spend is judged against.
+    * Shape: one fact scan joined to the per-user acquisition day
+    * (user-keyed broadcast-able relation), one (cohort, offset)
+    * aggregate, and a running-total window over the small
+    * cohort×offset triangle — never the fact. Decimal-exact sums
+    * throughout. */
+  private val ltvCohort: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_millis(date_trunc('day', ts)) div 86400000")
+          .as("day_num"),
+        col("event_type"), col("value"))
+    val acq = ev.groupBy("user_id").agg(min("day_num").as("acq_day"))
+    val cells = ev.filter(col("event_type") === "purchase")
+      .join(acq, "user_id")
+      .groupBy(col("acq_day"), (col("day_num") - col("acq_day")).as("offset"))
+      .agg(sum(col("value").cast("decimal(18,6)")).as("rev"),
+        count(lit(1)).as("n_purchases"))
+    val w = Window.partitionBy("acq_day").orderBy("offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .select(col("acq_day"), col("offset"), col("n_purchases"),
+        round(col("rev").cast("double"), 4).as("rev"),
+        round(sum(col("rev")).over(w).cast("double"), 4).as("cum_ltv"))
+      .orderBy("acq_day", "offset")
+  }
+  private val ltvCohortSql =
+    """WITH ev AS (
+  SELECT user_id, epoch_ms(date_trunc('day', ts)) // 86400000 AS day_num,
+    event_type, value
+  FROM events
+), acq AS (
+  SELECT user_id, min(day_num) AS acq_day FROM ev GROUP BY user_id
+), cells AS (
+  SELECT acq_day, day_num - acq_day AS "offset",
+    sum(CAST(value AS DECIMAL(18,6))) AS rev,
+    count(*) AS n_purchases
+  FROM ev JOIN acq USING (user_id)
+  WHERE event_type = 'purchase'
+  GROUP BY 1, 2
+)
+SELECT acq_day, "offset", n_purchases,
+  round(CAST(rev AS DOUBLE), 4) AS rev,
+  round(CAST(sum(rev) OVER (PARTITION BY acq_day ORDER BY "offset"
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 4)
+    AS cum_ltv
+FROM cells ORDER BY acq_day, "offset" """
+
+  // -------------------------------------------------- velocity flags
+  /** Velocity rule — the fraud/abuse primitive "more than K events
+    * within any trailing window": per user, each event counts its
+    * predecessors within the trailing hour via an event-time RANGE
+    * frame (value-bounded, so calendar gaps shrink the window — the
+    * [[trailing7d]] frame semantics at second granularity), and users
+    * whose peak trailing-hour count reaches the threshold are flagged
+    * with their peak and when it happened. One user_id shuffle, one
+    * ordered window pass; the frame is O(events in the hour) per row
+    * — no self-join, no banded explosion. Exact integers
+    * throughout. */
+  private val VelocityK = 3
+  private val velocityFlags: Q = (s, d) => {
+    val wRange = Window.partitionBy("user_id")
+      .orderBy(col("ts_ms"))
+      .rangeBetween(-3600000L, 0L)
+    val counted = Tables.events(s, d)
+      .select(col("user_id"), unix_millis(col("ts")).as("ts_ms"))
+      .withColumn("n_hour", count(lit(1)).over(wRange))
+    counted.groupBy("user_id")
+      .agg(max(struct(col("n_hour"), col("ts_ms"))).as("peak"))
+      .filter(col("peak.n_hour") >= VelocityK)
+      .select(col("user_id"), col("peak.n_hour").as("peak_hour_events"),
+        col("peak.ts_ms").as("peak_at_ms"))
+      .orderBy("user_id")
+  }
+  private val velocityFlagsSql =
+    s"""WITH counted AS (
+  SELECT user_id, epoch_ms(ts) AS ts_ms,
+    count(*) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS n_hour
+  FROM events
+), peaks AS (
+  SELECT user_id, max(struct_pack(n_hour := n_hour, ts_ms := ts_ms)) AS peak
+  FROM counted GROUP BY user_id
+)
+SELECT user_id,
+  CAST(peak.n_hour AS BIGINT) AS peak_hour_events,
+  peak.ts_ms AS peak_at_ms
+FROM peaks
+WHERE peak.n_hour >= $VelocityK
+ORDER BY user_id"""
+
   // -------------------------------------------------- segment uplift
   /** Segmented experiment readout (heterogeneous treatment effects) —
     * the question after any flat A/B result: WHO moved? Users are cut
@@ -3126,6 +3223,8 @@ ORDER BY type_a, type_b"""
     "events_budget_allocation" -> budgetAllocation,
     "events_ab_conversion" -> abConversion,
     "events_uplift" -> uplift,
+    "events_ltv_cohort" -> ltvCohort,
+    "events_velocity_flags" -> velocityFlags,
     "events_ab_test" -> abTest,
     "events_autocorr" -> autocorr,
     "events_type_corr" -> typeCorr,
@@ -3190,6 +3289,8 @@ ORDER BY type_a, type_b"""
     "events_budget_allocation" -> budgetAllocationSql,
     "events_ab_conversion" -> abConversionSql,
     "events_uplift" -> upliftSql,
+    "events_ltv_cohort" -> ltvCohortSql,
+    "events_velocity_flags" -> velocityFlagsSql,
     "events_ab_test" -> abTestSql,
     "events_gap_fill" -> gapFillSql,
     "events_autocorr" -> autocorrSql,

@@ -194,6 +194,47 @@ class Round11Spec extends SparkSpec {
     assert(segs.map(_._5).sum == flat.getLong(3))
   }
 
+  test("ltv cohort: purchases conserved, curves monotone per cohort") {
+    val rows = EventQueries.queries("events_ltv_cohort")(spark, Sf)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, off, n, rev, _) =>
+      assert(off >= 0 && n > 0 && rev > 0)
+    }
+    val totalP = Tables.events(spark, Sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(rows.map(_._3).sum == totalP, "purchase conservation")
+    rows.groupBy(_._1).values.foreach { cohort =>
+      val curve = cohort.sortBy(_._2).map(_._5)
+      curve.sliding(2).foreach { case Array(a, b) =>
+        assert(b > a, "cumulative LTV must strictly grow per cell")
+      }
+      // the last cumulative equals the cohort's summed per-cell revenue
+      assert(math.abs(curve.last - cohort.map(_._4).sum) < 0.01)
+    }
+  }
+
+  test("velocity flags: every flagged peak re-verified by brute count") {
+    val flags = EventQueries.queries("events_velocity_flags")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(flags.nonEmpty, "velocity rule never fired")
+    val ev = Tables.events(spark, Sf)
+      .select(col("user_id"), unix_millis(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, ts) => u -> ts.map(_._2).sorted }
+    flags.foreach { case (u, peak, at) =>
+      val ts = ev(u)
+      // brute-force the trailing-hour count at the reported instant
+      val n = ts.count(t => t >= at - 3600000L && t <= at)
+      assert(n == peak, s"user $u: reported $peak, brute count $n")
+      assert(peak >= 3)
+      // and no instant beats the reported peak
+      val best = ts.map(x => ts.count(t => t >= x - 3600000L && t <= x)).max
+      assert(best == peak, s"user $u: peak $peak but best window is $best")
+    }
+  }
+
   test("compaction face: file count actually dropped, data conserved") {
     val rows = InfraQueries.queries("infra_compaction")(spark, Sf).collect()
     assert(rows.nonEmpty)
