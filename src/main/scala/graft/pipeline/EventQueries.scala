@@ -2691,6 +2691,127 @@ SELECT n0, n1, c0, c1,
     ELSE NULL END AS z_stat
 FROM f"""
 
+  // ------------------------------------------------ diff-in-diff
+  /** Difference-in-differences — the quasi-experimental estimator for
+    * when assignment ISN'T randomized (a rollout hit one cohort at a
+    * known time): effect = (treat_post − treat_pre) − (control_post −
+    * control_pre), which nets out both the stable cohort difference
+    * and the shared time trend. Completes the causal family: Welch
+    * means ([[abTest]]), variance reduction ([[cuped]]), proportions
+    * ([[abConversion]]), heterogeneity ([[uplift]]), and now the
+    * observational fallback. Same skeleton as [[cuped]]: the period
+    * split is the data-range midpoint via a 1-row broadcast bounds
+    * aggregate, cohort is the parity split, and the whole readout is
+    * ONE 8-sum conditional aggregation over the fact — exact decimal
+    * sums, closed-form IEEE finish. */
+  private val diffInDiff: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val mid = broadcast(ev.agg(
+      expr("(min(unix_millis(ts)) + max(unix_millis(ts))) div 2")
+        .as("mid_ms")))
+    def cell(coh: Int, post: Boolean) = {
+      val inCell = (col("user_id") % 2 === coh) &&
+        (if (post) unix_millis(col("ts")) >= col("mid_ms")
+         else unix_millis(col("ts")) < col("mid_ms"))
+      (sum(when(inCell, col("value").cast("decimal(18,6)"))),
+        sum(when(inCell, 1L).otherwise(0L)))
+    }
+    val cells = Seq((0, false), (0, true), (1, false), (1, true))
+    val aggs = cells.flatMap { case (c, p) =>
+      val suffix = s"${c}_${if (p) "post" else "pre"}"
+      val (sv, n) = cell(c, p)
+      Seq(sv.as(s"s$suffix"), n.as(s"n$suffix"))
+    }
+    def m(sfx: String) =
+      (col(s"s$sfx").cast("double") / col(s"n$sfx")).as(s"m$sfx")
+    ev.crossJoin(mid)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n0_pre"), col("n0_post"), col("n1_pre"), col("n1_post"),
+        m("0_pre"), m("0_post"), m("1_pre"), m("1_post"))
+      .select(col("n0_pre"), col("n0_post"), col("n1_pre"), col("n1_post"),
+        round(col("m0_post") - col("m0_pre"), 6).as("delta_treat"),
+        round(col("m1_post") - col("m1_pre"), 6).as("delta_control"),
+        round((col("m0_post") - col("m0_pre"))
+          - (col("m1_post") - col("m1_pre")), 6).as("did_effect"))
+  }
+  private val diffInDiffSql =
+    """WITH mid AS (
+  SELECT (min(epoch_ms(ts)) + max(epoch_ms(ts))) // 2 AS mid_ms FROM events
+), m AS (
+  SELECT
+    sum(CASE WHEN user_id % 2 = 0 AND epoch_ms(ts) < mid_ms
+      THEN CAST(value AS DECIMAL(18,6)) END) AS s0_pre,
+    CAST(sum(CASE WHEN user_id % 2 = 0 AND epoch_ms(ts) < mid_ms
+      THEN 1 ELSE 0 END) AS BIGINT) AS n0_pre,
+    sum(CASE WHEN user_id % 2 = 0 AND epoch_ms(ts) >= mid_ms
+      THEN CAST(value AS DECIMAL(18,6)) END) AS s0_post,
+    CAST(sum(CASE WHEN user_id % 2 = 0 AND epoch_ms(ts) >= mid_ms
+      THEN 1 ELSE 0 END) AS BIGINT) AS n0_post,
+    sum(CASE WHEN user_id % 2 = 1 AND epoch_ms(ts) < mid_ms
+      THEN CAST(value AS DECIMAL(18,6)) END) AS s1_pre,
+    CAST(sum(CASE WHEN user_id % 2 = 1 AND epoch_ms(ts) < mid_ms
+      THEN 1 ELSE 0 END) AS BIGINT) AS n1_pre,
+    sum(CASE WHEN user_id % 2 = 1 AND epoch_ms(ts) >= mid_ms
+      THEN CAST(value AS DECIMAL(18,6)) END) AS s1_post,
+    CAST(sum(CASE WHEN user_id % 2 = 1 AND epoch_ms(ts) >= mid_ms
+      THEN 1 ELSE 0 END) AS BIGINT) AS n1_post
+  FROM events, mid
+), f AS (
+  SELECT n0_pre, n0_post, n1_pre, n1_post,
+    CAST(s0_pre AS DOUBLE) / n0_pre AS m0_pre,
+    CAST(s0_post AS DOUBLE) / n0_post AS m0_post,
+    CAST(s1_pre AS DOUBLE) / n1_pre AS m1_pre,
+    CAST(s1_post AS DOUBLE) / n1_post AS m1_post
+  FROM m
+)
+SELECT n0_pre, n0_post, n1_pre, n1_post,
+  round(m0_post - m0_pre, 6) AS delta_treat,
+  round(m1_post - m1_pre, 6) AS delta_control,
+  round((m0_post - m0_pre) - (m1_post - m1_pre), 6) AS did_effect
+FROM f"""
+
+  // --------------------------------------------------------- streaks
+  /** Longest consecutive-day streak per user, as a streak-length
+    * histogram — the engagement metric behind every "7-day streak"
+    * product mechanic, and a different gaps-and-islands instance than
+    * [[stateHistory]] (days, not event types, and the grain is the
+    * DISTINCT (user, day) relation — the [[dauMau]] reduction, so the
+    * islands window rides users×days, never the fact). A streak is a
+    * maximal run of consecutive calendar days with ≥1 event; island
+    * key = day_num − dense row index. Exact integers end-to-end. */
+  private val streaks: Q = (s, d) => {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_millis(date_trunc('day', ts)) div 86400000")
+          .as("day_num"))
+      .distinct()
+    val w = Window.partitionBy("user_id").orderBy("day_num")
+    val best = ud
+      .withColumn("isl", col("day_num") - row_number().over(w))
+      .groupBy("user_id", "isl").agg(count(lit(1)).as("len"))
+      .groupBy("user_id").agg(max("len").as("best_streak"))
+    best.groupBy("best_streak").agg(count(lit(1)).as("n_users"))
+      .orderBy("best_streak")
+  }
+  private val streaksSql =
+    """WITH ud AS (
+  SELECT DISTINCT user_id,
+    epoch_ms(date_trunc('day', ts)) // 86400000 AS day_num
+  FROM events
+), isl AS (
+  SELECT user_id,
+    day_num - row_number() OVER (PARTITION BY user_id ORDER BY day_num)
+      AS isl
+  FROM ud
+), runs AS (
+  SELECT user_id, isl, count(*) AS len FROM isl GROUP BY user_id, isl
+), best AS (
+  SELECT user_id, max(len) AS best_streak FROM runs GROUP BY user_id
+)
+SELECT CAST(best_streak AS BIGINT) AS best_streak,
+  count(*) AS n_users
+FROM best GROUP BY best_streak ORDER BY best_streak"""
+
   // ------------------------------------------------------ cohort LTV
   /** Cohort lifetime-value curve — the revenue half of the retention
     * triangle ([[cohortMatrix]] counts WHO came back; this sums what
@@ -3224,6 +3345,8 @@ ORDER BY type_a, type_b"""
     "events_ab_conversion" -> abConversion,
     "events_uplift" -> uplift,
     "events_ltv_cohort" -> ltvCohort,
+    "events_diff_in_diff" -> diffInDiff,
+    "events_streaks" -> streaks,
     "events_velocity_flags" -> velocityFlags,
     "events_ab_test" -> abTest,
     "events_autocorr" -> autocorr,
@@ -3290,6 +3413,8 @@ ORDER BY type_a, type_b"""
     "events_ab_conversion" -> abConversionSql,
     "events_uplift" -> upliftSql,
     "events_ltv_cohort" -> ltvCohortSql,
+    "events_diff_in_diff" -> diffInDiffSql,
+    "events_streaks" -> streaksSql,
     "events_velocity_flags" -> velocityFlagsSql,
     "events_ab_test" -> abTestSql,
     "events_gap_fill" -> gapFillSql,

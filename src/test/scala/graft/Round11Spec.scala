@@ -235,6 +235,29 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("diff-in-diff: cell algebra holds, identity with the deltas") {
+    val r = EventQueries.queries("events_diff_in_diff")(spark, Sf).head()
+    val cells = (0 to 3).map(r.getLong)
+    assert(cells.forall(_ > 0), s"an empty DiD cell: $cells")
+    assert(cells.sum == Tables.events(spark, Sf).count(),
+      "the four cells must partition the fact")
+    val (dt, dc, eff) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(math.abs(eff - (dt - dc)) <= 2e-6,
+      "effect must equal the delta of deltas up to rounding")
+  }
+
+  test("streaks: user conservation and a multi-day streak exists") {
+    val rows = EventQueries.queries("events_streaks")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (len, n) => assert(len >= 1 && n >= 1) }
+    val users = Tables.events(spark, Sf)
+      .select("user_id").distinct().count()
+    assert(rows.map(_._2).sum == users,
+      "every user has exactly one best streak")
+    assert(rows.exists(_._1 >= 2), "no multi-day streak in the corpus")
+  }
+
   test("compaction face: file count actually dropped, data conserved") {
     val rows = InfraQueries.queries("infra_compaction")(spark, Sf).collect()
     assert(rows.nonEmpty)
