@@ -2691,6 +2691,62 @@ SELECT n0, n1, c0, c1,
     ELSE NULL END AS z_stat
 FROM f"""
 
+  // --------------------------------------------- peak concurrency
+  /** Peak concurrency — the sweep-line answer to "how many sessions
+    * were open at once at the worst moment", the capacity-planning
+    * number every serving tier sizes against: session intervals
+    * ([[sessionAgg]], the shared 6-hour-gap windows) become ±1
+    * boundary events, and the global running sum's maximum is the
+    * peak. The global prefix sum uses the distributed two-phase rank
+    * machinery (range-partition the boundaries → per-partition
+    * cumulative window → broadcast ≤32-row partition totals as
+    * offsets) — never a single-task global sort; ties at one instant
+    * order (ms, delta, user) with ends (−1) before starts, so
+    * touching sessions don't count as overlapping, identically in
+    * both engines. Reported instant = the earliest moment the peak is
+    * attained (order-invariant: within a tie group only the group-end
+    * cumulative can equal the global max). */
+  private val peakConcurrency: Q = (s, d) => {
+    val sess = sessionAgg(Tables.events(s, d))
+    val bounds = sess.select(col("session_start_ms").as("ms"),
+        lit(1L).as("delta"), col("user_id"))
+      .unionByName(sess.select(col("session_end_ms").as("ms"),
+        lit(-1L).as("delta"), col("user_id")))
+    val parted = bounds
+      .repartitionByRange(32, col("ms"), col("delta"), col("user_id"))
+      .withColumn("pid", spark_partition_id())
+    val wP = Window.partitionBy("pid")
+      .orderBy(col("ms"), col("delta"), col("user_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = parted.withColumn("lsum", sum("delta").over(wP))
+    val wOff = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = parted.groupBy("pid").agg(sum("delta").as("pt"))
+      .select(col("pid"), coalesce(sum("pt").over(wOff), lit(0L)).as("off"))
+    val cum = local.join(broadcast(offs), "pid")
+      .select(col("ms"), (col("lsum") + col("off")).as("cum"))
+      .localCheckpoint()
+    val peak = broadcast(cum.agg(max("cum").as("peak")))
+    cum.crossJoin(peak).filter(col("cum") === col("peak"))
+      .groupBy("peak").agg(min("ms").as("at_ms"))
+      .select(col("peak").as("peak_concurrency"), col("at_ms"))
+  }
+  private val peakConcurrencySql =
+    s"""WITH sess AS (
+  SELECT session_start_ms, session_end_ms, user_id FROM ($sessionSql)
+), b AS (
+  SELECT session_start_ms AS ms, 1 AS delta, user_id FROM sess
+  UNION ALL
+  SELECT session_end_ms, -1, user_id FROM sess
+), c AS (
+  SELECT ms, sum(delta) OVER (ORDER BY ms, delta, user_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM b
+), p AS (SELECT max(cum) AS peak FROM c)
+SELECT CAST(p.peak AS BIGINT) AS peak_concurrency,
+  min(c.ms) AS at_ms
+FROM c, p WHERE c.cum = p.peak GROUP BY p.peak"""
+
   // ------------------------------------------------ diff-in-diff
   /** Difference-in-differences — the quasi-experimental estimator for
     * when assignment ISN'T randomized (a rollout hit one cohort at a
@@ -3346,6 +3402,7 @@ ORDER BY type_a, type_b"""
     "events_uplift" -> uplift,
     "events_ltv_cohort" -> ltvCohort,
     "events_diff_in_diff" -> diffInDiff,
+    "events_peak_concurrency" -> peakConcurrency,
     "events_streaks" -> streaks,
     "events_velocity_flags" -> velocityFlags,
     "events_ab_test" -> abTest,
@@ -3414,6 +3471,7 @@ ORDER BY type_a, type_b"""
     "events_uplift" -> upliftSql,
     "events_ltv_cohort" -> ltvCohortSql,
     "events_diff_in_diff" -> diffInDiffSql,
+    "events_peak_concurrency" -> peakConcurrencySql,
     "events_streaks" -> streaksSql,
     "events_velocity_flags" -> velocityFlagsSql,
     "events_ab_test" -> abTestSql,

