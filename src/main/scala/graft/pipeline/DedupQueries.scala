@@ -642,6 +642,81 @@ $minhashPairSelect
 SELECT degree, count(*) AS n_docs FROM deg
 GROUP BY degree ORDER BY degree"""
 
+  // ------------------------------------------------- assortativity
+  /** Degree assortativity of the verified near-dup graph — Pearson r
+    * of endpoint degrees over all edges (Newman's mixing
+    * coefficient): r near +1 means clique-like communities of equals
+    * (the benign template-family structure), clearly negative r means
+    * hubs glued to leaves — the star shape that warns the min-label
+    * propagation of [[cluster]] will chain unrelated docs through one
+    * popular page. Completes the graph census next to size, depth,
+    * density, and local clustering, and is computed like every other
+    * correlation here: exact integer moments over the symmetric edge
+    * list (one equi-join of the degree relation onto each endpoint),
+    * one closed-form IEEE finish, null when the graph is
+    * degree-regular (zero variance). */
+  private val assortativity: Q = (s, d) => {
+    VectorExpressions.register(s)
+    val sh = shingleRows(DupCorpus.corpus(s, d))
+    val e = jaccardVerify(minhashCandidates(s, d), shingleSketches(sh), 0.4)
+      .select("doc_a", "doc_b").localCheckpoint()
+    val deg = e.select(col("doc_a").as("v"))
+      .unionAll(e.select(col("doc_b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val sym = e.unionAll(
+      e.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val m = sym
+      .join(deg.toDF("doc_a", "dx"), "doc_a")
+      .join(deg.toDF("doc_b", "dy"), "doc_b")
+      .agg(count(lit(1)).as("m"), sum("dx").as("sx"), sum("dy").as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+    def D(n: String) = col(n).cast("double")
+    m.select(expr("m div 2").as("n_edges"),
+        (D("m") * D("sxy") - D("sx") * D("sy")).as("cov"),
+        (D("m") * D("sxx") - D("sx") * D("sx")).as("vx"),
+        (D("m") * D("syy") - D("sy") * D("sy")).as("vy"))
+      .select(col("n_edges"),
+        when(col("vx") > 0 && col("vy") > 0,
+          round(col("cov") / sqrt(col("vx") * col("vy")), 6))
+          .as("assortativity"))
+  }
+  private val assortativitySql = s"""$minhashCtes, pairs AS (
+  SELECT doc_a, doc_b FROM (
+$minhashPairSelect
+  )
+), deg AS (
+  SELECT v, count(*) AS deg FROM (
+    SELECT doc_a AS v FROM pairs
+    UNION ALL
+    SELECT doc_b AS v FROM pairs
+  ) GROUP BY v
+), sym AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), mo AS (
+  SELECT count(*) AS m,
+    CAST(sum(da.deg) AS BIGINT) AS sx, CAST(sum(db.deg) AS BIGINT) AS sy,
+    CAST(sum(da.deg * db.deg) AS BIGINT) AS sxy,
+    CAST(sum(da.deg * da.deg) AS BIGINT) AS sxx,
+    CAST(sum(db.deg * db.deg) AS BIGINT) AS syy
+  FROM sym
+  JOIN deg da ON da.v = sym.doc_a
+  JOIN deg db ON db.v = sym.doc_b
+), f AS (
+  SELECT m // 2 AS n_edges,
+    CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS cov,
+    CAST(m AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS vx,
+    CAST(m AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS vy
+  FROM mo
+)
+SELECT CAST(n_edges AS BIGINT) AS n_edges,
+  CASE WHEN vx > 0 AND vy > 0
+    THEN round(cov / sqrt(vx * vy), 6) ELSE NULL END AS assortativity
+FROM f"""
+
   // --------------------------------------------------- link prediction
   /** Common-neighbor link prediction over the verified near-dup graph
     * — the transitivity-repair pass for LSH misses: minhash banding is
@@ -1458,6 +1533,7 @@ ORDER BY stage_ord"""
     "graph_degree_hist" -> degreeHist,
     "graph_link_predict" -> linkPredict,
     "graph_clustering_coeff" -> clusteringCoeff,
+    "graph_assortativity" -> assortativity,
     "dedup_winnow" -> winnow,
     "dedup_triangles" -> triangles,
     "dedup_containment" -> containment,
@@ -1482,6 +1558,7 @@ ORDER BY stage_ord"""
     "graph_degree_hist" -> degreeHistSql,
     "graph_link_predict" -> linkPredictSql,
     "graph_clustering_coeff" -> clusteringCoeffSql,
+    "graph_assortativity" -> assortativitySql,
     "dedup_winnow" -> winnowSql,
     "dedup_triangles" -> trianglesSql,
     "dedup_containment" -> containmentSql,

@@ -594,6 +594,64 @@ ORDER BY lang, rank"""
     * NOT a single-partition window sort, so a 100 TB vocabulary never
     * funnels through one task; the rank column is then a window over
     * the surviving 50 rows only. */
+  // ---------------------------------------------------- collocations
+  /** Collocation extraction — the keyphrase-mining primitive: adjacent
+    * token pairs ranked by LIFT, n·c(ab) / (c(a)·c(b)), which orders
+    * IDENTICALLY to PMI (log is monotone) while staying
+    * transcendental-free: the ranking key is one IEEE division on
+    * exact integer counts, so the cross-engine order can't flap. One
+    * tokenize pass feeds both the unigram and the adjacent-bigram
+    * counts (posexplode + a self-join on (doc, pos+1) — per-doc
+    * position join, never a corpus-wide shuffle explosion); a minimum
+    * pair count gates noise exactly as a keyphrase extractor would.
+    * Top 20 via TakeOrderedAndProject. */
+  private val collocations: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val uni = docs.select(explode(toks).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("c1"))
+      .localCheckpoint() // n_tok and both dims of the pair join read it
+    val n = broadcast(uni.agg(sum("c1").as("n_tok")))
+    // adjacent pairs as a zip of the array with its own 1-shifted
+    // slice — no positional self-join, the pair relation falls out of
+    // the scan
+    val big = docs
+      .select(col("doc_id"), toks.as("tk"))
+      .select(explode(arrays_zip(
+        expr("slice(tk, 1, size(tk) - 1)"),
+        expr("slice(tk, 2, size(tk) - 1)")).cast(
+        "array<struct<a:string,b:string>>")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 25)
+    big
+      .join(uni.toDF("a", "ca"), "a")
+      .join(uni.toDF("b", "cb"), "b")
+      .crossJoin(n)
+      .select(col("a"), col("b"), col("cab"),
+        round((col("n_tok") * col("cab")).cast("double")
+          / (col("ca") * col("cb")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("a"), col("b")).limit(20)
+  }
+  private val collocationsSql =
+    s"""WITH tk AS (
+  SELECT doc_id, $ToksSql AS toks, len($ToksSql) AS n FROM documents
+), uni AS (
+  SELECT t, count(*) AS c1 FROM (
+    SELECT unnest(toks) AS t FROM tk
+  ) GROUP BY t
+), nt AS (SELECT CAST(sum(c1) AS BIGINT) AS n_tok FROM uni),
+big AS (
+  SELECT toks[CAST(pos + 1 AS INT)] AS a,
+    toks[CAST(pos + 2 AS INT)] AS b, count(*) AS cab
+  FROM (
+    SELECT toks, unnest(range(0, greatest(n - 1, 0))) AS pos FROM tk
+  ) GROUP BY 1, 2 HAVING count(*) >= 25
+)
+SELECT a, b, cab,
+  round(CAST(nt.n_tok * cab AS DOUBLE) / (ua.c1 * ub.c1), 6) AS lift
+FROM big JOIN uni ua ON ua.t = a JOIN uni ub ON ub.t = b, nt
+ORDER BY lift DESC, a, b LIMIT 20"""
+
   // ------------------------------------------------------ burstiness
   /** Token burstiness — the variance-to-mean (Fano) ratio of each
     * token's per-document counts: function words scatter evenly
@@ -1868,6 +1926,7 @@ FROM a GROUP BY shard ORDER BY shard"""
     "text_vocab" -> vocab,
     "text_heaps_curve" -> heapsCurve,
     "text_burstiness" -> burstiness,
+    "text_collocations" -> collocations,
     "text_oov_rate" -> oovRate,
     "text_lang_confusion" -> langConfusion,
     "text_tfidf_top" -> tfidfTop,
@@ -1908,6 +1967,7 @@ FROM a GROUP BY shard ORDER BY shard"""
     "text_vocab" -> vocabSql,
     "text_heaps_curve" -> heapsCurveSql,
     "text_burstiness" -> burstinessSql,
+    "text_collocations" -> collocationsSql,
     "text_oov_rate" -> oovRateSql,
     "text_lang_confusion" -> langConfusionSql,
     "text_tfidf_top" -> tfidfTopSql,

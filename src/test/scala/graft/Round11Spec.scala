@@ -289,6 +289,36 @@ class Round11Spec extends SparkSpec {
     assert(rows.map(_._4).toSeq == rows.map(_._4).sortBy(-_).toSeq)
   }
 
+  test("assortativity: r bounded, edge count matches the pair relation") {
+    val r = DedupQueries.queries("graph_assortativity")(spark, Sf).head()
+    val nEdges = r.getLong(0)
+    assert(nEdges == DedupQueries.queries("dedup_minhash")(spark, Sf).count(),
+      "edge count drifted from the verified pair relation")
+    if (!r.isNullAt(1)) {
+      val a = r.getDouble(1)
+      assert(a >= -1.0 && a <= 1.0, s"assortativity $a out of range")
+    }
+  }
+
+  test("collocations: lift identity re-verified from raw counts") {
+    val rows = graft.pipeline.TextQueries
+      .queries("text_collocations")(spark, Sf)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 20)
+    rows.foreach { case (_, _, cab, lift) =>
+      assert(cab >= 25 && lift > 0.0)
+    }
+    // spot: re-derive the top pair's lift by independent counting
+    val (a, b, cab, lift) = rows.head
+    val toks = Tables.documents(spark, Sf)
+      .select(explode(split(lower(col("text")), " ")).as("t"))
+    val (ca, cb, n) = (toks.filter(col("t") === a).count(),
+      toks.filter(col("t") === b).count(), toks.count())
+    assert(math.abs(lift - 1.0 * n * cab / (ca * cb)) < 1e-4,
+      s"lift of ($a,$b) off: $lift vs ${1.0 * n * cab / (ca * cb)}")
+  }
+
   test("compaction face: file count actually dropped, data conserved") {
     val rows = InfraQueries.queries("infra_compaction")(spark, Sf).collect()
     assert(rows.nonEmpty)
