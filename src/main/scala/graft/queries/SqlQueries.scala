@@ -121,7 +121,12 @@ object SqlQueries {
     // audience-overlap matrix from SQL text: DISTINCT reduction, an
     // inequality self-join, ordinal GROUP BY, and two dimension
     // re-joins of one CTE
-    "sql_audience_overlap" -> "events_audience_overlap")
+    "sql_audience_overlap" -> "events_audience_overlap",
+    // the proportion tests from SQL text: per-user flag aggregation,
+    // chained CTEs, NTILE segmentation (uplift), and the guarded
+    // CASE z expression
+    "sql_ab_conversion" -> "events_ab_conversion",
+    "sql_uplift" -> "events_uplift")
 
   /** The summary-rewrite face FROM SQL TEXT: registers the lineitem
     * summary, then executes `infra_summary_rewrite`'s oracle string via

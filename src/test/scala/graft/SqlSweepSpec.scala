@@ -13,12 +13,12 @@ import graft.tools.SqlSweep
   * DataFrame face) plus the driver's DuckDB hash compare, where the
   * same string runs in both engines.
   *
-  * Measured at round 7 (late) via `runMain graft.tools.SqlSweep`: 190
-  * oracle strings attempted, 36 analyze AND execute row-identical to
-  * their DataFrame faces, 0 DIFF, 0 EXEC_FAIL — every Spark-analyzable
-  * oracle is also value-correct. 23 of the 36 carry a registered
-  * `sql_*` face (the others are infra_* expectation queries and
-  * tolerance-contract shapes, declared non-promotable in
+  * Measured at round 7 (session 3) via `runMain graft.tools.SqlSweep`:
+  * 222 oracle strings attempted, 46 analyze AND execute row-identical
+  * to their DataFrame faces, 0 DIFF, 0 EXEC_FAIL — every
+  * Spark-analyzable oracle is also value-correct. 28 of the 46 carry a
+  * registered `sql_*` face (the others are infra_* expectation queries
+  * and tolerance-contract shapes, declared non-promotable in
   * [[SqlQueries.pairs]]'s doc). */
 class SqlSweepSpec extends SparkSpec {
 
