@@ -4,10 +4,12 @@ import graft.pipeline.{DedupQueries, EventQueries}
 import graft.queries.InfraQueries
 import org.apache.spark.sql.functions._
 
-/** Properties of the round-10 additions the oracle compare can't see:
-  * CUPED's variance-reduction algebra, the overlap matrix's set
-  * identities, the merge-on-read sequence rule, and the join-IVM
-  * snapshot barrier. */
+/** Properties of this session's first operator batch the oracle
+  * compare can't see: CUPED's variance-reduction algebra, the overlap
+  * matrix's set identities, the merge-on-read sequence rule, the
+  * join-IVM snapshot barrier, Bloom no-false-negatives, time-travel
+  * stability, the SCD2 interval-probe cross-check, and the
+  * cross-modal class split. */
 class Round10Spec extends SparkSpec {
 
   test("cuped: rho² in [0,1], cohorts partition the users, theta finite") {

@@ -4,8 +4,12 @@ import graft.pipeline.{DedupQueries, EventQueries}
 import graft.queries.InfraQueries
 import org.apache.spark.sql.functions._
 
-/** Properties of the round-11 additions: edge-holdout recovery for
-  * link prediction and the compaction contract. */
+/** Properties the oracle compare can't see, for the session's
+  * operator additions: edge-holdout recovery (link prediction),
+  * pruning/compaction/vacuum storage contracts, the clamp and
+  * restatement semantics of the temporal faces, conservation laws of
+  * the causal and engagement readouts, and brute-force
+  * re-verification of the sweep-line and velocity peaks. */
 class Round11Spec extends SparkSpec {
 
   test("link predict: held-out edges are recovered, predictions are non-edges") {
