@@ -367,6 +367,57 @@ object StreamingEvents {
       }
   }
 
+  case class VfEv(tsMs: Long, eventId: Long)
+  case class VfState(pending: List[VfEv], recent: List[Long])
+  case class VfFlag(user_id: Long, event_id: Long, ts_ms: Long, n_hour: Long)
+
+  /** Streaming velocity rule — the face `events_velocity_flags`
+    * actually deploys as: fraud velocity is worthless nightly, the
+    * alert has to fire AS the third event lands. Watermark-ordered
+    * replay (the [[clampedBalanceStream]] skeleton); state per user is
+    * the accepted timestamps within the trailing hour — pruned every
+    * step, so it is bounded by the per-user hourly rate, not history.
+    * Tie semantics match the batch RANGE frame exactly: events
+    * sharing a timestamp are processed as one group and each counts
+    * the WHOLE group (RANGE includes peers), so the streamed flags
+    * are set-identical to the batch window's (parity-pinned). Emits
+    * one row per event whose trailing-hour count reaches K=3. */
+  def velocityFlagsStream(events: DataFrame,
+      delay: String = "2 hours"): Dataset[VfFlag] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val K = 3
+    events.withWatermark("ts", delay)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[VfState, VfFlag](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, it, state) =>
+          val prev = state.getOption.getOrElse(VfState(Nil, Nil))
+          val incoming = it.map(e => VfEv(e._2.getTime, e._3)).toList
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, pending) =
+            (prev.pending ++ incoming).partition(_.tsMs < wm)
+          var recent = prev.recent
+          val out = List.newBuilder[VfFlag]
+          // process equal-timestamp events as one peer group: the
+          // batch RANGE frame counts the whole group for each member
+          ready.sortBy(e => (e.tsMs, e.eventId))
+            .groupBy(_.tsMs).toSeq.sortBy(_._1)
+            .foreach { case (t, group) =>
+              recent = recent.filter(_ >= t - 3600000L)
+              val n = recent.size + group.size
+              if (n >= K)
+                group.foreach(e => out += VfFlag(user, e.eventId, t, n))
+              recent = recent ++ group.map(_.tsMs)
+            }
+          state.update(VfState(pending, recent))
+          if (pending.nonEmpty) state.setTimeoutTimestamp(pending.map(_.tsMs).min)
+          out.result().iterator
+      }
+  }
+
   case class AsofEv(tsMs: Long, tag: Int, eventId: Long, value: Double)
   case class AsofState(pending: List[AsofEv], clickId: Long, clickMs: Long,
     clickValue: Double, hasClick: Boolean)

@@ -883,6 +883,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming velocity: live flags match the batch RANGE frame, ties peer-counted") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_ms", "user_id", "event_id")
+      .select(timestamp_millis(col("ts_ms")).as("ts"), col("user_id"),
+        col("event_id"))
+    val q = StreamingEvents.velocityFlagsStream(typed(mem.toDF()), "1 hour")
+      .toDF().writeStream.format("memory").queryName("vf")
+      .outputMode("append").start()
+    val h0 = 3600L * 1000; val m = 60000L
+    // user 1: a burst of 3 within the hour (events 2 sharing one
+    // timestamp — the peer-group case), then a 4th far outside the
+    // window; event 103 arrives a batch late but lands mid-burst
+    val batch1 = Seq((h0, 1L, 101L), (h0 + 10 * m, 1L, 102L),
+      (h0 + 10 * m, 1L, 104L), (h0, 2L, 201L))
+    val batch2 = Seq((h0 + 5 * m, 1L, 103L)) // late, still in-delay
+    val batch3 = Seq((h0 + 300 * m, 1L, 105L)) // far outside the hour
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      mem.addData(batch3: _*); q.processAllAvailable()
+      mem.addData((h0 + 12 * 3600000, 9L, 999L)); q.processAllAvailable()
+      val got = spark.table("vf").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      // batch ground truth: the same RANGE frame over all events
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("tms"))
+        .rangeBetween(-3600000L, 0L)
+      val want = typed((batch1 ++ batch2 ++ batch3).toDF())
+        .select(col("user_id"), col("event_id"),
+          unix_millis(col("ts")).as("tms"))
+        .withColumn("n", count(lit(1)).over(w))
+        .filter(col("n") >= 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      assert(got == want, s"streamed flags $got != batch frame $want")
+      // the tie group at h0+10m must peer-count: both members see n=4
+      // (101, 103, and both of 102/104 are within the hour)
+      assert(got.contains((1L, 102L, 4L)) && got.contains((1L, 104L, 4L)))
+      // the isolated late event never flags
+      assert(!got.exists(_._2 == 105L))
+    } finally q.stop()
+  }
+
   test("streaming attribution: cross-batch argmin/argmax merge, tie-break, batch parity") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
