@@ -594,6 +594,69 @@ ORDER BY lang, rank"""
     * NOT a single-partition window sort, so a 100 TB vocabulary never
     * funnels through one task; the rank column is then a window over
     * the surviving 50 rows only. */
+  // ------------------------------------------------- vocab coverage
+  /** Vocabulary coverage curve — the tokenizer-sizing readout: what
+    * fraction of all token OCCURRENCES does a top-k vocabulary cover,
+    * for k = 100 / 1 000 / 10 000. The Zipf head means coverage
+    * saturates fast; this curve is how a vocab budget (and the OOV
+    * rate the [[oovRate]] eval then measures) gets chosen. The global
+    * frequency rank uses the distributed two-phase machinery
+    * (range-partition on (tf desc, token) → per-partition row_number →
+    * broadcast partition-count offsets — the [[surprisal]] vocabulary
+    * rank, never a single-task sort); coverage is then one
+    * conditional-sum aggregate against the ≤3-row k dimension. Exact
+    * integers to the final permille division. */
+  private val CoverageKs = Seq(100, 1000, 10000)
+  private val vocabCoverage: Q = (s, d) => {
+    import s.implicits._
+    val counts = Tables.documents(s, d)
+      .select(explode(toks).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+    val parted = counts
+      .repartitionByRange(32, col("tf").desc, col("token"))
+      .withColumn("pid", spark_partition_id())
+    val wP = Window.partitionBy("pid")
+      .orderBy(col("tf").desc, col("token"))
+    val local = parted.withColumn("rn", row_number().over(wP).cast("long"))
+    val wOff = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = parted.groupBy("pid").agg(count(lit(1)).as("pc"))
+      .select(col("pid"), coalesce(sum("pc").over(wOff), lit(0L)).as("off"))
+    val ranked = local.join(broadcast(offs), "pid")
+      .select(col("tf"), (col("rn") + col("off")).as("rank"))
+    val tot = broadcast(ranked.agg(sum("tf").as("n_tok"),
+      count(lit(1)).as("n_types")))
+    val ks = broadcast(CoverageKs.toDF("k"))
+    ranked.crossJoin(ks)
+      .groupBy("k")
+      .agg(sum(when(col("rank") <= col("k"), col("tf"))
+        .otherwise(0L)).as("covered"))
+      .crossJoin(tot)
+      .select(col("k"), col("covered"), col("n_tok"), col("n_types"),
+        expr("(1000 * covered) div n_tok").as("coverage_permille"))
+      .orderBy("k")
+  }
+  private val vocabCoverageSql =
+    s"""WITH c AS (
+  SELECT token, count(*) AS tf FROM (
+    SELECT unnest($ToksSql) AS token FROM documents
+  ) GROUP BY token
+), r AS (
+  SELECT tf, CAST(row_number() OVER (ORDER BY tf DESC, token) AS BIGINT)
+    AS rank
+  FROM c
+), tot AS (
+  SELECT CAST(sum(tf) AS BIGINT) AS n_tok, count(*) AS n_types FROM r
+), ks AS (SELECT unnest([${CoverageKs.mkString(", ")}]) AS k)
+SELECT CAST(ks.k AS INT) AS k,
+  CAST(sum(CASE WHEN r.rank <= ks.k THEN tf ELSE 0 END) AS BIGINT)
+    AS covered,
+  tot.n_tok, tot.n_types,
+  (1000 * CAST(sum(CASE WHEN r.rank <= ks.k THEN tf ELSE 0 END)
+    AS BIGINT)) // tot.n_tok AS coverage_permille
+FROM r, ks, tot
+GROUP BY ks.k, tot.n_tok, tot.n_types ORDER BY k"""
+
   // ---------------------------------------------------- collocations
   /** Collocation extraction — the keyphrase-mining primitive: adjacent
     * token pairs ranked by LIFT, n·c(ab) / (c(a)·c(b)), which orders
@@ -1927,6 +1990,7 @@ FROM a GROUP BY shard ORDER BY shard"""
     "text_heaps_curve" -> heapsCurve,
     "text_burstiness" -> burstiness,
     "text_collocations" -> collocations,
+    "text_vocab_coverage" -> vocabCoverage,
     "text_oov_rate" -> oovRate,
     "text_lang_confusion" -> langConfusion,
     "text_tfidf_top" -> tfidfTop,
@@ -1968,6 +2032,7 @@ FROM a GROUP BY shard ORDER BY shard"""
     "text_heaps_curve" -> heapsCurveSql,
     "text_burstiness" -> burstinessSql,
     "text_collocations" -> collocationsSql,
+    "text_vocab_coverage" -> vocabCoverageSql,
     "text_oov_rate" -> oovRateSql,
     "text_lang_confusion" -> langConfusionSql,
     "text_tfidf_top" -> tfidfTopSql,

@@ -323,6 +323,23 @@ class Round11Spec extends SparkSpec {
       s"lift of ($a,$b) off: $lift vs ${1.0 * n * cab / (ca * cb)}")
   }
 
+  test("vocab coverage: monotone in k, clamped by type count, rank distributed") {
+    val rows = graft.pipeline.TextQueries
+      .queries("text_vocab_coverage")(spark, Sf)
+      .collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(100, 1000, 10000))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, "coverage must grow with k")
+    }
+    val (nTok, nTypes) = (rows.head._3, rows.head._4)
+    rows.foreach { case (k, cov, _, _, pm) =>
+      assert(cov <= nTok && pm <= 1000)
+      // k beyond the whole vocabulary must cover everything
+      if (k >= nTypes) assert(cov == nTok, s"k=$k missed tokens")
+    }
+  }
+
   test("compaction face: file count actually dropped, data conserved") {
     val rows = InfraQueries.queries("infra_compaction")(spark, Sf).collect()
     assert(rows.nonEmpty)
