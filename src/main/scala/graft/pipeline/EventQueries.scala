@@ -816,12 +816,12 @@ ORDER BY s.user_id"""
     * physical plan); this form scans once, shuffles the already-tiny
     * active set twice ((user, day) distinct, then user window), and
     * zero-retention days fall out of the same aggregate for free. */
-  private val retention: Q = (s, d) => {
+  /** The lead-based retention finish over an already-distinct
+    * (user_id, day_ms) active relation — shared by the batch query
+    * and the streaming face's query-time serve (there the relation is
+    * the store's accreted closed-day partials). */
+  private[graft] def retentionOf(active: DataFrame): DataFrame = {
     val DayMs = 86400L * 1000
-    val active = Tables.events(s, d)
-      .select(col("user_id"),
-        unix_millis(date_trunc("day", col("ts"))).as("day_ms"))
-      .distinct()
     val w = Window.partitionBy("user_id").orderBy("day_ms")
     active
       .withColumn("next_day", lead("day_ms", 1).over(w))
@@ -833,6 +833,11 @@ ORDER BY s.user_id"""
         round(col("retained") / col("dau"), 6).as("retention_rate"))
       .orderBy("day_ms")
   }
+  private val retention: Q = (s, d) =>
+    retentionOf(Tables.events(s, d)
+      .select(col("user_id"),
+        unix_millis(date_trunc("day", col("ts"))).as("day_ms"))
+      .distinct())
   private val retentionSql =
     """WITH active AS (
   SELECT DISTINCT user_id, epoch_ms(date_trunc('day', ts)) AS day_ms FROM events
@@ -1532,31 +1537,56 @@ FROM dau JOIN mau USING (d) ORDER BY day_ms"""
   /** RFM segmentation — the classic customer-value cut (recency /
     * frequency / monetary, each banded into quintiles, concatenated
     * into a segment code): one groupBy(user) computes all three
-    * metrics exactly (recency anchored to the corpus max-ts so the
-    * query is deterministic, monetary decimal-exact), then three NTILE
-    * windows over the user-level relation — which is |users|, orders
-    * of magnitude below the fact table, so the quintile sort is cheap
-    * even at 100 TB of events. Every NTILE orders by (metric,
-    * user_id), making band boundaries deterministic in both engines;
-    * the monetary band ranks on the decimal sum, not its double
-    * rendering. */
+    * metrics exactly (recency anchored to the corpus max-ts carried as
+    * a broadcast 1-row aggregate — no eager driver action at
+    * construction — so the query is deterministic, monetary
+    * decimal-exact), then three exact distributed quintile bands via
+    * [[graft.operators.GlobalRank.withNtile]] over the user-level
+    * relation. The banding is |users|-sized and each band is a
+    * range-partitioned two-phase rank — NEVER a single-task global
+    * sort, which the three unpartitioned `ntile(5)` windows this
+    * replaced were (the repo's one standing violation of its own
+    * house rule). Every band orders by (metric, user_id), making band
+    * boundaries deterministic in both engines; the monetary band
+    * ranks on the decimal sum, not its double rendering. */
   private val rfm: Q = (s, d) => {
+    import graft.operators.GlobalRank
     val ev = Tables.events(s, d)
-    val anchor = ev.agg(max(unix_millis(col("ts")))).head().getLong(0)
+    val anchor = broadcast(ev.agg(
+      max(unix_millis(col("ts"))).as("anchor_ms")))
     val perUser = ev.groupBy("user_id")
       .agg(max(unix_millis(col("ts"))).as("last_ms"),
         count(lit(1)).as("frequency"),
         sum(col("value").cast("decimal(18,6)")).as("monetary_d"))
+      .crossJoin(anchor)
       // integer floor division — identical to DuckDB // on positive ms
       .withColumn("recency_days",
-        expr(s"($anchor - last_ms) div 86400000"))
-    def band(c: String, asc: Boolean) = ntile(5).over(
-      Window.orderBy(if (asc) col(c).asc else col(c).desc, col("user_id")))
-    perUser.select(col("user_id"), col("recency_days"), col("frequency"),
+        expr("(anchor_ms - last_ms) div 86400000"))
+      .drop("anchor_ms")
+    // All three bands in ONE two-phase rank: melt the per-user relation
+    // into (user, metric-kind, sort_key) long form — descending metrics
+    // negate their key, so every kind orders ascending by (key, user) —
+    // and band per kind with [[GlobalRank.withNtilePerGroup]]. One
+    // range shuffle ranks all three metrics (vs three chained ntiles
+    // whose plans would nest 2³ copies of the events aggregation), the
+    // per-user relation is referenced twice total, and construction
+    // stays action-free (the eager-anchor lesson).
+    val perUserC = CachePool.cached(perUser)
+    val melt = perUserC.select(col("user_id"), explode(map(
+      lit("r"), col("recency_days").cast("decimal(30,6)"),
+      lit("f"), (-col("frequency")).cast("decimal(30,6)"),
+      lit("m"), (-col("monetary_d")).cast("decimal(30,6)")))
+      .as(Seq("kind", "sort_key")))
+    val bands = GlobalRank.withNtilePerGroup(melt, 5, "kind",
+      Seq(col("sort_key"), col("user_id")), "band")
+      .groupBy("user_id").pivot("kind", Seq("r", "f", "m"))
+      .agg(first("band"))
+      .select(col("user_id"), col("r").as("r_band"),
+        col("f").as("f_band"), col("m").as("m_band"))
+    val banded = perUserC.join(bands, "user_id")
+    banded.select(col("user_id"), col("recency_days"), col("frequency"),
       round(col("monetary_d").cast("double"), 4).as("monetary"),
-      band("recency_days", asc = true).as("r_band"),
-      band("frequency", asc = false).as("f_band"),
-      band("monetary_d", asc = false).as("m_band"))
+      col("r_band"), col("f_band"), col("m_band"))
       .withColumn("segment", concat(col("r_band"), col("f_band"), col("m_band")))
       .orderBy("user_id")
   }
@@ -2968,11 +2998,12 @@ ORDER BY user_id"""
   // -------------------------------------------------- segment uplift
   /** Segmented experiment readout (heterogeneous treatment effects) —
     * the question after any flat A/B result: WHO moved? Users are cut
-    * into activity terciles (NTILE(3) by event count with the
-    * deterministic (count, user) order — the [[rfm]] segmentation
-    * idiom, a window over the |users|-sized relation, never the
-    * fact), and the two-proportion conversion readout runs per
-    * tercile. A launch that helps light users while hurting heavy
+    * into activity terciles (exact distributed NTILE(3) by event count
+    * with the deterministic (count, user) order — the [[rfm]]
+    * segmentation idiom via [[graft.operators.GlobalRank.withNtile]],
+    * a two-phase rank over the |users|-sized relation, never a
+    * single-task sort and never the fact), and the two-proportion
+    * conversion readout runs per tercile. A launch that helps light users while hurting heavy
     * ones nets to zero in [[abConversion]] — this face is where that
     * shows. Exact counts per cell; the per-segment z is the same
     * fixed closed form. */
@@ -2982,8 +3013,8 @@ ORDER BY user_id"""
       .agg(count(lit(1)).as("n_ev"),
         max(when(col("event_type") === "purchase" &&
           col("value") > 95, 1L).otherwise(0L)).as("converted"))
-    val seg = perUser.withColumn("segment",
-      ntile(3).over(Window.orderBy(col("n_ev"), col("user_id"))))
+    val seg = graft.operators.GlobalRank.withNtile(
+      perUser, 3, Seq(col("n_ev"), col("user_id")), "segment")
     val m = seg.groupBy("segment").agg(
       sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n0"),
       sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n1"),
@@ -3271,13 +3302,20 @@ ORDER BY state"""
         D("sxy").as("sxy"), D("sxx").as("sxx"), D("syy").as("syy"),
         (D("sy0") / D("n0") - D("sy1") / D("n1")).as("diff_raw"),
         (D("sx0") / D("n0") - D("sx1") / D("n1")).as("diff_x"))
+      // a degenerate pre- or post-period (all X equal / all Y equal)
+      // has zero variance — θ and ρ² are undefined, reported as null
+      // in BOTH engines rather than an engine-specific Inf/NaN
+      // rendering (the assortativity/uplift/abConversion guard).
+      .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
       .select(col("n0"), col("n1"), col("diff_raw"), col("diff_x"),
-        ((col("n") * col("sxy") - col("sx") * col("sy"))
-          / (col("n") * col("sxx") - col("sx") * col("sx"))).as("theta"),
-        (((col("n") * col("sxy") - col("sx") * col("sy"))
-          * (col("n") * col("sxy") - col("sx") * col("sy")))
-          / ((col("n") * col("sxx") - col("sx") * col("sx"))
-            * (col("n") * col("syy") - col("sy") * col("sy"))))
+        when(col("vx") > 0,
+          (col("n") * col("sxy") - col("sx") * col("sy")) / col("vx"))
+          .as("theta"),
+        when(col("vx") > 0 && col("vy") > 0,
+          ((col("n") * col("sxy") - col("sx") * col("sy"))
+            * (col("n") * col("sxy") - col("sx") * col("sy")))
+            / (col("vx") * col("vy")))
           .as("rho_sq"))
       .select(col("n0"), col("n1"),
         round(col("diff_raw"), 6).as("diff_raw"),
@@ -3331,11 +3369,15 @@ ORDER BY state"""
   FROM m
 )
 SELECT n0, n1, round(diff_raw, 6) AS diff_raw,
-  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS theta,
-  round(diff_raw
-    - (n * sxy - sx * sy) / (n * sxx - sx * sx) * diff_x, 6) AS diff_cuped,
-  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
-    / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS rho_sq
+  CASE WHEN n * sxx - sx * sx > 0
+    THEN round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) END AS theta,
+  CASE WHEN n * sxx - sx * sx > 0
+    THEN round(diff_raw
+      - (n * sxy - sx * sy) / (n * sxx - sx * sx) * diff_x, 6)
+    END AS diff_cuped,
+  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    THEN round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+      / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) END AS rho_sq
 FROM f"""
 
   // -------------------------------------------------- audience overlap

@@ -471,14 +471,31 @@ ORDER BY doc_a, doc_b"""
     * classifier that can only say "duplicate" is not a classifier. */
   private def crossmodalMedia(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.raw(s, d, "documents").select("doc_id", "text")
+    // Planted ids sit ABOVE the corpus id range via a broadcast 1-row
+    // max(doc_id)+1 scalar (the [[InfraQueries.cdcMerged]] idiom) —
+    // a fixed literal offset would silently collide with any corpus
+    // whose ids reach it, fanning the caption joins out on duplicate
+    // doc_ids. whole lands in [base, base+max], reuse in
+    // [2·base, 2·base+max]; the ranges are disjoint because
+    // base = max+1 > max.
+    val mx = docs.agg((max("doc_id") + 1).as("base_id"))
     val base = docs.select(col("doc_id"), col("text"),
       md5(col("text")).as("caption"))
-    val whole = base.filter(col("doc_id") % 7 === 0)
-      .withColumn("doc_id", col("doc_id") + 100000L)
-    val reuse = base.filter(col("doc_id") % 11 === 0)
-      .withColumn("doc_id", col("doc_id") + 200000L)
-      .withColumn("caption", concat(lit("alt-"), col("doc_id")))
-    base.unionByName(whole).unionByName(reuse)
+    // both planted variants in ONE pass (explode of a 2-slot array with
+    // null for non-members) so the scalar joins the corpus exactly once
+    val planted = base.crossJoin(broadcast(mx))
+      .select(explode(array(
+        when(col("doc_id") % 7 === 0, struct(
+          (col("doc_id") + col("base_id")).as("doc_id"),
+          col("text"), col("caption"))),
+        when(col("doc_id") % 11 === 0, struct(
+          (col("doc_id") + lit(2L) * col("base_id")).as("doc_id"),
+          col("text"),
+          concat(lit("alt-"), col("doc_id") + lit(2L) * col("base_id"))
+            .as("caption"))))).as("r"))
+      .filter(col("r").isNotNull)
+      .select(col("r.doc_id"), col("r.text"), col("r.caption"))
+    base.unionByName(planted)
   }
   private val crossmodalDup: Q = (s, d) => {
     val media = CachePool.cached(crossmodalMedia(s, d))
@@ -492,13 +509,15 @@ ORDER BY doc_a, doc_b"""
       .orderBy("doc_a", "doc_b")
   }
   private val crossmodalDupSql =
-    s"""WITH media0 AS (
+    s"""WITH mx AS (SELECT max(doc_id) + 1 AS base_id FROM documents),
+media0 AS (
   SELECT doc_id, text, md5(text) AS caption FROM documents
   UNION ALL
-  SELECT doc_id + 100000, text, md5(text) FROM documents
+  SELECT doc_id + (SELECT base_id FROM mx), text, md5(text) FROM documents
   WHERE doc_id % 7 = 0
   UNION ALL
-  SELECT doc_id + 200000, text, 'alt-' || (doc_id + 200000)
+  SELECT doc_id + 2 * (SELECT base_id FROM mx), text,
+    'alt-' || (doc_id + 2 * (SELECT base_id FROM mx))
   FROM documents WHERE doc_id % 11 = 0
 ), media AS (
   SELECT doc_id, text FROM media0

@@ -223,10 +223,16 @@ FROM pairs ORDER BY batch_from"""
     }.reduce(_ unionByName _)
     import s.implicits._
     val dims = broadcast(MatryoshkaDims.toDF("dim_budget"))
-    exact.crossJoin(dims)
+    // hits are LEFT-joined back onto the dims relation (not grouped
+    // straight off the semi-join): a dimension budget with ZERO recall
+    // must still report its n_hit=0 row — vanishing from the curve
+    // would make a recall regression read as a shape failure instead.
+    val hits = exact.crossJoin(dims)
       .join(perDim, Seq("dim_budget", "query_id", "neighbor_id"),
         "left_semi")
-      .groupBy("dim_budget").agg(count(lit(1)).as("n_hit"))
+      .groupBy("dim_budget").agg(count(lit(1)).as("n_hit0"))
+    dims.join(broadcast(hits), Seq("dim_budget"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit0"), lit(0L)))
       .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
       .select(col("dim_budget"), col("n_exact"), col("n_hit"),
         round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
@@ -262,11 +268,12 @@ hits AS (
       AND t.neighbor_id = x.neighbor_id)
   GROUP BY d.dim_budget
 ), ne AS (SELECT count(*) AS n_exact FROM exact)
-SELECT CAST(h.dim_budget AS INT) AS dim_budget,
+SELECT CAST(d.dim_budget AS INT) AS dim_budget,
   CAST(ne.n_exact AS BIGINT) AS n_exact,
-  CAST(h.n_hit AS BIGINT) AS n_hit,
-  round(CAST(h.n_hit AS DOUBLE) / ne.n_exact, 6) AS recall
-FROM hits h, ne ORDER BY dim_budget"""
+  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / ne.n_exact, 6) AS recall
+FROM dims d LEFT JOIN hits h ON h.dim_budget = d.dim_budget
+CROSS JOIN ne ORDER BY dim_budget"""
 
   /** Range search — the other similarity-query face next to top-k:
     * ALL neighbors with cosine ≥ τ per query (radius queries,

@@ -1972,7 +1972,140 @@ SELECT shard, count(*) AS n_docs,
 FROM a GROUP BY shard ORDER BY shard"""
   }
 
+  // ------------------------------------------------------- BPE trainer
+  /** Fixed-round BPE pair-merge training — the trainable subword
+    * tokenizer the seq-pack / vocab-coverage family sizes for
+    * (Sennrich et al.'s algorithm, public): start from the
+    * character-split word vocabulary weighted by corpus frequency,
+    * then K times count adjacent symbol pairs and merge the most
+    * frequent one ((count desc, left, right) tie-break — total order,
+    * so training is deterministic in both engines).
+    *
+    * Scale shape: every round touches only the DISTINCT-WORD relation
+    * (vocabulary-sized, bounded — never the corpus; the corpus is
+    * scanned once to build word frequencies), the merged pair is
+    * constant-size model state (the kmeans-centroid idiom), and the
+    * per-round plan stays flat via the [[DedupQueries]] cluster-loop
+    * `localCheckpoint` discipline. Symbol sequences ride as
+    * space-joined strings with sentinel boundary spaces, so one
+    * non-overlapping leftmost `replace(' l r ', ' lr ')` — identical
+    * semantics in Java and DuckDB — is the whole merge step.
+    *
+    * Training is memoized per dataset ([[CachePool.memoized]]), shared
+    * by [[bpeTrain]] (the merge table) and [[bpeApply]] (per-doc
+    * token-count compression readout over the final vocabulary). */
+  private val BpeRounds = 10
+  private def bpeWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(toks).as("word")).filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("symseq",
+        concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
+  private def bpeTrained(s: SparkSession, d: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) =
+    CachePool.memoized(("bpe", d, BpeRounds)) {
+      var words = bpeWords(s, d).localCheckpoint()
+      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      for (round <- 1 to BpeRounds) {
+        val syms = split(trim(col("symseq")), " ")
+        val prs = zip_with(slice(syms, lit(1), size(syms) - 1),
+          slice(syms, lit(2), size(syms) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))
+        val top = words.select(col("freq"), explode(prs).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("freq").as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.nonEmpty) {
+          val (l, r, c) = (top(0).getString(0), top(0).getString(1),
+            top(0).getLong(2))
+          merges += ((round, l, r, c))
+          words = words.withColumn("symseq",
+            replace(col("symseq"), lit(s" $l $r "), lit(s" $l$r ")))
+            .localCheckpoint()
+        }
+      }
+      (merges.result(), words)
+    }
+  private val bpeTrain: Q = (s, d) => {
+    import s.implicits._
+    bpeTrained(s, d)._1
+      .toDF("merge_round", "lhs", "rhs", "pair_count")
+      .orderBy("merge_round")
+  }
+  private val bpeApply: Q = (s, d) => {
+    val words = bpeTrained(s, d)._2
+      .select(col("word"), size(split(trim(col("symseq")), " "))
+        .cast("long").as("n_syms"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(words), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("n_syms").as("n_bpe_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("n_bpe_tokens"),
+        round(col("n_bpe_tokens").cast("double") / col("n_tokens"), 6)
+          .as("bpe_per_word"))
+      .orderBy("doc_id")
+  }
+  /** The K training rounds unrolled as chained CTEs (the oracle
+    * re-derives the merges itself — nothing learned leaks into the
+    * SQL): s0 = char-split vocab; each round r = pair count over
+    * s(r-1) via lateral unnest, top-1 by (cnt desc, l, r), leftmost
+    * non-overlapping replace. */
+  private def bpeChainSql: String = {
+    val rounds = (1 to BpeRounds).map { i =>
+      s"""p$i AS MATERIALIZED (
+  SELECT syms[g.i] AS l, syms[g.i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
+  FROM (SELECT freq, string_split(trim(symseq), ' ') AS syms FROM s${i - 1}),
+    unnest(range(1, len(syms))) AS g(i)
+  GROUP BY 1, 2
+), t$i AS MATERIALIZED (
+  SELECT $i AS merge_round, l, r, cnt FROM p$i
+  ORDER BY cnt DESC, l, r LIMIT 1
+), s$i AS MATERIALIZED (
+  SELECT word, freq, replace(symseq,
+    ' ' || (SELECT l FROM t$i) || ' ' || (SELECT r FROM t$i) || ' ',
+    ' ' || (SELECT l FROM t$i) || (SELECT r FROM t$i) || ' ') AS symseq
+  FROM s${i - 1}
+)"""
+    }
+    s"""WITH w0 AS MATERIALIZED (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+  ) WHERE word <> '' GROUP BY word
+), s0 AS MATERIALIZED (
+  SELECT word, freq,
+    ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS symseq
+  FROM w0
+), ${rounds.mkString(", ")}"""
+  }
+  private val bpeTrainSql = {
+    val sel = (1 to BpeRounds).map(i =>
+      s"SELECT CAST(merge_round AS INT) AS merge_round, l AS lhs, r AS rhs, cnt AS pair_count FROM t$i")
+      .mkString("\nUNION ALL\n")
+    s"""$bpeChainSql
+$sel
+ORDER BY merge_round"""
+  }
+  private val bpeApplySql =
+    s"""$bpeChainSql, wf AS (
+  SELECT word, CAST(len(string_split(trim(symseq), ' ')) AS BIGINT) AS n_syms
+  FROM s$BpeRounds
+)
+SELECT doc_id, count(*) AS n_tokens,
+  CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+  round(CAST(sum(n_syms) AS DOUBLE) / count(*), 6) AS bpe_per_word
+FROM (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents
+) dt JOIN wf USING (word)
+WHERE word <> ''
+GROUP BY doc_id ORDER BY doc_id"""
+
   val queries: Map[String, Q] = Map(
+    "text_bpe_train" -> bpeTrain,
+    "text_bpe_apply" -> bpeApply,
     "text_langid" -> langid,
     "text_quality" -> quality,
     "text_tokens" -> tokens,
@@ -2014,6 +2147,8 @@ FROM a GROUP BY shard ORDER BY shard"""
     "text_shuffle_shards" -> shuffleShards)
 
   val oracle: Map[String, String] = Map(
+    "text_bpe_train" -> bpeTrainSql,
+    "text_bpe_apply" -> bpeApplySql,
     "text_langid" -> langidSql,
     "text_quality" -> qualitySql,
     "text_tokens" -> tokensSql,

@@ -20,6 +20,25 @@ import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
   */
 object StreamingEvents {
 
+  /** Watermark release discipline shared by every buffer-then-replay
+    * face below: a row already beyond the watermark AT ARRIVAL
+    * (event time < watermark in its first micro-batch, i.e. more than
+    * `delay` behind the stream's high-water mark) is DROPPED — the
+    * standard Structured Streaming stateful-operator contract for
+    * beyond-delay lateness. Folding such a row post-hoc would replay
+    * it out of (ts, id) order against state that has already folded
+    * LATER timestamps (a velocity window would count accepted future
+    * peers as trailing history), silently breaking the documented
+    * batch parity. Within-delay rows buffer in `pending` until the
+    * watermark passes their event time, then release in order; the
+    * parity pin therefore holds exactly for within-delay lateness,
+    * matching the batch result on the accepted subset. */
+  private def release[E](prevPending: List[E], incoming: List[E],
+      wm: Long)(ts: E => Long): (List[E], List[E]) = {
+    val fresh = incoming.filter(ts(_) >= wm)
+    (prevPending ++ fresh).partition(ts(_) < wm)
+  }
+
   /** Event-time tumbling 1-hour aggregate over a streaming `events`
     * relation (needs `ts: timestamp`, `event_type`, `value` columns).
     * `delay` is the max accepted event-time lateness. */
@@ -286,7 +305,7 @@ object StreamingEvents {
           // still arrive in a later micro-batch — it stays pending
           // until the watermark passes it (the timeout below re-fires
           // this group when that happens)
-          val (ready, pending) = (prev.pending ++ incoming).partition(_.tsMs < wm)
+          val (ready, pending) = release(prev.pending, incoming, wm)(_.tsMs)
           var sum = prev.sumUnscaled
           var seq = prev.seq
           val out = List.newBuilder[RtRow]
@@ -343,7 +362,7 @@ object StreamingEvents {
           val incoming = it.map(e => CbEv(e._2.getTime, e._3, e._4, e._5)).toList
           val wm = state.getCurrentWatermarkMs()
           val (ready, pending) =
-            (prev.pending ++ incoming).partition(_.tsMs < wm)
+            release(prev.pending, incoming, wm)(_.tsMs)
           var bal = prev.balUnscaled9
           var (nF, nC, seq) = (prev.nFloor, prev.nCap, prev.seq)
           val out = List.newBuilder[CbRow]
@@ -398,7 +417,7 @@ object StreamingEvents {
           val incoming = it.map(e => VfEv(e._2.getTime, e._3)).toList
           val wm = state.getCurrentWatermarkMs()
           val (ready, pending) =
-            (prev.pending ++ incoming).partition(_.tsMs < wm)
+            release(prev.pending, incoming, wm)(_.tsMs)
           var recent = prev.recent
           val out = List.newBuilder[VfFlag]
           // process equal-timestamp events as one peer group: the
@@ -472,7 +491,7 @@ object StreamingEvents {
           // still arrive in a later micro-batch — it stays pending
           // until the watermark passes it (the timeout below re-fires
           // this group when that happens)
-          val (ready, pending) = (prev.pending ++ incoming).partition(_.tsMs < wm)
+          val (ready, pending) = release(prev.pending, incoming, wm)(_.tsMs)
           var (cid, cms, cv, has) =
             (prev.clickId, prev.clickMs, prev.clickValue, prev.hasClick)
           val out = List.newBuilder[AsofMatch]
@@ -554,7 +573,7 @@ object StreamingEvents {
           val incoming = it.map(e => ShEv(e._2.getTime, e._3, e._4)).toList
           val wm = state.getCurrentWatermarkMs()
           val (ready, pending) =
-            (prev.pending ++ incoming).partition(_.tsMs < wm)
+            release(prev.pending, incoming, wm)(_.tsMs)
           var (cur, from, n, has) =
             (prev.curType, prev.fromMs, prev.n, prev.has)
           val out = List.newBuilder[ShClosed]
@@ -599,7 +618,7 @@ object StreamingEvents {
           val incoming = it.map(_._2.getTime).toList
           val wm = state.getCurrentWatermarkMs()
           val (ready, pending) =
-            (prev.pending ++ incoming).partition(_ < wm)
+            release(prev.pending, incoming, wm)(identity)
           var last = prev.lastDay
           var has = prev.hasLast
           val out = List.newBuilder[LcClass]
@@ -647,7 +666,7 @@ object StreamingEvents {
           val incoming = it.map(e => MkEv(e._2.getTime, e._3, e._4)).toList
           val wm = state.getCurrentWatermarkMs()
           val (ready, pending) =
-            (prev.pending ++ incoming).partition(_.tsMs < wm)
+            release(prev.pending, incoming, wm)(_.tsMs)
           var last = prev.lastType
           var has = prev.hasLast
           val out = List.newBuilder[MkTransition]
@@ -660,4 +679,82 @@ object StreamingEvents {
           out.result().iterator
       }
   }
+
+  case class FnEv(tsMs: Long, eventId: Long, etype: String)
+  case class FnState(pending: List[FnEv], sgn: Long, clk: Long, pur: Long)
+  case class FnStage(user_id: Long, stage: String, stage_ms: Long)
+
+  /** Streaming conversion funnel — the unbounded face of
+    * `events_funnel`, and the first streaming ask on any event
+    * platform ("live funnel conversion"): per user, emit a row the
+    * moment a stage is REACHED — signup, then the first click
+    * at-or-after it, then the first purchase at-or-after that click.
+    * The append-only stage log pivots downstream into exactly the
+    * batch query's (signup_ms, click_ms, purchase_ms) row per
+    * converted user (parity-pinned in StreamingSpec).
+    *
+    * Watermark-release discipline as everywhere ([[release]]); within
+    * a released batch, equal-timestamp events replay in stage-priority
+    * order (signup < click < purchase), which reproduces the batch
+    * face's RANGE-frame peer semantics — a click at the SAME
+    * millisecond as the signup qualifies, a purchase at the same
+    * millisecond as its qualifying click converts. State per user
+    * after the buffer drains: three longs (the reached-stage
+    * timestamps, -1 = not reached) — O(active users) forever. */
+  def funnelStream(events: DataFrame, delay: String = "2 hours"): Dataset[FnStage] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val prio = Map("signup" -> 0, "click" -> 1, "purchase" -> 2)
+    events.withWatermark("ts", delay)
+      .filter(col("event_type").isin("signup", "click", "purchase"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FnState, FnStage](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, it, state) =>
+          val prev = state.getOption.getOrElse(FnState(Nil, -1L, -1L, -1L))
+          val incoming = it.map(e => FnEv(e._2.getTime, e._3, e._4)).toList
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, pending) = release(prev.pending, incoming, wm)(_.tsMs)
+          var (sgn, clk, pur) = (prev.sgn, prev.clk, prev.pur)
+          val out = List.newBuilder[FnStage]
+          ready.sortBy(e => (e.tsMs, prio(e.etype), e.eventId)).foreach { e =>
+            e.etype match {
+              case "signup" if sgn < 0 =>
+                sgn = e.tsMs; out += FnStage(user, "signup", sgn)
+              case "click" if sgn >= 0 && clk < 0 && e.tsMs >= sgn =>
+                clk = e.tsMs; out += FnStage(user, "click", clk)
+              case "purchase" if clk >= 0 && pur < 0 && e.tsMs >= clk =>
+                pur = e.tsMs; out += FnStage(user, "purchase", pur)
+              case _ => // already reached, or stage prerequisites unmet
+            }
+          }
+          state.update(FnState(pending, sgn, clk, pur))
+          if (pending.nonEmpty) state.setTimeoutTimestamp(pending.map(_.tsMs).min)
+          out.result().iterator
+      }
+  }
+
+  /** Streaming day-active store — the store half of the retention
+    * store/serve split (the [[dauMauStream]] pattern): one row per
+    * closed (day, user), emitted append-mode when the watermark passes
+    * day end + delay. The stored relation is exactly the batch
+    * query's distinct (user_id, day_ms) active set — day buckets from
+    * `window(ts, "1 day")` coincide with the batch face's
+    * `date_trunc('day')` in the UTC session. State is O(open days ×
+    * active users that day), bounded by the watermark. */
+  def retentionStore(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_millis(col("w.start")).as("day_ms"),
+        col("n_events"))
+
+  /** Query-time retention finish over the stored day-active partials —
+    * the SAME [[EventQueries.retentionOf]] lead-window fold the batch
+    * query runs, so stored-then-served equals batch by construction
+    * (parity-pinned in StreamingSpec). */
+  def retentionServe(stored: DataFrame): DataFrame =
+    EventQueries.retentionOf(stored.select("user_id", "day_ms"))
 }

@@ -28,6 +28,39 @@ class PlanHygieneSpec extends SparkSpec {
     assert(failures.isEmpty, failures.mkString("\n"))
   }
 
+  test("no single-partition Window over a data-sized relation") {
+    // The house rule VERDICT r7 caught events_rfm/events_uplift breaking:
+    // an unpartitioned Window (SinglePartition distribution) moves the
+    // WHOLE child relation to one task. That is only ever acceptable over
+    // a constant-size relation. Two shapes are recognized as bounded:
+    //  (a) the GlobalRank offset relation — child aggregates on
+    //      spark_partition_id(), ≤ shuffle-partition rows by construction;
+    //  (b) a child whose subtree aggregates to a bounded key, declared
+    //      below with its bound's justification (each is a grouping on a
+    //      closed vocabulary or fixed grid, NOT on data-sized ids).
+    import org.apache.spark.sql.execution.window.WindowExec
+    // empty today: EVERY unpartitioned window in all registered plans
+    // is a GlobalRank-style offset window (shape a). A new entry here
+    // must name its bound ("per-hour grain", "≤64-row grid", …).
+    val boundedByAggKey = Map.empty[String, String]
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try {
+          val plan = fn(spark, Sf).queryExecution.executedPlan
+          val bad = plan.collect {
+            case w: WindowExec if w.partitionSpec.isEmpty &&
+              !w.child.toString.contains("SPARK_PARTITION_ID") &&
+              !boundedByAggKey.contains(name) => w
+          }
+          if (bad.nonEmpty)
+            Some(s"$name: ${bad.size} unpartitioned Window(s) over an " +
+              "undeclared relation — use graft.operators.GlobalRank")
+          else None
+        } catch { case _: Throwable => None } // planning failures → test 1
+    }
+    assert(failures.isEmpty, failures.mkString("\n"))
+  }
+
   test("oracle registration is total: every query has SQL or a declared rows-only hole") {
     // empty since round 6: the two approximate queries now carry
     // hash-matched tolerance contracts instead of rows-only holes

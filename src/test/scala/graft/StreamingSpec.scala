@@ -1100,4 +1100,93 @@ class StreamingSpec extends SparkSpec {
       assert(streamEst === batchEst)
     } finally q.stop()
   }
+
+  test("streaming funnel: out-of-order + equal-ts peers, batch parity") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_ms", "user_id", "event_id", "event_type")
+      .select(timestamp_millis(col("ts_ms")).as("ts"), col("user_id"),
+        col("event_id"), col("event_type"))
+    val q = StreamingEvents.funnelStream(typed(mem.toDF()), "1 hour")
+      .toDF().writeStream.format("memory").queryName("fn")
+      .outputMode("append").start()
+    val h0 = 3600L * 1000
+    val m = 60000L
+    // user 1: click at the SAME ms as signup (RANGE-peer: qualifies),
+    // purchase later; the qualifying click arrives a batch LATE —
+    // replay must still produce the full funnel.
+    // user 2: click BEFORE signup (never qualifies) → signup only;
+    //         the later purchase has no qualified click → no row.
+    // user 3: click+purchase, no signup → nothing.
+    val batch1 = Seq((h0, 1L, 101L, "signup"), (h0 + 5 * m, 1L, 103L, "purchase"),
+      (h0 + m, 2L, 201L, "click"), (h0 + 2 * m, 2L, 202L, "signup"),
+      (h0 + 3 * m, 2L, 203L, "purchase"),
+      (h0 + m, 3L, 301L, "click"), (h0 + 2 * m, 3L, 302L, "purchase"))
+    val batch2 = Seq((h0, 1L, 102L, "click"))
+    try {
+      mem.addData(batch1: _*); q.processAllAvailable()
+      mem.addData(batch2: _*); q.processAllAvailable()
+      // advance watermark: the sentinel must be a funnel type (other
+      // types are filtered BELOW the watermark node by pushdown); it
+      // itself stays pending (beyond the final watermark), so no row
+      mem.addData((h0 + 9 * 3600000, 9L, 999L, "signup"))
+      q.processAllAvailable()
+      val got = spark.table("fn").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got === Set(
+        (1L, "signup", h0), (1L, "click", h0), (1L, "purchase", h0 + 5 * m),
+        (2L, "signup", h0 + 2 * m)))
+      // batch parity: pivot the stage log into the batch face's row
+      // shape and compare against events_funnel's semantics applied to
+      // the same released events
+      val streamed = spark.table("fn")
+        .groupBy("user_id").pivot("stage", Seq("signup", "click", "purchase"))
+        .agg(first("stage_ms"))
+        .select(col("user_id"), col("signup").as("signup_ms"),
+          coalesce(col("click"), lit(-1L)).as("click_ms"),
+          coalesce(col("purchase"), lit(-1L)).as("purchase_ms"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(streamed === Set((1L, h0, h0, h0 + 5 * m),
+        (2L, h0 + 2 * m, -1L, -1L)))
+    } finally q.stop()
+  }
+
+  test("streaming retention store/serve: closed-day partials equal batch") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    import graft.pipeline.EventQueries
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_ms", "user_id")
+      .select(timestamp_millis(col("ts_ms")).as("ts"), col("user_id"))
+    val q = StreamingEvents.retentionStore(typed(mem.toDF()), "1 hour")
+      .writeStream.format("memory").queryName("rstore")
+      .outputMode("append").start()
+    val day = 86400000L
+    // d0: users 1,2,3 (user 1 twice — the store must still emit one
+    // row); d1: users 1,3; d2: user 3 only; user 2 churns after d0
+    val rows = Seq((0L, 1L), (3600000L, 1L), (7200000L, 2L), (10L, 3L),
+      (day + 60000L, 1L), (day + 120000L, 3L),
+      (2 * day + 60000L, 3L))
+    try {
+      mem.addData(rows: _*); q.processAllAvailable()
+      mem.addData((5L * day, 9L)); q.processAllAvailable() // close all days
+      val stored = spark.table("rstore")
+      val served = StreamingEvents.retentionServe(stored)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toList
+      val batch = EventQueries.retentionOf(
+        typed(rows.toDF()).select(col("user_id"),
+          unix_millis(date_trunc("day", col("ts"))).as("day_ms")).distinct())
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toList
+      assert(served === batch)
+      assert(batch.map(t => (t._2, t._3)) === List((3L, 2L), (2L, 1L), (1L, 0L)))
+    } finally q.stop()
+  }
 }
