@@ -2578,14 +2578,18 @@ FROM t, td"""
     * is no longer a prefix sum — each step depends on the clamped
     * previous state), so no window frame or combinable aggregate can
     * express it: this is the documented boundary where the engine
-    * drops to typed per-group iteration (`groupByKey.mapGroups`, rung
-    * (d) of the custom-operator ladder — the same rung the streaming
-    * as-of join uses for its state). Cost shape at 100 TB: ONE
-    * shuffle on user_id, then a per-group in-memory sort and O(n)
-    * fold — identical exchange structure to the window form of
-    * [[runningTotal]]; arithmetic is java.math.BigDecimal at scale 6,
-    * so the fold is exact and cross-engine-identical to the oracle's
-    * recursive CTE replay. */
+    * drops to typed per-group iteration (rung (d) of the
+    * custom-operator ladder — the same rung the streaming as-of join
+    * uses for its state). Cost shape at 100 TB: ONE shuffle on
+    * user_id with a SECONDARY SORT (`repartition` +
+    * `sortWithinPartitions(user, ts, id)`, Spark's
+    * repartition-and-sort shape) and a streaming O(1)-state fold over
+    * each group boundary — no `toArray` of a group anywhere, so one
+    * pathological user with a 100 TB history cannot land a task's
+    * heap (the buffer-free property the streaming face already had);
+    * arithmetic is java.math.BigDecimal at scale 9, so the fold is
+    * exact and cross-engine-identical to the oracle's recursive CTE
+    * replay. */
   case class BalRow(user_id: Long, final_balance: java.math.BigDecimal,
                     n_floor: Long, n_cap: Long, n_events: Long)
   private val clampedBalance: Q = (s, d) => {
@@ -2600,20 +2604,32 @@ FROM t, td"""
         col("event_id"), col("event_type"),
         col("value").cast("decimal(18,6)").as("v"))
       .as[(Long, Long, Long, String, java.math.BigDecimal)]
-      .groupByKey(_._1)
-      .mapGroups { (uid, it) =>
-        val evs = it.toArray.sortBy(e => (e._2, e._3))
-        var bal = zero
-        var nFloor = 0L; var nCap = 0L
-        evs.foreach { case (_, _, _, etype, v) =>
-          val delta =
-            if (etype == "purchase") v.setScale(9)
-            else v.multiply(eighth).negate()
-          bal = bal.add(delta).setScale(9)
-          if (bal.compareTo(zero) < 0) { bal = zero; nFloor += 1 }
-          else if (bal.compareTo(cap) > 0) { bal = cap; nCap += 1 }
+      .repartition(col("user_id"))
+      .sortWithinPartitions("user_id", "ts_ms", "event_id")
+      .mapPartitions { rows =>
+        // streaming group-boundary fold over the secondary-sorted
+        // partition: one accumulator per live group, never a
+        // materialized group
+        val buf = rows.buffered
+        new Iterator[BalRow] {
+          def hasNext: Boolean = buf.hasNext
+          def next(): BalRow = {
+            val uid = buf.head._1
+            var bal = zero
+            var nFloor = 0L; var nCap = 0L; var n = 0L
+            while (buf.hasNext && buf.head._1 == uid) {
+              val (_, _, _, etype, v) = buf.next()
+              val delta =
+                if (etype == "purchase") v.setScale(9)
+                else v.multiply(eighth).negate()
+              bal = bal.add(delta).setScale(9)
+              if (bal.compareTo(zero) < 0) { bal = zero; nFloor += 1 }
+              else if (bal.compareTo(cap) > 0) { bal = cap; nCap += 1 }
+              n += 1
+            }
+            BalRow(uid, bal, nFloor, nCap, n)
+          }
         }
-        BalRow(uid, bal, nFloor, nCap, evs.length.toLong)
       }
       .toDF()
       .select(col("user_id"),
@@ -2910,18 +2926,23 @@ FROM best GROUP BY best_streak ORDER BY best_streak"""
     * aggregate, and a running-total window over the small
     * cohort×offset triangle — never the fact. Decimal-exact sums
     * throughout. */
-  private val ltvCohort: Q = (s, d) => {
-    val ev = Tables.events(s, d)
-      .select(col("user_id"),
-        expr("unix_millis(date_trunc('day', ts)) div 86400000")
-          .as("day_num"),
-        col("event_type"), col("value"))
-    val acq = ev.groupBy("user_id").agg(min("day_num").as("acq_day"))
-    val cells = ev.filter(col("event_type") === "purchase")
-      .join(acq, "user_id")
+  /** The cohort-LTV finish over per-(user, day) activity partials
+    * (`user_id, day_num, rev: decimal, n_purchases`) — shared by the
+    * batch query and the streaming face's query-time serve (there the
+    * partials are the store's watermark-closed day rows). Acquisition
+    * day is min(day_num) over ALL partials (activity, not just
+    * purchases); zero-purchase days feed acquisition but produce no
+    * cell, exactly the batch purchase-filter semantics. */
+  private[graft] def ltvOf(partials: DataFrame): DataFrame = {
+    // acquisition day as a per-user window (one user_id shuffle, no
+    // self-join — a self-join of a served store relation would also
+    // trip analyzer reference dedup on some sinks)
+    val withAcq = partials.withColumn("acq_day",
+      min("day_num").over(Window.partitionBy("user_id")))
+    val cells = withAcq.filter(col("n_purchases") > 0)
       .groupBy(col("acq_day"), (col("day_num") - col("acq_day")).as("offset"))
-      .agg(sum(col("value").cast("decimal(18,6)")).as("rev"),
-        count(lit(1)).as("n_purchases"))
+      .agg(sum(col("rev")).as("rev"),
+        sum(col("n_purchases")).as("n_purchases"))
     val w = Window.partitionBy("acq_day").orderBy("offset")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cells
@@ -2930,6 +2951,21 @@ FROM best GROUP BY best_streak ORDER BY best_streak"""
         round(sum(col("rev")).over(w).cast("double"), 4).as("cum_ltv"))
       .orderBy("acq_day", "offset")
   }
+  /** The per-(user, day) partial reduction — shared by the batch face
+    * and StreamingSpec's batch-expectation recompute. */
+  private[graft] def ltvPartialsOf(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"),
+        expr("unix_millis(date_trunc('day', ts)) div 86400000")
+          .as("day_num"),
+        col("event_type"), col("value"))
+      .groupBy("user_id", "day_num")
+      .agg(sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,6)"))
+          .otherwise(lit(0).cast("decimal(18,6)"))).as("rev"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+  private val ltvCohort: Q = (s, d) =>
+    ltvOf(ltvPartialsOf(Tables.events(s, d)))
   private val ltvCohortSql =
     """WITH ev AS (
   SELECT user_id, epoch_ms(date_trunc('day', ts)) // 86400000 AS day_num,

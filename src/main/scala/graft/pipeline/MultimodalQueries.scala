@@ -208,14 +208,17 @@ FROM r ORDER BY doc_id, row_idx"""
     * are a fixed unrolled integer sum — no shuffle, no UDF, exact
     * integers in both engines. Tail frames clip. */
   private val FrameB = 16
-  private val audioEnergy: Q = (s, d) => {
+  /** The framed-energy relation over any (doc_id, text) media set —
+    * shared by [[audioEnergy]] (the per-frame readout), its VAD/scene
+    * consumers, and [[audioSignaturesOf]] (the fingerprint). */
+  private[graft] def energyFramesOf(media: DataFrame): DataFrame = {
     def term(j: Int) = {
       val c = substring(col("text"),
         (col("frame_id") * FrameB + j + 1).cast("int"), lit(1))
       when(length(c) === 1, ascii(c) * ascii(c)).otherwise(lit(0))
     }
     val energy = (0 until FrameB).map(term).reduce(_ + _)
-    Tables.documents(s, d)
+    media
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0L),
           greatest(lit(0L),
@@ -223,25 +226,34 @@ FROM r ORDER BY doc_id, row_idx"""
           .as("frame_id"))
       .select(col("doc_id"), col("frame_id"),
         energy.cast("long").as("energy"))
-      .orderBy("doc_id", "frame_id")
   }
-  private val audioEnergySql = {
+  private val audioEnergy: Q = (s, d) =>
+    energyFramesOf(Tables.documents(s, d)).orderBy("doc_id", "frame_id")
+  /** The frames CTE body over a named source relation — shared by the
+    * energy readout's oracle (src = documents) and the audio
+    * fingerprint chain (src = the dup-corpus media). */
+  private def energyFramesSql(src: String): String = {
     val terms = (0 until FrameB).map { j =>
       s"""CASE WHEN length(substring(text, CAST(frame_id * $FrameB + $j + 1 AS INT), 1)) = 1
         THEN ascii(substring(text, CAST(frame_id * $FrameB + $j + 1 AS INT), 1))
              * ascii(substring(text, CAST(frame_id * $FrameB + $j + 1 AS INT), 1))
         ELSE 0 END"""
     }.mkString(" + ")
-    s"""WITH frames AS (
+    s"""frames AS (
   SELECT doc_id, text,
     unnest(range(0, greatest(CAST(0 AS BIGINT),
       CAST(floor((length(text) - 1) / $FrameB) AS BIGINT)) + 1))
       AS frame_id
-  FROM documents
-)
-SELECT doc_id, frame_id, CAST($terms AS BIGINT) AS energy
-FROM frames ORDER BY doc_id, frame_id"""
+  FROM $src
+), energy_frames AS (
+  SELECT doc_id, frame_id, CAST($terms AS BIGINT) AS energy
+  FROM frames
+)"""
   }
+  private val audioEnergySql =
+    s"""WITH ${energyFramesSql("documents")}
+SELECT doc_id, frame_id, energy
+FROM energy_frames ORDER BY doc_id, frame_id"""
 
   // ------------------------------------------------------ silence split
   /** Voice-activity segmentation over the energy frames — the step
@@ -455,6 +467,82 @@ SELECT doc_a, doc_b, hamming FROM ppairs
 ORDER BY doc_a, doc_b"""
   }
 
+  // ------------------------------------------------- audio near-dup
+  /** Audio fingerprint near-dup — the chromaprint shape over the stub
+    * codec: the payload's framed energies ([[energyFramesOf]], the
+    * SAME relation the VAD/scene faces read) are resampled at 65
+    * positions across the track (nearest-neighbor, length-invariant —
+    * the [[phashSignaturesOf]] resize convention) and each of the 64
+    * bits is the energy DELTA SIGN between adjacent samples — the
+    * loudness-robust feature real audio fingerprints quantize. The
+    * 64-bit signature rides as four 16-bit band ints straight into the
+    * banded Hamming machinery ([[phashCandidatesOf]] — same bucket
+    * cap, same ≤10-of-64 verify), so image and audio near-dup share
+    * one candidate pipeline. Alignment sensitivity is inherent to the
+    * feature (as with real chroma fingerprints): byte-identical
+    * reposts collide at Hamming 0; a re-encode that SHIFTS frames
+    * (the planted suffix near-dups) does not, and that asymmetry is
+    * spec-pinned. Tracks shorter than 2 frames are not "audio" and
+    * are excluded by contract. */
+  private[graft] def audioSignaturesOf(media: DataFrame): DataFrame = {
+    val earr = energyFramesOf(media)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("frame_id"), col("energy"))))
+        .as("fe"))
+      .select(col("doc_id"), expr("transform(fe, x -> x.energy)").as("e"))
+      .filter(size(col("e")) >= 2)
+    def ep(i: Int) =
+      expr(s"element_at(e, cast(($i * size(e)) div 65 as int) + 1)")
+    def band(k: Int) = (0 until 16).map { j =>
+      val i = 16 * k + j
+      when(ep(i + 1) > ep(i), lit(1 << j).cast("int")).otherwise(lit(0))
+    }.reduce(_ + _).cast("int")
+    earr.select(col("doc_id"), band(0).as("b0"), band(1).as("b1"),
+      band(2).as("b2"), band(3).as("b3"))
+  }
+  private[graft] def audioSignatures(s: SparkSession, d: String): DataFrame =
+    CachePool.cached(audioSignaturesOf(DupCorpus.corpus(s, d)))
+  private val audioDedup: Q = (s, d) =>
+    phashCandidatesOf(audioSignatures(s, d))
+      .filter(col("hamming") <= 10)
+      .orderBy("doc_a", "doc_b")
+  private val audioDedupSql = {
+    import graft.oracle.OraclePipeline.DupCte
+    def ep(i: Int) = s"e[CAST(($i * len(e)) // 65 AS INT) + 1]"
+    def band(k: Int) = (0 until 16).map { j =>
+      val i = 16 * k + j
+      s"(CASE WHEN ${ep(i + 1)} > ${ep(i)} THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    val ham = (0 to 3).map(k => s"bit_count(xor(a.b$k, b.b$k))")
+      .mkString(" + ")
+    s"""$DupCte, ${energyFramesSql("dup")}, earr AS (
+  SELECT doc_id, e FROM (
+    SELECT doc_id, list(energy ORDER BY frame_id) AS e
+    FROM energy_frames GROUP BY doc_id
+  ) WHERE len(e) >= 2
+), asig AS (
+  SELECT doc_id, CAST(${band(0)} AS INT) AS b0, CAST(${band(1)} AS INT) AS b1,
+    CAST(${band(2)} AS INT) AS b2, CAST(${band(3)} AS INT) AS b3
+  FROM earr
+), abands AS (
+  SELECT doc_id, b0, b1, b2, b3, u.bi,
+    CASE u.bi WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END AS bv
+  FROM asig, (SELECT unnest([0, 1, 2, 3]) AS bi) u
+), aok AS (
+  SELECT ab.* FROM abands ab
+  JOIN (SELECT bi, bv, count(*) AS bcnt FROM abands GROUP BY bi, bv) sz
+    USING (bi, bv)
+  WHERE sz.bcnt <= $PhashBucketCap
+), apairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST($ham AS INT) AS hamming
+  FROM aok a JOIN aok b
+    ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM apairs
+WHERE hamming <= 10 ORDER BY doc_a, doc_b"""
+  }
+
   // ------------------------------------------------- cross-modal dup
   /** Cross-modal duplicate classification — the curation decision a
     * multimodal corpus needs right after visual near-dup: a reposted
@@ -559,6 +647,7 @@ FROM reach GROUP BY a ORDER BY doc_id"""
     "multimodal_phash_dedup" -> phashDedup,
     "multimodal_phash_cluster" -> phashCluster,
     "multimodal_crossmodal_dup" -> crossmodalDup,
+    "multimodal_audio_dedup" -> audioDedup,
     "multimodal_audio_energy" -> audioEnergy,
     "multimodal_silence_split" -> silenceSplit,
     "multimodal_scene_cut" -> sceneCut,
@@ -571,6 +660,7 @@ FROM reach GROUP BY a ORDER BY doc_id"""
     "multimodal_phash_dedup" -> phashDedupSql,
     "multimodal_crossmodal_dup" -> crossmodalDupSql,
     "multimodal_phash_cluster" -> phashClusterSql,
+    "multimodal_audio_dedup" -> audioDedupSql,
     "multimodal_audio_energy" -> audioEnergySql,
     "multimodal_silence_split" -> silenceSplitSql,
     "multimodal_scene_cut" -> sceneCutSql,

@@ -757,4 +757,32 @@ object StreamingEvents {
     * (parity-pinned in StreamingSpec). */
   def retentionServe(stored: DataFrame): DataFrame =
     EventQueries.retentionOf(stored.select("user_id", "day_ms"))
+
+  /** Streaming cohort-LTV store — the revenue sibling of
+    * [[retentionStore]]: one row per closed (day, user) with that
+    * day's decimal-exact purchase revenue and purchase count (rev 0
+    * rows still emit — activity days feed acquisition-day state even
+    * without spend). Append-mode at the watermark; mergeable partials,
+    * so replays re-emit identical rows. Lifetime caveat as
+    * [[lifecycleStream]]: acquisition day is correct provided the
+    * store has run since the user's first event — inherent to the
+    * metric, not the implementation. */
+  def ltvStore(events: DataFrame, delay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 day").as("w"), col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+          col("value").cast("decimal(18,6)"))
+          .otherwise(lit(0).cast("decimal(18,6)"))).as("rev"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"))
+      .select(col("user_id"),
+        expr("unix_millis(w.start) div 86400000").as("day_num"),
+        col("rev"), col("n_purchases"))
+
+  /** Query-time LTV finish over the stored partials — the SAME
+    * [[EventQueries.ltvOf]] cohort fold the batch query runs
+    * (parity-pinned in StreamingSpec). */
+  def ltvServe(stored: DataFrame): DataFrame =
+    EventQueries.ltvOf(
+      stored.select("user_id", "day_num", "rev", "n_purchases"))
 }

@@ -37,6 +37,58 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("audio fingerprint: planted byte-identical reposts collide at Hamming 0") {
+    import graft.pipeline.{DupCorpus, MultimodalQueries}
+    val corpus = DupCorpus.corpus(spark, Sf)
+    // the dup corpus plants byte-identical reposts at doc_id+10000 for
+    // doc_id % 7 == 0; any such track with ≥2 frames MUST pair with its
+    // source at Hamming 0 unless its bucket blew the hot-bucket cap
+    val pairs = SparkEntry.queries("multimodal_audio_dedup")(spark, Sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val zeroPairs = pairs.filter(_._3 == 0).map(p => (p._1, p._2)).toSet
+    val planted = corpus.filter(col("doc_id") % 7 === 0 &&
+        col("doc_id") < 10000 && length(col("text")) >= 32)
+      .select("doc_id").collect().map(_.getLong(0))
+    val caught = planted.count(id => zeroPairs.contains((id, id + 10000)))
+    assert(caught > 0, "no planted audio repost was caught at Hamming 0")
+    // capped-bucket blocking: candidate volume must stay far below the
+    // all-pairs square of the corpus
+    val n = corpus.count()
+    assert(pairs.length < n * 20,
+      s"${pairs.length} pairs for $n docs — banding is not bounding volume")
+  }
+
+  test("clamped balance streams groups via secondary sort, never buffers a group") {
+    // the non-associative fold must ride repartition+sortWithinPartitions
+    // with a boundary-scan iterator (O(1) state per group) — a MapGroups
+    // node would mean a whole user history materializes on one task
+    val plan = SparkEntry.queries("events_clamped_balance")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("MapPartitions"), "expected a mapPartitions fold")
+    assert(!plan.contains("MapGroups"), "group-materializing MapGroups found")
+    assert(plan.contains("Sort ["), "secondary sort missing from the plan")
+  }
+
+  test("every exact per-group order statistic names a registered approx sibling") {
+    // The house rule VERDICT r7 asked to pin: an exact order-statistic
+    // query that sorts data-sized groups on low-cardinality partitions
+    // (a per-type ntile/percentile sorts each type's FULL event set on
+    // one task) is only acceptable as the exact half of a declared
+    // exact/approx pair — the approx sibling is the 100 TB path. A new
+    // such query ships by adding its pair here; the assertions keep
+    // both halves registered and oracle-backed.
+    val pairs = Map(
+      "events_deciles" -> "events_quantiles_approx",
+      "events_quantiles" -> "events_quantiles_approx")
+    pairs.foreach { case (exact, approx) =>
+      assert(SparkEntry.queries.contains(exact), s"$exact unregistered")
+      assert(SparkEntry.queries.contains(approx),
+        s"$exact's declared approx sibling $approx is not registered")
+      assert(SparkEntry.oracleSql.contains(approx),
+        s"approx sibling $approx has no oracle")
+    }
+  }
+
   test("rfm plan has no eager action and no single-partition data window") {
     // construction must be action-free (the anchor is a broadcast
     // 1-row aggregate now) — pin by asserting no Spark job runs while

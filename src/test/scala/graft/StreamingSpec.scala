@@ -1189,4 +1189,43 @@ class StreamingSpec extends SparkSpec {
       assert(batch.map(t => (t._2, t._3)) === List((3L, 2L), (2L, 1L), (1L, 0L)))
     } finally q.stop()
   }
+
+  test("streaming LTV store/serve: closed-day revenue partials equal batch") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    import graft.pipeline.EventQueries
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_ms", "user_id", "event_type", "value")
+      .select(timestamp_millis(col("ts_ms")).as("ts"), col("user_id"),
+        col("event_type"), col("value"))
+    val q = StreamingEvents.ltvStore(typed(mem.toDF()), "1 hour")
+      .writeStream.format("memory").queryName("ltvstore")
+      .outputMode("append").start()
+    val day = 86400000L
+    // user 1 acquired d0 by a BROWSE (no spend), buys on d1 and d2
+    // (two purchases d2); user 2 acquired d1, buys same day — cohorts
+    // at distinct acquisition days, offsets 1 and 2 exercised, and a
+    // zero-revenue partial must feed acquisition without making a cell
+    val rows = Seq((0L, 1L, "browse", 99.0), (day + 60000L, 1L, "purchase", 10.5),
+      (2 * day + 1000L, 1L, "purchase", 2.25), (2 * day + 2000L, 1L, "purchase", 1.25),
+      (day + 5000L, 2L, "purchase", 7.0), (day + 6000L, 2L, "browse", 3.0))
+    try {
+      mem.addData(rows: _*); q.processAllAvailable()
+      mem.addData((5L * day, 9L, "browse", 0.0)); q.processAllAvailable()
+      val served = StreamingEvents.ltvServe(spark.table("ltvstore"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toList
+      val batch = EventQueries.ltvOf(
+        EventQueries.ltvPartialsOf(typed(rows.toDF())))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toList
+      assert(served === batch)
+      // cohort d0 (user 1): offset 1 → 10.5, offset 2 → 3.5 cum 14.0;
+      // cohort d1 (user 2): offset 0 → 7.0
+      assert(batch === List((0L, 1L, 1L, 10.5, 10.5),
+        (0L, 2L, 2L, 3.5, 14.0), (1L, 0L, 1L, 7.0, 7.0)))
+    } finally q.stop()
+  }
 }
