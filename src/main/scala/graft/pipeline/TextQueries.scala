@@ -2048,6 +2048,18 @@ FROM a GROUP BY shard ORDER BY shard"""
           .as("bpe_per_word"))
       .orderBy("doc_id")
   }
+  /** The learned subword vocabulary — the artifact a trained tokenizer
+    * actually ships (subword → corpus occurrences + distinct words
+    * containing it): explode the final merged symbol sequences,
+    * weight by word frequency. Vocabulary-sized end to end. */
+  private val bpeVocab: Q = (s, d) => {
+    bpeTrained(s, d)._2
+      .select(col("freq"),
+        explode(split(trim(col("symseq")), " ")).as("subword"))
+      .groupBy("subword")
+      .agg(sum("freq").as("occurrences"), count(lit(1)).as("n_words"))
+      .orderBy(col("occurrences").desc, col("subword"))
+  }
   /** The K training rounds unrolled as chained CTEs (the oracle
     * re-derives the merges itself — nothing learned leaks into the
     * SQL): s0 = char-split vocab; each round r = pair count over
@@ -2088,6 +2100,15 @@ FROM a GROUP BY shard ORDER BY shard"""
 $sel
 ORDER BY merge_round"""
   }
+  private val bpeVocabSql =
+    s"""$bpeChainSql
+SELECT subword, CAST(sum(freq) AS BIGINT) AS occurrences,
+  count(*) AS n_words
+FROM (
+  SELECT freq, unnest(string_split(trim(symseq), ' ')) AS subword
+  FROM s$BpeRounds
+)
+GROUP BY subword ORDER BY occurrences DESC, subword"""
   private val bpeApplySql =
     s"""$bpeChainSql, wf AS (
   SELECT word, CAST(len(string_split(trim(symseq), ' ')) AS BIGINT) AS n_syms
@@ -2106,6 +2127,7 @@ GROUP BY doc_id ORDER BY doc_id"""
   val queries: Map[String, Q] = Map(
     "text_bpe_train" -> bpeTrain,
     "text_bpe_apply" -> bpeApply,
+    "text_bpe_vocab" -> bpeVocab,
     "text_langid" -> langid,
     "text_quality" -> quality,
     "text_tokens" -> tokens,
@@ -2149,6 +2171,7 @@ GROUP BY doc_id ORDER BY doc_id"""
   val oracle: Map[String, String] = Map(
     "text_bpe_train" -> bpeTrainSql,
     "text_bpe_apply" -> bpeApplySql,
+    "text_bpe_vocab" -> bpeVocabSql,
     "text_langid" -> langidSql,
     "text_quality" -> qualitySql,
     "text_tokens" -> tokensSql,
