@@ -152,12 +152,51 @@ object SqlQueries {
     s.sql(InfraQueries.oracle("infra_summary_rewrite"))
   }
 
+  /** The DECORRELATED Q21 as portable SQL text — the second face the
+    * sql_waiting_suppliers plan-gap note promises: the same result as
+    * the literal EXISTS/NOT-EXISTS string, but with the correlation
+    * already folded into ONE pass over the order-filtered fact
+    * (per-order distinct-supplier counts gate each late line:
+    * n_supp > 1 ∧ exactly-one-late-supplier ≡ "some other supplier
+    * exists, no other supplier was late"). Row-per-late-line counting
+    * preserved, so numwait matches the correlated form exactly; both
+    * engines execute the identical text, and the bench shows what the
+    * rewrite buys over the three-scan literal plan. */
+  private val waitingSuppliersFastSql =
+    """WITH lf AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+    CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      THEN 1 ELSE 0 END AS is_late
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE o.o_orderstatus = 'F'
+), po AS (
+  SELECT l_orderkey,
+    count(DISTINCT l_suppkey) AS n_supp,
+    count(DISTINCT CASE WHEN is_late = 1 THEN l_suppkey END) AS n_late_supp
+  FROM lf GROUP BY l_orderkey
+), waiters AS (
+  SELECT lf.l_orderkey, lf.l_suppkey
+  FROM lf JOIN po ON po.l_orderkey = lf.l_orderkey
+  WHERE lf.is_late = 1 AND po.n_supp > 1 AND po.n_late_supp = 1
+)
+SELECT s.s_name, count(*) AS numwait
+FROM waiters w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 10"""
+  private val waitingSuppliersFast: Q = (s, d) => {
+    registerViews(s, d)
+    s.sql(waitingSuppliersFastSql)
+  }
+
   val queries: Map[String, Q] =
     pairs.map { case (n, src) => n -> fromSql(src) } +
-      ("sql_summary_rollup" -> summaryRollup)
+      ("sql_summary_rollup" -> summaryRollup) +
+      ("sql_waiting_suppliers_fast" -> waitingSuppliersFast)
 
   /** The oracle IS the executed SQL — shared verbatim. */
   val oracle: Map[String, String] =
     pairs.map { case (n, src) => n -> sourceOracle(src) } +
-      ("sql_summary_rollup" -> InfraQueries.oracle("infra_summary_rewrite"))
+      ("sql_summary_rollup" -> InfraQueries.oracle("infra_summary_rewrite")) +
+      ("sql_waiting_suppliers_fast" -> waitingSuppliersFastSql)
 }
