@@ -483,7 +483,17 @@ ORDER BY doc_a, doc_b"""
     * reposts collide at Hamming 0; a re-encode that SHIFTS frames
     * (the planted suffix near-dups) does not, and that asymmetry is
     * spec-pinned. Tracks shorter than 2 frames are not "audio" and
-    * are excluded by contract. */
+    * are excluded by contract.
+    *
+    * Volume note: candidate volume is mechanically bounded by the
+    * bucket cap (≤ 4 bands × C(cap,2) per bucket value, linear in
+    * bucket count), but the VERIFIED pair count on THIS corpus is
+    * high (82 k at sf0.1) because the synthetic texts draw from a
+    * 31-word vocabulary — many tracks genuinely share energy
+    * profiles, and the oracle hash-match confirms every pair is real
+    * under the metric. On natural audio the delta-sign bits
+    * decorrelate and verified pairs track true reuse, as the phash
+    * face's planted-reuse slope shows for images. */
   private[graft] def audioSignaturesOf(media: DataFrame): DataFrame = {
     val earr = energyFramesOf(media)
       .groupBy("doc_id")

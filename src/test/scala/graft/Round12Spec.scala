@@ -37,6 +37,24 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("GlobalRank.withNtilePerGroup: every group's bands equal per-group Window.ntile") {
+    import spark.implicits._
+    // deterministic LCG data: heavy ties within groups, ragged group
+    // sizes (37 / 101 / 3 rows), n > size for the tiny group
+    var seed = 42L
+    def nxt(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed >>> 33 }
+    val rows = (Seq.fill(37)("a") ++ Seq.fill(101)("b") ++ Seq.fill(3)("c"))
+      .zipWithIndex.map { case (g, i) => (i.toLong, g, (nxt() % 7).toInt) }
+    val df = rows.toDF("id", "g", "m")
+    val got = graft.operators.GlobalRank
+      .withNtilePerGroup(df, 5, "g", Seq(col("m"), col("id")), "b", 7)
+      .select("id", "b")
+    val want = df.withColumn("b", ntile(5).over(
+      Window.partitionBy("g").orderBy(col("m"), col("id"))))
+      .select("id", "b")
+    assert(got.except(want).isEmpty && want.except(got).isEmpty)
+  }
+
   test("audio fingerprint: planted byte-identical reposts collide at Hamming 0") {
     import graft.pipeline.{DupCorpus, MultimodalQueries}
     val corpus = DupCorpus.corpus(spark, Sf)
