@@ -15,15 +15,17 @@ import org.apache.spark.sql.functions._
   *  1. `repartitionByRange` on the rank order — ranges are
   *     non-overlapping and emitted in partition order, so every row in
   *     partition i precedes every row in partition i+1;
-  *  2. `row_number` WITHIN each partition (a per-partition sort, all
-  *     32 tasks working);
+  *  2. local ranks WITHIN each partition (an in-partition sort + the
+  *     `monotonically_increasing_id` offset — all tasks working, no
+  *     windowed row_number, no second data-sized exchange; see
+  *     [[rankCore]]);
   *  3. shift each partition's local ranks by the total row count of
   *     all earlier partitions. The offset relation is ONE row per
   *     partition (constant-size, never data-sized), so its
   *     cumulative-sum window runs over ≤`parts` rows and its
   *     single-partition `WindowExec` is the one shape the plan-hygiene
-  *     ban explicitly whitelists (child aggregates on
-  *     `spark_partition_id`).
+  *     ban explicitly whitelists (child aggregates over the
+  *     id-derived partition key).
   *
   * The sort columns must form a total order (tie-break on a unique
   * key) for ranks to be deterministic regardless of where the range
@@ -47,26 +49,50 @@ object GlobalRank {
     * broadcast offset relation, not via a second scan) — the internal
     * form [[withNtile]] derives its band arithmetic from. */
   private def rankedWithN(df: DataFrame, sortCols: Seq[Column], out: String,
-      parts: Int): DataFrame = {
-    val parted = df.repartitionByRange(parts, sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    val wP = Window.partitionBy("__pid").orderBy(sortCols: _*)
-    val local = parted.withColumn("__rn", row_number().over(wP).cast("long"))
-    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__pc"))
-    val wOff = Window.orderBy("__pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    // __n (the relation's total row count) rides along on the same
-    // ≤`parts`-row offset relation — a full-frame window over the
-    // per-partition counts, so rank consumers (ntile) get N without a
-    // second scan of `df`.
-    val wTot = Window.partitionBy(lit(0))
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val offs = counts.select(col("__pid"),
+      parts: Int): DataFrame =
+    rankCore(df, Nil, sortCols, parts).withColumnRenamed("__i", out)
+
+  /** The shared two-phase core: range-partition + in-partition sort,
+    * then `monotonically_increasing_id` — whose encoding is
+    * (partitionId << 33) + rowOffset — gives every row its partition
+    * id AND its physical offset in one codegen'd projection, with NO
+    * windowed row_number and NO extra data-sized hash exchange (a
+    * `Window.partitionBy(pid)` would shuffle the whole relation again
+    * because Catalyst cannot prove the range exchange already
+    * clusters pid). The ids are deterministic because the sort is a
+    * total order (callers must tie-break on a unique key): every
+    * (re-)execution sorts identical shuffle output identically.
+    * Per-(partition, group) min-id and row count come from ONE
+    * aggregate over the same shuffle (runtime-reused exchange);
+    * local rank = id − min-id + 1, global rank adds the broadcast
+    * cumulative offset of earlier partitions. Bounds: ≤ 2³³ rows per
+    * partition (the id encoding), ≤ 2⁵³ rows total (exact long→double
+    * division in the ntile arithmetic). */
+  private def rankCore(df: DataFrame, groupCols: Seq[String],
+      sortCols: Seq[Column], parts: Int): DataFrame = {
+    val order = groupCols.map(col) ++ sortCols
+    val keyed = df.repartitionByRange(parts, order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("__mid", monotonically_increasing_id())
+      .withColumn("__pid", shiftrightunsigned(col("__mid"), 33))
+    val gcols = "__pid" +: groupCols
+    val stats = keyed.groupBy(gcols.map(col): _*)
+      .agg(min("__mid").as("__mn"), count(lit(1)).as("__pc"))
+    val wOff =
+      (if (groupCols.isEmpty) Window.orderBy("__pid")
+       else Window.partitionBy(groupCols.map(col): _*).orderBy("__pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    // __n (the group's total row count) rides along on the same
+    // ≤ parts·|groups|-row offset relation — full-frame window over
+    // the per-partition stats, so ntile consumers get N for free.
+    val wTot = if (groupCols.isEmpty) Window.partitionBy(lit(0))
+               else Window.partitionBy(groupCols.map(col): _*)
+    val offs = stats.select(gcols.map(col) ++ Seq(col("__mn"),
       coalesce(sum("__pc").over(wOff), lit(0L)).as("__off"),
-      sum("__pc").over(wTot).as("__n"))
-    local.join(broadcast(offs), "__pid")
-      .withColumn(out, col("__rn") + col("__off"))
-      .drop("__pid", "__rn", "__off")
+      sum("__pc").over(wTot).as("__n")): _*)
+    keyed.join(broadcast(offs), gcols)
+      .withColumn("__i", col("__mid") - col("__mn") + 1L + col("__off"))
+      .drop("__pid", "__mid", "__mn", "__off")
   }
 
   /** `df` plus an exact `NTILE(n) OVER (ORDER BY sortCols)` column
@@ -91,23 +117,10 @@ object GlobalRank {
     * twice TOTAL instead of twice per group — both plan size and
     * shuffle count stay flat as metrics are added. */
   def withNtilePerGroup(df: DataFrame, n: Int, groupCol: String,
-      sortCols: Seq[Column], out: String, parts: Int = 32): DataFrame = {
-    val parted = df.repartitionByRange(parts, col(groupCol) +: sortCols: _*)
-      .withColumn("__pid", spark_partition_id())
-    val wP = Window.partitionBy("__pid", groupCol).orderBy(sortCols: _*)
-    val local = parted.withColumn("__rn", row_number().over(wP).cast("long"))
-    val counts = parted.groupBy("__pid", groupCol).agg(count(lit(1)).as("__pc"))
-    val wOff = Window.partitionBy(groupCol).orderBy("__pid")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wTot = Window.partitionBy(groupCol)
-    val offs = counts.select(col("__pid"), col(groupCol),
-      coalesce(sum("__pc").over(wOff), lit(0L)).as("__off"),
-      sum("__pc").over(wTot).as("__n"))
-    local.join(broadcast(offs), Seq("__pid", groupCol))
-      .withColumn("__i", col("__rn") + col("__off"))
+      sortCols: Seq[Column], out: String, parts: Int = 32): DataFrame =
+    rankCore(df, Seq(groupCol), sortCols, parts)
       .withColumn(out, ntileExpr(n, col("__i"), col("__n")))
-      .drop("__pid", "__rn", "__off", "__i", "__n")
-  }
+      .drop("__i", "__n")
 
   /** `NTILE(n)` as pure arithmetic on (global rank i, total N):
     * q = N div n, r = N mod n; ranks 1..r·(q+1) land in the first r

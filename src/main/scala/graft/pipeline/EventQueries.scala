@@ -909,21 +909,22 @@ WHERE (e.value - m.mean) / m.std > 3.0
 ORDER BY e.event_type, e.event_id"""
 
   // ------------------------------------------------------------- deciles
-  /** Per-type value deciles via NTILE — the equi-height-bucket report
-    * (spend bands, latency bands). NTILE needs each type's values
-    * sorted once (one shuffle on event_type + in-partition sort —
-    * at 100 TB a per-GROUP global sort is the honest cost of exact
-    * equi-height buckets; the approximate path is percentile_approx
-    * cut points, see events_quantiles_approx); the decile summary then
-    * aggregates on (type, decile) riding the same partitioning.
+  /** Per-type value deciles via exact distributed NTILE — the
+    * equi-height-bucket report (spend bands, latency bands). The
+    * banding is [[graft.operators.GlobalRank.withNtilePerGroup]]: a
+    * RANGE partition on (type, value, ts, id) spreads every type's
+    * sort across all tasks, so a hot type no longer lands its full
+    * event set on one task (the former `Window.partitionBy(type)`
+    * form's acknowledged 100 TB weakness — now erased; the approx
+    * sibling `events_quantiles_approx` remains the sketch path).
     * (ts, event_id) breaks value ties deterministically so boundary
     * rows land in stable buckets cross-engine. */
   private val deciles: Q = (s, d) => {
-    val w = Window.partitionBy("event_type")
-      .orderBy("value", "ts", "event_id")
-    Tables.events(s, d)
-      .select(col("event_type"), col("value"),
-        ntile(10).over(w).as("decile"))
+    graft.operators.GlobalRank.withNtilePerGroup(
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"), col("ts"), col("event_id")),
+      10, "event_type", Seq(col("value"), col("ts"), col("event_id")),
+      "decile")
       .groupBy("event_type", "decile")
       .agg(count(lit(1)).as("n_events"),
         round(min("value"), 4).as("lo"),

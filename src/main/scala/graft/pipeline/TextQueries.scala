@@ -1144,20 +1144,22 @@ FROM ex ORDER BY doc_id, copy_id"""
   /** CCNet-style quality bucketing (Wenzek et al. 2020): documents are
     * split per LANGUAGE into head/middle/tail terciles of LM score,
     * and downstream training mixes sample by bucket. Composes
-    * [[lmScore]] unchanged; the NTILE window partitions by lang (the
-    * published recipe — and the reason this never needs a global
-    * sort). The ordering key is (rounded score, doc_id), so the
-    * tercile boundary cannot flap on sub-ulp score differences
-    * cross-engine. Output volume = corpus; at 100 TB the bucket id
-    * becomes the partition column the mix-sampler prunes on. */
+    * [[lmScore]] unchanged; the tercile is
+    * [[graft.operators.GlobalRank.withNtilePerGroup]] over lang — the
+    * range partition spreads every language's sort across all tasks,
+    * so the dominant language of a 100 TB corpus cannot land on one
+    * task (the plain per-lang window would). The ordering key is
+    * (score, doc_id), so the tercile boundary cannot flap on sub-ulp
+    * score differences cross-engine. Output volume = corpus; at 100 TB
+    * the bucket id becomes the partition column the mix-sampler
+    * prunes on. */
   private val qualityBuckets: Q = (s, d) => {
     val scores = lmScore(s, d).select(col("doc_id"), col("mean_inv_p"))
     val langs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
-    val w = Window.partitionBy("lang")
-      .orderBy(col("mean_inv_p"), col("doc_id"))
-    langs.join(scores, "doc_id")
-      .select(col("doc_id"), col("lang"), col("mean_inv_p"),
-        ntile(3).over(w).cast("int").as("bucket"))
+    graft.operators.GlobalRank.withNtilePerGroup(
+      langs.join(scores, "doc_id"), 3, "lang",
+      Seq(col("mean_inv_p"), col("doc_id")), "bucket")
+      .select(col("doc_id"), col("lang"), col("mean_inv_p"), col("bucket"))
       .orderBy("doc_id")
   }
   // lazy: lmScoreSql is defined further down the file, and a strict val

@@ -33,8 +33,10 @@ class PlanHygieneSpec extends SparkSpec {
     // an unpartitioned Window (SinglePartition distribution) moves the
     // WHOLE child relation to one task. That is only ever acceptable over
     // a constant-size relation. Two shapes are recognized as bounded:
-    //  (a) the GlobalRank offset relation — child aggregates on
-    //      spark_partition_id(), ≤ shuffle-partition rows by construction;
+    //  (a) the GlobalRank offset relation — child aggregates on a
+    //      partition id derived from spark_partition_id() or the
+    //      monotonically_increasing_id encoding, ≤ shuffle-partition
+    //      rows by construction;
     //  (b) a child whose subtree aggregates to a bounded key, declared
     //      below with its bound's justification (each is a grouping on a
     //      closed vocabulary or fixed grid, NOT on data-sized ids).
@@ -50,6 +52,7 @@ class PlanHygieneSpec extends SparkSpec {
           val bad = plan.collect {
             case w: WindowExec if w.partitionSpec.isEmpty &&
               !w.child.toString.contains("SPARK_PARTITION_ID") &&
+              !w.child.toString.contains("monotonically_increasing_id") &&
               !boundedByAggKey.contains(name) => w
           }
           if (bad.nonEmpty)

@@ -88,13 +88,15 @@ class Round12Spec extends SparkSpec {
   }
 
   test("every exact per-group order statistic names a registered approx sibling") {
-    // The house rule VERDICT r7 asked to pin: an exact order-statistic
-    // query that sorts data-sized groups on low-cardinality partitions
-    // (a per-type ntile/percentile sorts each type's FULL event set on
-    // one task) is only acceptable as the exact half of a declared
-    // exact/approx pair — the approx sibling is the 100 TB path. A new
-    // such query ships by adding its pair here; the assertions keep
-    // both halves registered and oracle-backed.
+    // The house rule VERDICT r7 asked to pin: an exact order statistic
+    // over data-sized groups is only acceptable as the exact half of a
+    // declared exact/approx pair — the approx sibling is the mergeable
+    // sketch path a 100 TB incremental pipeline prefers. (The exact
+    // faces themselves now band via GlobalRank.withNtilePerGroup, so
+    // no full group ever sorts on one task — the pairing survives as
+    // an exact-cost/sketch-cost choice, not a correctness escape.) A
+    // new such query ships by adding its pair here; the assertions
+    // keep both halves registered and oracle-backed.
     val pairs = Map(
       "events_deciles" -> "events_quantiles_approx",
       "events_quantiles" -> "events_quantiles_approx")
