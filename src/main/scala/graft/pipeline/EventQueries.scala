@@ -1914,13 +1914,12 @@ FROM mom ORDER BY event_type"""
     * (user, day) reduction — cohort assignment is a per-user min, the
     * grid is |days|² cells max. Exact integers; the rate is one IEEE
     * divide of two longs. */
-  private val cohortMatrix: Q = (s, d) => {
-    val userDays = Tables.events(s, d)
-      .select(col("user_id"),
-        expr("unix_millis(date_trunc('day', ts)) div 86400000")
-          .as("day_num"))
-      .distinct()
-      .localCheckpoint()
+  /** The triangle over an already-distinct (user_id, day_num) active
+    * relation — shared by the batch query and the streaming day-active
+    * store's serve (the THIRD metric the one store answers, next to
+    * retention and streaks). */
+  private[graft] def cohortMatrixOf(userDays0: DataFrame): DataFrame = {
+    val userDays = userDays0.localCheckpoint()
     val cohorts = userDays.groupBy("user_id")
       .agg(min("day_num").as("cohort_day"))
     val sizes = cohorts.groupBy("cohort_day")
@@ -1936,6 +1935,12 @@ FROM mom ORDER BY event_type"""
           .as("retention"))
       .orderBy("cohort_day", "day_offset")
   }
+  private val cohortMatrix: Q = (s, d) =>
+    cohortMatrixOf(Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_millis(date_trunc('day', ts)) div 86400000")
+          .as("day_num"))
+      .distinct())
   private val cohortMatrixSql =
     """WITH ud AS (
   SELECT DISTINCT user_id,
@@ -2882,12 +2887,9 @@ FROM f"""
     * islands window rides users×days, never the fact). A streak is a
     * maximal run of consecutive calendar days with ≥1 event; island
     * key = day_num − dense row index. Exact integers end-to-end. */
-  private val streaks: Q = (s, d) => {
-    val ud = Tables.events(s, d)
-      .select(col("user_id"),
-        expr("unix_millis(date_trunc('day', ts)) div 86400000")
-          .as("day_num"))
-      .distinct()
+  /** The streak histogram over an already-distinct (user_id, day_num)
+    * relation — shared with the day-active store's serve. */
+  private[graft] def streaksOf(ud: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("day_num")
     val best = ud
       .withColumn("isl", col("day_num") - row_number().over(w))
@@ -2896,6 +2898,12 @@ FROM f"""
     best.groupBy("best_streak").agg(count(lit(1)).as("n_users"))
       .orderBy("best_streak")
   }
+  private val streaks: Q = (s, d) =>
+    streaksOf(Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_millis(date_trunc('day', ts)) div 86400000")
+          .as("day_num"))
+      .distinct())
   private val streaksSql =
     """WITH ud AS (
   SELECT DISTINCT user_id,

@@ -758,6 +758,24 @@ object StreamingEvents {
   def retentionServe(stored: DataFrame): DataFrame =
     EventQueries.retentionOf(stored.select("user_id", "day_ms"))
 
+  /** Cohort-matrix serve over the day-active store — the same store
+    * that answers retention also renders the full acquisition×offset
+    * triangle ([[EventQueries.cohortMatrixOf]], identical batch
+    * finish; the serve-side localCheckpoint also keeps memory-sink
+    * reads safe for the matrix's self-join). Lifetime caveat as
+    * [[lifecycleStream]]: cohort day is the first STORED day. */
+  def cohortMatrixServe(stored: DataFrame): DataFrame =
+    EventQueries.cohortMatrixOf(stored.select(col("user_id"),
+      expr("day_ms div 86400000").as("day_num")))
+
+  /** Streak-histogram serve over the same day-active store
+    * ([[EventQueries.streaksOf]]) — the fourth metric one store
+    * answers (retention, cohort matrix, streaks; DAU rides the
+    * sketch store). */
+  def streaksServe(stored: DataFrame): DataFrame =
+    EventQueries.streaksOf(stored.select(col("user_id"),
+      expr("day_ms div 86400000").as("day_num")))
+
   /** Streaming cohort-LTV store — the revenue sibling of
     * [[retentionStore]]: one row per closed (day, user) with that
     * day's decimal-exact purchase revenue and purchase count (rev 0

@@ -1187,6 +1187,21 @@ class StreamingSpec extends SparkSpec {
           r.getDouble(3))).toList
       assert(served === batch)
       assert(batch.map(t => (t._2, t._3)) === List((3L, 2L), (2L, 1L), (1L, 0L)))
+      // the SAME store serves the cohort triangle and the streak
+      // histogram — both finishes shared verbatim with the batch faces
+      val ud = typed(rows.toDF()).select(col("user_id"),
+        expr("unix_millis(date_trunc('day', ts)) div 86400000").as("day_num"))
+        .distinct()
+      val cmServed = StreamingEvents.cohortMatrixServe(stored)
+        .collect().map(_.toSeq).toList
+      val cmBatch = EventQueries.cohortMatrixOf(ud)
+        .collect().map(_.toSeq).toList
+      assert(cmServed === cmBatch && cmBatch.nonEmpty)
+      val skServed = StreamingEvents.streaksServe(stored)
+        .collect().map(_.toSeq).toList
+      val skBatch = EventQueries.streaksOf(ud).collect().map(_.toSeq).toList
+      // streaks: user 1 d0-d1 → 2, user 2 d0 → 1, user 3 d0-d2 → 3
+      assert(skServed === skBatch && skBatch.nonEmpty)
     } finally q.stop()
   }
 
