@@ -122,6 +122,18 @@ object GlobalRank {
       .withColumn(out, ntileExpr(n, col("__i"), col("__n")))
       .drop("__i", "__n")
 
+  /** Per-group exact rank AND group size in one pass — the raw
+    * (i, N) pair every peer-free order statistic reduces to:
+    * percent_rank = (i−1)/(N−1), cume_dist = i/N, ntile = the
+    * arithmetic above. Same [[rankCore]] machinery, same bounded-
+    * cardinality requirement on `groupCol`. */
+  def withRankAndCountPerGroup(df: DataFrame, groupCol: String,
+      sortCols: Seq[Column], outRank: String, outCount: String,
+      parts: Int = 32): DataFrame =
+    rankCore(df, Seq(groupCol), sortCols, parts)
+      .withColumnRenamed("__i", outRank)
+      .withColumnRenamed("__n", outCount)
+
   /** `NTILE(n)` as pure arithmetic on (global rank i, total N):
     * q = N div n, r = N mod n; ranks 1..r·(q+1) land in the first r
     * (size q+1) buckets, the rest split into size-q buckets — exactly

@@ -591,21 +591,27 @@ ORDER BY user_id"""
   // ---------------------------------------------------- percentile ranks
   /** Per-type user spend percentile — the percent_rank/cume_dist
     * members of the window family: one shuffle for the (type, user)
-    * spend aggregate, then the rank window partitioned by type. The
-    * ORDER BY includes user_id so every row is its own peer group —
-    * percent_rank collapses to (row−1)/(n−1) and cume_dist to row/n,
-    * exact integer ratios in both engines (tied spends would otherwise
-    * form engine-ordering-dependent peer groups and flap the hash).
-    * Spend stays decimal-exact through the ordering. */
+    * spend aggregate, then the per-type global rank via
+    * [[graft.operators.GlobalRank.withRankAndCountPerGroup]] — the
+    * ORDER BY includes user_id so every row is its own peer group,
+    * and the statistics collapse to pure rank arithmetic
+    * (percent_rank = (i−1)/(n−1), cume_dist = i/n — the identical
+    * IEEE divisions the window functions compute), so the hot type of
+    * a skewed corpus never sorts its full user set on one task (the
+    * former `Window.partitionBy(type)` form would). Spend stays
+    * decimal-exact through the ordering. */
   private val userRank: Q = (s, d) => {
     val spend = Tables.events(s, d)
       .groupBy("event_type", "user_id")
       .agg(sum(col("value").cast("decimal(18,6)")).as("total"))
-    val w = Window.partitionBy("event_type").orderBy(col("total"), col("user_id"))
-    spend.select(col("event_type"), col("user_id"),
+    graft.operators.GlobalRank.withRankAndCountPerGroup(
+      spend, "event_type", Seq(col("total"), col("user_id")), "__r", "__cnt")
+      .select(col("event_type"), col("user_id"),
         round(col("total").cast("double"), 4).as("total_value"),
-        round(percent_rank().over(w), 6).as("prank"),
-        round(cume_dist().over(w), 6).as("cdist"))
+        round(when(col("__cnt") > 1L,
+          (col("__r") - 1L).cast("double") / (col("__cnt") - 1L))
+          .otherwise(lit(0.0)), 6).as("prank"),
+        round(col("__r").cast("double") / col("__cnt"), 6).as("cdist"))
       .orderBy("event_type", "user_id")
   }
   private val userRankSql =
