@@ -233,14 +233,84 @@ FROM ok a JOIN ok b
 WHERE levenshtein(a.head, b.head) <= $EditMaxDist
 ORDER BY doc_a, doc_b"""
 
+  // ------------------------------------------------- hybrid retrieval
+  /** Hybrid lexical + vector retrieval with reciprocal-rank fusion
+    * (Cormack, Clarke & Buettcher 2009's RRF, the industry-standard
+    * fusion: score = Σ 1/(k + rank), k = 60) — how a retrieval tier
+    * actually serves once it has BOTH an inverted index and an ANN
+    * index: the lexical arm is the [[bm25]] face's exact top-20 for
+    * [[Terms]]; the vector arm is cosine top-20 against the corpus
+    * query vector (vec 0, self excluded — the ANN faces' convention);
+    * absent-arm docs contribute 0 and report rank 0. Each arm is a
+    * bounded top-k (the rank windows ride ≤20-row relations —
+    * declared in the plan-hygiene bounded list); the fusion join is
+    * ≤40 rows. Ranks tie-break on doc_id in both arms, the BM25
+    * score is pre-rounded, and the cosine doubles are the
+    * bit-identical ANN formulation, so the fused ordering cannot
+    * flap cross-engine. */
+  val RrfK = 60
+  private val hybridRrf: Q = (s, d) => {
+    graft.functions.VectorExpressions.register(s)
+    val lexR = bm25(s, d).withColumn("lex_rank", row_number().over(
+      Window.orderBy(col("bm25").desc, col("doc_id"))))
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+    val vec = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        call_function("graft_cosine", col("qv"), col("v")).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id")).limit(20)
+    val vecR = vec.withColumn("vec_rank", row_number().over(
+      Window.orderBy(col("sim").desc, col("doc_id"))))
+    lexR.select(col("doc_id"), col("lex_rank"))
+      .join(vecR.select(col("doc_id"), col("vec_rank")),
+        Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0)).as("vec_rank"),
+        round(coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+  }
+  private val hybridRrfSql =
+    s"""WITH lex AS (SELECT * FROM ($bm25Sql)),
+lexr AS (
+  SELECT doc_id,
+    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT) AS lex_rank
+  FROM lex
+), ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), qv AS (SELECT v AS qv FROM ev WHERE vec_id = 0),
+vec AS (
+  SELECT vec_id AS doc_id,
+    list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv))
+      * sqrt(list_dot_product(v, v))) AS sim
+  FROM ev, qv WHERE vec_id <> 0
+  ORDER BY sim DESC, doc_id LIMIT 20
+), vecr AS (
+  SELECT doc_id,
+    CAST(row_number() OVER (ORDER BY sim DESC, doc_id) AS INT) AS vec_rank
+  FROM vec
+)
+SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+  COALESCE(l.lex_rank, 0) AS lex_rank,
+  COALESCE(v.vec_rank, 0) AS vec_rank,
+  round(COALESCE(1.0 / ($RrfK + l.lex_rank), 0)
+    + COALESCE(1.0 / ($RrfK + v.vec_rank), 0), 6) AS rrf
+FROM lexr l FULL OUTER JOIN vecr v ON v.doc_id = l.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 10"""
+
   val queries: Map[String, Q] = Map(
     "text_inverted_index" -> invertedIndex,
     "text_keyword_search" -> keywordSearch,
     "text_bm25_topk" -> bm25,
+    "search_hybrid_rrf" -> hybridRrf,
     "dedup_edit_distance" -> editDistance)
   val oracle: Map[String, String] = Map(
     "text_inverted_index" -> invertedIndexSql,
     "text_keyword_search" -> keywordSearchSql,
     "text_bm25_topk" -> bm25Sql,
+    "search_hybrid_rrf" -> hybridRrfSql,
     "dedup_edit_distance" -> editDistanceSql)
 }

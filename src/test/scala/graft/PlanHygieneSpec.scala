@@ -41,10 +41,11 @@ class PlanHygieneSpec extends SparkSpec {
     //      below with its bound's justification (each is a grouping on a
     //      closed vocabulary or fixed grid, NOT on data-sized ids).
     import org.apache.spark.sql.execution.window.WindowExec
-    // empty today: EVERY unpartitioned window in all registered plans
-    // is a GlobalRank-style offset window (shape a). A new entry here
-    // must name its bound ("per-hour grain", "≤64-row grid", …).
-    val boundedByAggKey = Map.empty[String, String]
+    // Every other unpartitioned window in the registered plans is a
+    // GlobalRank-style offset window (shape a). A new entry here must
+    // name its bound ("per-hour grain", "≤64-row grid", …).
+    val boundedByAggKey = Map(
+      "search_hybrid_rrf" -> "rank windows over the two ≤20-row top-k arms")
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
