@@ -42,7 +42,7 @@ object GlobalRank {
     * the two-phase range-partition pattern above; no single-task sort
     * of the data-sized relation anywhere in the plan. */
   def withRank(df: DataFrame, sortCols: Seq[Column], out: String,
-      parts: Int = 32): DataFrame =
+      parts: Int = -1): DataFrame =
     rankedWithN(df, sortCols, out, parts).drop("__n")
 
   /** The rank plus a `__n` total-count column (carried on the
@@ -69,7 +69,14 @@ object GlobalRank {
     * partition (the id encoding), ≤ 2⁵³ rows total (exact long→double
     * division in the ntile arithmetic). */
   private def rankCore(df: DataFrame, groupCols: Seq[String],
-      sortCols: Seq[Column], parts: Int): DataFrame = {
+      sortCols: Seq[Column], parts0: Int): DataFrame = {
+    // parts ≤ 0 → the session's shuffle parallelism: on a 1000-executor
+    // cluster the rank spreads over the configured width instead of a
+    // hardcoded 32; ranks are partitioning-invariant, so the choice
+    // never changes results, only parallelism. The offset relation is
+    // parts·|groups| rows — still broadcast-scale at any real width.
+    val parts = if (parts0 > 0) parts0
+      else df.sparkSession.sessionState.conf.numShufflePartitions
     val order = groupCols.map(col) ++ sortCols
     val keyed = df.repartitionByRange(parts, order: _*)
       .sortWithinPartitions(order: _*)
@@ -101,7 +108,7 @@ object GlobalRank {
     * boundaries to the single-task window form, without the
     * single-task sort. `sortCols` must totally order the rows. */
   def withNtile(df: DataFrame, n: Int, sortCols: Seq[Column], out: String,
-      parts: Int = 32): DataFrame =
+      parts: Int = -1): DataFrame =
     rankedWithN(df, sortCols, "__i", parts)
       .withColumn(out, ntileExpr(n, col("__i"), col("__n")))
       .drop("__i", "__n")
@@ -117,7 +124,7 @@ object GlobalRank {
     * twice TOTAL instead of twice per group — both plan size and
     * shuffle count stay flat as metrics are added. */
   def withNtilePerGroup(df: DataFrame, n: Int, groupCol: String,
-      sortCols: Seq[Column], out: String, parts: Int = 32): DataFrame =
+      sortCols: Seq[Column], out: String, parts: Int = -1): DataFrame =
     rankCore(df, Seq(groupCol), sortCols, parts)
       .withColumn(out, ntileExpr(n, col("__i"), col("__n")))
       .drop("__i", "__n")
@@ -129,7 +136,7 @@ object GlobalRank {
     * cardinality requirement on `groupCol`. */
   def withRankAndCountPerGroup(df: DataFrame, groupCol: String,
       sortCols: Seq[Column], outRank: String, outCount: String,
-      parts: Int = 32): DataFrame =
+      parts: Int = -1): DataFrame =
     rankCore(df, Seq(groupCol), sortCols, parts)
       .withColumnRenamed("__i", outRank)
       .withColumnRenamed("__n", outCount)
