@@ -2542,7 +2542,8 @@ FROM conv"""
   private[graft] def paretoRanked(s: SparkSession, d: String): DataFrame = {
     val u = Tables.events(s, d)
       .groupBy("user_id").agg(count(lit(1)).as("x"))
-    val parted = u.repartitionByRange(32, col("x"), col("user_id"))
+    val parted = u.repartitionByRange(
+        s.sessionState.conf.numShufflePartitions, col("x"), col("user_id"))
       .withColumn("pid", spark_partition_id())
     val wP = Window.partitionBy("pid").orderBy(col("x"), col("user_id"))
     val local = parted.withColumn("rn", row_number().over(wP).cast("long"))
@@ -2771,7 +2772,8 @@ FROM f"""
       .unionByName(sess.select(col("session_end_ms").as("ms"),
         lit(-1L).as("delta"), col("user_id")))
     val parted = bounds
-      .repartitionByRange(32, col("ms"), col("delta"), col("user_id"))
+      .repartitionByRange(
+        s.sessionState.conf.numShufflePartitions, col("ms"), col("delta"), col("user_id"))
       .withColumn("pid", spark_partition_id())
     val wP = Window.partitionBy("pid")
       .orderBy(col("ms"), col("delta"), col("user_id"))

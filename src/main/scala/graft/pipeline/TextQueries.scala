@@ -613,7 +613,8 @@ ORDER BY lang, rank"""
       .select(explode(toks).as("token"))
       .groupBy("token").agg(count(lit(1)).as("tf"))
     val parted = counts
-      .repartitionByRange(32, col("tf").desc, col("token"))
+      .repartitionByRange(
+        s.sessionState.conf.numShufflePartitions, col("tf").desc, col("token"))
       .withColumn("pid", spark_partition_id())
     val wP = Window.partitionBy("pid")
       .orderBy(col("tf").desc, col("token"))
@@ -1577,7 +1578,8 @@ ORDER BY chunk_md5"""
     // one task. (cnt, tok) is unique per vocab row, so ranks are total
     // and deterministic regardless of partition boundaries.
     val parted = vocab
-      .repartitionByRange(32, col("cnt").desc, col("tok"))
+      .repartitionByRange(
+        s.sessionState.conf.numShufflePartitions, col("cnt").desc, col("tok"))
       .withColumn("pid", spark_partition_id())
     val wP = Window.partitionBy("pid").orderBy(col("cnt").desc, col("tok"))
     val local = parted.withColumn("rn", row_number().over(wP).cast("long"))
@@ -1797,7 +1799,8 @@ GROUP BY doc_id ORDER BY doc_id"""
     val cells = scored.groupBy("score").agg(
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("np"),
       sum(when(col("lang") === "en", 0L).otherwise(1L)).as("nn"))
-    val parted = cells.repartitionByRange(32, col("score"))
+    val parted = cells.repartitionByRange(
+        s.sessionState.conf.numShufflePartitions, col("score"))
       .withColumn("pid", spark_partition_id())
     val wP = Window.partitionBy("pid").orderBy("score")
       .rowsBetween(Window.unboundedPreceding, -1)
