@@ -2530,7 +2530,7 @@ FROM conv"""
     * of events from the top user decile, in integer permille. Needs a
     * GLOBAL rank of users by count — produced with the distributed
     * two-phase rank (range-partition on (count, user) → per-partition
-    * row_number → broadcast ≤32-row offsets; the same machinery as
+    * row_number → broadcast one-row-per-partition offsets; the same machinery as
     * text_surprisal's vocabulary rank and the AUC prefix sum — never a
     * single-task sort). Everything is integer (Σx, Σi·x exact longs)
     * until the two closed-form divisions. The skew diagnostic that
@@ -2758,7 +2758,7 @@ FROM f"""
     * boundary events, and the global running sum's maximum is the
     * peak. The global prefix sum uses the distributed two-phase rank
     * machinery (range-partition the boundaries → per-partition
-    * cumulative window → broadcast ≤32-row partition totals as
+    * cumulative window → broadcast one-row-per-partition totals as
     * offsets) — never a single-task global sort; ties at one instant
     * order (ms, delta, user) with ends (−1) before starts, so
     * touching sessions don't count as overlapping, identically in

@@ -1574,7 +1574,7 @@ ORDER BY chunk_md5"""
     // Phase 2: shift each partition's local ranks by the total count of
     // all earlier partitions. The offset relation is one row per
     // partition (constant-size, NOT data-sized), so its cumulative-sum
-    // window is over ≤32 rows; the vocabulary itself is never sorted on
+    // window is over one row per partition; the vocabulary itself is never sorted on
     // one task. (cnt, tok) is unique per vocab row, so ranks are total
     // and deterministic regardless of partition boundaries.
     val parted = vocab
@@ -1776,7 +1776,7 @@ GROUP BY doc_id ORDER BY doc_id"""
     * fold u2 = Σ n_pos·(2·cum_neg_below + n_neg) (the ×2 keeps tie
     * half-credit integral). The prefix sum is the DISTRIBUTED
     * two-phase pattern (range-partition on score → per-partition
-    * running sum → broadcast per-partition offsets, ≤32-row offset
+    * running sum → broadcast per-partition offsets, one-row-per-partition offset
     * relation) — same machinery as text_surprisal's vocabulary rank;
     * the score relation never sorts on one task. At 100 TB: two
     * map-side-combinable aggregates over the scoring join plus a
