@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.functions.VectorExpressions
 import graft.oracle.OraclePipeline._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1422,9 +1422,12 @@ FROM agg"""
     * LSH pair relation — nothing new shuffles beyond what the parts
     * already pay, which is the point: curation at 100 TB is these
     * exact primitives composed, not a new engine. */
-  private val curation: Q = (s, d) => {
-    VectorExpressions.register(s)
-    import s.implicits._
+  /** The composed first-failing-quality-gate predicate over (text,
+    * n_chars) — shared by the batch funnel and the streaming ingest
+    * face ([[graft.streaming.StreamingEvents]]'s curation), so the
+    * live filter and the nightly report cannot drift. Requires
+    * [[VectorExpressions.register]] on the session. */
+  private[graft] def qualityFailExpr: Column = {
     val toksC = split(lower(col("text")), " ")
     val nTok = size(toksC).cast("long")
     val maxVote = greatest(TextQueries.Stopwords.map { case (_, sw) =>
@@ -1433,9 +1436,14 @@ FROM agg"""
     val topFreq = call_function("graft_top_freq", toksC).cast("long")
     val dupBig = call_function("graft_dup_bigrams", toksC).cast("long")
     val nDist = size(array_distinct(toksC)).cast("long")
-    val qualityFail = nTok < 25 || col("n_chars") > 20000 ||
+    nTok < 25 || col("n_chars") > 20000 ||
       maxVote === 0 || topFreq * 8 > nTok || dupBig * 16 > nTok - 1 ||
       nDist * 10 < nTok * 4
+  }
+  private val curation: Q = (s, d) => {
+    VectorExpressions.register(s)
+    import s.implicits._
+    val qualityFail = qualityFailExpr
     val corpus = DupCorpus.corpus(s, d)
     val keeper = corpus.groupBy(md5(col("text")).as("k"))
       .agg(min("doc_id").as("keep_id"))

@@ -75,6 +75,53 @@ object StreamingEvents {
       .withColumn("text_md5", md5(col("text")))
       .dropDuplicatesWithinWatermark("text_md5")
 
+  case class CurRow(doc_id: Long, stage: String)
+
+  /** Streaming ingest curation — the live face of `dedup_curation`'s
+    * quality and exact-dup stages: each arriving document is charged
+    * to its first failing stage AS IT LANDS (quality gate → exact
+    * dedup → kept), which is how filter-at-ingest actually deploys.
+    * The quality predicate is the batch funnel's own expression
+    * ([[graft.pipeline.DedupQueries.qualityFailExpr]] — the live
+    * filter and the nightly report cannot drift); exact dedup is
+    * first-arrival-wins per md5 (arrival order, like [[dedupStream]] —
+    * a stream has no total order to take min doc_id over) with state
+    * expiring once the watermark passes last sighting + delay — the
+    * `dropDuplicatesWithinWatermark` TTL, hand-rolled because dropped
+    * duplicates must be LABELED, not silently vanish. Near-dup stays
+    * an index concern (`dedup_minhash_incremental` probes the
+    * persisted band index per batch) — the documented split. State is
+    * O(distinct docs per watermark window); needs ts / doc_id / text /
+    * n_chars columns. */
+  def curationStream(docs: DataFrame, delayMs: Long = 7200000L): Dataset[CurRow] = {
+    val spark = docs.sparkSession
+    graft.functions.VectorExpressions.register(spark)
+    import spark.implicits._
+    docs.withWatermark("ts", s"$delayMs milliseconds")
+      .select(col("doc_id"), col("ts"), md5(col("text")).as("k"),
+        graft.pipeline.DedupQueries.qualityFailExpr.as("qf"))
+      .as[(Long, java.sql.Timestamp, String, Boolean)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Long, CurRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_, it, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = it.toList.sortBy(e => (e._2.getTime, e._1))
+            val out = rows.map { case (id, _, _, qf) =>
+              if (qf) CurRow(id, "quality")
+              else if (state.exists) CurRow(id, "exact_dup")
+              else { state.update(1L); CurRow(id, "kept") }
+            }
+            if (state.exists)
+              state.setTimeoutTimestamp(math.max(
+                rows.map(_._2.getTime).max + delayMs,
+                state.getCurrentWatermarkMs() + 1))
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming interval (time-band) join — the unbounded face of
     * `events_interval_join`, and Spark's canonical watermarked
     * stream-stream join: clicks and purchases are both streams, the

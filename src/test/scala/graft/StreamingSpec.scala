@@ -1205,6 +1205,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation: first failing stage at ingest, cross-batch exact dedup") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df
+      .toDF("ts_ms", "doc_id", "text")
+      .select(timestamp_millis(col("ts_ms")).as("ts"), col("doc_id"),
+        col("text"), length(col("text")).cast("long").as("n_chars"))
+    val q = StreamingEvents.curationStream(typed(mem.toDF()), 3600000L)
+      .toDF().writeStream.format("memory").queryName("cur")
+      .outputMode("append").start()
+    // 32 distinct tokens incl. stopwords: passes every quality gate
+    val good = ("the of and to in is a that for it".split(" ") ++
+      (1 to 22).map(i => s"w$i")).mkString(" ")
+    val h0 = 3600L * 1000
+    try {
+      mem.addData((h0, 10L, good), (h0 + 1000, 11L, good),
+        (h0 + 2000, 12L, "tiny"))
+      q.processAllAvailable()
+      // same text a batch later, still within the dedup TTL
+      mem.addData((h0 + 60000, 13L, good))
+      q.processAllAvailable()
+      mem.addData((h0 + 9 * 3600000, 99L, good + " sentinel"))
+      q.processAllAvailable()
+      val got = spark.table("cur").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got(10L) == "kept", "first arrival must keep")
+      assert(got(11L) == "exact_dup" && got(13L) == "exact_dup",
+        "same-batch and cross-batch re-arrivals must label exact_dup")
+      assert(got(12L) == "quality", "the short doc fails the gate first")
+      // the stage predicate is the BATCH funnel's own expression — a
+      // quality-failing doc must also fail it in the batch face's terms
+      graft.functions.VectorExpressions.register(spark)
+      val batchQf = typed(Seq((h0, 12L, "tiny")).toDF())
+        .select(graft.pipeline.DedupQueries.qualityFailExpr).head().getBoolean(0)
+      assert(batchQf, "batch predicate disagrees with streamed label")
+    } finally q.stop()
+  }
+
   test("streaming LTV store/serve: closed-day revenue partials equal batch") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
