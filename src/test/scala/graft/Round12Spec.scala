@@ -37,6 +37,23 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  test("GlobalRank ranks are a gapless 1..N sequence (cross-branch id consistency)") {
+    // the rank core derives ids from monotonically_increasing_id in TWO
+    // plan branches (data + offsets) of one reused exchange; any
+    // branch-order divergence would surface as duplicate or missing
+    // ranks. Skewed keys + 13 partitions stress the range boundaries.
+    import spark.implicits._
+    val df = (1 to 5000).map(i => ((i * 2654435761L) % 97, i.toLong))
+      .toDF("m", "id")
+    val r = graft.operators.GlobalRank
+      .withRank(df, Seq(col("m"), col("id")), "r", 13)
+    val n = r.count()
+    assert(n == 5000L)
+    assert(r.select("r").distinct().count() == n, "duplicate ranks")
+    val mm = r.agg(min("r"), max("r")).head()
+    assert(mm.getLong(0) == 1L && mm.getLong(1) == n, s"rank range $mm")
+  }
+
   test("GlobalRank.withNtilePerGroup: every group's bands equal per-group Window.ntile") {
     import spark.implicits._
     // deterministic LCG data: heavy ties within groups, ragged group
