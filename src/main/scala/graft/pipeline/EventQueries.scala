@@ -1947,6 +1947,54 @@ FROM mom ORDER BY event_type"""
         expr("unix_millis(date_trunc('day', ts)) div 86400000")
           .as("day_num"))
       .distinct())
+
+  /** The triangle's sketch sibling — per-cell HLL distinct estimates
+    * under the [[dauMauApprox]] tolerance contract (|est − exact| ≤
+    * max(5%, 1) booleans, oracle-pinned TRUE): at 100 TB the exact
+    * per-cell countDistinct re-shuffles users every rebuild, while the
+    * per-cell sketches are MERGEABLE — the day-active store can
+    * accrete them incrementally and the triangle re-renders without
+    * touching history (the dau/mau store/serve economics applied to
+    * the cohort grid). Datasketches HLL is deterministic, so the
+    * booleans are stable and hash-matchable; at test cardinalities
+    * the sketches sit in sparse mode and the estimates are exact. */
+  private val cohortMatrixApprox: Q = (s, d) => {
+    val ud = Tables.events(s, d)
+      .select(col("user_id"),
+        expr("unix_millis(date_trunc('day', ts)) div 86400000")
+          .as("day_num"))
+      .distinct()
+    val withC = ud.withColumn("cohort_day",
+      min("day_num").over(Window.partitionBy("user_id")))
+    val est = withC
+      .groupBy(col("cohort_day"),
+        (col("day_num") - col("cohort_day")).as("day_offset"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), 14))
+        .as("n_est"))
+    def ok(e: Column, x: Column) =
+      abs(e - x.cast("double")) <= greatest(x.cast("double") * 0.05, lit(1.0))
+    cohortMatrixOf(ud).join(est, Seq("cohort_day", "day_offset"))
+      .select(col("cohort_day"), col("day_offset"), col("n_active"),
+        ok(col("n_est"), col("n_active")).as("n_ok"))
+      .orderBy("cohort_day", "day_offset")
+  }
+  private val cohortMatrixApproxSql =
+    """WITH ud AS (
+  SELECT DISTINCT user_id,
+    epoch_ms(date_trunc('day', ts)) // 86400000 AS day_num
+  FROM events
+), wc AS (
+  SELECT user_id, day_num,
+    min(day_num) OVER (PARTITION BY user_id) AS cohort_day
+  FROM ud
+), cells AS (
+  SELECT cohort_day, day_num - cohort_day AS day_offset,
+    count(DISTINCT user_id) AS n_active
+  FROM wc GROUP BY 1, 2
+)
+SELECT cohort_day, day_offset, CAST(n_active AS BIGINT) AS n_active,
+  TRUE AS n_ok
+FROM cells ORDER BY cohort_day, day_offset"""
   private val cohortMatrixSql =
     """WITH ud AS (
   SELECT DISTINCT user_id,
@@ -3513,6 +3561,7 @@ ORDER BY type_a, type_b"""
     "events_ewma" -> ewma,
     "events_mad_outliers" -> madOutliers,
     "events_cohort_matrix" -> cohortMatrix,
+    "events_cohort_matrix_approx" -> cohortMatrixApprox,
     "events_forecast_baseline" -> forecastBaseline,
     "events_trigram_paths" -> trigramPaths,
     "events_changepoint" -> changepoint,
@@ -3582,6 +3631,7 @@ ORDER BY type_a, type_b"""
     "events_ewma" -> ewmaSql,
     "events_mad_outliers" -> madOutliersSql,
     "events_cohort_matrix" -> cohortMatrixSql,
+    "events_cohort_matrix_approx" -> cohortMatrixApproxSql,
     "events_forecast_baseline" -> forecastBaselineSql,
     "events_trigram_paths" -> trigramPathsSql,
     "events_changepoint" -> changepointSql,
