@@ -241,7 +241,9 @@ ORDER BY doc_a, doc_b"""
     * index: the lexical arm is the [[bm25]] face's exact top-20 for
     * [[Terms]]; the vector arm is cosine top-20 against the corpus
     * query vector (vec 0, self excluded — the ANN faces' convention);
-    * absent-arm docs contribute 0 and report rank 0. Each arm is a
+    * absent-arm docs contribute 0 and report a NULL rank (rank is
+    * 1-based — an in-band 0 sentinel would be a fake ordinal, so the
+    * missing arm is encoded honestly as missing). Each arm is a
     * bounded top-k (the rank windows ride ≤20-row relations —
     * declared in the plan-hygiene bounded list); the fusion join is
     * ≤40 rows. Ranks tie-break on doc_id in both arms, the BM25
@@ -265,9 +267,7 @@ ORDER BY doc_a, doc_b"""
     lexR.select(col("doc_id"), col("lex_rank"))
       .join(vecR.select(col("doc_id"), col("vec_rank")),
         Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        coalesce(col("lex_rank"), lit(0)).as("lex_rank"),
-        coalesce(col("vec_rank"), lit(0)).as("vec_rank"),
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
         round(coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0))
           + coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)),
           6).as("rrf"))
@@ -294,23 +294,173 @@ vec AS (
   FROM vec
 )
 SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
-  COALESCE(l.lex_rank, 0) AS lex_rank,
-  COALESCE(v.vec_rank, 0) AS vec_rank,
+  l.lex_rank, v.vec_rank,
   round(COALESCE(1.0 / ($RrfK + l.lex_rank), 0)
     + COALESCE(1.0 / ($RrfK + v.vec_rank), 0), 6) AS rrf
 FROM lexr l FULL OUTER JOIN vecr v ON v.doc_id = l.doc_id
 ORDER BY rrf DESC, doc_id LIMIT 10"""
+
+  // ------------------------------------- batched hybrid retrieval serve
+  /** The per-batch query relation a retrieval TIER receives: N queries,
+    * each a (term set, query vector) pair — query i's vector is
+    * embedding vec_id = i (the ANN faces' evaluation-set convention),
+    * its terms a fixed 2–3-word conjunct from the corpus vocabulary.
+    * Literal on both faces: in production this relation arrives from
+    * the request batch; here it is pinned so the oracle is a mirror. */
+  val QueryTerms: Seq[(Int, Seq[String])] = Seq(
+    0 -> Seq("vector", "stream"),
+    1 -> Seq("hash", "join", "merge"),
+    2 -> Seq("filter", "scan"),
+    3 -> Seq("window", "agg"),
+    4 -> Seq("sort", "order", "key"),
+    5 -> Seq("spark", "query"),
+    6 -> Seq("batch", "stream", "data"),
+    7 -> Seq("column", "row"),
+    8 -> Seq("group", "table"),
+    9 -> Seq("fast", "slow"))
+  private val AllQTerms: Seq[String] =
+    QueryTerms.flatMap(_._2).distinct.sorted
+
+  /** Multi-query hybrid retrieval with per-query RRF — the
+    * generalization of [[hybridRrf]] from "demo query" to "serving
+    * batch" (VERDICT r8 top-next): ONE plan answers all N queries.
+    * Lexical arm: the tf relation is sliced ONCE by the union of all
+    * query terms (pushed-down IN at the scan), fanned out to
+    * (query_id, doc) pairs via a broadcast join with the term table,
+    * and BM25-scored per query; per-term contributions accumulate as
+    * exact DECIMAL(25,15) (order-free sum of identical IEEE doubles —
+    * the A/B-test moment discipline), so arbitrary per-query term sets
+    * need no fixed summation order. Vector arm: all N query vectors
+    * broadcast against the corpus, cosine top-20 per query — the
+    * [[graft.pipeline.SimilarityQueries]] `ann_topk_brute` shape. Both
+    * arms rank with `Window.partitionBy(query_id)` (never a global
+    * window); fusion is a per-(query, doc) full outer join over
+    * ≤ N·40 rows with NULL absent-arm ranks. At 100 TB the corpus is
+    * touched twice (one tf slice, one embedding scan) REGARDLESS of
+    * batch size N — per-query marginal cost is broadcast rows only. */
+  private val hybridRrfBatch: Q = (s, d) => {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val qt = broadcast(QueryTerms.flatMap { case (q, ts) => ts.map((q, _)) }
+      .toDF("query_id", "token"))
+    val t = tf(s, d)
+    val dl = t.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val dfRel = t.filter(col("token").isin(AllQTerms: _*))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val contrib = t.filter(col("token").isin(AllQTerms: _*))
+      .join(qt, "token")
+      .join(broadcast(dfRel), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("c",
+        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (BmK1 + 1)) /
+          (col("tf") + lit(BmK1) *
+            (lit(1 - BmB) + lit(BmB) * col("dl") / col("avgdl"))))
+          .cast("decimal(25,15)"))
+    val wLex = Window.partitionBy("query_id")
+      .orderBy(col("s").desc, col("doc_id"))
+    val lex = contrib.groupBy("query_id", "doc_id").agg(sum("c").as("s"))
+      .withColumn("lex_rank", row_number().over(wLex))
+      .filter(col("lex_rank") <= 20)
+      .select(col("query_id"), col("doc_id"), col("lex_rank"))
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val q = e.filter(col("vec_id") < QueryTerms.size)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val wVec = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("doc_id"))
+    val vec = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        call_function("graft_cosine", col("qv"), col("v")).as("sim"))
+      .withColumn("vec_rank", row_number().over(wVec))
+      .filter(col("vec_rank") <= 20)
+      .select(col("query_id"), col("doc_id"), col("vec_rank"))
+    val wFuse = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("doc_id"))
+    lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        col("lex_rank"), col("vec_rank"),
+        round(coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)),
+          6).as("rrf"))
+      .withColumn("rk", row_number().over(wFuse))
+      .filter(col("rk") <= 10).drop("rk")
+      .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
+  }
+  private val hybridRrfBatchSql = {
+    val qtVals = QueryTerms.flatMap { case (q, ts) =>
+      ts.map(t => s"($q, '$t')") }.mkString(", ")
+    val allTerms = AllQTerms.map(t => s"'$t'").mkString(", ")
+    s"""WITH $TfSql, qt(query_id, token) AS (VALUES $qtVals),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), dfr AS (
+  SELECT token, count(*) AS df FROM tf
+  WHERE token IN ($allTerms) GROUP BY token
+), contrib AS (
+  SELECT q.query_id, t.doc_id,
+    CAST(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) *
+      (t.tf * (${BmK1} + 1)) /
+      (t.tf + ${BmK1} * (1 - ${BmB} + ${BmB} * d.dl / s.avgdl))
+      AS DECIMAL(25,15)) AS c
+  FROM tf t
+  JOIN qt q ON t.token = q.token
+  JOIN dfr f ON t.token = f.token
+  JOIN dl d ON t.doc_id = d.doc_id
+  CROSS JOIN stats s
+), lex AS (
+  SELECT query_id, doc_id, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY s DESC, doc_id) AS INT) AS lex_rank
+  FROM (SELECT query_id, doc_id, sum(c) AS s FROM contrib GROUP BY 1, 2)
+  QUALIFY lex_rank <= 20
+), ev AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), qv AS (
+  SELECT vec_id AS query_id, v AS qv FROM ev
+  WHERE vec_id < ${QueryTerms.size}
+), vec AS (
+  SELECT query_id, doc_id, CAST(row_number() OVER (
+      PARTITION BY query_id ORDER BY sim DESC, doc_id) AS INT) AS vec_rank
+  FROM (
+    SELECT q.query_id, e.vec_id AS doc_id,
+      list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv))
+        * sqrt(list_dot_product(e.v, e.v))) AS sim
+    FROM qv q JOIN ev e ON e.vec_id <> q.query_id
+  )
+  QUALIFY vec_rank <= 20
+), fused AS (
+  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+    l.lex_rank, v.vec_rank,
+    round(COALESCE(1.0 / ($RrfK + l.lex_rank), 0)
+      + COALESCE(1.0 / ($RrfK + v.vec_rank), 0), 6) AS rrf
+  FROM lex l FULL OUTER JOIN vec v
+    ON v.query_id = l.query_id AND v.doc_id = l.doc_id
+)
+SELECT query_id, doc_id, lex_rank, vec_rank, rrf
+FROM fused
+QUALIFY row_number() OVER (PARTITION BY query_id
+  ORDER BY rrf DESC, doc_id) <= 10
+ORDER BY query_id, rrf DESC, doc_id"""
+  }
 
   val queries: Map[String, Q] = Map(
     "text_inverted_index" -> invertedIndex,
     "text_keyword_search" -> keywordSearch,
     "text_bm25_topk" -> bm25,
     "search_hybrid_rrf" -> hybridRrf,
+    "search_hybrid_rrf_batch" -> hybridRrfBatch,
     "dedup_edit_distance" -> editDistance)
   val oracle: Map[String, String] = Map(
     "text_inverted_index" -> invertedIndexSql,
     "text_keyword_search" -> keywordSearchSql,
     "text_bm25_topk" -> bm25Sql,
     "search_hybrid_rrf" -> hybridRrfSql,
+    "search_hybrid_rrf_batch" -> hybridRrfBatchSql,
     "dedup_edit_distance" -> editDistanceSql)
 }

@@ -41,24 +41,67 @@ class PlanHygieneSpec extends SparkSpec {
     //      below with its bound's justification (each is a grouping on a
     //      closed vocabulary or fixed grid, NOT on data-sized ids).
     import org.apache.spark.sql.execution.window.WindowExec
-    // Every other unpartitioned window in the registered plans is a
-    // GlobalRank-style offset window (shape a). A new entry here must
-    // name its bound ("per-hour grain", "≤64-row grid", …).
-    val boundedByAggKey = Map(
-      "search_hybrid_rrf" -> "rank windows over the two ≤20-row top-k arms")
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    // AdaptiveSparkPlanExec is a LEAF node — a plain collect over the
+    // executedPlan of an AQE query sees NOTHING below it (the round-8
+    // version of this test silently matched zero windows in adaptive
+    // plans for exactly this reason). Unwrap to the inner plan.
+    def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
+        : org.apache.spark.sql.execution.SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
+    // Shape (a), matched STRUCTURALLY (not by substring over the whole
+    // child toString, which a data-sized window that merely mentions the
+    // expressions somewhere below it could evade): the windowed relation
+    // must BE an aggregate output — bounded by its grouping cardinality —
+    // and the pid-deriving expression must sit below that aggregate, so
+    // the grouping key includes the physical partition id and the
+    // relation is ≤ parts·|groups| rows by construction.
+    def isOffsetShape(w: WindowExec): Boolean =
+      w.child.collectFirst {
+        case a: BaseAggregateExec if a.groupingExpressions.nonEmpty && {
+          val below = a.toString
+          below.contains("SPARK_PARTITION_ID") ||
+            below.contains("monotonically_increasing_id")
+        } => a
+      }.isDefined
+    // Every other unpartitioned window must be declared here with its
+    // EXACT expected count (a new undeclared window in an allowlisted
+    // query bumps the count and fails) and its bound's justification
+    // ("per-hour grain", "≤64-row grid", …).
+    val boundedByAggKey: Map[String, (Int, String)] = Map(
+      "search_hybrid_rrf" ->
+        (2, "rank windows over the two ≤20-row top-k arms"),
+      "events_budget_allocation" ->
+        (1, "remainder rank over the |event_type| shares relation"),
+      "events_trigram_paths" ->
+        (1, "rank over the ≤10-row top-k of the |types|³ census"),
+      "sql_trigram_paths" ->
+        (1, "rank over the ≤10-row top-k of the |types|³ census"),
+      "sql_uplift" ->
+        (1, "portable-SQL face runs the textbook NTILE text; the " +
+          "scale-safe plan is events_uplift's GlobalRank form"),
+      "text_filter_funnel" ->
+        (1, "cumulative window over the 4-row stage ledger"),
+      "text_heaps_curve" ->
+        (1, "cumulative window over the fixed first-seen bucket grid"),
+      "text_vocab" ->
+        (1, "rank over the ≤50-row top-k slice"))
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
-          val plan = fn(spark, Sf).queryExecution.executedPlan
+          val plan = unwrap(fn(spark, Sf).queryExecution.executedPlan)
           val bad = plan.collect {
             case w: WindowExec if w.partitionSpec.isEmpty &&
-              !w.child.toString.contains("SPARK_PARTITION_ID") &&
-              !w.child.toString.contains("monotonically_increasing_id") &&
-              !boundedByAggKey.contains(name) => w
+              !isOffsetShape(w) => w
           }
-          if (bad.nonEmpty)
+          val expected = boundedByAggKey.get(name).map(_._1).getOrElse(0)
+          if (bad.size != expected)
             Some(s"$name: ${bad.size} unpartitioned Window(s) over an " +
-              "undeclared relation — use graft.operators.GlobalRank")
+              s"undeclared relation (declared: $expected) — use " +
+              "graft.operators.GlobalRank or declare the bound")
           else None
         } catch { case _: Throwable => None } // planning failures → test 1
     }
