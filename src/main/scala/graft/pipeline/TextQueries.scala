@@ -423,6 +423,69 @@ GROUP BY lang, shard, bin_id
 ORDER BY lang, shard, bin_id"""
   }
 
+  // -------------------------------------------- BPE-budget sequence pack
+  /** [[seqPack]] with the TRAINED tokenizer's budget — the wiring that
+    * makes train-tokenizer → tokenize → pack one coherent path
+    * (VERDICT r8 #3: the whitespace-token packer never consumed the
+    * vocabulary [[bpeTrain]] learns). Per-doc cost is the sum of
+    * per-WORD subword counts under the final merged vocabulary
+    * (`bpeApply`'s readout), joined in as a broadcast vocabulary-sized
+    * relation — the corpus is never re-tokenized by the model, it is
+    * looked up. Bins honor the 512-SUBWORD budget; packing and
+    * accounting are otherwise identical to [[seqPack]] (same
+    * (lang, shard) parallel sort, same integer bin arithmetic). */
+  private val seqPackBpe: Q = (s, d) => {
+    val bin = 512L
+    val wordSyms = bpeTrained(s, d)._2
+      .select(col("word"), size(split(trim(col("symseq")), " "))
+        .cast("long").as("n_syms"))
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(toks).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(wordSyms), "word")
+      .groupBy("doc_id", "lang")
+      .agg(sum("n_syms").as("n_tokens"))
+      .withColumn("shard",
+        pmod(DupCorpus.h60(col("doc_id").cast("string")), lit(8L)))
+    val w = Window.partitionBy("lang", "shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("cum_before", sum("n_tokens").over(w) - col("n_tokens"))
+      .withColumn("bin_id", expr(s"cum_before div $bin"))
+      .drop("cum_before")
+      .groupBy("lang", "shard", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"),
+        round(sum("n_tokens").cast("double") / bin, 6).as("utilization"))
+      .orderBy("lang", "shard", "bin_id")
+  }
+  private lazy val seqPackBpeSql = {
+    val h = OraclePipeline.h60Sql("CAST(doc_id AS VARCHAR)")
+    s"""$bpeChainSql, wf AS (
+  SELECT word, CAST(len(string_split(trim(symseq), ' ')) AS BIGINT) AS n_syms
+  FROM s$BpeRounds
+), pdocs AS (
+  SELECT doc_id, lang, $h % 8 AS shard,
+    CAST(sum(n_syms) AS BIGINT) AS n_tokens
+  FROM (
+    SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS word
+    FROM documents
+  ) dt JOIN wf USING (word)
+  WHERE word <> ''
+  GROUP BY doc_id, lang, shard
+), binned AS (
+  SELECT lang, shard, n_tokens,
+    (CAST(sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+       ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens) // 512 AS bin_id
+  FROM pdocs
+)
+SELECT lang, shard, bin_id, count(*) AS n_docs,
+  CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+  round(CAST(sum(n_tokens) AS DOUBLE) / 512, 6) AS utilization
+FROM binned
+GROUP BY lang, shard, bin_id
+ORDER BY lang, shard, bin_id"""
+  }
+
   // -------------------------------------------------------- sample split
   /** Deterministic train/val/test split (80/10/10) by content-free id
     * hash — the split op a training pipeline needs at 100 TB: no RNG
@@ -1988,29 +2051,70 @@ FROM a GROUP BY shard ORDER BY shard"""
     *
     * Scale shape: every round touches only the DISTINCT-WORD relation
     * (vocabulary-sized, bounded — never the corpus; the corpus is
-    * scanned once to build word frequencies), the merged pair is
-    * constant-size model state (the kmeans-centroid idiom), and the
-    * per-round plan stays flat via the [[DedupQueries]] cluster-loop
-    * `localCheckpoint` discipline. Symbol sequences ride as
-    * space-joined strings with sentinel boundary spaces, so one
-    * non-overlapping leftmost `replace(' l r ', ' lr ')` — identical
-    * semantics in Java and DuckDB — is the whole merge step.
+    * scanned once to build word frequencies), the per-round model
+    * state is a ≤[[BpeCand]]-row candidate table (the kmeans-centroid
+    * idiom), and the per-round plan stays flat via the [[DedupQueries]]
+    * cluster-loop `localCheckpoint` discipline.
+    *
+    * MULTI-MERGE rounds (VERDICT r8 #2 — a real tokenizer needs
+    * thousands of merges, and one driver round-trip per merge is a
+    * driver-side bottleneck by construction): each round counts pairs
+    * ONCE, collects the top-[[BpeCand]] candidates, and applies up to
+    * [[BpeBatch]] of them in one pass. A candidate is applied iff it
+    * shares NO symbol with any higher-ranked candidate (checked
+    * against all predecessors in (count desc, l, r) order, picked or
+    * not — a deterministic anti-chain, expressible as a NOT EXISTS
+    * self-join in the oracle, unlike greedy pick-conditional
+    * selection). Disjoint-symbol merges cannot create or destroy each
+    * other's pair occurrences, so the batch is order-insensitive in
+    * counts; the replaces are still APPLIED in rank order on both
+    * engines (pinning the one residual interaction: a merged symbol
+    * colliding with a later pair's spelling). Effective merges per
+    * driver action: ~[[BpeBatch]]/2 instead of 1/2.
+    *
+    * Merge semantics (documented deviation, ADVICE r8 #3): the
+    * space-sentinel `replace(' l r ', ' lr ')` is leftmost
+    * NON-OVERLAPPING — abutting repeats ("A B A B") merge every other
+    * occurrence per round, not greedily left-to-right as in Sennrich's
+    * reference loop. Both engines share the semantics exactly; rounds
+    * that find no pair are no-ops on both (the SQL chain's scalar
+    * subqueries are COALESCE-guarded to a never-matching sentinel, so
+    * an exhausted corpus no longer NULLs the chain).
     *
     * Training is memoized per dataset ([[CachePool.memoized]]), shared
     * by [[bpeTrain]] (the merge table) and [[bpeApply]] (per-doc
     * token-count compression readout over the final vocabulary). */
-  private val BpeRounds = 10
+  private val BpeRounds = 16
+  /** Candidates collected per round (driver model state, bounded). */
+  private val BpeCand = 48
+  /** Max merges applied per round. */
+  private val BpeBatch = 12
+  /** Checkpoint cadence: the un-checkpointed tail is ≤ this many
+    * rounds of nested replaces — plan stays flat while halving the
+    * checkpoint actions. */
+  private val BpeCkptEvery = 2
   private def bpeWords(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(explode(toks).as("word")).filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .withColumn("symseq",
         concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
+  /** Anti-chain selection over the ranked candidate list: keep a
+    * candidate iff no EARLIER candidate (by rank, selected or not)
+    * shares a symbol with it; take the first `m` keepers. Mirrors the
+    * oracle's NOT-EXISTS-over-predecessors exactly. */
+  private[pipeline] def bpeSelect(cands: Seq[(String, String, Long)],
+      m: Int): Seq[(String, String, Long)] =
+    cands.zipWithIndex.filter { case ((l, r, _), i) =>
+      !cands.take(i).exists { case (l2, r2, _) =>
+        l2 == l || l2 == r || r2 == l || r2 == r }
+    }.map(_._1).take(m)
   private def bpeTrained(s: SparkSession, d: String)
-      : (Seq[(Int, String, String, Long)], DataFrame) =
-    CachePool.memoized(("bpe", d, BpeRounds)) {
+      : (Seq[(Int, Int, String, String, Long)], DataFrame, Int) =
+    CachePool.memoized(("bpe", d, BpeRounds, BpeCand, BpeBatch)) {
       var words = bpeWords(s, d).localCheckpoint()
-      val merges = Seq.newBuilder[(Int, String, String, Long)]
+      var roundTrips = 0 // driver model round-trips (collects)
+      val merges = Seq.newBuilder[(Int, Int, String, String, Long)]
       for (round <- 1 to BpeRounds) {
         val syms = split(trim(col("symseq")), " ")
         val prs = zip_with(slice(syms, lit(1), size(syms) - 1),
@@ -2020,23 +2124,36 @@ FROM a GROUP BY shard ORDER BY shard"""
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
           .agg(sum("freq").as("cnt"))
           .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1).collect()
-        if (top.nonEmpty) {
-          val (l, r, c) = (top(0).getString(0), top(0).getString(1),
-            top(0).getLong(2))
-          merges += ((round, l, r, c))
+          .limit(BpeCand).collect()
+        roundTrips += 1
+        val picked = bpeSelect(top.toSeq.map(r =>
+          (r.getString(0), r.getString(1), r.getLong(2))), BpeBatch)
+        if (picked.nonEmpty) {
+          picked.zipWithIndex.foreach { case ((l, r, c), j) =>
+            merges += ((round, j + 1, l, r, c)) }
           words = words.withColumn("symseq",
-            replace(col("symseq"), lit(s" $l $r "), lit(s" $l$r ")))
-            .localCheckpoint()
+            picked.foldLeft(col("symseq")) { case (e, (l, r, _)) =>
+              replace(e, lit(s" $l $r "), lit(s" $l$r ")) })
+          // checkpoint every BpeCkptEvery rounds (and at the end) —
+          // the tail between checkpoints is ≤ 2 rounds of vocabulary-
+          // sized nested replaces, re-run once by the next collect
+          if (round % BpeCkptEvery == 0 || round == BpeRounds)
+            words = words.localCheckpoint()
         }
       }
-      (merges.result(), words)
+      (merges.result(), words, roundTrips)
     }
+  /** Total effective merges + driver round-trips of the memoized
+    * training run — the scale variables the round-9 spec pins
+    * (≥64 merges from ≤16 collects). */
+  private[pipeline] def bpeStats(s: SparkSession, d: String): (Int, Int) = {
+    val t = bpeTrained(s, d); (t._1.size, t._3)
+  }
   private val bpeTrain: Q = (s, d) => {
     import s.implicits._
     bpeTrained(s, d)._1
-      .toDF("merge_round", "lhs", "rhs", "pair_count")
-      .orderBy("merge_round")
+      .toDF("merge_round", "pick_rank", "lhs", "rhs", "pair_count")
+      .orderBy("merge_round", "pick_rank")
   }
   private val bpeApply: Q = (s, d) => {
     val words = bpeTrained(s, d)._2
@@ -2068,22 +2185,35 @@ FROM a GROUP BY shard ORDER BY shard"""
   /** The K training rounds unrolled as chained CTEs (the oracle
     * re-derives the merges itself — nothing learned leaks into the
     * SQL): s0 = char-split vocab; each round r = pair count over
-    * s(r-1) via lateral unnest, top-1 by (cnt desc, l, r), leftmost
-    * non-overlapping replace. */
+    * s(r-1) via lateral unnest, top-[[BpeCand]] candidates by
+    * (cnt desc, l, r), the NOT-EXISTS anti-chain pick of up to
+    * [[BpeBatch]], and the rank-ordered replace chain. Every scalar
+    * subquery is COALESCE-guarded to the never-occurring chr(1)
+    * sentinel, so a round with fewer than [[BpeBatch]] picks (or
+    * none) degrades to no-op replaces instead of NULLing the chain. */
   private def bpeChainSql: String = {
     val rounds = (1 to BpeRounds).map { i =>
+      val reps = (1 to BpeBatch).foldLeft("symseq") { (e, j) =>
+        s"""replace($e,
+    COALESCE((SELECT ' ' || l || ' ' || r || ' ' FROM k$i WHERE pk = $j), chr(1)),
+    COALESCE((SELECT ' ' || l || r || ' ' FROM k$i WHERE pk = $j), chr(1)))"""
+      }
       s"""p$i AS MATERIALIZED (
   SELECT syms[g.i] AS l, syms[g.i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
   FROM (SELECT freq, string_split(trim(symseq), ' ') AS syms FROM s${i - 1}),
     unnest(range(1, len(syms))) AS g(i)
   GROUP BY 1, 2
-), t$i AS MATERIALIZED (
-  SELECT $i AS merge_round, l, r, cnt FROM p$i
-  ORDER BY cnt DESC, l, r LIMIT 1
+), c$i AS MATERIALIZED (
+  SELECT l, r, cnt, row_number() OVER (ORDER BY cnt DESC, l, r) AS rk
+  FROM p$i QUALIFY rk <= $BpeCand
+), k$i AS MATERIALIZED (
+  SELECT l, r, cnt, row_number() OVER (ORDER BY rk) AS pk
+  FROM c$i c
+  WHERE NOT EXISTS (SELECT 1 FROM c$i c2 WHERE c2.rk < c.rk
+    AND (c2.l = c.l OR c2.l = c.r OR c2.r = c.l OR c2.r = c.r))
+  QUALIFY pk <= $BpeBatch
 ), s$i AS MATERIALIZED (
-  SELECT word, freq, replace(symseq,
-    ' ' || (SELECT l FROM t$i) || ' ' || (SELECT r FROM t$i) || ' ',
-    ' ' || (SELECT l FROM t$i) || (SELECT r FROM t$i) || ' ') AS symseq
+  SELECT word, freq, $reps AS symseq
   FROM s${i - 1}
 )"""
     }
@@ -2099,11 +2229,15 @@ FROM a GROUP BY shard ORDER BY shard"""
   }
   private val bpeTrainSql = {
     val sel = (1 to BpeRounds).map(i =>
-      s"SELECT CAST(merge_round AS INT) AS merge_round, l AS lhs, r AS rhs, cnt AS pair_count FROM t$i")
-      .mkString("\nUNION ALL\n")
+      s"SELECT $i AS merge_round, pk, l, r, cnt FROM k$i")
+      .mkString("\n  UNION ALL\n  ")
     s"""$bpeChainSql
-$sel
-ORDER BY merge_round"""
+SELECT CAST(merge_round AS INT) AS merge_round, CAST(pk AS INT) AS pick_rank,
+  l AS lhs, r AS rhs, cnt AS pair_count
+FROM (
+  $sel
+)
+ORDER BY merge_round, pick_rank"""
   }
   private val bpeVocabSql =
     s"""$bpeChainSql
@@ -2142,6 +2276,7 @@ GROUP BY doc_id ORDER BY doc_id"""
     "text_profile_sketch" -> profileSketch,
     "text_clean_corpus" -> cleanCorpus,
     "text_seq_pack" -> seqPack,
+    "text_seq_pack_bpe" -> seqPackBpe,
     "text_sample_split" -> sampleSplit,
     "text_decontaminate" -> decontaminate,
     "text_ngram_topk" -> ngramTopk,
@@ -2186,6 +2321,7 @@ GROUP BY doc_id ORDER BY doc_id"""
     "text_profile_sketch" -> profileSketchSql,
     "text_clean_corpus" -> cleanCorpusSql,
     "text_seq_pack" -> seqPackSql,
+    "text_seq_pack_bpe" -> seqPackBpeSql,
     "text_sample_split" -> sampleSplitSql,
     "text_decontaminate" -> decontaminateSql,
     "text_ngram_topk" -> ngramTopkSql,
