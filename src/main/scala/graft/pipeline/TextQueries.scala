@@ -1918,6 +1918,210 @@ SELECT CAST(sum(np) AS BIGINT) AS n_pos,
         / (2.0 * sum(np) * sum(nn)), 6) AS auc
 FROM c"""
 
+  // ---------------------------------------------- classifier training
+  /** Fixed-round linear-classifier TRAINING — the learning half of the
+    * fastText-style quality-filter story ([[classifierScore]] is
+    * inference against a fixed model; this trains one): full-batch
+    * perceptron rounds (Rosenblatt's update, the public fixed-round
+    * distributed form) over the [[hashEmbedding]] signed 16-bucket
+    * hashed features, label y = +1 iff `lang = 'en'` (the
+    * [[classifierAuc]] convention). Every round is ONE
+    * map-side-combinable aggregate over the feature relation —
+    * n_wrong plus the 16 gradient sums Σ_wrong y·x_j — collected as a
+    * single 18-column row: the Lloyd/BPE driver-held-model discipline
+    * (model state is 16 longs on the driver; the corpus never
+    * shuffles, one scan of the checkpointed feature relation per
+    * round). All arithmetic is INTEGER (signed counts × integer
+    * weights), so the margin test y·⟨w,x⟩ ≤ 0, the gradients, and the
+    * learned trajectory are order-free and bit-identical cross-engine
+    * — no learning-rate float, no tolerance. Two classic refinements,
+    * both integer-exact: the step DECAYS as the multiplier
+    * 2^(T−r) (large early jumps, unit-step refinement at the end —
+    * the damping that stops full-batch perceptron's two-basin
+    * oscillation; multipliers keep everything in ℤ where a divided
+    * learning rate would floor differently across engines), and the
+    * SHIPPED model is the POCKET (Gallant 1990): the starting weights
+    * of the round with the fewest mistakes (tie → earliest round),
+    * not the last iterate. On this corpus the pocket lands within a
+    * point of the least-squares linear probe's accuracy — the 16-dim
+    * hashed features' actual ceiling. The oracle replays the
+    * identical rounds as chained MATERIALIZED CTEs with a 1-row
+    * weight relation (w_r = w_{r−1} + 2^(T−r)·g_r — the
+    * [[bpeChainSql]] discipline without scalar subqueries) and picks
+    * the pocket from the tagged union of the weight relations. At
+    * 100 TB: [[ClfRounds]] combinable aggregates over a persisted
+    * vocabulary-hashed feature table — the cost shape of any corpus
+    * profile, with O(buckets) driver state. */
+  private val ClfRounds = 8
+  /** Per-doc training row: (doc_id, y, v0..v15) — the signed
+    * [[hashEmbedding]] bucket counts pre-normalization (integers; the
+    * L2 normalize is inference-side cosmetics the margin test does
+    * not need). Shared by the trainer and the trained-score face. */
+  private[graft] def clfFeatures(s: SparkSession, d: String): DataFrame = {
+    val ex = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(toks).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        DupCorpus.h60(concat(lit("emb:"), col("tok"))).as("h"))
+      .select(col("doc_id"), col("lang"),
+        pmod(col("h"), lit(HashEmbD.toLong)).as("bucket"),
+        when(pmod(expr(s"h div $HashEmbD"), lit(2)) === 0, 1L)
+          .otherwise(-1L).as("sgn"))
+    val sums = (0 until HashEmbD).map(j =>
+      sum(when(col("bucket") === j, col("sgn")).otherwise(0L)).as(s"v$j"))
+    ex.groupBy("doc_id", "lang").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id") +:
+        when(col("lang") === "en", 1L).otherwise(-1L).as("y") +:
+        (0 until HashEmbD).map(j => col(s"v$j")): _*)
+  }
+  /** Memoized training run: per round (n, n_wrong under the round's
+    * STARTING weights, cumulative weight vector AFTER the update),
+    * plus the pocket weights (starting weights of the
+    * fewest-mistakes round, tie → earliest). Exactly
+    * [[ClfRounds]] + 1 driver actions (the feature checkpoint + one
+    * 18-column aggregate row per round). */
+  private[graft] def clfTrained(s: SparkSession, d: String)
+      : (Seq[(Int, Long, Long, Seq[Long])], Seq[Long]) =
+    CachePool.memoized(("clf", d, ClfRounds)) {
+      val feat = clfFeatures(s, d).localCheckpoint()
+      val w = Array.fill(HashEmbD)(0L)
+      val hist = Seq.newBuilder[(Int, Long, Long, Seq[Long])]
+      var pocket = (Long.MaxValue, w.toSeq)
+      for (r <- 1 to ClfRounds) {
+        val score = (0 until HashEmbD).map(j => lit(w(j)) * col(s"v$j"))
+          .reduce(_ + _)
+        val wrong = col("y") * score <= 0L
+        val aggs = count(lit(1)).as("n") +:
+          sum(when(wrong, 1L).otherwise(0L)).as("nw") +:
+          (0 until HashEmbD).map(j =>
+            sum(when(wrong, col("y") * col(s"v$j")).otherwise(0L)).as(s"g$j"))
+        val row = feat.agg(aggs.head, aggs.tail: _*).head()
+        val n = row.getLong(0); val nw = row.getLong(1)
+        if (nw < pocket._1) pocket = (nw, w.toSeq)
+        val step = 1L << (ClfRounds - r)
+        (0 until HashEmbD).foreach(j => w(j) += row.getLong(2 + j) * step)
+        hist += ((r, n, nw, w.toSeq))
+      }
+      (hist.result(), pocket._2)
+    }
+  private val classifierTrain: Q = (s, d) => {
+    val rows = clfTrained(s, d)._1.map { case (r, n, nw, w) =>
+      org.apache.spark.sql.Row.fromSeq(
+        r +: nw +: ((n - nw) * 1000000L / n) +: w)
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("train_round",
+        org.apache.spark.sql.types.IntegerType) +:
+      org.apache.spark.sql.types.StructField("n_wrong",
+        org.apache.spark.sql.types.LongType) +:
+      org.apache.spark.sql.types.StructField("acc_ppm",
+        org.apache.spark.sql.types.LongType) +:
+      (0 until HashEmbD).map(j =>
+        org.apache.spark.sql.types.StructField(s"w$j",
+          org.apache.spark.sql.types.LongType)))
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+      .orderBy("train_round")
+  }
+  /** Inference under the TRAINED model (the pocket weights) —
+    * [[classifierScore]]'s exact dataflow with the learned 16-weight
+    * vector as the literal model (a broadcast-free codegen'd
+    * projection: 16 multiplies per doc). Closes the train→score loop
+    * the way [[seqPackBpe]] closes train→tokenize→pack. */
+  private val classifierScoreTrained: Q = (s, d) => {
+    val w = clfTrained(s, d)._2
+    val score = (0 until HashEmbD).map(j => lit(w(j)) * col(s"v$j"))
+      .reduce(_ + _)
+    clfFeatures(s, d)
+      .select(col("doc_id"), score.as("score"), (score > 0L).as("keep"))
+      .orderBy("doc_id")
+  }
+  /** Shared oracle head: the per-doc labeled feature relation. */
+  private def clfFeatSql: String = {
+    val h = OraclePipeline.h60Sql("'emb:' || tok")
+    val vs = (0 until HashEmbD).map(j =>
+      s"sum(CASE WHEN bucket = $j THEN sgn ELSE 0 END) AS v$j")
+      .mkString(",\n    ")
+    s"""tok AS (
+  SELECT doc_id, lang, unnest($ToksSql) AS tok FROM documents
+), fh AS (
+  SELECT doc_id, lang, h % $HashEmbD AS bucket,
+    CASE WHEN (h // $HashEmbD) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+  FROM (SELECT doc_id, lang, $h AS h FROM tok)
+), feat AS MATERIALIZED (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+    $vs
+  FROM fh GROUP BY doc_id, lang
+)"""
+  }
+  /** The [[ClfRounds]] training rounds as chained MATERIALIZED CTEs:
+    * s_i scores every doc under w_{i−1} (1-row cross join), g_i is
+    * the round's 18-column aggregate, w_i = w_{i−1} + 2^(T−i)·g_i;
+    * `pocket` re-derives the fewest-mistakes starting weights from
+    * the tagged union of the weight relations. */
+  private def clfChainSql: String = {
+    val w0 = (0 until HashEmbD).map(j => s"CAST(0 AS BIGINT) AS w$j")
+      .mkString(", ")
+    val rounds = (1 to ClfRounds).map { i =>
+      val score = (0 until HashEmbD).map(j => s"w.w$j * f.v$j")
+        .mkString(" + ")
+      val gs = (0 until HashEmbD).map(j =>
+        s"sum(CASE WHEN m <= 0 THEN y * v$j ELSE 0 END) AS g$j")
+        .mkString(",\n    ")
+      val step = 1L << (ClfRounds - i)
+      val ws = (0 until HashEmbD).map(j => s"w.w$j + g.g$j * $step AS w$j")
+        .mkString(", ")
+      s"""s$i AS MATERIALIZED (
+  SELECT f.*, f.y * ($score) AS m FROM feat f, w${i - 1} w
+), g$i AS MATERIALIZED (
+  SELECT count(*) AS n, sum(CASE WHEN m <= 0 THEN 1 ELSE 0 END) AS n_wrong,
+    $gs
+  FROM s$i
+), w$i AS MATERIALIZED (
+  SELECT $ws FROM w${i - 1} w, g$i g
+)"""
+    }
+    // pocket: round r's n_wrong measures w_{r-1} — tag each weight
+    // relation with the round it STARTS, pick the best (fewest wrong,
+    // earliest) round's starting weights
+    val wall = (1 to ClfRounds).map(i =>
+      s"SELECT $i AS r, * FROM w${i - 1}").mkString("\n  UNION ALL\n  ")
+    val metrics = (1 to ClfRounds).map(i =>
+      s"SELECT $i AS r, n_wrong FROM g$i").mkString("\n  UNION ALL\n  ")
+    s"""WITH $clfFeatSql, w0 AS (SELECT $w0), ${rounds.mkString(", ")},
+wall AS (
+  $wall
+), best AS (
+  SELECT r FROM (
+  $metrics
+  ) ORDER BY n_wrong, r LIMIT 1
+), pocket AS MATERIALIZED (
+  SELECT wall.* FROM wall, best WHERE wall.r = best.r
+)"""
+  }
+  private val classifierTrainSql = {
+    val wsel = (0 until HashEmbD).map(j => s"CAST(w.w$j AS BIGINT) AS w$j")
+      .mkString(", ")
+    val sel = (1 to ClfRounds).map(i =>
+      s"""SELECT CAST($i AS INT) AS train_round,
+    CAST(g.n_wrong AS BIGINT) AS n_wrong,
+    CAST(((g.n - g.n_wrong) * 1000000) // g.n AS BIGINT) AS acc_ppm,
+    $wsel
+  FROM g$i g, w$i w""").mkString("\n  UNION ALL\n  ")
+    s"""$clfChainSql
+SELECT * FROM (
+  $sel
+)
+ORDER BY train_round"""
+  }
+  private val classifierScoreTrainedSql = {
+    val score = (0 until HashEmbD).map(j => s"w.w$j * f.v$j").mkString(" + ")
+    s"""$clfChainSql
+SELECT doc_id, CAST(score AS BIGINT) AS score, (score > 0) AS keep
+FROM (SELECT f.doc_id, ($score) AS score FROM feat f, pocket w)
+ORDER BY doc_id"""
+  }
+
   // -------------------------------------------------- DSIR importance weight
   /** Data Selection via Importance Resampling (Xie et al. 2023): score
     * every document by how much more likely its hashed n-gram features
@@ -2103,7 +2307,7 @@ FROM a GROUP BY shard ORDER BY shard"""
     * candidate iff no EARLIER candidate (by rank, selected or not)
     * shares a symbol with it; take the first `m` keepers. Mirrors the
     * oracle's NOT-EXISTS-over-predecessors exactly. */
-  private[pipeline] def bpeSelect(cands: Seq[(String, String, Long)],
+  private[graft] def bpeSelect(cands: Seq[(String, String, Long)],
       m: Int): Seq[(String, String, Long)] =
     cands.zipWithIndex.filter { case ((l, r, _), i) =>
       !cands.take(i).exists { case (l2, r2, _) =>
@@ -2144,9 +2348,9 @@ FROM a GROUP BY shard ORDER BY shard"""
       (merges.result(), words, roundTrips)
     }
   /** Total effective merges + driver round-trips of the memoized
-    * training run — the scale variables the round-9 spec pins
-    * (≥64 merges from ≤16 collects). */
-  private[pipeline] def bpeStats(s: SparkSession, d: String): (Int, Int) = {
+    * training run — the scale variables Round13Spec pins
+    * (≥64 merges from ≤16 collects on the sf0.01 corpus). */
+  private[graft] def bpeStats(s: SparkSession, d: String): (Int, Int) = {
     val t = bpeTrained(s, d); (t._1.size, t._3)
   }
   private val bpeTrain: Q = (s, d) => {
@@ -2305,6 +2509,8 @@ GROUP BY doc_id ORDER BY doc_id"""
     "text_filter_funnel" -> filterFunnel,
     "text_classifier_score" -> classifierScore,
     "text_classifier_auc" -> classifierAuc,
+    "text_classifier_train" -> classifierTrain,
+    "text_classifier_score_trained" -> classifierScoreTrained,
     "text_dsir_weights" -> dsirWeights,
     "text_shuffle_shards" -> shuffleShards)
 
@@ -2351,6 +2557,8 @@ GROUP BY doc_id ORDER BY doc_id"""
     "text_filter_funnel" -> filterFunnelSql,
     "text_classifier_score" -> classifierScoreSql,
     "text_classifier_auc" -> classifierAucSql,
+    "text_classifier_train" -> classifierTrainSql,
+    "text_classifier_score_trained" -> classifierScoreTrainedSql,
     "text_dsir_weights" -> dsirWeightsSql,
     "text_shuffle_shards" -> shuffleShardsSql)
 }

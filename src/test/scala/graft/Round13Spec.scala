@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-13 feature pins: the classifier training loop re-derived
+  * locally (the oracle catches cross-engine divergence; this catches
+  * shared-wrong-on-both-faces bugs in the hand-mirrored trainer), the
+  * BPE anti-chain selection rule as a unit property, and the BPE scale
+  * contract (`bpeStats`' ≥64-merges-from-≤16-collects claim) asserted
+  * against a fresh training run. */
+class Round13Spec extends SparkSpec {
+
+  // ------------------------------------------------- bpeSelect properties
+  test("bpeSelect: anti-chain vs ALL predecessors, cap respected") {
+    import graft.pipeline.TextQueries.bpeSelect
+    val cands = Seq(
+      ("a", "b", 10L), // kept
+      ("b", "c", 9L),  // blocked: shares b with (a,b)
+      ("c", "d", 8L),  // blocked: shares c with the UNPICKED (b,c)
+      ("e", "f", 7L),  // kept
+      ("a", "e", 6L),  // blocked: shares a with (a,b), e with (e,f)
+      ("g", "h", 5L))  // kept
+    val picked = bpeSelect(cands, 12)
+    assert(picked == Seq(("a", "b", 10L), ("e", "f", 7L), ("g", "h", 5L)),
+      "selection must block on every earlier candidate, picked or not " +
+        "(the oracle's NOT-EXISTS-over-predecessors rule)")
+    // pairwise symbol-disjoint (the anti-chain invariant merges rely on)
+    for (pair <- picked.combinations(2)) {
+      val Seq((l1, r1, _), (l2, r2, _)) = pair
+      assert(Set(l1, r1).intersect(Set(l2, r2)).isEmpty,
+        s"picked pairs share a symbol: $pair")
+    }
+    // the cap takes the FIRST m keepers, not any m
+    assert(bpeSelect(cands, 2) == Seq(("a", "b", 10L), ("e", "f", 7L)))
+    assert(bpeSelect(Nil, 12).isEmpty)
+    // self-overlap inside one pair (l == r, e.g. "x x") must not block
+    // DIFFERENT-symbol successors, but does block any pair sharing x
+    val rep = Seq(("x", "x", 5L), ("x", "y", 4L), ("p", "q", 3L))
+    assert(bpeSelect(rep, 12) == Seq(("x", "x", 5L), ("p", "q", 3L)))
+  }
+
+  // ------------------------------------------------ BPE scale contract
+  test("BPE trainer: >=64 effective merges from <=16 collects (sf0.01)") {
+    // fresh memo key (tests otherwise train on sf0.001): this is the
+    // corpus CORRECTNESS runs against, and the one the scale claim in
+    // TextQueries.bpeStats' doc comment is stated for
+    val d = "/root/testdata/sf0.01"
+    val tracker = spark.sparkContext.statusTracker
+    val before = tracker.getJobIdsForGroup(null).length
+    val (merges, collects) = graft.pipeline.TextQueries.bpeStats(spark, d)
+    val jobs = tracker.getJobIdsForGroup(null).length - before
+    assert(merges >= 64, s"effective merges = $merges (contract: >=64)")
+    assert(collects <= 16, s"driver collects = $collects (contract: <=16)")
+    // Round12Spec's job-counter idiom, loosened to a ceiling: training
+    // runs 16 candidate collects + 9 localCheckpoints, each fanning
+    // into a handful of AQE stage jobs — the ceiling catches a
+    // regression to one-driver-action-per-merge (>=69 collects alone)
+    assert(jobs <= 64, s"training ran $jobs Spark jobs (ceiling 64)")
+  }
+
+  // --------------------------------------- classifier local re-derivation
+  test("classifier trainer: trajectory and pocket re-derive from features") {
+    val d = Sf
+    val hd = 16 // HashEmbD
+    val feats = graft.pipeline.TextQueries.clfFeatures(spark, d).collect()
+      .map(r => (r.getLong(1), Array.tabulate(hd)(j => r.getLong(2 + j))))
+    val (hist, pocket) = graft.pipeline.TextQueries.clfTrained(spark, d)
+    val t = hist.size
+    val w = Array.fill(hd)(0L)
+    var best = (Long.MaxValue, w.toSeq)
+    hist.foreach { case (r, n, nw, wAfter) =>
+      assert(n == feats.length, s"round $r: n")
+      val wrong = feats.filter { case (y, v) =>
+        y * (0 until hd).map(j => w(j) * v(j)).sum <= 0L }
+      assert(nw == wrong.length, s"round $r: n_wrong")
+      if (wrong.length < best._1) best = (wrong.length.toLong, w.toSeq)
+      val step = 1L << (t - r)
+      (0 until hd).foreach { j =>
+        w(j) += wrong.map { case (y, v) => y * v(j) }.sum * step }
+      assert(w.toSeq == wAfter, s"round $r: weights")
+    }
+    assert(pocket == best._2, "pocket weights = best round's starting weights")
+    // and the trained-score face serves exactly the pocket model
+    val scored = SparkEntry.queries("text_classifier_score_trained")(spark, d)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val featById = graft.pipeline.TextQueries.clfFeatures(spark, d).collect()
+      .map(r => r.getLong(0) ->
+        Array.tabulate(hd)(j => r.getLong(2 + j))).toMap
+    assert(scored.keySet == featById.keySet)
+    featById.foreach { case (id, v) =>
+      val sc = (0 until hd).map(j => pocket(j) * v(j)).sum
+      assert(scored(id) == ((sc, sc > 0L)), s"doc $id trained score")
+    }
+  }
+
+  test("classifier trainer: learned model beats the zero model") {
+    // not a tautology: a broken update rule that never improves on
+    // w = 0 (all-wrong) would fail here
+    val (hist, _) = graft.pipeline.TextQueries.clfTrained(spark, Sf)
+    val firstWrong = hist.head._3 // n_wrong under w = 0
+    val bestWrong = hist.map(_._3).min
+    assert(bestWrong < firstWrong,
+      s"training never improved: best=$bestWrong first=$firstWrong")
+  }
+}
