@@ -97,8 +97,17 @@ object GlobalRank {
     val offs = stats.select(gcols.map(col) ++ Seq(col("__mn"),
       coalesce(sum("__pc").over(wOff), lit(0L)).as("__off"),
       sum("__pc").over(wTot).as("__n")): _*)
-    keyed.join(broadcast(offs), gcols)
+    // null-safe equality on the group keys: a NULL group is a group
+    // like any other to the aggregate and the windows above, so it
+    // must also RECEIVE its offset row here — the plain Seq-form join
+    // (null-unsafe =) silently dropped null-keyed rows (ADVICE r9 #1).
+    // EqualNullSafe is still a hash-join key, so the broadcast join
+    // shape is unchanged.
+    val offsR = gcols.foldLeft(offs)((o, c) => o.withColumnRenamed(c, s"__o$c"))
+    val cond = gcols.map(c => col(c) <=> col(s"__o$c")).reduce(_ && _)
+    keyed.join(broadcast(offsR), cond)
       .withColumn("__i", col("__mid") - col("__mn") + 1L + col("__off"))
+      .drop(gcols.map(c => s"__o$c"): _*)
       .drop("__pid", "__mid", "__mn", "__off")
   }
 

@@ -107,15 +107,23 @@ object StreamingEvents {
         (_, it, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
+            // state = max event-time seen for this key (kept or dup):
+            // the TTL must be anchored to the LATEST sighting, so a
+            // late-but-in-delay duplicate with an OLDER timestamp can
+            // never pull the expiry earlier than stored-max + delay
+            // (ADVICE r9 #2 — the 1L-state version re-derived the
+            // anchor from the current batch only)
             val rows = it.toList.sortBy(e => (e._2.getTime, e._1))
-            val out = rows.map { case (id, _, _, qf) =>
+            val out = rows.map { case (id, ts, _, qf) =>
               if (qf) CurRow(id, "quality")
-              else if (state.exists) CurRow(id, "exact_dup")
-              else { state.update(1L); CurRow(id, "kept") }
+              else if (state.exists) {
+                state.update(math.max(state.get, ts.getTime))
+                CurRow(id, "exact_dup")
+              } else { state.update(ts.getTime); CurRow(id, "kept") }
             }
             if (state.exists)
               state.setTimeoutTimestamp(math.max(
-                rows.map(_._2.getTime).max + delayMs,
+                state.get + delayMs,
                 state.getCurrentWatermarkMs() + 1))
             out.iterator
           }

@@ -40,33 +40,62 @@ class PlanHygieneSpec extends SparkSpec {
     //  (b) a child whose subtree aggregates to a bounded key, declared
     //      below with its bound's justification (each is a grouping on a
     //      closed vocabulary or fixed grid, NOT on data-sized ids).
+    import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.{ProjectExec, SortExec, FilterExec}
     // AdaptiveSparkPlanExec is a LEAF node — a plain collect over the
     // executedPlan of an AQE query sees NOTHING below it (the round-8
     // version of this test silently matched zero windows in adaptive
-    // plans for exactly this reason). Unwrap to the inner plan.
-    def unwrap(p: org.apache.spark.sql.execution.SparkPlan)
-        : org.apache.spark.sql.execution.SparkPlan = p match {
-      case a: AdaptiveSparkPlanExec => a.inputPlan
+    // plans for exactly this reason). Collect windows RECURSIVELY:
+    // unwrap every AdaptiveSparkPlanExec wherever it appears, and
+    // descend into cached relations (an AQE subtree nested under an
+    // InMemoryTableScan was invisible to the round-9 top-level unwrap —
+    // ADVICE r9 #2).
+    def windowsOf(p: SparkPlan): Seq[WindowExec] = {
+      val root = p match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan
+        case other => other
+      }
+      root.collect {
+        case w: WindowExec => Seq(w)
+        case a: AdaptiveSparkPlanExec => windowsOf(a)
+        case s: InMemoryTableScanExec => windowsOf(s.relation.cachedPlan)
+      }.flatten
+    }
+    // Shape (a), matched STRUCTURALLY on the window's DIRECT child
+    // chain: skipping only pass-through nodes (Project/Sort/Filter/
+    // Exchange), the windowed relation must BE an aggregate output —
+    // bounded by its grouping cardinality — with the pid-deriving
+    // expression below that aggregate, so the grouping key includes
+    // the physical partition id and the relation is ≤ parts·|groups|
+    // rows by construction. (The round-9 collectFirst over the ENTIRE
+    // subtree classified any window with a qualifying aggregate
+    // anywhere below it — e.g. on the far side of a join feeding a
+    // data-sized relation — as bounded; ADVICE r9 #1.)
+    // WindowExec is pass-through too: a window is row-preserving, so
+    // the relation it rides is bounded iff the relation below it is —
+    // GlobalRank's offset select stacks TWO windows (cumulative __off
+    // + full-frame __n) over the one per-partition aggregate.
+    @scala.annotation.tailrec
+    def firstNonPassthrough(p: SparkPlan): SparkPlan = p match {
+      case pt @ (_: ProjectExec | _: SortExec | _: FilterExec |
+                 _: Exchange | _: WindowExec) =>
+        firstNonPassthrough(pt.children.head)
       case other => other
     }
-    // Shape (a), matched STRUCTURALLY (not by substring over the whole
-    // child toString, which a data-sized window that merely mentions the
-    // expressions somewhere below it could evade): the windowed relation
-    // must BE an aggregate output — bounded by its grouping cardinality —
-    // and the pid-deriving expression must sit below that aggregate, so
-    // the grouping key includes the physical partition id and the
-    // relation is ≤ parts·|groups| rows by construction.
     def isOffsetShape(w: WindowExec): Boolean =
-      w.child.collectFirst {
-        case a: BaseAggregateExec if a.groupingExpressions.nonEmpty && {
-          val below = a.toString
+      firstNonPassthrough(w.child) match {
+        case a: BaseAggregateExec if a.groupingExpressions.nonEmpty => {
+          val below = a.toString // treeString of the aggregate's subtree
           below.contains("SPARK_PARTITION_ID") ||
             below.contains("monotonically_increasing_id")
-        } => a
-      }.isDefined
+        }
+        case _ => false
+      }
     // Every other unpartitioned window must be declared here with its
     // EXACT expected count (a new undeclared window in an allowlisted
     // query bumps the count and fails) and its bound's justification
@@ -92,11 +121,8 @@ class PlanHygieneSpec extends SparkSpec {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
-          val plan = unwrap(fn(spark, Sf).queryExecution.executedPlan)
-          val bad = plan.collect {
-            case w: WindowExec if w.partitionSpec.isEmpty &&
-              !isOffsetShape(w) => w
-          }
+          val bad = windowsOf(fn(spark, Sf).queryExecution.executedPlan)
+            .filter(w => w.partitionSpec.isEmpty && !isOffsetShape(w))
           val expected = boundedByAggKey.get(name).map(_._1).getOrElse(0)
           if (bad.size != expected)
             Some(s"$name: ${bad.size} unpartitioned Window(s) over an " +

@@ -93,6 +93,37 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("GlobalRank: null group keys rank (null-safe offset join)") {
+    // ADVICE r9 #1: the Seq-form offset join dropped null-keyed rows
+    // silently. The null group is a group like any other.
+    import spark.implicits._
+    import graft.operators.GlobalRank
+    val df = Seq((Option("a"), 1), (Option.empty[String], 2),
+      (Option.empty[String], 1), (Option("a"), 3), (Option("a"), 2))
+      .toDF("g", "x")
+    val r = GlobalRank.withRankAndCountPerGroup(
+      df, "g", Seq(col("x")), "rk", "cnt", parts = 2)
+    assert(r.count() == 5, "no rows may be dropped")
+    val nulls = r.filter(col("g").isNull).orderBy("x")
+      .select("rk", "cnt").as[(Long, Long)].collect().toSeq
+    assert(nulls == Seq((1L, 2L), (2L, 2L)), s"null group ranks: $nulls")
+    val as = r.filter(col("g") === "a").orderBy("x")
+      .select("rk", "cnt").as[(Long, Long)].collect().toSeq
+    assert(as == Seq((1L, 3L), (2L, 3L), (3L, 3L)), s"'a' group ranks: $as")
+  }
+
+  test("sql_waiting_suppliers_fast equals the literal Q21 face row-for-row") {
+    // ADVICE r9 #4: the hand-decorrelation's equivalence was asserted
+    // only in prose; hash_match proves engine parity on the shared
+    // text, not equivalence BETWEEN the two texts.
+    val lit = SparkEntry.queries("sql_waiting_suppliers")(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    val fast = SparkEntry.queries("sql_waiting_suppliers_fast")(spark, Sf)
+      .collect().map(_.toSeq).toSeq
+    assert(lit == fast,
+      s"decorrelated face diverges from the literal Q21:\n$lit\nvs\n$fast")
+  }
+
   test("classifier trainer: learned model beats the zero model") {
     // not a tautology: a broken update rule that never improves on
     // w = 0 (all-wrong) would fail here
