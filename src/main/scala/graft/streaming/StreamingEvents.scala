@@ -597,6 +597,45 @@ object StreamingEvents {
     events.groupBy("event_type")
       .agg(expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").as("sketch"))
 
+  /** Query-time heavy-hitters serve over the streamed CMS store — the
+    * store/serve split of [[retentionStore]]/[[dauMauServe]] applied
+    * to the sketch family: [[cmsStream]]'s per-event-type grids are
+    * the store; serving merges them into ONE grid (the same
+    * associative cell-wise addition that builds them — shared hash
+    * params, so merge is exact) and probes a CANDIDATE-KEY relation
+    * distributedly: the ~23 KB merged grid is broadcast, each
+    * partition deserializes it once, and every candidate costs d hash
+    * probes — the candidate relation may therefore be data-sized
+    * ("all keys seen today") without any driver loop. Top-k is
+    * (est desc, user_id) via orderBy+limit — TakeOrderedAndProject,
+    * never a global sort. The only collect is the constant-size
+    * sketch rows. Each estimate inherits the CMS contract
+    * est ≥ true ∧ est ≤ true + ⌈ε·N⌉ w.p. 1−δ — the same contract
+    * `events_heavy_hitters` pins on the batch face (StreamingSpec
+    * asserts it against exact batch counts). */
+  def cmsServe(stored: DataFrame, candidates: DataFrame,
+               k: Int = 5): DataFrame = {
+    val spark = stored.sparkSession
+    import spark.implicits._
+    val grids = stored.select(col("sketch")).as[Array[Byte]].collect()
+    require(grids.nonEmpty, "cmsServe: empty sketch store")
+    val merged = grids
+      .map(b => org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        new java.io.ByteArrayInputStream(b)))
+      .reduce { (a, b) => a.mergeInPlace(b); a }
+    val bos = new java.io.ByteArrayOutputStream()
+    merged.writeTo(bos)
+    val bc = spark.sparkContext.broadcast(bos.toByteArray)
+    candidates.select(col("user_id")).as[Long]
+      .mapPartitions { it =>
+        val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+          new java.io.ByteArrayInputStream(bc.value))
+        it.map(uid => (uid, cms.estimateCount(uid)))
+      }
+      .toDF("user_id", "est_count")
+      .orderBy(col("est_count").desc, col("user_id")).limit(k)
+  }
+
   case class ShEv(tsMs: Long, eventId: Long, etype: String)
   case class ShState(pending: List[ShEv], curType: String, fromMs: Long,
                      n: Long, has: Boolean)

@@ -319,6 +319,57 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy-hitters serve: top-k from the CMS store meets the batch contract") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    def typed(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("user_id", "event_type")
+    val q = StreamingEvents.cmsStream(typed(mem.toDF()))
+      .writeStream.format("memory").queryName("cms_store")
+      .outputMode("complete").start()
+    // skewed traffic: user 0 dominates, counts well separated at the
+    // top, split across batches so the serve reads a MERGED store
+    def burst(uid: Long, n: Int, t: String) = Seq.fill(n)((uid, t))
+    val batch1 = burst(0L, 7, "click") ++ burst(1L, 4, "click") ++
+      burst(2L, 2, "view") ++ burst(4L, 1, "view") ++ burst(5L, 1, "click")
+    val batch2 = burst(0L, 5, "view") ++ burst(1L, 2, "view") ++
+      burst(2L, 2, "click") ++ burst(3L, 3, "click") ++ burst(4L, 1, "click") ++
+      burst(6L, 1, "view")
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val all = (batch1 ++ batch2).toDF("user_id", "event_type")
+      val served = StreamingEvents.cmsServe(
+        spark.table("cms_store"), all.select("user_id").distinct(), k = 5)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      // exact truth from the batch side (the contract arm of
+      // events_heavy_hitters)
+      val truth = all.groupBy("user_id").count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val n = truth.values.sum
+      val budget = math.ceil(0.001 * n).toLong
+      assert(served.length == 5)
+      assert(served.head._1 == 0L, "the dominant key must rank first")
+      // top-k keys = the exact top-k (counts separated by > budget at
+      // the boundary, so the sketch cannot reorder across it)
+      val exactTop = truth.toSeq.sortBy { case (id, c) => (-c, id) }
+        .take(5).map(_._1).toSet
+      assert(served.map(_._1).toSet == exactTop,
+        s"served ${served.toSeq} vs exact top-5 $exactTop")
+      // the CMS contract on every served estimate
+      served.foreach { case (id, est) =>
+        assert(est >= truth(id) && est <= truth(id) + budget,
+          s"user $id: est=$est true=${truth(id)} budget=$budget")
+      }
+      // ranking is by estimate desc with user_id tie-break
+      assert(served.map(_._2).toSeq == served.map(_._2).sorted.reverse.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming SCD2: closed intervals match the batch history's closed rows") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
