@@ -78,10 +78,36 @@ object GlobalRank {
     val parts = if (parts0 > 0) parts0
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val order = groupCols.map(col) ++ sortCols
-    val keyed = df.repartitionByRange(parts, order: _*)
-      .sortWithinPartitions(order: _*)
-      .withColumn("__mid", monotonically_increasing_id())
-      .withColumn("__pid", shiftrightunsigned(col("__mid"), 33))
+    // Two lazy caches (no construction-time job — the events_rfm
+    // invariant; deduped by canonical plan; released at corpus
+    // lifecycle boundaries via [[graft.pipeline.CachePool]]):
+    //
+    //  1. the INPUT — `repartitionByRange`'s RangePartitioner runs a
+    //     SAMPLING pass over the child before the shuffle write, so an
+    //     un-materialized input executes twice end-to-end (measured 2×
+    //     on text_quality_buckets, whose input is the whole LM-scoring
+    //     pipeline — the round-9→10 perf finding);
+    //  2. the KEYED relation (ids included) — the id assignment MUST
+    //     materialize exactly once: RangePartitioner's sample seed
+    //     derives from the shuffle RDD's id, so two materializations
+    //     of the same range exchange draw DIFFERENT boundaries, and
+    //     the stats branch's min-ids then disagree with the probe
+    //     branch's ids (duplicate/missing ranks — Round12Spec's
+    //     gapless pin). Round 9 relied on AQE exchange reuse for this,
+    //     which held only while the two subtrees canonicalized equal;
+    //     the cache makes the single-materialization invariant
+    //     STRUCTURAL instead of an optimizer courtesy.
+    //
+    // Both caches hold the PROJECTED rank input (keys + order
+    // columns), not the raw corpus; at 100 TB the same role is played
+    // by materializing the scored relation before ranking, with disk
+    // spill absorbing what memory cannot.
+    val keyed = graft.pipeline.CachePool.cached(
+      graft.pipeline.CachePool.cached(df)
+        .repartitionByRange(parts, order: _*)
+        .sortWithinPartitions(order: _*)
+        .withColumn("__mid", monotonically_increasing_id())
+        .withColumn("__pid", shiftrightunsigned(col("__mid"), 33)))
     val gcols = "__pid" +: groupCols
     val stats = keyed.groupBy(gcols.map(col): _*)
       .agg(min("__mid").as("__mn"), count(lit(1)).as("__pc"))
@@ -94,7 +120,13 @@ object GlobalRank {
     // the per-partition stats, so ntile consumers get N for free.
     val wTot = if (groupCols.isEmpty) Window.partitionBy(lit(0))
                else Window.partitionBy(groupCols.map(col): _*)
-    val offs = stats.select(gcols.map(col) ++ Seq(col("__mn"),
+    // the offset relation is ≤ parts·|groups| rows — collapse it to
+    // one partition BEFORE the windows, so both window specs are
+    // satisfied without another exchange+sort stage (SinglePartition
+    // satisfies any clustered distribution); the single-task windows
+    // ride a constant-size relation, the exact shape the plan-hygiene
+    // ban whitelists
+    val offs = stats.coalesce(1).select(gcols.map(col) ++ Seq(col("__mn"),
       coalesce(sum("__pc").over(wOff), lit(0L)).as("__off"),
       sum("__pc").over(wTot).as("__n")): _*)
     // null-safe equality on the group keys: a NULL group is a group
