@@ -338,9 +338,12 @@ ORDER BY rrf DESC, doc_id LIMIT 10"""
     * ≤ N·40 rows with NULL absent-arm ranks. At 100 TB the corpus is
     * touched twice (one tf slice, one embedding scan) REGARDLESS of
     * batch size N — per-query marginal cost is broadcast rows only. */
-  private val hybridRrfBatch: Q = (s, d) => {
+  /** The shared lexical arm of the batch faces: per-query BM25 ranks
+    * (query_id, doc_id, lex_rank ≤ 20) — one IN-sliced tf scan fanned
+    * out by the broadcast term table, order-free DECIMAL contribution
+    * sums, per-query WindowGroupLimit top-k. */
+  private def lexArmBatch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    graft.functions.VectorExpressions.register(s)
     val qt = broadcast(QueryTerms.flatMap { case (q, ts) => ts.map((q, _)) }
       .toDF("query_id", "token"))
     val t = tf(s, d)
@@ -362,22 +365,24 @@ ORDER BY rrf DESC, doc_id LIMIT 10"""
           .cast("decimal(25,15)"))
     val wLex = Window.partitionBy("query_id")
       .orderBy(col("s").desc, col("doc_id"))
-    val lex = contrib.groupBy("query_id", "doc_id").agg(sum("c").as("s"))
+    contrib.groupBy("query_id", "doc_id").agg(sum("c").as("s"))
       .withColumn("lex_rank", row_number().over(wLex))
       .filter(col("lex_rank") <= 20)
       .select(col("query_id"), col("doc_id"), col("lex_rank"))
-    val e = Tables.embeddings(s, d).select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
-    val q = e.filter(col("vec_id") < QueryTerms.size)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val wVec = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("doc_id"))
-    val vec = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id").as("doc_id"),
-        call_function("graft_cosine", col("qv"), col("v")).as("sim"))
-      .withColumn("vec_rank", row_number().over(wVec))
-      .filter(col("vec_rank") <= 20)
-      .select(col("query_id"), col("doc_id"), col("vec_rank"))
+  }
+
+  /** The query-vector relation of the batch faces (query_id, qv):
+    * embedding vec_id = query_id, the ANN faces' evaluation-set
+    * convention — in production this arrives with the request batch. */
+  private def batchQueryVecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < QueryTerms.size)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+
+  /** Shared RRF fusion finish: full outer join of the two ranked arms
+    * (≤ N·40 rows), NULL absent-arm ranks, per-query top-10. */
+  private def rrfFuse(lex: DataFrame, vec: DataFrame): DataFrame = {
     val wFuse = Window.partitionBy("query_id")
       .orderBy(col("rrf").desc, col("doc_id"))
     lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
@@ -390,19 +395,89 @@ ORDER BY rrf DESC, doc_id LIMIT 10"""
       .filter(col("rk") <= 10).drop("rk")
       .orderBy(col("query_id"), col("rrf").desc, col("doc_id"))
   }
-  private val hybridRrfBatchSql = {
+
+  private val hybridRrfBatch: Q = (s, d) => {
+    graft.functions.VectorExpressions.register(s)
+    val e = Tables.embeddings(s, d).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val q = batchQueryVecs(s, d)
+    val wVec = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("doc_id"))
+    val vec = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        call_function("graft_cosine", col("qv"), col("v")).as("sim"))
+      .withColumn("vec_rank", row_number().over(wVec))
+      .filter(col("vec_rank") <= 20)
+      .select(col("query_id"), col("doc_id"), col("vec_rank"))
+    rrfFuse(lexArmBatch(s, d), vec)
+  }
+
+  /** The batch hybrid face SERVED from the IVF index (VERDICT r9 #6):
+    * same lexical arm and fusion as [[hybridRrfBatch]], but the vector
+    * arm probes the persisted bucketed cell index
+    * ([[SimilarityQueries.ivfProbeRanks]] over the same query
+    * relation) instead of scanning the whole corpus — at 100 TB the
+    * brute arm reads every embedding per request batch, the IVF arm
+    * reads nprobe/nlist of them. Exactness tradeoff is measured by
+    * `search_batch_ivf_recall`. */
+  private val hybridRrfBatchIvf: Q = (s, d) => {
+    graft.functions.VectorExpressions.register(s)
+    rrfFuse(lexArmBatch(s, d),
+      SimilarityQueries.ivfProbeRanks(s, d, batchQueryVecs(s, d), 20))
+  }
+
+  /** Recall@10 of the IVF-served batch face against the brute-exact
+    * one — the `ann_recall_eval` harness applied end-to-end to the
+    * retrieval tier: per query, how many of the exact hybrid top-10
+    * the index-served top-10 kept. The pruning loss shows up here
+    * (and only here — hash_match on each face alone proves engine
+    * parity, not serving quality). */
+  private val batchIvfRecall: Q = (s, d) => {
+    import s.implicits._
+    // each face output is ≤ N·10 rows but referenced twice below
+    // (denominator + intersection) — cache the tiny results so the
+    // two full retrieval pipelines run once each, not twice
+    val brute = CachePool.cached(
+      hybridRrfBatch(s, d).select(col("query_id"), col("doc_id")))
+    val ivf = CachePool.cached(
+      hybridRrfBatchIvf(s, d).select(col("query_id"), col("doc_id")))
+    val nb = brute.groupBy("query_id").agg(count(lit(1)).as("n_exact"))
+    val hits = brute.join(ivf, Seq("query_id", "doc_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    val dim = QueryTerms.map(_._1).toDF("query_id")
+    dim.join(broadcast(nb), Seq("query_id"), "left")
+      .join(broadcast(hits), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      // integer div (both engines floor non-negatives identically;
+      // Spark's `/` on longs would promote to double)
+      .withColumn("recall_permille",
+        expr("n_hits * 1000 div greatest(n_exact, 1)"))
+      .orderBy("query_id")
+  }
+  /** Shared batch-face oracle fragments: the lexical-arm chain ending
+    * in `lex` — MATERIALIZED so the multi-face oracles (IVF sibling,
+    * recall readout) can reference it without DuckDB re-executing the
+    * whole tokenize per reference. */
+  private def batchLexCtesSql: String = {
     val qtVals = QueryTerms.flatMap { case (q, ts) =>
       ts.map(t => s"($q, '$t')") }.mkString(", ")
     val allTerms = AllQTerms.map(t => s"'$t'").mkString(", ")
-    s"""WITH $TfSql, qt(query_id, token) AS (VALUES $qtVals),
-dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
-stats AS (
+    s"""tf AS MATERIALIZED (
+  SELECT doc_id, token, count(*) AS tf
+  FROM (SELECT doc_id, unnest($ToksSql) AS token FROM documents)
+  GROUP BY doc_id, token
+), qt(query_id, token) AS (VALUES $qtVals),
+dl AS MATERIALIZED (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+stats AS MATERIALIZED (
   SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
   FROM dl
-), dfr AS (
+), dfr AS MATERIALIZED (
   SELECT token, count(*) AS df FROM tf
   WHERE token IN ($allTerms) GROUP BY token
-), contrib AS (
+), contrib AS MATERIALIZED (
   SELECT q.query_id, t.doc_id,
     CAST(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) *
       (t.tf * (${BmK1} + 1)) /
@@ -413,17 +488,22 @@ stats AS (
   JOIN dfr f ON t.token = f.token
   JOIN dl d ON t.doc_id = d.doc_id
   CROSS JOIN stats s
-), lex AS (
+), lex AS MATERIALIZED (
   SELECT query_id, doc_id, CAST(row_number() OVER (
       PARTITION BY query_id ORDER BY s DESC, doc_id) AS INT) AS lex_rank
   FROM (SELECT query_id, doc_id, sum(c) AS s FROM contrib GROUP BY 1, 2)
   QUALIFY lex_rank <= 20
-), ev AS (
+)"""
+  }
+
+  /** The brute vector arm ending in `vec`. */
+  private def batchVecBruteSql: String =
+    s"""ev AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), qv AS (
+), qv AS MATERIALIZED (
   SELECT vec_id AS query_id, v AS qv FROM ev
   WHERE vec_id < ${QueryTerms.size}
-), vec AS (
+), vec AS MATERIALIZED (
   SELECT query_id, doc_id, CAST(row_number() OVER (
       PARTITION BY query_id ORDER BY sim DESC, doc_id) AS INT) AS vec_rank
   FROM (
@@ -433,20 +513,56 @@ stats AS (
     FROM qv q JOIN ev e ON e.vec_id <> q.query_id
   )
   QUALIFY vec_rank <= 20
-), fused AS (
+)"""
+
+  /** The fused per-query top-10 over `lex` and the named vector-arm
+    * CTE — shared by all three batch oracles. */
+  private def fusedTopSql(vecCte: String): String =
+    s"""SELECT query_id, doc_id, lex_rank, vec_rank, rrf
+FROM (
   SELECT COALESCE(l.query_id, v.query_id) AS query_id,
     COALESCE(l.doc_id, v.doc_id) AS doc_id,
     l.lex_rank, v.vec_rank,
     round(COALESCE(1.0 / ($RrfK + l.lex_rank), 0)
       + COALESCE(1.0 / ($RrfK + v.vec_rank), 0), 6) AS rrf
-  FROM lex l FULL OUTER JOIN vec v
+  FROM lex l FULL OUTER JOIN $vecCte v
     ON v.query_id = l.query_id AND v.doc_id = l.doc_id
 )
-SELECT query_id, doc_id, lex_rank, vec_rank, rrf
-FROM fused
 QUALIFY row_number() OVER (PARTITION BY query_id
   ORDER BY rrf DESC, doc_id) <= 10
 ORDER BY query_id, rrf DESC, doc_id"""
+
+  private val hybridRrfBatchSql =
+    s"""WITH $batchLexCtesSql, $batchVecBruteSql
+${fusedTopSql("vec")}"""
+
+  private val hybridRrfBatchIvfSql =
+    s"""WITH $batchLexCtesSql,
+${SimilarityQueries.ivfProbeChainSql(QueryTerms.size, 20)}
+${fusedTopSql("ivfvec")}"""
+
+  private val batchIvfRecallSql = {
+    val qdim = QueryTerms.map { case (q, _) => s"($q)" }.mkString(", ")
+    s"""WITH $batchLexCtesSql, $batchVecBruteSql,
+${SimilarityQueries.ivfProbeChainSql(QueryTerms.size, 20)},
+bfused AS MATERIALIZED (
+${fusedTopSql("vec")}
+), ifused AS MATERIALIZED (
+${fusedTopSql("ivfvec")}
+), nb AS (
+  SELECT query_id, count(*) AS n_exact FROM bfused GROUP BY query_id
+), hits AS (
+  SELECT b.query_id, count(*) AS n_hits
+  FROM bfused b JOIN ifused i USING (query_id, doc_id)
+  GROUP BY b.query_id
+), qdim(query_id) AS (VALUES $qdim)
+SELECT qdim.query_id,
+  CAST(COALESCE(n_exact, 0) AS BIGINT) AS n_exact,
+  CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+  CAST(COALESCE(n_hits, 0) * 1000 // greatest(COALESCE(n_exact, 0), 1)
+    AS BIGINT) AS recall_permille
+FROM qdim LEFT JOIN nb USING (query_id) LEFT JOIN hits USING (query_id)
+ORDER BY query_id"""
   }
 
   val queries: Map[String, Q] = Map(
@@ -455,6 +571,8 @@ ORDER BY query_id, rrf DESC, doc_id"""
     "text_bm25_topk" -> bm25,
     "search_hybrid_rrf" -> hybridRrf,
     "search_hybrid_rrf_batch" -> hybridRrfBatch,
+    "search_hybrid_rrf_batch_ivf" -> hybridRrfBatchIvf,
+    "search_batch_ivf_recall" -> batchIvfRecall,
     "dedup_edit_distance" -> editDistance)
   val oracle: Map[String, String] = Map(
     "text_inverted_index" -> invertedIndexSql,
@@ -462,5 +580,7 @@ ORDER BY query_id, rrf DESC, doc_id"""
     "text_bm25_topk" -> bm25Sql,
     "search_hybrid_rrf" -> hybridRrfSql,
     "search_hybrid_rrf_batch" -> hybridRrfBatchSql,
+    "search_hybrid_rrf_batch_ivf" -> hybridRrfBatchIvfSql,
+    "search_batch_ivf_recall" -> batchIvfRecallSql,
     "dedup_edit_distance" -> editDistanceSql)
 }

@@ -506,13 +506,72 @@ ORDER BY query_id, rank"""
     e.unpersist()
     cents
   }
+  /** Memoized per-dataset IVF index: the Lloyd centroids plus the
+    * bucketed cell table (corpus-scoped name, so two datasets in one
+    * session cannot alias each other's store) — built ONCE per
+    * (session, dataset) and probed by every serving face. This is the
+    * "build once, probe forever" split stated in [[buildIvfIndex]]'s
+    * doc made literal: the first caller pays the k-means training and
+    * the one write-time shuffle; every later probe (the bucketed
+    * top-k face, the batch retrieval tier's vector arm) is a
+    * bucket-pruned scan. Cleared with [[CachePool.release]] at corpus
+    * lifecycle boundaries. */
+  private[pipeline] def ivfIndex(s: SparkSession, d: String)
+      : (Seq[(Int, Seq[Double])], String) =
+    CachePool.memoized(("ivfIndex", d)) {
+      val table = "graft_ivf_cells_" + (d.hashCode & 0x7fffffff)
+      val e = embDouble(s, d).select(col("vec_id"), col("v")).cache()
+      val cents = kmeansCentroids(s, e)
+      graft.sources.BucketedStore.write(
+        assignCells(e, cents), table, "cid", 8)
+      e.unpersist()
+      (cents, table)
+    }
+
+  /** Generalized IVF probe over an ARBITRARY query relation
+    * (query_id, qv) — the serving face unhooked from the fixed
+    * `vec_id < 10` evaluation set: nprobe coarse cells per query
+    * (broadcast k-row centroid table, never a corpus shuffle),
+    * bucket-pruned candidate fetch from the persisted cell table, and
+    * exact cosine rerank to per-query rank ≤ k. The probe-cid collect
+    * is ≤ |cells| ints of model state; per-query marginal cost is the
+    * probed buckets only — the shape a 100 TB serving tier runs per
+    * request batch. Self-matches (doc_id = query_id) are excluded,
+    * matching every ANN face's convention. */
+  private[pipeline] def ivfProbeRanks(s: SparkSession, d: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val (cents, table) = ivfIndex(s, d)
+    val cdf = cents.toDF("cid", "cv")
+    val wc = Window.partitionBy("query_id")
+      .orderBy(dot(col("cv"), col("cv")) - lit(2) * dot(col("qv"), col("cv")),
+        col("cid"))
+    val probes = queries.crossJoin(broadcast(cdf))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= KmProbe)
+      .select(col("query_id"), col("qv"), col("cid").as("probe_cid"))
+    val probeCids = probes.select("probe_cid").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val cand = graft.sources.BucketedStore.read(s, table)
+      .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
+      .join(broadcast(probes),
+        col("cid") === col("probe_cid") && col("vec_id") =!= col("query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("doc_id"))
+    cand.select(col("query_id"), col("vec_id").as("doc_id"),
+        cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("vec_rank", row_number().over(w))
+      .filter(col("vec_rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("vec_rank"))
+  }
+
   private val topkKmeansBucketed: Q = (s, d) => {
-    val cents = buildIvfIndex(s, d)
+    val (cents, table) = ivfIndex(s, d)
     val e = embDouble(s, d).select(col("vec_id"), col("v"))
     val probes = probeList(s, e, cents)
     val probeCids = probes.select("probe_cid").distinct()
       .collect().map(_.getInt(0)).sorted
-    val cand = graft.sources.BucketedStore.read(s, "graft_ivf_cells")
+    val cand = graft.sources.BucketedStore.read(s, table)
       .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
       .join(broadcast(probes),
         col("cid") === col("probe_cid") && col("vec_id") =!= col("query_id"))
@@ -532,6 +591,45 @@ ORDER BY query_id, rank"""
     SELECT cid, dim, CAST(sum(CAST(x AS DECIMAL(25,15))) AS DOUBLE) / count(*) AS m
     FROM (SELECT cid, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM $a)
     GROUP BY cid, dim) GROUP BY cid"""
+
+  /** Oracle mirror of [[ivfProbeRanks]] for the standard query
+    * relation (vec_id < nQ): the Lloyd chain (verbatim
+    * [[topkKmeansSql]] math), probe selection, and per-query
+    * rank ≤ k, ending in CTE `ivfvec` (query_id, doc_id, vec_rank).
+    * MATERIALIZED throughout — the batch retrieval oracle references
+    * the chain from several downstream CTEs, and DuckDB re-executes
+    * plain CTEs per reference. */
+  private[pipeline] def ivfProbeChainSql(nQ: Int, k: Int): String =
+    s"""ive AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ivc0 AS MATERIALIZED (
+  SELECT vec_id AS cid, v AS cv FROM ive WHERE vec_id < $KmK
+), iva1 AS MATERIALIZED (${assignSql("ive", "ivc0")}
+), ivc1 AS MATERIALIZED (${updateSql("iva1")}
+), iva2 AS MATERIALIZED (${assignSql("ive", "ivc1")}
+), ivc2 AS MATERIALIZED (${updateSql("iva2")}
+), ivcells AS MATERIALIZED (${assignSql("ive", "ivc2")}
+), ivq AS MATERIALIZED (
+  SELECT vec_id AS query_id, v AS qv FROM ive WHERE vec_id < $nQ
+), ivprobes AS MATERIALIZED (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        list_dot_product(c.cv, c.cv) - 2 * list_dot_product(q.qv, c.cv), c.cid) AS rn
+    FROM ivq q, ivc2 c) WHERE rn <= $KmProbe
+), ivfvec AS MATERIALIZED (
+  SELECT query_id, doc_id, CAST(row_number() OVER w AS INT) AS vec_rank
+  FROM (
+    SELECT q.query_id, a.vec_id AS doc_id,
+      list_dot_product(q.qv, a.v) /
+        (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))) AS sim
+    FROM ivq q
+    JOIN ivprobes p ON p.query_id = q.query_id
+    JOIN ivcells a ON a.cid = p.cid AND a.vec_id <> q.query_id
+  )
+  WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, doc_id)
+  QUALIFY row_number() OVER w <= $k
+)"""
 
   private val topkKmeansSql = {
     s"""WITH e AS (

@@ -12,14 +12,22 @@ package graft
 class PlanHygieneSpec extends SparkSpec {
 
   test("all registered queries plan cleanly: no cartesian, bounded exchanges") {
+    // per-query ceilings above the default 32 must be declared with a
+    // justification: search_batch_ivf_recall COMPOSES the two complete
+    // batch retrieval faces (brute + IVF-served, each a full lexical
+    // arm + vector arm + fusion) plus the Lloyd training chain — its
+    // static plan legitimately prints both pipelines (the cached ≤100-
+    // row face outputs still show their full subtrees pre-execution)
+    val exchangeCeil = Map("search_batch_ivf_recall" -> 96)
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
           val plan = fn(spark, Sf).queryExecution.executedPlan.toString
           val cart = "CartesianProduct".r.findAllIn(plan).size
           val exch = "Exchange".r.findAllIn(plan).size
+          val ceil = exchangeCeil.getOrElse(name, 32)
           if (cart > 0) Some(s"$name: $cart CartesianProduct node(s)")
-          else if (exch > 32) Some(s"$name: $exch exchanges (ceiling 32)")
+          else if (exch > ceil) Some(s"$name: $exch exchanges (ceiling $ceil)")
           else None
         } catch {
           case e: Throwable => Some(s"$name: failed to plan — ${e.getMessage}")
@@ -46,7 +54,7 @@ class PlanHygieneSpec extends SparkSpec {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.exchange.Exchange
-    import org.apache.spark.sql.execution.{ProjectExec, SortExec, FilterExec}
+    import org.apache.spark.sql.execution.{ProjectExec, SortExec, FilterExec, CoalesceExec}
     // AdaptiveSparkPlanExec is a LEAF node — a plain collect over the
     // executedPlan of an AQE query sees NOTHING below it (the round-8
     // version of this test silently matched zero windows in adaptive
@@ -83,7 +91,7 @@ class PlanHygieneSpec extends SparkSpec {
     @scala.annotation.tailrec
     def firstNonPassthrough(p: SparkPlan): SparkPlan = p match {
       case pt @ (_: ProjectExec | _: SortExec | _: FilterExec |
-                 _: Exchange | _: WindowExec) =>
+                 _: Exchange | _: WindowExec | _: CoalesceExec) =>
         firstNonPassthrough(pt.children.head)
       case other => other
     }
