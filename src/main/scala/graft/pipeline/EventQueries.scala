@@ -2590,9 +2590,15 @@ FROM conv"""
   private[graft] def paretoRanked(s: SparkSession, d: String): DataFrame = {
     val u = Tables.events(s, d)
       .groupBy("user_id").agg(count(lit(1)).as("x"))
-    val parted = u.repartitionByRange(
-        s.sessionState.conf.numShufflePartitions, col("x"), col("user_id"))
-      .withColumn("pid", spark_partition_id())
+    // cached for the same two reasons as GlobalRank.rankCore: the range
+    // sampler otherwise executes the input twice, and the two branches
+    // below (local ranks + per-pid counts) must see ONE materialization
+    // of the partitioning (RangePartitioner's sample seed is rdd-id-
+    // derived, so re-materialization can shift boundaries)
+    val parted = graft.pipeline.CachePool.cached(
+      u.repartitionByRange(
+          s.sessionState.conf.numShufflePartitions, col("x"), col("user_id"))
+        .withColumn("pid", spark_partition_id()))
     val wP = Window.partitionBy("pid").orderBy(col("x"), col("user_id"))
     val local = parted.withColumn("rn", row_number().over(wP).cast("long"))
     val counts = parted.groupBy("pid").agg(count(lit(1)).as("pc"))
@@ -2819,10 +2825,16 @@ FROM f"""
         lit(1L).as("delta"), col("user_id"))
       .unionByName(sess.select(col("session_end_ms").as("ms"),
         lit(-1L).as("delta"), col("user_id")))
-    val parted = bounds
-      .repartitionByRange(
-        s.sessionState.conf.numShufflePartitions, col("ms"), col("delta"), col("user_id"))
-      .withColumn("pid", spark_partition_id())
+    // cached for the same two reasons as GlobalRank.rankCore: the range
+    // sampler otherwise executes the input twice, and the two branches
+    // below (local ranks + per-pid counts) must see ONE materialization
+    // of the partitioning (RangePartitioner's sample seed is rdd-id-
+    // derived, so re-materialization can shift boundaries)
+    val parted = graft.pipeline.CachePool.cached(
+      bounds
+        .repartitionByRange(
+          s.sessionState.conf.numShufflePartitions, col("ms"), col("delta"), col("user_id"))
+        .withColumn("pid", spark_partition_id()))
     val wP = Window.partitionBy("pid")
       .orderBy(col("ms"), col("delta"), col("user_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

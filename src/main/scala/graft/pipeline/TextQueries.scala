@@ -675,10 +675,16 @@ ORDER BY lang, rank"""
     val counts = Tables.documents(s, d)
       .select(explode(toks).as("token"))
       .groupBy("token").agg(count(lit(1)).as("tf"))
-    val parted = counts
-      .repartitionByRange(
-        s.sessionState.conf.numShufflePartitions, col("tf").desc, col("token"))
-      .withColumn("pid", spark_partition_id())
+    // cached for the same two reasons as GlobalRank.rankCore: the range
+    // sampler otherwise executes the input twice, and the two branches
+    // below (local ranks + per-pid counts) must see ONE materialization
+    // of the partitioning (RangePartitioner's sample seed is rdd-id-
+    // derived, so re-materialization can shift boundaries)
+    val parted = graft.pipeline.CachePool.cached(
+      counts
+        .repartitionByRange(
+          s.sessionState.conf.numShufflePartitions, col("tf").desc, col("token"))
+        .withColumn("pid", spark_partition_id()))
     val wP = Window.partitionBy("pid")
       .orderBy(col("tf").desc, col("token"))
     val local = parted.withColumn("rn", row_number().over(wP).cast("long"))
@@ -1640,10 +1646,16 @@ ORDER BY chunk_md5"""
     // window is over one row per partition; the vocabulary itself is never sorted on
     // one task. (cnt, tok) is unique per vocab row, so ranks are total
     // and deterministic regardless of partition boundaries.
-    val parted = vocab
-      .repartitionByRange(
-        s.sessionState.conf.numShufflePartitions, col("cnt").desc, col("tok"))
-      .withColumn("pid", spark_partition_id())
+    // cached for the same two reasons as GlobalRank.rankCore: the range
+    // sampler otherwise executes the input twice, and the two branches
+    // below (local ranks + per-pid counts) must see ONE materialization
+    // of the partitioning (RangePartitioner's sample seed is rdd-id-
+    // derived, so re-materialization can shift boundaries)
+    val parted = graft.pipeline.CachePool.cached(
+      vocab
+        .repartitionByRange(
+          s.sessionState.conf.numShufflePartitions, col("cnt").desc, col("tok"))
+        .withColumn("pid", spark_partition_id()))
     val wP = Window.partitionBy("pid").orderBy(col("cnt").desc, col("tok"))
     val local = parted.withColumn("rn", row_number().over(wP).cast("long"))
     val counts = parted.groupBy("pid").agg(count(lit(1)).as("pc"))
@@ -1862,9 +1874,15 @@ GROUP BY doc_id ORDER BY doc_id"""
     val cells = scored.groupBy("score").agg(
       sum(when(col("lang") === "en", 1L).otherwise(0L)).as("np"),
       sum(when(col("lang") === "en", 0L).otherwise(1L)).as("nn"))
-    val parted = cells.repartitionByRange(
-        s.sessionState.conf.numShufflePartitions, col("score"))
-      .withColumn("pid", spark_partition_id())
+    // cached for the same two reasons as GlobalRank.rankCore: the range
+    // sampler otherwise executes the input twice, and the two branches
+    // below (local ranks + per-pid counts) must see ONE materialization
+    // of the partitioning (RangePartitioner's sample seed is rdd-id-
+    // derived, so re-materialization can shift boundaries)
+    val parted = graft.pipeline.CachePool.cached(
+      cells.repartitionByRange(
+          s.sessionState.conf.numShufflePartitions, col("score"))
+        .withColumn("pid", spark_partition_id()))
     val wP = Window.partitionBy("pid").orderBy("score")
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = parted
