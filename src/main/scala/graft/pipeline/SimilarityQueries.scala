@@ -516,7 +516,7 @@ ORDER BY query_id, rank"""
     * top-k face, the batch retrieval tier's vector arm) is a
     * bucket-pruned scan. Cleared with [[CachePool.release]] at corpus
     * lifecycle boundaries. */
-  private[pipeline] def ivfIndex(s: SparkSession, d: String)
+  private[graft] def ivfIndex(s: SparkSession, d: String)
       : (Seq[(Int, Seq[Double])], String) =
     CachePool.memoized(("ivfIndex", d)) {
       val table = "graft_ivf_cells_" + (d.hashCode & 0x7fffffff)
@@ -538,7 +538,7 @@ ORDER BY query_id, rank"""
     * probed buckets only — the shape a 100 TB serving tier runs per
     * request batch. Self-matches (doc_id = query_id) are excluded,
     * matching every ANN face's convention. */
-  private[pipeline] def ivfProbeRanks(s: SparkSession, d: String,
+  private[graft] def ivfProbeRanks(s: SparkSession, d: String,
       queries: DataFrame, k: Int): DataFrame = {
     import s.implicits._
     val (cents, table) = ivfIndex(s, d)

@@ -124,6 +124,63 @@ class Round13Spec extends SparkSpec {
       s"decorrelated face diverges from the literal Q21:\n$lit\nvs\n$fast")
   }
 
+  test("ivfProbeRanks: contiguous self-free ranks, candidates from probed cells only") {
+    import graft.pipeline.SimilarityQueries
+    val queries = Tables.embeddings(spark, Sf).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val (cents, table) = SimilarityQueries.ivfIndex(spark, Sf)
+    val got = SimilarityQueries.ivfProbeRanks(spark, Sf, queries, 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty)
+    // per query: ranks are exactly 1..n (n <= 20), no self-match
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val ranks = rows.map(_._3).sorted.toSeq
+      assert(ranks == (1 to rows.length), s"query $q ranks: $ranks")
+      assert(rows.length <= 20)
+      assert(!rows.exists(_._2 == q), s"query $q returned itself")
+    }
+    // every candidate lies in one of the query's nprobe=2 probed cells —
+    // re-derive the probe set from the centroids (same squared-L2
+    // expansion, cid tie-break) and the cell of each returned doc from
+    // the persisted store
+    val cellOf = graft.sources.BucketedStore.read(spark, table)
+      .select("vec_id", "cid").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qv = queries.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x * y }
+    got.foreach { case (q, doc, _) =>
+      val probed = cents
+        .map { case (cid, cv) => (dot(cv, cv) - 2 * dot(qv(q), cv), cid) }
+        .sorted.take(2).map(_._2).toSet
+      assert(probed.contains(cellOf(doc)),
+        s"query $q doc $doc cell ${cellOf(doc)} not in probed $probed")
+    }
+  }
+
+  test("search_batch_ivf_recall: internally consistent with the two faces") {
+    val brute = SparkEntry.queries("search_hybrid_rrf_batch")(spark, Sf)
+      .select("query_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val ivf = SparkEntry.queries("search_hybrid_rrf_batch_ivf")(spark, Sf)
+      .select("query_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    val recall = SparkEntry.queries("search_batch_ivf_recall")(spark, Sf)
+      .collect().map(r => (r.getInt(0).toLong,
+        (r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(recall.map(_._1).toSeq == (0L until 10L))
+    recall.foreach { case (q, (nExact, nHits, permille)) =>
+      val b = brute.getOrElse(q, Array.empty).map(_._2).toSet
+      val i = ivf.getOrElse(q, Array.empty).map(_._2).toSet
+      assert(nExact == b.size, s"query $q n_exact")
+      assert(nHits == b.intersect(i).size, s"query $q n_hits")
+      assert(nHits <= nExact)
+      assert(permille == nHits * 1000 / math.max(nExact, 1), s"query $q permille")
+    }
+  }
+
   test("classifier trainer: learned model beats the zero model") {
     // not a tautology: a broken update rule that never improves on
     // w = 0 (all-wrong) would fail here
