@@ -130,6 +130,35 @@ object StreamingEvents {
       }
   }
 
+  /** Streaming quality-classifier scoring — the train-batch /
+    * score-stream split ([[seasonalAnomalyStream]]'s discipline)
+    * applied to the trained linear model: the 16 learned weights
+    * arrive as LITERALS, and scoring is a PURE per-row fold over the
+    * token array (the same signed 16-bucket hashed features the batch
+    * trainer aggregates, computed per document with `aggregate()`
+    * instead of explode+groupBy — identical integer sums, order-free),
+    * so the stream needs NO state, no watermark, no shuffle: each
+    * arriving document is gated the moment it lands. `shiftright(h,4)`
+    * is the integral `h div 16` (h is a non-negative 60-bit hash), so
+    * bucket and sign match [[graft.pipeline.TextQueries]]'s batch
+    * featurizer bit-for-bit (StreamingSpec pins the parity). Needs
+    * doc_id / text columns. */
+  def classifierScoreStream(docs: DataFrame, w: Seq[Long]): DataFrame = {
+    require(w.length == 16, "expected the 16-bucket weight vector")
+    val toks = split(lower(col("text")), " ")
+    val warr = typedlit(w)
+    def contrib(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val hv = conv(substring(md5(concat(lit("emb:"), t)), 1, 15), 16, 10)
+        .cast("long")
+      val sgn = when(pmod(shiftright(hv, 4), lit(2L)) === 0L, 1L)
+        .otherwise(-1L)
+      element_at(warr, (pmod(hv, lit(16L)) + 1L).cast("int")) * sgn
+    }
+    docs.select(col("doc_id"),
+        aggregate(toks, lit(0L), (acc, t) => acc + contrib(t)).as("score"))
+      .withColumn("keep", col("score") > 0L)
+  }
+
   /** Streaming interval (time-band) join — the unbounded face of
     * `events_interval_join`, and Spark's canonical watermarked
     * stream-stream join: clicks and purchases are both streams, the

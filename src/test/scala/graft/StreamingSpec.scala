@@ -370,6 +370,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming classifier scoring: per-row fold equals the batch featurizer under the trained model") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the REAL trained pocket weights — the artifact the stream serves
+    val w = graft.pipeline.TextQueries.clfTrained(spark, Sf)._2
+    val mem = MemoryStream[(Long, String)]
+    def typed(df: org.apache.spark.sql.DataFrame) = df.toDF("doc_id", "text")
+    val q = StreamingEvents.classifierScoreStream(typed(mem.toDF()), w)
+      .writeStream.format("memory").queryName("clf_stream")
+      .outputMode("append").start()
+    val docs = Seq(
+      (1L, "the quick brown fox jumps of the wall and it is that for it"),
+      (2L, "el zorro rapido salta la pared y que en un es se no de la"),
+      (3L, "der schnelle fuchs springt und zu den von ist mit nicht"),
+      (4L, ""), // single empty token — both paths must hash it identically
+      (5L, "the the the the of of and to in is a that for it"))
+    try {
+      mem.addData(docs.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("clf_stream").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      // batch mirror: the trainer's explode+groupBy featurization on the
+      // same rows, scored with the same weights — distributed aggregate
+      // vs per-row fold must agree exactly (integer sums, order-free)
+      val hd = 16
+      val feats = docs.toDF("doc_id", "text")
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+        .select(col("doc_id"),
+          conv(substring(md5(concat(lit("emb:"), col("tok"))), 1, 15), 16, 10)
+            .cast("long").as("h"))
+        .select(col("doc_id"), pmod(col("h"), lit(hd.toLong)).as("bucket"),
+          when(pmod(expr(s"h div $hd"), lit(2)) === 0, 1L)
+            .otherwise(-1L).as("sgn"))
+        .groupBy("doc_id")
+        .agg(
+          sum(when(col("bucket") === 0, col("sgn")).otherwise(0L)).as("v0"),
+          (1 until hd).map(j =>
+            sum(when(col("bucket") === j, col("sgn")).otherwise(0L)).as(s"v$j")): _*)
+      val batch = docs.map { case (id, _) => id }.map { id =>
+        val row = feats.filter(col("doc_id") === id).head()
+        val score = (0 until hd).map(j => w(j) * row.getLong(1 + j)).sum
+        id -> ((score, score > 0L))
+      }.toMap
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    } finally q.stop()
+  }
+
   test("streaming SCD2: closed intervals match the batch history's closed rows") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
