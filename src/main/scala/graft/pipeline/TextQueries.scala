@@ -1997,29 +1997,33 @@ FROM c"""
     * fewest-mistakes round, tie → earliest). Exactly
     * [[ClfRounds]] + 1 driver actions (the feature checkpoint + one
     * 18-column aggregate row per round). */
+  private def clfTrainLoop(feat0: DataFrame)
+      : (Seq[(Int, Long, Long, Seq[Long])], Seq[Long]) = {
+    val feat = feat0.localCheckpoint()
+    val w = Array.fill(HashEmbD)(0L)
+    val hist = Seq.newBuilder[(Int, Long, Long, Seq[Long])]
+    var pocket = (Long.MaxValue, w.toSeq)
+    for (r <- 1 to ClfRounds) {
+      val score = (0 until HashEmbD).map(j => lit(w(j)) * col(s"v$j"))
+        .reduce(_ + _)
+      val wrong = col("y") * score <= 0L
+      val aggs = count(lit(1)).as("n") +:
+        sum(when(wrong, 1L).otherwise(0L)).as("nw") +:
+        (0 until HashEmbD).map(j =>
+          sum(when(wrong, col("y") * col(s"v$j")).otherwise(0L)).as(s"g$j"))
+      val row = feat.agg(aggs.head, aggs.tail: _*).head()
+      val n = row.getLong(0); val nw = row.getLong(1)
+      if (nw < pocket._1) pocket = (nw, w.toSeq)
+      val step = 1L << (ClfRounds - r)
+      (0 until HashEmbD).foreach(j => w(j) += row.getLong(2 + j) * step)
+      hist += ((r, n, nw, w.toSeq))
+    }
+    (hist.result(), pocket._2)
+  }
   private[graft] def clfTrained(s: SparkSession, d: String)
       : (Seq[(Int, Long, Long, Seq[Long])], Seq[Long]) =
     CachePool.memoized(("clf", d, ClfRounds)) {
-      val feat = clfFeatures(s, d).localCheckpoint()
-      val w = Array.fill(HashEmbD)(0L)
-      val hist = Seq.newBuilder[(Int, Long, Long, Seq[Long])]
-      var pocket = (Long.MaxValue, w.toSeq)
-      for (r <- 1 to ClfRounds) {
-        val score = (0 until HashEmbD).map(j => lit(w(j)) * col(s"v$j"))
-          .reduce(_ + _)
-        val wrong = col("y") * score <= 0L
-        val aggs = count(lit(1)).as("n") +:
-          sum(when(wrong, 1L).otherwise(0L)).as("nw") +:
-          (0 until HashEmbD).map(j =>
-            sum(when(wrong, col("y") * col(s"v$j")).otherwise(0L)).as(s"g$j"))
-        val row = feat.agg(aggs.head, aggs.tail: _*).head()
-        val n = row.getLong(0); val nw = row.getLong(1)
-        if (nw < pocket._1) pocket = (nw, w.toSeq)
-        val step = 1L << (ClfRounds - r)
-        (0 until HashEmbD).foreach(j => w(j) += row.getLong(2 + j) * step)
-        hist += ((r, n, nw, w.toSeq))
-      }
-      (hist.result(), pocket._2)
+      clfTrainLoop(clfFeatures(s, d))
     }
   private val classifierTrain: Q = (s, d) => {
     val rows = clfTrained(s, d)._1.map { case (r, n, nw, w) =>
@@ -2054,6 +2058,54 @@ FROM c"""
       .select(col("doc_id"), score.as("score"), (score > 0L).as("keep"))
       .orderBy("doc_id")
   }
+  /** The `text_sample_split` hash gate (same "split:" salt), as the
+    * 0–99 bucket: <80 train, 80–89 val (reserved, untouched), ≥90
+    * held-out test. */
+  private def clfSplitBucket: Column =
+    pmod(DupCorpus.h60(concat(lit("split:"),
+      col("doc_id").cast("string"))), lit(100L))
+  /** Trainer fitted on the TRAIN split only — the model the held-out
+    * eval scores. Memoized separately from [[clfTrained]] (different
+    * training corpus → different weights). */
+  private def clfEvalTrained(s: SparkSession, d: String)
+      : (Seq[(Int, Long, Long, Seq[Long])], Seq[Long]) =
+    CachePool.memoized(("clfEval", d, ClfRounds)) {
+      clfTrainLoop(clfFeatures(s, d)
+        .withColumn("bucket", clfSplitBucket)
+        .filter(col("bucket") < 80).drop("bucket"))
+    }
+  /** Held-out generalization eval — the train/test discipline an
+    * actual quality-filter deployment needs ([[classifierTrain]]'s
+    * accuracy is TRAIN accuracy; an overfit filter looks perfect
+    * there and still mislabels fresh crawl): fit the same
+    * integer-exact trainer on the 80% hash split, then score BOTH
+    * splits with the pocket model in one aggregate — train vs
+    * held-out accuracy side by side is the overfitting readout. The
+    * 80–89 val bucket stays untouched (reserved for model selection).
+    * Margin ≤ 0 counts wrong, matching the trainer. One extra corpus
+    * aggregate on top of the training rounds; the oracle refits the
+    * split model as its own chained-CTE replay. */
+  private val classifierEval: Q = (s, d) => {
+    val w = clfEvalTrained(s, d)._2
+    val score = (0 until HashEmbD).map(j => lit(w(j)) * col(s"v$j"))
+      .reduce(_ + _)
+    val wrong = col("y") * score <= 0L
+    val isTr = col("bucket") < 80
+    val isTe = col("bucket") >= 90
+    clfFeatures(s, d).withColumn("bucket", clfSplitBucket)
+      .agg(
+        sum(when(isTr, 1L).otherwise(0L)).as("n_train"),
+        sum(when(isTe, 1L).otherwise(0L)).as("n_test"),
+        sum(when(isTr && wrong, 1L).otherwise(0L)).as("train_wrong"),
+        sum(when(isTe && wrong, 1L).otherwise(0L)).as("test_wrong"))
+      .select(col("n_train"), col("n_test"),
+        col("train_wrong"), col("test_wrong"),
+        expr("(n_train - train_wrong) * 1000000 div greatest(n_train, 1)")
+          .as("train_acc_ppm"),
+        expr("(n_test - test_wrong) * 1000000 div greatest(n_test, 1)")
+          .as("test_acc_ppm"))
+  }
+
   /** Shared oracle head: the per-doc labeled feature relation. */
   private def clfFeatSql: String = {
     val h = OraclePipeline.h60Sql("'emb:' || tok")
@@ -2067,7 +2119,10 @@ FROM c"""
     CASE WHEN (h // $HashEmbD) % 2 = 0 THEN 1 ELSE -1 END AS sgn
   FROM (SELECT doc_id, lang, $h AS h FROM tok)
 ), feat AS MATERIALIZED (
-  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+  SELECT doc_id,
+    ${OraclePipeline.h60Sql("'split:' || CAST(doc_id AS VARCHAR)")} % 100
+      AS bucket,
+    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
     $vs
   FROM fh GROUP BY doc_id, lang
 )"""
@@ -2077,7 +2132,10 @@ FROM c"""
     * the round's 18-column aggregate, w_i = w_{i−1} + 2^(T−i)·g_i;
     * `pocket` re-derives the fewest-mistakes starting weights from
     * the tagged union of the weight relations. */
-  private def clfChainSql: String = {
+  /** The training rounds + pocket CTEs over the named feature source
+    * (`feat` for the full-corpus trainer, `tfeat` for the held-out
+    * eval's train-split trainer). */
+  private def clfRoundsSql(src: String): String = {
     val w0 = (0 until HashEmbD).map(j => s"CAST(0 AS BIGINT) AS w$j")
       .mkString(", ")
     val rounds = (1 to ClfRounds).map { i =>
@@ -2090,7 +2148,7 @@ FROM c"""
       val ws = (0 until HashEmbD).map(j => s"w.w$j + g.g$j * $step AS w$j")
         .mkString(", ")
       s"""s$i AS MATERIALIZED (
-  SELECT f.*, f.y * ($score) AS m FROM feat f, w${i - 1} w
+  SELECT f.*, f.y * ($score) AS m FROM $src f, w${i - 1} w
 ), g$i AS MATERIALIZED (
   SELECT count(*) AS n, sum(CASE WHEN m <= 0 THEN 1 ELSE 0 END) AS n_wrong,
     $gs
@@ -2106,7 +2164,7 @@ FROM c"""
       s"SELECT $i AS r, * FROM w${i - 1}").mkString("\n  UNION ALL\n  ")
     val metrics = (1 to ClfRounds).map(i =>
       s"SELECT $i AS r, n_wrong FROM g$i").mkString("\n  UNION ALL\n  ")
-    s"""WITH $clfFeatSql, w0 AS (SELECT $w0), ${rounds.mkString(", ")},
+    s"""w0 AS (SELECT $w0), ${rounds.mkString(", ")},
 wall AS (
   $wall
 ), best AS (
@@ -2117,6 +2175,8 @@ wall AS (
   SELECT wall.* FROM wall, best WHERE wall.r = best.r
 )"""
   }
+  private def clfChainSql: String =
+    s"""WITH $clfFeatSql, ${clfRoundsSql("feat")}"""
   private val classifierTrainSql = {
     val wsel = (0 until HashEmbD).map(j => s"CAST(w.w$j AS BIGINT) AS w$j")
       .mkString(", ")
@@ -2138,6 +2198,30 @@ ORDER BY train_round"""
 SELECT doc_id, CAST(score AS BIGINT) AS score, (score > 0) AS keep
 FROM (SELECT f.doc_id, ($score) AS score FROM feat f, pocket w)
 ORDER BY doc_id"""
+  }
+  private val classifierEvalSql = {
+    val score = (0 until HashEmbD).map(j => s"w.w$j * f.v$j").mkString(" + ")
+    s"""WITH $clfFeatSql, tfeat AS MATERIALIZED (
+  SELECT * FROM feat WHERE bucket < 80
+), ${clfRoundsSql("tfeat")}, sc AS (
+  SELECT f.bucket, f.y * ($score) AS m FROM feat f, pocket w
+)
+SELECT
+  CAST(sum(CASE WHEN bucket < 80 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+  CAST(sum(CASE WHEN bucket >= 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_test,
+  CAST(sum(CASE WHEN bucket < 80 AND m <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS train_wrong,
+  CAST(sum(CASE WHEN bucket >= 90 AND m <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS test_wrong,
+  CAST((sum(CASE WHEN bucket < 80 THEN 1 ELSE 0 END)
+      - sum(CASE WHEN bucket < 80 AND m <= 0 THEN 1 ELSE 0 END)) * 1000000
+    // greatest(sum(CASE WHEN bucket < 80 THEN 1 ELSE 0 END), 1) AS BIGINT)
+    AS train_acc_ppm,
+  CAST((sum(CASE WHEN bucket >= 90 THEN 1 ELSE 0 END)
+      - sum(CASE WHEN bucket >= 90 AND m <= 0 THEN 1 ELSE 0 END)) * 1000000
+    // greatest(sum(CASE WHEN bucket >= 90 THEN 1 ELSE 0 END), 1) AS BIGINT)
+    AS test_acc_ppm
+FROM sc"""
   }
 
   // -------------------------------------------------- DSIR importance weight
@@ -2529,6 +2613,7 @@ GROUP BY doc_id ORDER BY doc_id"""
     "text_classifier_auc" -> classifierAuc,
     "text_classifier_train" -> classifierTrain,
     "text_classifier_score_trained" -> classifierScoreTrained,
+    "text_classifier_eval" -> classifierEval,
     "text_dsir_weights" -> dsirWeights,
     "text_shuffle_shards" -> shuffleShards)
 
@@ -2577,6 +2662,7 @@ GROUP BY doc_id ORDER BY doc_id"""
     "text_classifier_auc" -> classifierAucSql,
     "text_classifier_train" -> classifierTrainSql,
     "text_classifier_score_trained" -> classifierScoreTrainedSql,
+    "text_classifier_eval" -> classifierEvalSql,
     "text_dsir_weights" -> dsirWeightsSql,
     "text_shuffle_shards" -> shuffleShardsSql)
 }

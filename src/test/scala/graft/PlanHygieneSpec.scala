@@ -18,16 +18,40 @@ class PlanHygieneSpec extends SparkSpec {
     // arm + vector arm + fusion) plus the Lloyd training chain — its
     // static plan legitimately prints both pipelines (the cached ≤100-
     // row face outputs still show their full subtrees pre-execution)
-    val exchangeCeil = Map("search_batch_ivf_recall" -> 96)
+    // STRUCTURAL counts, not string matches: a cached subtree prints
+    // once per InMemoryTableScan reference, so occurrence counts over
+    // toString vary with whether an earlier suite already registered
+    // the cache. Exchanges are counted per EXECUTION — descending
+    // through AQE leaves but not into cached relations (those
+    // materialize once and amortize; their build cost is their own
+    // plan's business). Cartesians are counted EVERYWHERE, cached
+    // subtrees included — an all-pairs product is never acceptable.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.Exchange
+    import org.apache.spark.sql.execution.joins.CartesianProductExec
+    def unwrapA(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case o => o
+    }
+    def exchanges(p: SparkPlan): Int = unwrapA(p).collect {
+      case _: Exchange => 1
+      case a: AdaptiveSparkPlanExec => exchanges(a)
+    }.sum
+    def cartesians(p: SparkPlan): Int = unwrapA(p).collect {
+      case _: CartesianProductExec => 1
+      case a: AdaptiveSparkPlanExec => cartesians(a)
+      case s: InMemoryTableScanExec => cartesians(s.relation.cachedPlan)
+    }.sum
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
         try {
-          val plan = fn(spark, Sf).queryExecution.executedPlan.toString
-          val cart = "CartesianProduct".r.findAllIn(plan).size
-          val exch = "Exchange".r.findAllIn(plan).size
-          val ceil = exchangeCeil.getOrElse(name, 32)
+          val plan = fn(spark, Sf).queryExecution.executedPlan
+          val cart = cartesians(plan)
+          val exch = exchanges(plan)
           if (cart > 0) Some(s"$name: $cart CartesianProduct node(s)")
-          else if (exch > ceil) Some(s"$name: $exch exchanges (ceiling $ceil)")
+          else if (exch > 32) Some(s"$name: $exch exchanges (ceiling 32)")
           else None
         } catch {
           case e: Throwable => Some(s"$name: failed to plan — ${e.getMessage}")

@@ -181,6 +181,19 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("classifier held-out eval: splits partition the corpus, ratios consistent") {
+    val row = SparkEntry.queries("text_classifier_eval")(spark, Sf).head()
+    val (nTr, nTe, trW, teW, trAcc, teAcc) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
+    val total = Tables.documents(spark, Sf).count()
+    // 80/10/10 hash split: train + test < total (val bucket reserved),
+    // and both splits non-trivial on 500 docs
+    assert(nTr + nTe < total && nTr > 0 && nTe > 0)
+    assert(trW <= nTr && teW <= nTe)
+    assert(trAcc == (nTr - trW) * 1000000L / nTr)
+    assert(teAcc == (nTe - teW) * 1000000L / nTe)
+  }
+
   test("classifier trainer: learned model beats the zero model") {
     // not a tautology: a broken update rule that never improves on
     // w = 0 (all-wrong) would fail here
