@@ -181,6 +181,31 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("GlobalRank: gapless ranks even with exchange reuse DISABLED") {
+    // the round-10 structural guarantee: rank-id consistency across the
+    // stats/probe branches must NOT depend on AQE deduplicating the
+    // range exchange (RangePartitioner's sample seed is rdd-id-derived,
+    // so two materializations draw different boundaries) — the keyed
+    // cache pins one materialization regardless of optimizer courtesy
+    import spark.implicits._
+    val key = "spark.sql.exchange.reuse"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key, "false")
+      val df = (1 to 4000).map(i => ((i * 2654435761L) % 89, i.toLong))
+        .toDF("m", "id")
+      val r = graft.operators.GlobalRank
+        .withRank(df, Seq(col("m"), col("id")), "r", 11)
+      assert(r.count() == 4000L)
+      assert(r.select("r").distinct().count() == 4000L, "duplicate ranks")
+      val mm = r.agg(min("r"), max("r")).head()
+      assert(mm.getLong(0) == 1L && mm.getLong(1) == 4000L)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("classifier held-out eval: splits partition the corpus, ratios consistent") {
     val row = SparkEntry.queries("text_classifier_eval")(spark, Sf).head()
     val (nTr, nTe, trW, teW, trAcc, teAcc) = (row.getLong(0), row.getLong(1),
