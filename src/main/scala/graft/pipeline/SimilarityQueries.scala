@@ -506,6 +506,71 @@ ORDER BY query_id, rank"""
     e.unpersist()
     cents
   }
+  // ------------------------------------------------- IVF index upsert
+  /** Incremental IVF index maintenance — absorbing a new vector batch
+    * WITHOUT re-clustering (what a serving index actually does between
+    * nightly retrains): the coarse quantizer trains on the BASE corpus
+    * only (vec_id % 10 ≠ 9 — a deterministic 10% stands in for today's
+    * delta), the delta batch is then assigned to the FROZEN cells by
+    * the same argmin projection (a broadcast-literal `least()` — zero
+    * shuffle of either corpus), and the face emits the per-cell
+    * census plus the delta's summed squared quantization distance —
+    * the drift signal that decides when re-clustering is due (rising
+    * d² = the frozen centroids no longer fit the incoming
+    * distribution). At 100 TB the delta append is partition-scoped on
+    * cid (the metadata-merge K2 discipline applied to the index
+    * store); base vectors are never touched or re-shuffled. Distances
+    * are the same ‖c‖²−2·v·c expansion as every Lloyd face, restored
+    * to true d² by adding v·v, and accumulate as DECIMAL(25,15)
+    * (order-free) — hash-exact cross-engine. */
+  private val indexUpsert: Q = (s, d) => {
+    val e = embDouble(s, d).select(col("vec_id"), col("v"))
+    val base = CachePool.cached(e.filter(pmod(col("vec_id"), lit(10L)) =!= 9L))
+    val cents = kmeansCentroids(s, base)
+    val win = cellMin(cents)
+    val d2 = (win.getField("d") + dot(col("v"), col("v")))
+      .cast("decimal(25,15)")
+    val isNew = pmod(col("vec_id"), lit(10L)) === 9L
+    e.select(col("vec_id"), win.getField("cid").as("cid"), d2.as("d2"),
+        isNew.as("is_new"))
+      .groupBy("cid")
+      .agg(sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        round(sum(when(col("is_new"), col("d2"))
+          .otherwise(lit(0).cast("decimal(25,15)"))).cast("double"), 4)
+          .as("new_d2_sum"))
+      .orderBy("cid")
+  }
+  private val indexUpsertSql =
+    s"""WITH ive AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), base AS MATERIALIZED (
+  SELECT * FROM ive WHERE vec_id % 10 <> 9
+), bc0 AS MATERIALIZED (
+  SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < $KmK
+), ba1 AS MATERIALIZED (${assignSql("base", "bc0")}
+), bc1 AS MATERIALIZED (${updateSql("ba1")}
+), ba2 AS MATERIALIZED (${assignSql("base", "bc1")}
+), bc2 AS MATERIALIZED (${updateSql("ba2")}
+), cellsd AS MATERIALIZED (
+  SELECT vec_id, cid,
+    CAST(dmin + list_dot_product(v, v) AS DECIMAL(25,15)) AS d2,
+    vec_id % 10 = 9 AS is_new
+  FROM (
+    SELECT e.vec_id, e.v, c.cid,
+      list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv) AS dmin,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv),
+        c.cid) AS rn
+    FROM ive e, bc2 c) WHERE rn = 1
+)
+SELECT CAST(cid AS INT) AS cid,
+  CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS n_base,
+  CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+  round(CAST(sum(CASE WHEN is_new THEN d2
+    ELSE CAST(0 AS DECIMAL(25,15)) END) AS DOUBLE), 4) AS new_d2_sum
+FROM cellsd GROUP BY cid ORDER BY cid"""
+
   /** Memoized per-dataset IVF index: the Lloyd centroids plus the
     * bucketed cell table (corpus-scoped name, so two datasets in one
     * session cannot alias each other's store) — built ONCE per
@@ -1687,6 +1752,7 @@ ORDER BY e.query_id"""
     "ann_topk_ivf" -> topkIvf,
     "ann_topk_ivf_kmeans" -> topkKmeans,
     "ann_topk_ivf_bucketed" -> topkKmeansBucketed,
+    "ann_index_upsert" -> indexUpsert,
     "ann_topk_lsh" -> topkLsh,
     "ann_topk_pq" -> topkPq,
     "ann_topk_ivfpq" -> topkIvfPq,
@@ -1712,6 +1778,7 @@ ORDER BY e.query_id"""
     "ann_topk_ivf_kmeans" -> topkKmeansSql,
     // same math, different physical path (persisted bucket-pruned index)
     "ann_topk_ivf_bucketed" -> topkKmeansSql,
+    "ann_index_upsert" -> indexUpsertSql,
     "ann_topk_lsh" -> topkLshSql,
     "ann_topk_pq" -> topkPqSql,
     "ann_topk_ivfpq" -> topkIvfPqSql,

@@ -160,6 +160,23 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  test("ann_index_upsert: census conserves both corpora, delta never retrains") {
+    val rows = SparkEntry.queries("ann_index_upsert")(spark, Sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    val e = Tables.embeddings(spark, Sf)
+    val total = e.count()
+    val nNew = e.filter(col("vec_id") % 10 === 9).count()
+    assert(rows.map(_._2).sum == total - nNew, "base vectors conserved")
+    assert(rows.map(_._3).sum == nNew, "delta vectors conserved")
+    // quantization distance is non-negative, and zero only for cells
+    // that received no delta
+    rows.foreach { case (cid, _, nn, d2) =>
+      assert(d2 >= 0.0, s"cell $cid d2")
+      if (nn == 0) assert(d2 == 0.0, s"cell $cid empty-delta d2")
+    }
+  }
+
   test("search_batch_ivf_recall: internally consistent with the two faces") {
     val brute = SparkEntry.queries("search_hybrid_rrf_batch")(spark, Sf)
       .select("query_id", "doc_id").collect()
