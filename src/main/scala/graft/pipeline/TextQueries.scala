@@ -2371,12 +2371,16 @@ FROM a GROUP BY shard ORDER BY shard"""
     * against all predecessors in (count desc, l, r) order, picked or
     * not — a deterministic anti-chain, expressible as a NOT EXISTS
     * self-join in the oracle, unlike greedy pick-conditional
-    * selection). Disjoint-symbol merges cannot create or destroy each
-    * other's pair occurrences, so the batch is order-insensitive in
-    * counts; the replaces are still APPLIED in rank order on both
-    * engines (pinning the one residual interaction: a merged symbol
-    * colliding with a later pair's spelling). Effective merges per
-    * driver action: ~[[BpeBatch]]/2 instead of 1/2.
+    * selection), and additionally iff no earlier candidate's merged
+    * spelling l2+r2 equals one of its symbols (round 10, closing
+    * ADVICE r9 #3's residual interaction: a merged symbol colliding
+    * with a later pick's spelling could otherwise merge occurrences
+    * that did not exist at count time). With both guards, same-batch
+    * merges can neither create nor destroy each other's pair
+    * occurrences — counts are exact and the batch is fully
+    * order-insensitive; the replaces are still APPLIED in rank order
+    * on both engines (cosmetic once non-interacting). Effective
+    * merges per driver action: ~[[BpeBatch]]/2 instead of 1/2.
     *
     * Merge semantics (documented deviation, ADVICE r8 #3): the
     * space-sentinel `replace(' l r ', ' lr ')` is leftmost
@@ -2407,13 +2411,20 @@ FROM a GROUP BY shard ORDER BY shard"""
         concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")))
   /** Anti-chain selection over the ranked candidate list: keep a
     * candidate iff no EARLIER candidate (by rank, selected or not)
-    * shares a symbol with it; take the first `m` keepers. Mirrors the
-    * oracle's NOT-EXISTS-over-predecessors exactly. */
+    * shares a symbol with it OR spells, as its concatenation l2+r2, one
+    * of this candidate's symbols (ADVICE r9 #3: without the spelling
+    * guard, a higher-ranked pick whose merged symbol equals an existing
+    * symbol lets a lower-ranked pick merge occurrences that did not
+    * exist at count time). Take the first `m` keepers. With both
+    * guards, same-batch merges can neither create nor destroy each
+    * other's pair occurrences — counts are exact, order-insensitive.
+    * Mirrors the oracle's NOT-EXISTS-over-predecessors exactly. */
   private[graft] def bpeSelect(cands: Seq[(String, String, Long)],
       m: Int): Seq[(String, String, Long)] =
     cands.zipWithIndex.filter { case ((l, r, _), i) =>
       !cands.take(i).exists { case (l2, r2, _) =>
-        l2 == l || l2 == r || r2 == l || r2 == r }
+        l2 == l || l2 == r || r2 == l || r2 == r ||
+          (l2 + r2) == l || (l2 + r2) == r }
     }.map(_._1).take(m)
   private def bpeTrained(s: SparkSession, d: String)
       : (Seq[(Int, Int, String, String, Long)], DataFrame, Int) =
@@ -2516,7 +2527,8 @@ FROM a GROUP BY shard ORDER BY shard"""
   SELECT l, r, cnt, row_number() OVER (ORDER BY rk) AS pk
   FROM c$i c
   WHERE NOT EXISTS (SELECT 1 FROM c$i c2 WHERE c2.rk < c.rk
-    AND (c2.l = c.l OR c2.l = c.r OR c2.r = c.l OR c2.r = c.r))
+    AND (c2.l = c.l OR c2.l = c.r OR c2.r = c.l OR c2.r = c.r
+         OR c2.l || c2.r = c.l OR c2.l || c2.r = c.r))
   QUALIFY pk <= $BpeBatch
 ), s$i AS MATERIALIZED (
   SELECT word, freq, $reps AS symseq

@@ -37,6 +37,13 @@ class Round13Spec extends SparkSpec {
     // DIFFERENT-symbol successors, but does block any pair sharing x
     val rep = Seq(("x", "x", 5L), ("x", "y", 4L), ("p", "q", 3L))
     assert(bpeSelect(rep, 12) == Seq(("x", "x", 5L), ("p", "q", 3L)))
+    // the round-10 spelling guard: a candidate whose SYMBOL equals an
+    // earlier candidate's merged spelling l2+r2 is blocked — its
+    // occurrences of that symbol did not exist at count time
+    val spell = Seq(("a", "b", 10L), ("ab", "c", 9L), ("d", "ab", 8L),
+      ("p", "q", 7L))
+    assert(bpeSelect(spell, 12) == Seq(("a", "b", 10L), ("p", "q", 7L)),
+      "candidates spelling a predecessor's merge must be blocked")
   }
 
   // ------------------------------------------------ BPE scale contract
