@@ -394,7 +394,7 @@ ORDER BY query_id, rank"""
     * centroid means are decimal-exact sums (order-independent) cast to
     * double once, divided in double — so Spark and DuckDB walk
     * identical centroid trajectories. */
-  private val KmK = 8; private val KmIters = 2; private val KmProbe = 2
+  private[graft] val KmK = 8; private val KmIters = 2; private[graft] val KmProbe = 2
 
   /** Assignment as a PURE PROJECTION: the k centroids are driver-side
     * model state, so the argmin is `least()` over k (distance, cid)

@@ -159,6 +159,77 @@ object StreamingEvents {
       .withColumn("keep", col("score") > 0L)
   }
 
+  case class AnnHit(query_id: Long, doc_id: Long, rank: Int, sim: Double)
+  case class AnnState(tsMs: Long, top: List[(Long, Double)])
+
+  /** Streaming ANN serving — the ONLINE face of the IVF retrieval
+    * tier: query vectors arrive as a stream, probe the PERSISTED
+    * bucketed cell index ([[graft.pipeline.SimilarityQueries.ivfIndex]],
+    * built once, frozen), and each query's exact-cosine top-k over its
+    * nprobe cells is emitted when the watermark closes the query.
+    * The probe-cell selection is a PURE projection (the k coarse
+    * centroids are literals — `array_sort` over k (distance, cid)
+    * structs, same ‖c‖²−2·q·c expansion and cid tie-break as the
+    * batch probe, so the probed set is identical); candidates come
+    * from ONE stream-static equi-join against the cell table (the
+    * bucket-pruned scan at rest — stateless); only the top-k
+    * accumulator is stateful: ≤ k (doc, sim) pairs per open query,
+    * emitted once at `query ts + delay` (watermark+1 guard — the
+    * curation discipline) and removed. State is O(open queries × k),
+    * never candidates. Parity vs the batch
+    * [[graft.pipeline.SimilarityQueries.ivfProbeRanks]] is pinned in
+    * StreamingSpec. Needs query_id / ts / qv columns. */
+  def annServeStream(queries: DataFrame,
+      s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int = 5, delayMs: Long = 7200000L): Dataset[AnnHit] = {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val (cents, table) = graft.pipeline.SimilarityQueries.ivfIndex(s, d)
+    val nprobe = graft.pipeline.SimilarityQueries.KmProbe
+    val probeArr = array_sort(array(cents.map { case (cid, cv) =>
+      val norm2 = cv.foldLeft(0.0)((a, x) => a + x * x)
+      struct(
+        (lit(norm2) - lit(2) *
+          call_function("graft_dot", col("qv"), typedlit(cv))).as("d"),
+        lit(cid).as("cid"))
+    }: _*))
+    val probed = queries.withWatermark("ts", s"$delayMs milliseconds")
+      .select(col("query_id"), col("ts"), col("qv"),
+        explode(slice(probeArr, 1, nprobe)).as("p"))
+      .select(col("query_id"), col("ts"), col("qv"),
+        col("p.cid").as("probe_cid"))
+    val cells = graft.sources.BucketedStore.read(s, table)
+    probed.join(cells,
+        col("probe_cid") === col("cid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("ts"), col("vec_id").as("doc_id"),
+        call_function("graft_cosine", col("qv"), col("v")).as("sim"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AnnState, AnnHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (qid, it, state) =>
+          if (state.hasTimedOut) {
+            val out = state.get.top.sortBy { case (doc, sim) => (-sim, doc) }
+              .zipWithIndex.map { case ((doc, sim), i) =>
+                AnnHit(qid, doc, i + 1, sim) }
+            state.remove()
+            out.iterator
+          } else {
+            val prev = state.getOption.getOrElse(AnnState(0L, Nil))
+            var (ts, top) = (prev.tsMs, prev.top)
+            it.foreach { case (_, t, doc, sim) =>
+              ts = math.max(ts, t.getTime)
+              top = ((doc, sim) :: top)
+                .sortBy { case (dc, sm) => (-sm, dc) }.take(k)
+            }
+            state.update(AnnState(ts, top))
+            state.setTimeoutTimestamp(math.max(
+              ts + delayMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming interval (time-band) join — the unbounded face of
     * `events_interval_join`, and Spark's canonical watermarked
     * stream-stream join: clicks and purchases are both streams, the
