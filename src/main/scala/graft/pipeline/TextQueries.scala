@@ -486,6 +486,54 @@ GROUP BY lang, shard, bin_id
 ORDER BY lang, shard, bin_id"""
   }
 
+  // ------------------------------------------------------ BPE fertility
+  /** Tokenizer-quality readout under the TRAINED vocabulary — per-
+    * language fertility (subwords per word) and compression (chars per
+    * subword), the standard tokenizer evaluation (Rust et al. 2021's
+    * fertility metric, public): a vocabulary trained mostly on one
+    * language tokenizes the others into more, shorter pieces, and this
+    * face is where that shows up. Ratios are integer ppm (`div`, no
+    * doubles), so both engines agree bit-for-bit. Same broadcast
+    * word→subword-count lookup as [[seqPackBpe]] — the corpus is
+    * scanned once and never re-tokenized by the model; output is one
+    * row per language. */
+  private val bpeFertility: Q = (s, d) => {
+    val wordSyms = bpeTrained(s, d)._2
+      .select(col("word"),
+        size(split(trim(col("symseq")), " ")).cast("long").as("n_syms"))
+    Tables.documents(s, d)
+      .select(col("lang"), explode(toks).as("word"))
+      .filter(col("word") =!= "")
+      .join(broadcast(wordSyms), "word")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_syms").as("n_subwords"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("lang"), col("n_words"), col("n_subwords"), col("n_chars"),
+        expr("n_subwords * 1000000 div n_words").as("fertility_ppm"),
+        expr("n_chars * 1000000 div n_subwords").as("chars_per_subword_ppm"))
+      .orderBy("lang")
+  }
+  private lazy val bpeFertilitySql =
+    s"""$bpeChainSql, wf AS (
+  SELECT word, CAST(len(string_split(trim(symseq), ' ')) AS BIGINT) AS n_syms
+  FROM s$BpeRounds
+), fwords AS (
+  SELECT lang, word FROM (
+    SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+    FROM documents)
+  WHERE word <> ''
+), fj AS (
+  SELECT lang, n_syms, CAST(length(word) AS BIGINT) AS wlen
+  FROM fwords JOIN wf USING (word)
+)
+SELECT lang, count(*) AS n_words,
+  CAST(sum(n_syms) AS BIGINT) AS n_subwords,
+  CAST(sum(wlen) AS BIGINT) AS n_chars,
+  CAST(sum(n_syms) * 1000000 // count(*) AS BIGINT) AS fertility_ppm,
+  CAST(sum(wlen) * 1000000 // sum(n_syms) AS BIGINT) AS chars_per_subword_ppm
+FROM fj GROUP BY lang ORDER BY lang"""
+
   // -------------------------------------------------------- sample split
   /** Deterministic train/val/test split (80/10/10) by content-free id
     * hash — the split op a training pipeline needs at 100 TB: no RNG
@@ -2299,6 +2347,208 @@ SELECT doc_id, n_features,
 FROM per_doc, totals
 ORDER BY doc_id"""
 
+  // ------------------------------------------ DoReMi domain reweighting
+  /** DoReMi-style domain-mixture optimization (Xie et al. 2023's
+    * multiplicative-weights Group-DRO loop, public): [[DrwRounds]]
+    * rounds over the per-domain token distributions, each round
+    * upweighting the domains whose tokens the CURRENT mixture covers
+    * worst and smoothing toward uniform — the iterative answer to the
+    * question [[domainMix]] hard-codes ("how much of each domain should
+    * the training mix sample?"). Domains here are the language slices.
+    *
+    * Deviation from the published exp(η·excess-loss) update, same
+    * discipline as [[dsirWeights]]' log-free weight: the per-domain
+    * signal is the mean mixture-mass of the domain's tokens
+    *   mass_k = (Σ_w n_k(w) · Σ_j α_j·rate_j(w)) div N_k
+    * (low mass = underrepresented = the high-excess-loss side of DRO),
+    * the update is the inverse-proportional α_k·10¹⁸ div (mass_k+1)
+    * normalized to ppm, and the uniform-smoothing step is
+    * (4·α + u) div 5 — all integer arithmetic (BigInt / HUGEINT), so
+    * both engines replay the trajectory bit-for-bit.
+    *
+    * Scale shape: ONE corpus-sized scan builds the per-(domain, token)
+    * count table, folded to the global top-[[DrwVocab]] tokens plus an
+    * OOV bucket — ≤ |domains|·(V+1) rows of model state regardless of
+    * corpus size (the kmeans-centroid idiom; the top-V is a
+    * TakeOrdered, not a full sort). The round loop then runs on that
+    * collected model table in exact BigInt on the driver: zero
+    * per-round Spark jobs, one action total. At 100 TB only the count
+    * scan grows; the trajectory is replayed on ≤ a few thousand rows. */
+  private val DrwRounds = 8
+  private val DrwVocab = 256
+  /** Per-(domain, token) counts folded to top-V ∪ {OOV}. */
+  private def drwCounts(s: SparkSession, d: String): DataFrame = {
+    val sc0 = Tables.documents(s, d)
+      .select(col("lang"), explode(toks).as("tok"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+    val topv = sc0.groupBy("tok").agg(sum("n").as("t"))
+      .orderBy(col("t").desc, col("tok")).limit(DrwVocab)
+      .select(col("tok"), lit(1).as("inv"))
+    sc0.join(broadcast(topv), Seq("tok"), "left")
+      .select(col("lang"),
+        when(col("inv").isNotNull, col("tok"))
+          .otherwise(lit("\u0001")).as("tok"),
+        col("n"))
+      .groupBy("lang", "tok").agg(sum("n").as("n"))
+  }
+  /** The pure driver loop over the folded count table — exact BigInt,
+    * no RNG, no doubles; unit-testable in isolation. Returns one
+    * (round, domain, mass, alpha_ppm) row per round per domain. */
+  private[graft] def drwLoop(counts: Seq[(String, String, Long)],
+      rounds: Int): Seq[(Int, String, BigInt, BigInt)] = {
+    val Scale = BigInt(1000000000L)
+    val Ppm = BigInt(1000000L)
+    val Big = BigInt("1000000000000000000")
+    val doms = counts.map(_._1).distinct.sorted
+    val k = doms.size
+    val nTot = counts.groupBy(_._1)
+      .map { case (dm, rs) => dm -> rs.map(r => BigInt(r._3)).sum }
+    val ratesByTok = counts.groupBy(_._2).map { case (w, rs) =>
+      w -> rs.map { case (dm, _, n) => (dm, BigInt(n) * Scale / nTot(dm)) } }
+    val countsByDom = counts.groupBy(_._1).map { case (dm, rs) =>
+      dm -> rs.map { case (_, w, n) => (w, BigInt(n)) } }
+    var alpha = doms.map(_ -> Ppm / k).toMap
+    val out = Seq.newBuilder[(Int, String, BigInt, BigInt)]
+    for (t <- 1 to rounds) {
+      val mix = ratesByTok.map { case (w, rs) =>
+        w -> rs.map { case (dm, r) => alpha(dm) * r }.sum }
+      val mass = doms.map { dm =>
+        dm -> countsByDom(dm).map { case (w, n) => n * mix(w) }.sum / nTot(dm)
+      }.toMap
+      val raw = doms.map(dm => dm -> alpha(dm) * Big / (mass(dm) + 1)).toMap
+      val rawSum = raw.values.sum
+      alpha = doms.map(dm =>
+        dm -> (raw(dm) * Ppm / rawSum * 4 + Ppm / k) / 5).toMap
+      doms.foreach(dm => out += ((t, dm, mass(dm), alpha(dm))))
+    }
+    out.result()
+  }
+  /** Memoized training run (one collect of the folded count table +
+    * the driver-side trajectory), shared by the readout and the
+    * resampling face. */
+  private def drwTrained(s: SparkSession, d: String)
+      : Seq[(Int, String, BigInt, BigInt)] =
+    CachePool.memoized(("drw", d, DrwRounds, DrwVocab)) {
+      val folded = drwCounts(s, d).collect().toSeq
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      drwLoop(folded, DrwRounds)
+    }
+  private val domainReweight: Q = (s, d) => {
+    import s.implicits._
+    drwTrained(s, d)
+      .map { case (t, dm, mass, a) => (t, dm, mass.toLong, a.toLong) }
+      .toDF("round", "lang", "mix_mass", "alpha_ppm")
+      .orderBy("round", "lang")
+  }
+  /** The count-fold + [[DrwRounds]] training rounds as chained
+    * MATERIALIZED CTEs (the `bpeChainSql`/`clfRoundsSql` idiom) —
+    * shared prefix of the trajectory readout and the resampling
+    * face's oracles. */
+  private def drwChainSql: String = {
+    val rounds = (1 to DrwRounds).map { i =>
+      val p = i - 1
+      s"""mix$i AS MATERIALIZED (
+  SELECT r.tok, sum(a.alpha * r.r) AS mix
+  FROM drates r JOIN a$p a USING (lang) GROUP BY r.tok
+), f$i AS MATERIALIZED (
+  SELECT c.lang, sum(c.n * m.mix) // t.nn AS mass
+  FROM dcounts c JOIN mix$i m USING (tok) JOIN dtots t USING (lang)
+  GROUP BY c.lang, t.nn
+), r$i AS MATERIALIZED (
+  SELECT f.lang, f.mass,
+    (a.alpha * CAST('1000000000000000000' AS HUGEINT)) // (f.mass + 1) AS raw
+  FROM f$i f JOIN a$p a USING (lang)
+), a$i AS MATERIALIZED (
+  SELECT lang,
+    ((raw * 1000000) // (SELECT sum(raw) FROM r$i) * 4
+     + (SELECT u FROM unif)) // 5 AS alpha
+  FROM r$i
+)"""
+    }.mkString(", ")
+    s"""WITH dtok AS (
+  SELECT lang, unnest($ToksSql) AS tok FROM documents
+), dsc AS MATERIALIZED (
+  SELECT lang, tok, count(*) AS n FROM dtok GROUP BY lang, tok
+), dtopv AS MATERIALIZED (
+  SELECT tok FROM (SELECT tok, sum(n) AS t FROM dsc GROUP BY tok)
+  ORDER BY t DESC, tok LIMIT $DrwVocab
+), dcounts AS MATERIALIZED (
+  SELECT lang,
+    CASE WHEN tok IN (SELECT tok FROM dtopv) THEN tok ELSE chr(1) END AS tok,
+    CAST(sum(n) AS HUGEINT) AS n
+  FROM dsc GROUP BY 1, 2
+), dtots AS MATERIALIZED (
+  SELECT lang, sum(n) AS nn FROM dcounts GROUP BY lang
+), unif AS (SELECT 1000000 // count(*) AS u FROM dtots),
+drates AS MATERIALIZED (
+  SELECT c.lang, c.tok, (c.n * 1000000000) // t.nn AS r
+  FROM dcounts c JOIN dtots t USING (lang)
+), a0 AS (
+  SELECT lang, CAST((SELECT u FROM unif) AS HUGEINT) AS alpha FROM dtots
+),
+$rounds"""
+  }
+  private val domainReweightSql = {
+    val sel = (1 to DrwRounds).map(i =>
+      s"""SELECT CAST($i AS INT) AS round, f.lang,
+    CAST(f.mass AS BIGINT) AS mix_mass, CAST(a.alpha AS BIGINT) AS alpha_ppm
+  FROM f$i f JOIN a$i a USING (lang)""").mkString("\n  UNION ALL\n  ")
+    s"""$drwChainSql
+SELECT * FROM (
+  $sel
+)
+ORDER BY round, lang"""
+  }
+  /** Resampling under the LEARNED mixture — [[domainMix]]'s
+    * explode+gate machinery driven by [[drwTrained]]'s final-round
+    * weights instead of hard-coded targets: closes train→apply for
+    * the mixture the way [[seqPackBpe]] closes it for the tokenizer.
+    * The per-domain multiplier is α_k·10⁶ div u (uniform weight → 1×
+    * exactly): whole copies ride the scan via explode(sequence), the
+    * fractional copy is the salted-h60 gate, so the output IS the
+    * reweighted training corpus with copy_id for downstream packing
+    * salt. The learned weights enter the plan as ≤|domains| literals —
+    * at 100 TB this face is one corpus scan with zero shuffles. */
+  private val domainResample: Q = (s, d) => {
+    val last = drwTrained(s, d).filter(_._1 == DrwRounds)
+    val u = BigInt(1000000L) / last.size
+    val mult = last.map { case (_, lang, _, a) =>
+      (lang, (a * 1000000 / u).toLong) }
+    val multCol = mult.foldLeft(lit(null).cast("long")) {
+      case (acc, (lg, m)) => when(col("lang") === lg, lit(m)).otherwise(acc) }
+    val gate = (pmod(DupCorpus.h60(concat(lit("rw:"),
+      col("doc_id").cast("string"))), lit(1000000L))
+      < col("mult_ppm") % 1000000L).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), multCol.as("mult_ppm"))
+      .withColumn("n_copies", expr("mult_ppm div 1000000") + gate)
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"), col("mult_ppm"),
+        explode(sequence(lit(0), (col("n_copies") - 1).cast("int")))
+          .as("copy_id"))
+      .orderBy("doc_id", "copy_id")
+  }
+  private val domainResampleSql = {
+    val h = OraclePipeline.h60Sql("'rw:' || CAST(doc_id AS VARCHAR)")
+    s"""$drwChainSql, dmult AS (
+  SELECT lang, (alpha * 1000000) // (SELECT u FROM unif) AS mult_ppm
+  FROM a$DrwRounds
+), dres AS (
+  SELECT doc_id, d.lang, mult_ppm,
+    mult_ppm // 1000000
+    + CASE WHEN $h % 1000000 < mult_ppm % 1000000 THEN 1 ELSE 0 END
+      AS n_copies
+  FROM documents d JOIN dmult USING (lang)
+), dex AS (
+  SELECT doc_id, lang, mult_ppm,
+    unnest(range(0, CAST(n_copies AS BIGINT))) AS copy_id
+  FROM dres WHERE n_copies > 0
+)
+SELECT doc_id, lang, CAST(mult_ppm AS BIGINT) AS mult_ppm,
+  CAST(copy_id AS INT) AS copy_id
+FROM dex ORDER BY doc_id, copy_id"""
+  }
+
   // -------------------------------------------------- training shards
   /** Deterministic global shuffle into training shards — the "write the
     * training set" op: every doc gets a shard (16 here) and a
@@ -2595,6 +2845,7 @@ GROUP BY doc_id ORDER BY doc_id"""
     "text_clean_corpus" -> cleanCorpus,
     "text_seq_pack" -> seqPack,
     "text_seq_pack_bpe" -> seqPackBpe,
+    "text_bpe_fertility" -> bpeFertility,
     "text_sample_split" -> sampleSplit,
     "text_decontaminate" -> decontaminate,
     "text_ngram_topk" -> ngramTopk,
@@ -2611,6 +2862,8 @@ GROUP BY doc_id ORDER BY doc_id"""
     "text_repetition_filter" -> repetitionFilter,
     "text_pii_scrub" -> piiScrub,
     "text_domain_mix" -> domainMix,
+    "text_domain_reweight" -> domainReweight,
+    "text_domain_resample" -> domainResample,
     "text_temperature_sample" -> tempSample,
     "text_diversity_profile" -> diversityProfile,
     "text_bigram_lm" -> bigramLm,
@@ -2643,6 +2896,7 @@ GROUP BY doc_id ORDER BY doc_id"""
     "text_clean_corpus" -> cleanCorpusSql,
     "text_seq_pack" -> seqPackSql,
     "text_seq_pack_bpe" -> seqPackBpeSql,
+    "text_bpe_fertility" -> bpeFertilitySql,
     "text_sample_split" -> sampleSplitSql,
     "text_decontaminate" -> decontaminateSql,
     "text_ngram_topk" -> ngramTopkSql,
@@ -2660,6 +2914,8 @@ GROUP BY doc_id ORDER BY doc_id"""
     "text_repetition_filter" -> repetitionFilterSql,
     "text_pii_scrub" -> piiScrubSql,
     "text_domain_mix" -> domainMixSql,
+    "text_domain_reweight" -> domainReweightSql,
+    "text_domain_resample" -> domainResampleSql,
     "text_temperature_sample" -> tempSampleSql,
     "text_diversity_profile" -> diversityProfileSql,
     "text_bigram_lm" -> bigramLmSql,

@@ -159,6 +159,31 @@ object StreamingEvents {
       .withColumn("keep", col("score") > 0L)
   }
 
+  /** Streaming ingest resampling under the TRAINED domain mixture —
+    * [[classifierScoreStream]]'s train-batch/apply-stream split for
+    * the DoReMi weights: the ≤|domains| learned multipliers (ppm,
+    * 10⁶ = 1×) arrive as LITERALS and every arriving document is
+    * expanded to its whole copies plus the salted-h60 fractional-copy
+    * gate — the exact per-row arithmetic of the batch
+    * `text_domain_resample` face, as a pure projection + array
+    * explode: no state, no watermark, no shuffle. A domain absent
+    * from the map gets 0 copies (dropped — same as a 0 multiplier).
+    * Parity vs the batch face is pinned in StreamingSpec. Needs
+    * doc_id / lang columns. */
+  def resampleStream(docs: DataFrame, mult: Map[String, Long]): DataFrame = {
+    val multCol = mult.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (lg, m)) => when(col("lang") === lg, lit(m)).otherwise(acc) }
+    val gate = (pmod(graft.pipeline.DupCorpus.h60(concat(lit("rw:"),
+      col("doc_id").cast("string"))), lit(1000000L))
+      < col("mult_ppm") % 1000000L).cast("long")
+    docs.select(col("doc_id"), col("lang"), multCol.as("mult_ppm"))
+      .withColumn("n_copies", expr("mult_ppm div 1000000") + gate)
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"), col("mult_ppm"),
+        explode(sequence(lit(0), (col("n_copies") - 1).cast("int")))
+          .as("copy_id"))
+  }
+
   case class AnnHit(query_id: Long, doc_id: Long, rank: Int, sim: Double)
   case class AnnState(tsMs: Long, top: List[(Long, Double)])
 

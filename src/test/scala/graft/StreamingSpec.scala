@@ -420,6 +420,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming resample: per-row copies equal the batch face under the learned mixture") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the REAL learned multipliers, recomputed from the trajectory face
+    val weights = SparkEntry.queries("text_domain_reweight")(spark, Sf)
+      .filter(col("round") === 8).collect()
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    val u = 1000000L / weights.size
+    val mult = weights.map { case (lg, a) => lg -> a * 1000000L / u }
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingEvents.resampleStream(
+        mem.toDF().toDF("doc_id", "lang"), mult)
+      .writeStream.format("memory").queryName("resample_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(100): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(100): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("resample_stream").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4))
+      val batch = SparkEntry.queries("text_domain_resample")(spark, Sf)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4))
+      assert(streamed.length == batch.length,
+        s"${streamed.length} streamed vs ${batch.length} batch copies")
+      assert(streamed.toSeq == batch.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming ANN serve: watermark-closed top-k equals the batch IVF probe") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
