@@ -2377,7 +2377,7 @@ ORDER BY doc_id"""
   private val DrwRounds = 8
   private val DrwVocab = 256
   /** Per-(domain, token) counts folded to top-V ∪ {OOV}. */
-  private def drwCounts(s: SparkSession, d: String): DataFrame = {
+  private[graft] def drwCounts(s: SparkSession, d: String): DataFrame = {
     val sc0 = Tables.documents(s, d)
       .select(col("lang"), explode(toks).as("tok"))
       .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
@@ -2426,7 +2426,7 @@ ORDER BY doc_id"""
   /** Memoized training run (one collect of the folded count table +
     * the driver-side trajectory), shared by the readout and the
     * resampling face. */
-  private def drwTrained(s: SparkSession, d: String)
+  private[graft] def drwTrained(s: SparkSession, d: String)
       : Seq[(Int, String, BigInt, BigInt)] =
     CachePool.memoized(("drw", d, DrwRounds, DrwVocab)) {
       val folded = drwCounts(s, d).collect().toSeq

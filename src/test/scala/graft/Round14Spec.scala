@@ -82,6 +82,37 @@ class Round14Spec extends SparkSpec {
     assert(again.map(_.toString).toSeq == rows.map(_.toString).toSeq)
   }
 
+  // ---------------------------------------------- drw scale contract
+  test("drw trainer: whole trajectory costs ONE collect, zero per-round jobs") {
+    // fresh memo key (the other tests train on sf0.001): the job count
+    // must not scale with DrwRounds — the count-fold collect is the
+    // only action, so 8 rounds must cost far fewer than 8 jobs (AQE
+    // splits the one collect into a handful of stage-jobs)
+    val d = "/root/testdata/sf0.01"
+    val tracker = spark.sparkContext.statusTracker
+    def jobsOf(body: => Unit): Int = {
+      val before = tracker.getJobIdsForGroup(null).length
+      body
+      tracker.getJobIdsForGroup(null).length - before
+    }
+    // cold pass pays one-off file-listing jobs — warm the FileIndex
+    // first so the comparison sees identical plans
+    graft.pipeline.TextQueries.drwCounts(spark, d).collect()
+    val scanJobs = jobsOf {
+      graft.pipeline.TextQueries.drwCounts(spark, d).collect() }
+    var hist: Seq[(Int, String, BigInt, BigInt)] = Nil
+    val trainJobs = jobsOf {
+      hist = graft.pipeline.TextQueries.drwTrained(spark, d) }
+    assert(hist.size % 8 == 0 && hist.nonEmpty)
+    // the exact claim: every training job belongs to the count-fold
+    // collect — the 8 rounds add ZERO
+    assert(trainJobs == scanJobs,
+      s"training ran $trainJobs jobs vs $scanJobs for the bare count " +
+        "scan — rounds must run on the collected model table")
+    // memo hit: a second call costs zero jobs
+    assert(jobsOf { graft.pipeline.TextQueries.drwTrained(spark, d) } == 0)
+  }
+
   // ------------------------------------ text_domain_resample composition
   test("text_domain_resample: copies follow the learned multipliers") {
     val weights = SparkEntry.queries("text_domain_reweight")(spark, Sf)
