@@ -2376,11 +2376,17 @@ ORDER BY doc_id"""
     * scan grows; the trajectory is replayed on ≤ a few thousand rows. */
   private val DrwRounds = 8
   private val DrwVocab = 256
-  /** Per-(domain, token) counts folded to top-V ∪ {OOV}. */
+  /** Per-(domain, token) counts folded to top-V ∪ {OOV}. The raw
+    * (lang, tok) aggregate feeds BOTH the top-V branch and the fold
+    * join; caching it makes the single corpus materialization
+    * structural rather than exchange-reuse-dependent (the
+    * RangePartitioner lesson — reuse can silently break under cache
+    * interactions), and the cached relation is vocabulary-sized, not
+    * corpus-sized. */
   private[graft] def drwCounts(s: SparkSession, d: String): DataFrame = {
-    val sc0 = Tables.documents(s, d)
+    val sc0 = CachePool.cached(Tables.documents(s, d)
       .select(col("lang"), explode(toks).as("tok"))
-      .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("lang", "tok").agg(count(lit(1)).as("n")))
     val topv = sc0.groupBy("tok").agg(sum("n").as("t"))
       .orderBy(col("t").desc, col("tok")).limit(DrwVocab)
       .select(col("tok"), lit(1).as("inv"))
