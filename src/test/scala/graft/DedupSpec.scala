@@ -107,7 +107,8 @@ class DedupSpec extends SparkSpec {
     // concurrently, so other suites' caches may be live. sf0.01 keeps
     // this test's canonical plans disjoint from every other suite's, so
     // no concurrent query re-pins them mid-assertion.)
-    val sf = "/root/testdata/sf0.01"
+    val sf = SfMid
+    requireFixture(sf)
     DedupQueries.queries("dedup_minhash")(spark, sf).count()
     val corpus = graft.pipeline.DupCorpus.corpus(spark, sf)
     assert(corpus.storageLevel.useMemory) // pinned while in use

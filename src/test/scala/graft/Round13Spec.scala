@@ -50,19 +50,24 @@ class Round13Spec extends SparkSpec {
   test("BPE trainer: >=64 effective merges from <=16 collects (sf0.01)") {
     // fresh memo key (tests otherwise train on sf0.001): this is the
     // corpus CORRECTNESS runs against, and the one the scale claim in
-    // TextQueries.bpeStats' doc comment is stated for
-    val d = "/root/testdata/sf0.01"
+    // TextQueries.bpeStats' doc comment is stated for (shared fixture
+    // config + cancel-if-absent: ADVICE r10)
+    val d = SfMid
+    requireFixture(d)
     val tracker = spark.sparkContext.statusTracker
     val before = tracker.getJobIdsForGroup(null).length
     val (merges, collects) = graft.pipeline.TextQueries.bpeStats(spark, d)
     val jobs = tracker.getJobIdsForGroup(null).length - before
     assert(merges >= 64, s"effective merges = $merges (contract: >=64)")
     assert(collects <= 16, s"driver collects = $collects (contract: <=16)")
-    // Round12Spec's job-counter idiom, loosened to a ceiling: training
-    // runs 16 candidate collects + 9 localCheckpoints, each fanning
-    // into a handful of AQE stage jobs — the ceiling catches a
-    // regression to one-driver-action-per-merge (>=69 collects alone)
-    assert(jobs <= 64, s"training ran $jobs Spark jobs (ceiling 64)")
+    // RELATIVE bound, not an absolute ceiling (absolute job counts are
+    // AQE-version sensitive — ADVICE r10): the contract is that jobs
+    // scale with the ≤16 driver collects, never with the ≥64 merges —
+    // a regression to one-driver-action-per-merge costs at least one
+    // job per merge and must trip this
+    assert(jobs < merges,
+      s"training ran $jobs Spark jobs for $merges merges — job count " +
+        "must track the bounded collects, not the merge count")
   }
 
   // --------------------------------------- classifier local re-derivation

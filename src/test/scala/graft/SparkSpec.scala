@@ -7,7 +7,17 @@ import org.scalatest.funsuite.AnyFunSuite
   * the suite fast — codegen/JIT warmup is paid once). */
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
-  lazy val Sf: String = "/root/testdata/sf0.001"
+  /** Fixture root, overridable per machine (ADVICE r10: specs
+    * hard-coding /root/testdata mis-skip elsewhere). */
+  lazy val TestData: String =
+    sys.env.getOrElse("GRAFT_TEST_DATA", "/root/testdata")
+  lazy val Sf: String = s"$TestData/sf0.001"
+  /** The CORRECTNESS-run corpus — scale-contract tests state their
+    * claims against this SF. */
+  lazy val SfMid: String = s"$TestData/sf0.01"
+  /** Cancel (not fail) when a fixture SF is absent on this machine. */
+  def requireFixture(path: String): Unit =
+    assume(new java.io.File(path).isDirectory, s"fixture $path not present")
 }
 
 object SparkSpec {
