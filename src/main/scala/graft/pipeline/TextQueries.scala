@@ -1305,7 +1305,13 @@ ORDER BY d.doc_id"""
     * 100 TB this replaces the "call the embedding model" step for
     * cheap dedup/clustering passes, and downstream ANN/k-means consume
     * d0..d15 unchanged. All-cancelling docs emit the zero vector. */
-  private val HashEmbD = 16
+  /** Hashed-feature dimensionality, shared by the batch featurizer,
+    * the trainers, and the STREAMING scorer
+    * ([[graft.streaming.StreamingEvents.classifierScoreStream]]
+    * derives its bucket modulus and sign-bit shift from this — a
+    * change here must not silently break train/serve parity, so keep
+    * it a power of two or the streaming face's require trips). */
+  private[graft] val HashEmbD = 16
   private val hashEmbedding: Q = (s, d) => {
     val ex = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks).as("tok"))
@@ -2051,19 +2057,32 @@ FROM c"""
     val w = Array.fill(HashEmbD)(0L)
     val hist = Seq.newBuilder[(Int, Long, Long, Seq[Long])]
     var pocket = (Long.MaxValue, w.toSeq)
+    // Overflow discipline (ADVICE r10): Spark's sum(long) WRAPS
+    // silently while the DuckDB oracle's sum() promotes to HUGEINT and
+    // errors on the final BIGINT cast — a silent one-sided divergence
+    // at corpora where n·|v|·2^T leaves 64 bits. Margins and gradient
+    // sums therefore run in DECIMAL(38,0) (exact at any corpus size),
+    // and the driver-side fold back to the Long weight vector uses
+    // *Exact conversions, so growth past 64 bits fails LOUDLY on both
+    // engines instead of wrapping on one.
+    val d0 = lit(0).cast("decimal(38,0)")
     for (r <- 1 to ClfRounds) {
-      val score = (0 until HashEmbD).map(j => lit(w(j)) * col(s"v$j"))
-        .reduce(_ + _)
-      val wrong = col("y") * score <= 0L
+      val score = (0 until HashEmbD).map(j =>
+        lit(w(j)).cast("decimal(38,0)") * col(s"v$j")).reduce(_ + _)
+      val wrong = col("y") * score <= d0
       val aggs = count(lit(1)).as("n") +:
         sum(when(wrong, 1L).otherwise(0L)).as("nw") +:
         (0 until HashEmbD).map(j =>
-          sum(when(wrong, col("y") * col(s"v$j")).otherwise(0L)).as(s"g$j"))
+          sum(when(wrong, (col("y") * col(s"v$j")).cast("decimal(38,0)"))
+            .otherwise(d0)).as(s"g$j"))
       val row = feat.agg(aggs.head, aggs.tail: _*).head()
       val n = row.getLong(0); val nw = row.getLong(1)
       if (nw < pocket._1) pocket = (nw, w.toSeq)
       val step = 1L << (ClfRounds - r)
-      (0 until HashEmbD).foreach(j => w(j) += row.getLong(2 + j) * step)
+      (0 until HashEmbD).foreach { j =>
+        val g = row.getDecimal(2 + j).toBigIntegerExact.longValueExact()
+        w(j) = math.addExact(w(j), math.multiplyExact(g, step))
+      }
       hist += ((r, n, nw, w.toSeq))
     }
     (hist.result(), pocket._2)
@@ -2097,7 +2116,11 @@ FROM c"""
     * [[classifierScore]]'s exact dataflow with the learned 16-weight
     * vector as the literal model (a broadcast-free codegen'd
     * projection: 16 multiplies per doc). Closes the train→score loop
-    * the way [[seqPackBpe]] closes train→tokenize→pack. */
+    * the way [[seqPackBpe]] closes train→tokenize→pack. The output
+    * score stays BIGINT by contract; if pocket weights ever grew to
+    * where Σ wⱼ·vⱼ leaves 64 bits, the trainer's *Exact driver fold
+    * fails first (see [[clfTrainLoop]]) and the DuckDB mirror errors
+    * on its HUGEINT→BIGINT cast — never a silent wrap on one side. */
   private val classifierScoreTrained: Q = (s, d) => {
     val w = clfTrained(s, d)._2
     val score = (0 until HashEmbD).map(j => lit(w(j)) * col(s"v$j"))

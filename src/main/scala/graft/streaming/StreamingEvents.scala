@@ -138,21 +138,32 @@ object StreamingEvents {
     * trainer aggregates, computed per document with `aggregate()`
     * instead of explode+groupBy — identical integer sums, order-free),
     * so the stream needs NO state, no watermark, no shuffle: each
-    * arriving document is gated the moment it lands. `shiftright(h,4)`
-    * is the integral `h div 16` (h is a non-negative 60-bit hash), so
-    * bucket and sign match [[graft.pipeline.TextQueries]]'s batch
-    * featurizer bit-for-bit (StreamingSpec pins the parity). Needs
-    * doc_id / text columns. */
+    * arriving document is gated the moment it lands. Bucket modulus
+    * and sign bit derive from [[graft.pipeline.TextQueries.HashEmbD]]
+    * (`shiftright(h, log₂ D)` is the integral `h div D` for the
+    * power-of-two D; h is a non-negative 60-bit hash), so bucket and
+    * sign match the batch featurizer bit-for-bit at ANY D
+    * (StreamingSpec pins the parity). Needs doc_id / text columns. */
   def classifierScoreStream(docs: DataFrame, w: Seq[Long]): DataFrame = {
-    require(w.length == 16, "expected the 16-bucket weight vector")
+    // geometry DERIVED from the batch featurizer's dimensionality, not
+    // hard-coded (ADVICE r10: a literal 16/shift-4 here would silently
+    // break train/serve parity if HashEmbD ever moved): the modulus is
+    // HashEmbD itself and the sign bit is h div HashEmbD — realized as
+    // a shift, which requires the power-of-two geometry the batch side
+    // documents
+    val d = graft.pipeline.TextQueries.HashEmbD
+    require(w.length == d, s"expected the $d-bucket weight vector")
+    require((d & (d - 1)) == 0 && d > 0,
+      s"HashEmbD=$d must be a power of two (sign bit is a shift)")
+    val shift = java.lang.Integer.numberOfTrailingZeros(d)
     val toks = split(lower(col("text")), " ")
     val warr = typedlit(w)
     def contrib(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
       val hv = conv(substring(md5(concat(lit("emb:"), t)), 1, 15), 16, 10)
         .cast("long")
-      val sgn = when(pmod(shiftright(hv, 4), lit(2L)) === 0L, 1L)
+      val sgn = when(pmod(shiftright(hv, shift), lit(2L)) === 0L, 1L)
         .otherwise(-1L)
-      element_at(warr, (pmod(hv, lit(16L)) + 1L).cast("int")) * sgn
+      element_at(warr, (pmod(hv, lit(d.toLong)) + 1L).cast("int")) * sgn
     }
     docs.select(col("doc_id"),
         aggregate(toks, lit(0L), (acc, t) => acc + contrib(t)).as("score"))
