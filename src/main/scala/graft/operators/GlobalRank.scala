@@ -78,33 +78,35 @@ object GlobalRank {
     val parts = if (parts0 > 0) parts0
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val order = groupCols.map(col) ++ sortCols
-    // Two lazy caches (no construction-time job — the events_rfm
-    // invariant; deduped by canonical plan; released at corpus
-    // lifecycle boundaries via [[graft.pipeline.CachePool]]):
+    // Two lazy caches with DIFFERENT lifecycles (no construction-time
+    // job — the events_rfm invariant; see CachePool.cachedPair):
     //
-    //  1. the INPUT — `repartitionByRange`'s RangePartitioner runs a
-    //     SAMPLING pass over the child before the shuffle write, so an
-    //     un-materialized input executes twice end-to-end (measured 2×
-    //     on text_quality_buckets, whose input is the whole LM-scoring
-    //     pipeline — the round-9→10 perf finding);
-    //  2. the KEYED relation (ids included) — the id assignment MUST
-    //     materialize exactly once: RangePartitioner's sample seed
-    //     derives from the shuffle RDD's id, so two materializations
-    //     of the same range exchange draw DIFFERENT boundaries, and
-    //     the stats branch's min-ids then disagree with the probe
-    //     branch's ids (duplicate/missing ranks — Round12Spec's
-    //     gapless pin). Round 9 relied on AQE exchange reuse for this,
-    //     which held only while the two subtrees canonicalized equal;
-    //     the cache makes the single-materialization invariant
-    //     STRUCTURAL instead of an optimizer courtesy.
+    //  1. the INPUT, as a short-lived SCAFFOLD — `repartitionByRange`'s
+    //     RangePartitioner runs a SAMPLING pass over the child before
+    //     the shuffle write, so an un-materialized input executes twice
+    //     end-to-end (measured 2× on text_quality_buckets, whose input
+    //     is the whole LM-scoring pipeline — the round-9→10 perf
+    //     finding). It is redundant the moment the keyed cache
+    //     materializes, so CachePool reaps it then instead of pinning
+    //     BOTH corpus-scale relations until release (ADVICE r10);
+    //  2. the KEYED relation (ids included), pool-registered — the id
+    //     assignment MUST materialize exactly once: RangePartitioner's
+    //     sample seed derives from the shuffle RDD's id, so two
+    //     materializations of the same range exchange draw DIFFERENT
+    //     boundaries, and the stats branch's min-ids then disagree
+    //     with the probe branch's ids (duplicate/missing ranks —
+    //     Round12Spec's gapless pin). Round 9 relied on AQE exchange
+    //     reuse for this, which held only while the two subtrees
+    //     canonicalized equal; the cache makes the single-
+    //     materialization invariant STRUCTURAL instead of an
+    //     optimizer courtesy.
     //
-    // Both caches hold the PROJECTED rank input (keys + order
-    // columns), not the raw corpus; at 100 TB the same role is played
-    // by materializing the scored relation before ranking, with disk
-    // spill absorbing what memory cannot.
-    val keyed = graft.pipeline.CachePool.cached(
-      graft.pipeline.CachePool.cached(df)
-        .repartitionByRange(parts, order: _*)
+    // The keyed cache holds the PROJECTED rank input (keys + order
+    // columns) plus the two id columns, not the raw corpus; at 100 TB
+    // the same role is played by materializing the scored relation
+    // before ranking, with disk spill absorbing what memory cannot.
+    val keyed = graft.pipeline.CachePool.cachedPair(df)(
+      _.repartitionByRange(parts, order: _*)
         .sortWithinPartitions(order: _*)
         .withColumn("__mid", monotonically_increasing_id())
         .withColumn("__pid", shiftrightunsigned(col("__mid"), 33)))
