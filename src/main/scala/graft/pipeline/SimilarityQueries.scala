@@ -541,8 +541,11 @@ ORDER BY query_id, rank"""
           .as("new_d2_sum"))
       .orderBy("cid")
   }
-  private val indexUpsertSql =
-    s"""WITH ive AS MATERIALIZED (
+  /** The frozen-quantizer chain shared by the upsert census and the
+    * upserted serving/recall oracles: Lloyd on the BASE corpus only,
+    * ending in centroid CTE `bc2`. */
+  private def upsertChainSql: String =
+    s"""ive AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), base AS MATERIALIZED (
   SELECT * FROM ive WHERE vec_id % 10 <> 9
@@ -552,7 +555,10 @@ ORDER BY query_id, rank"""
 ), bc1 AS MATERIALIZED (${updateSql("ba1")}
 ), ba2 AS MATERIALIZED (${assignSql("base", "bc1")}
 ), bc2 AS MATERIALIZED (${updateSql("ba2")}
-), cellsd AS MATERIALIZED (
+)"""
+
+  private val indexUpsertSql =
+    s"""WITH $upsertChainSql, cellsd AS MATERIALIZED (
   SELECT vec_id, cid,
     CAST(dmin + list_dot_product(v, v) AS DECIMAL(25,15)) AS d2,
     vec_id % 10 = 9 AS is_new
@@ -570,6 +576,65 @@ SELECT CAST(cid AS INT) AS cid,
   round(CAST(sum(CASE WHEN is_new THEN d2
     ELSE CAST(0 AS DECIMAL(25,15)) END) AS DOUBLE), 4) AS new_d2_sum
 FROM cellsd GROUP BY cid ORDER BY cid"""
+
+  /** Oracle mirror of the upserted serving face: ALL vectors (base ∪
+    * delta) assigned to the FROZEN bc2 centroids — identical to the
+    * Spark side's base-table ∪ delta-table union, since both arms use
+    * the same argmin projection — probes from bc2, exact cosine
+    * rerank to top-5. The probes/sims/rank text mirrors
+    * [[topkKmeansSql]] with the frozen-quantizer chain swapped in. */
+  private def upsertedServeCtesSql: String =
+    s"""$upsertChainSql, upcells AS MATERIALIZED (${assignSql("ive", "bc2")}
+), upq AS MATERIALIZED (
+  SELECT vec_id AS query_id, v AS qv FROM ive WHERE vec_id < 10
+), upprobes AS MATERIALIZED (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        list_dot_product(c.cv, c.cv) - 2 * list_dot_product(q.qv, c.cv), c.cid) AS rn
+    FROM upq q, bc2 c) WHERE rn <= $KmProbe
+), upserved AS MATERIALIZED (
+  SELECT query_id, neighbor_id,
+    CAST(row_number() OVER w AS INT) AS rank, round(sim, 6) AS sim
+  FROM (
+    SELECT q.query_id, a.vec_id AS neighbor_id,
+      list_dot_product(q.qv, a.v) /
+        (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))) AS sim
+    FROM upq q
+    JOIN upprobes p ON p.query_id = q.query_id
+    JOIN upcells a ON a.cid = p.cid AND a.vec_id <> q.query_id
+  )
+  WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+  QUALIFY row_number() OVER w <= 5
+)"""
+
+  private val topkIvfUpsertedSql =
+    s"""WITH $upsertedServeCtesSql
+SELECT query_id, neighbor_id, rank, sim FROM upserved
+ORDER BY query_id, rank"""
+
+  private val upsertedRecallSql =
+    s"""WITH $upsertedServeCtesSql, upexact AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      list_dot_product(q.qv, e.v) /
+        (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(e.v, e.v))) AS sim
+    FROM upq q JOIN ive e ON e.vec_id <> q.query_id
+  )
+  WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+  QUALIFY row_number() OVER w <= 5
+)
+SELECT query_id, n_exact, n_hits,
+  CAST(n_hits * 1000 // greatest(n_exact, 1) AS BIGINT) AS recall_permille
+FROM (
+  SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+    CAST(sum(CASE WHEN s.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+      AS BIGINT) AS n_hits
+  FROM upexact e
+  LEFT JOIN upserved s
+    ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id)
+ORDER BY query_id"""
 
   /** Memoized per-dataset IVF index: the Lloyd centroids plus the
     * bucketed cell table (corpus-scoped name, so two datasets in one
@@ -641,6 +706,107 @@ FROM cellsd GROUP BY cid ORDER BY cid"""
       .join(broadcast(probes),
         col("cid") === col("probe_cid") && col("vec_id") =!= col("query_id"))
     rerankTop5(cand)
+  }
+
+  // ------------------------------------------ upserted IVF index SERVING
+  /** The upserted index made SERVABLE (VERDICT r10 gap #1:
+    * `ann_index_upsert` assigned the delta batch to frozen cells but
+    * no probe face could ever retrieve an upserted vector). Base and
+    * delta live as SEPARATE bucketed cell tables — the base table is
+    * written once and never touched by maintenance; each delta batch
+    * is its own partition-scoped append (the K2 metadata-merge
+    * discipline applied to the index store) — and every probe reads
+    * base ∪ delta until the drift signal (`ann_index_upsert`'s d²
+    * readout) triggers a re-cluster that folds the delta in. The
+    * coarse quantizer trains on the BASE corpus only (vec_id % 10 ≠ 9
+    * stands in for yesterday's index vs today's arrivals), exactly
+    * the frozen-cell geometry the upsert census measures. Memoized
+    * per (session, dataset); cleared by CachePool.release. */
+  private[graft] def upsertedIndex(s: SparkSession, d: String)
+      : (Seq[(Int, Seq[Double])], String, String) =
+    CachePool.memoized(("upsertedIndex", d)) {
+      val h = d.hashCode & 0x7fffffff
+      val (tBase, tDelta) = (s"graft_ivfup_base_$h", s"graft_ivfup_delta_$h")
+      val e = embDouble(s, d).select(col("vec_id"), col("v"))
+      val base = e.filter(pmod(col("vec_id"), lit(10L)) =!= 9L).cache()
+      val cents = kmeansCentroids(s, base)
+      graft.sources.BucketedStore.write(
+        assignCells(base, cents), tBase, "cid", 8)
+      graft.sources.BucketedStore.write(
+        assignCells(e.filter(pmod(col("vec_id"), lit(10L)) === 9L), cents),
+        tDelta, "cid", 8)
+      base.unpersist()
+      (cents, tBase, tDelta)
+    }
+
+  /** Serve top-k from the upserted index for an ARBITRARY query
+    * relation (query_id, qv): nprobe frozen cells per query
+    * (broadcast k-row centroid table), bucket-pruned candidate fetch
+    * from BOTH the base and the delta cell tables, exact cosine
+    * rerank. Same per-request cost shape as [[ivfProbeRanks]] plus
+    * the delta arm — which is small between re-clusters by
+    * construction, so serving cost stays nprobe/nlist of the corpus.
+    * An upserted vector is retrievable the moment its batch's table
+    * lands (Round15Spec pins rank-1 self-retrieval). */
+  private[graft] def upsertedServe(s: SparkSession, d: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
+    val (cents, tBase, tDelta) = upsertedIndex(s, d)
+    val cdf = cents.toDF("cid", "cv")
+    val wc = Window.partitionBy("query_id")
+      .orderBy(dot(col("cv"), col("cv")) - lit(2) * dot(col("qv"), col("cv")),
+        col("cid"))
+    val probes = queries.crossJoin(broadcast(cdf))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= KmProbe)
+      .select(col("query_id"), col("qv"), col("cid").as("probe_cid"))
+    val probeCids = probes.select("probe_cid").distinct()
+      .collect().map(_.getInt(0)).sorted
+    def arm(t: String) = graft.sources.BucketedStore.read(s, t)
+      .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
+    val cand = arm(tBase).unionByName(arm(tDelta))
+      .join(broadcast(probes),
+        col("cid") === col("probe_cid") && col("vec_id") =!= col("query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Top-5 from the upserted (base ∪ delta) index for the standard
+    * query relation — the retrieval face of the maintenance story:
+    * identical output contract to [[topkKmeansBucketed]], except the
+    * quantizer is base-trained/frozen and delta vectors are servable. */
+  private val topkIvfUpserted: Q = (s, d) => {
+    val e = embDouble(s, d).select(col("vec_id"), col("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    upsertedServe(s, d, q, 5).orderBy("query_id", "rank")
+  }
+
+  /** Recall@5 of the upserted-index serving vs the brute-exact top-5
+    * over the FULL corpus (base ∪ delta) — the readout that proves
+    * the delta tier is genuinely in the serving set: pruning loss
+    * against frozen (stale) centroids INCLUDING any exact neighbors
+    * that arrived in the delta batch. */
+  private val upsertedRecall: Q = (s, d) => {
+    import s.implicits._
+    val served = CachePool.cached(
+      topkIvfUpserted(s, d).select(col("query_id"), col("neighbor_id")))
+    val exact = CachePool.cached(
+      topkBrute(s, d).select(col("query_id"), col("neighbor_id")))
+    exact.join(served.withColumn("hit", lit(1L)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .withColumn("recall_permille",
+        expr("n_hits * 1000 div greatest(n_exact, 1)"))
+      .orderBy("query_id")
   }
   /** Oracle-side Lloyd building blocks, shared by the k-means IVF and
     * PQ mirrors: argmin assignment by squared-L2 expansion with cid
@@ -1752,6 +1918,8 @@ ORDER BY e.query_id"""
     "ann_topk_ivf" -> topkIvf,
     "ann_topk_ivf_kmeans" -> topkKmeans,
     "ann_topk_ivf_bucketed" -> topkKmeansBucketed,
+    "ann_topk_ivf_upserted" -> topkIvfUpserted,
+    "ann_upserted_recall" -> upsertedRecall,
     "ann_index_upsert" -> indexUpsert,
     "ann_topk_lsh" -> topkLsh,
     "ann_topk_pq" -> topkPq,
@@ -1778,6 +1946,8 @@ ORDER BY e.query_id"""
     "ann_topk_ivf_kmeans" -> topkKmeansSql,
     // same math, different physical path (persisted bucket-pruned index)
     "ann_topk_ivf_bucketed" -> topkKmeansSql,
+    "ann_topk_ivf_upserted" -> topkIvfUpsertedSql,
+    "ann_upserted_recall" -> upsertedRecallSql,
     "ann_index_upsert" -> indexUpsertSql,
     "ann_topk_lsh" -> topkLshSql,
     "ann_topk_pq" -> topkPqSql,
