@@ -2132,13 +2132,13 @@ FROM c"""
   /** The `text_sample_split` hash gate (same "split:" salt), as the
     * 0–99 bucket: <80 train, 80–89 val (reserved, untouched), ≥90
     * held-out test. */
-  private def clfSplitBucket: Column =
+  private[graft] def clfSplitBucket: Column =
     pmod(DupCorpus.h60(concat(lit("split:"),
       col("doc_id").cast("string"))), lit(100L))
   /** Trainer fitted on the TRAIN split only — the model the held-out
     * eval scores. Memoized separately from [[clfTrained]] (different
     * training corpus → different weights). */
-  private def clfEvalTrained(s: SparkSession, d: String)
+  private[graft] def clfEvalTrained(s: SparkSession, d: String)
       : (Seq[(Int, Long, Long, Seq[Long])], Seq[Long]) =
     CachePool.memoized(("clfEval", d, ClfRounds)) {
       clfTrainLoop(clfFeatures(s, d)
@@ -2175,6 +2175,72 @@ FROM c"""
           .as("train_acc_ppm"),
         expr("(n_test - test_wrong) * 1000000 div greatest(n_test, 1)")
           .as("test_acc_ppm"))
+  }
+
+  /** Model selection on the RESERVED 80–89 val bucket (VERDICT r10
+    * gap #2: `text_classifier_eval` reserved it and nothing used it):
+    * the candidate set is the starting weight vector of every training
+    * round of the train-split trainer — exactly the relation the
+    * oracle's `wall` CTE tags — and the selected model is the one with
+    * fewest VAL mistakes (tie → earliest round), the classic
+    * early-stopping-by-validation discipline. The readout puts the
+    * val-selected TEST accuracy next to the train-pocket's TEST
+    * accuracy: when the pocket overfits its own training signal, the
+    * val-selected number is the honest one a deployment would quote.
+    * Cost: ONE extra corpus aggregate scoring all [[ClfRounds]]
+    * candidates at once (2 + 2·T conditional sums, margins in the
+    * same overflow-exact decimal as the trainer), then pure driver
+    * arithmetic on the 18-value row — no per-candidate jobs. */
+  private def clfSelected(s: SparkSession, d: String)
+      : (Int, Int, Long, Long, Long, Long, Long) =
+    CachePool.memoized(("clfSelect", d, ClfRounds)) {
+      val (hist, _) = clfEvalTrained(s, d)
+      val starts: Seq[(Int, Seq[Long])] = (1 to ClfRounds).map { r =>
+        r -> (if (r == 1) Seq.fill(HashEmbD)(0L) else hist(r - 2)._4)
+      }
+      val pocketRound = hist.minBy(h => (h._3, h._1))._1
+      val d0 = lit(0).cast("decimal(38,0)")
+      def wrongUnder(w: Seq[Long]): Column = {
+        val score = (0 until HashEmbD).map(j =>
+          lit(w(j)).cast("decimal(38,0)") * col(s"v$j")).reduce(_ + _)
+        col("y") * score <= d0
+      }
+      val isVal = col("bucket") >= 80 && col("bucket") < 90
+      val isTe = col("bucket") >= 90
+      val aggs = sum(when(isVal, 1L).otherwise(0L)).as("n_val") +:
+        sum(when(isTe, 1L).otherwise(0L)).as("n_test") +:
+        starts.flatMap { case (r, w) => Seq(
+          sum(when(isVal && wrongUnder(w), 1L).otherwise(0L)).as(s"vw$r"),
+          sum(when(isTe && wrongUnder(w), 1L).otherwise(0L)).as(s"tw$r")) }
+      val row = clfFeatures(s, d).withColumn("bucket", clfSplitBucket)
+        .agg(aggs.head, aggs.tail: _*).head()
+      val nVal = row.getLong(0); val nTest = row.getLong(1)
+      val perR = starts.map { case (r, _) =>
+        (r, row.getLong(2 * r), row.getLong(2 * r + 1)) } // (r, vw, tw)
+      val (selRound, vwSel, twSel) = perR.minBy { case (r, vw, _) => (vw, r) }
+      val twPocket = perR.find(_._1 == pocketRound).get._3
+      (selRound, pocketRound, nVal, nTest, vwSel, twSel, twPocket)
+    }
+  private val classifierSelect: Q = (s, d) => {
+    val (selRound, pocketRound, nVal, nTest, vw, twSel, twPocket) =
+      clfSelected(s, d)
+    def acc(n: Long, wrong: Long): Long =
+      (n - wrong) * 1000000L / math.max(n, 1L)
+    val row = org.apache.spark.sql.Row(selRound, pocketRound, nVal, nTest,
+      vw, twSel, twPocket, acc(nVal, vw), acc(nTest, twSel),
+      acc(nTest, twPocket))
+    val it = org.apache.spark.sql.types.IntegerType
+    val lt = org.apache.spark.sql.types.LongType
+    val schema = org.apache.spark.sql.types.StructType(
+      Seq("sel_round" -> it, "pocket_round" -> it, "n_val" -> lt,
+        "n_test" -> lt, "val_wrong" -> lt, "test_wrong_sel" -> lt,
+        "test_wrong_pocket" -> lt, "val_acc_ppm" -> lt,
+        "test_acc_sel_ppm" -> lt, "test_acc_pocket_ppm" -> lt)
+        .map { case (n, t) =>
+          org.apache.spark.sql.types.StructField(n, t) })
+    s.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.List.of(row)), schema)
   }
 
   /** Shared oracle head: the per-doc labeled feature relation. */
@@ -2293,6 +2359,47 @@ SELECT
     // greatest(sum(CASE WHEN bucket >= 90 THEN 1 ELSE 0 END), 1) AS BIGINT)
     AS test_acc_ppm
 FROM sc"""
+  }
+  /** Oracle mirror of [[classifierSelect]]: the candidate weight
+    * relation is `wall` (round r's STARTING weights) from the
+    * train-split rounds chain; per-candidate val/test mistakes come
+    * from one feat × wall margin relation restricted to buckets ≥ 80,
+    * selection is fewest-val-wrong (tie → earliest), and the pocket
+    * round is the chain's own `best` CTE. */
+  private val classifierSelectSql = {
+    val score = (0 until HashEmbD).map(j => s"w.w$j * f.v$j").mkString(" + ")
+    s"""WITH $clfFeatSql, tfeat AS MATERIALIZED (
+  SELECT * FROM feat WHERE bucket < 80
+), ${clfRoundsSql("tfeat")}, cm AS MATERIALIZED (
+  SELECT w.r, f.bucket, f.y * ($score) AS m
+  FROM feat f, wall w WHERE f.bucket >= 80
+), cnt AS MATERIALIZED (
+  SELECT r,
+    sum(CASE WHEN bucket < 90 AND m <= 0 THEN 1 ELSE 0 END) AS vw,
+    sum(CASE WHEN bucket >= 90 AND m <= 0 THEN 1 ELSE 0 END) AS tw
+  FROM cm GROUP BY r
+), nn AS (
+  SELECT
+    sum(CASE WHEN bucket >= 80 AND bucket < 90 THEN 1 ELSE 0 END) AS n_val,
+    sum(CASE WHEN bucket >= 90 THEN 1 ELSE 0 END) AS n_test
+  FROM feat
+), sel AS (
+  SELECT r AS sel_round, vw, tw FROM cnt ORDER BY vw, r LIMIT 1
+)
+SELECT CAST(sel.sel_round AS INT) AS sel_round,
+  CAST(best.r AS INT) AS pocket_round,
+  CAST(nn.n_val AS BIGINT) AS n_val,
+  CAST(nn.n_test AS BIGINT) AS n_test,
+  CAST(sel.vw AS BIGINT) AS val_wrong,
+  CAST(sel.tw AS BIGINT) AS test_wrong_sel,
+  CAST(pc.tw AS BIGINT) AS test_wrong_pocket,
+  CAST((nn.n_val - sel.vw) * 1000000 // greatest(nn.n_val, 1) AS BIGINT)
+    AS val_acc_ppm,
+  CAST((nn.n_test - sel.tw) * 1000000 // greatest(nn.n_test, 1) AS BIGINT)
+    AS test_acc_sel_ppm,
+  CAST((nn.n_test - pc.tw) * 1000000 // greatest(nn.n_test, 1) AS BIGINT)
+    AS test_acc_pocket_ppm
+FROM sel, best, nn, cnt pc WHERE pc.r = best.r"""
   }
 
   // -------------------------------------------------- DSIR importance weight
@@ -2908,6 +3015,7 @@ GROUP BY doc_id ORDER BY doc_id"""
     "text_classifier_train" -> classifierTrain,
     "text_classifier_score_trained" -> classifierScoreTrained,
     "text_classifier_eval" -> classifierEval,
+    "text_classifier_select" -> classifierSelect,
     "text_dsir_weights" -> dsirWeights,
     "text_shuffle_shards" -> shuffleShards)
 
@@ -2960,6 +3068,7 @@ GROUP BY doc_id ORDER BY doc_id"""
     "text_classifier_train" -> classifierTrainSql,
     "text_classifier_score_trained" -> classifierScoreTrainedSql,
     "text_classifier_eval" -> classifierEvalSql,
+    "text_classifier_select" -> classifierSelectSql,
     "text_dsir_weights" -> dsirWeightsSql,
     "text_shuffle_shards" -> shuffleShardsSql)
 }

@@ -61,4 +61,43 @@ class Round15Spec extends SparkSpec {
       assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000L)
     }
   }
+
+  test("classifier model selection: val-argmin re-derives locally") {
+    // VERDICT r10 gap #2: the reserved 80–89 val bucket now selects
+    // the model. Re-derive the whole selection from the features on
+    // the driver (the oracle catches cross-engine divergence; this
+    // catches shared-wrong-on-both-faces bugs in the candidate
+    // scoring and the argmin rule).
+    import graft.pipeline.TextQueries
+    val d = Sf
+    val hd = 16
+    val feats = TextQueries.clfFeatures(spark, d)
+      .withColumn("bucket", TextQueries.clfSplitBucket).collect()
+      .map(r => (r.getLong(hd + 2), r.getLong(1),
+        Array.tabulate(hd)(j => r.getLong(2 + j))))
+    val (hist, _) = TextQueries.clfEvalTrained(spark, d)
+    val starts = (1 to hist.size).map(r =>
+      r -> (if (r == 1) Seq.fill(hd)(0L) else hist(r - 2)._4))
+    def wrongs(w: Seq[Long], sel: Long => Boolean): Long =
+      feats.count { case (b, y, v) =>
+        sel(b) && y * (0 until hd).map(j => w(j) * v(j)).sum <= 0L }
+    val perR = starts.map { case (r, w) =>
+      (r, wrongs(w, b => b >= 80 && b < 90), wrongs(w, _ >= 90)) }
+    val (selR, vwSel, twSel) = perR.minBy { case (r, vw, _) => (vw, r) }
+    val pocketR = hist.minBy(h => (h._3, h._1))._1
+    val twPocket = perR.find(_._1 == pocketR).get._3
+    val nVal = feats.count(f => f._1 >= 80 && f._1 < 90).toLong
+    val nTest = feats.count(_._1 >= 90).toLong
+    val row = SparkEntry.queries("text_classifier_select")(spark, d).head()
+    assert(row.getInt(0) == selR, "sel_round")
+    assert(row.getInt(1) == pocketR, "pocket_round")
+    assert(row.getLong(2) == nVal && row.getLong(3) == nTest, "split sizes")
+    assert(row.getLong(4) == vwSel, "val_wrong")
+    assert(row.getLong(5) == twSel, "test_wrong_sel")
+    assert(row.getLong(6) == twPocket, "test_wrong_pocket")
+    assert(row.getLong(7) == (nVal - vwSel) * 1000000L / math.max(nVal, 1L))
+    assert(row.getLong(8) == (nTest - twSel) * 1000000L / math.max(nTest, 1L))
+    assert(row.getLong(9) ==
+      (nTest - twPocket) * 1000000L / math.max(nTest, 1L))
+  }
 }
