@@ -777,6 +777,106 @@ ORDER BY query_id"""
         round(col("sim"), 6).as("sim"))
   }
 
+  /** The trained coarse quantizer persisted as a parquet model table
+    * (the classifier's [[graft.sources.ModelStore]] discipline applied
+    * to the IVF centroids): k rows unpivoted to (cid, dim, x) so the
+    * oracle compare needs no array-typed columns; a serving job
+    * rebuilds the k×dim literal set from one sub-second catalog read
+    * instead of retraining Lloyd. */
+  private[graft] def ivfCentroidTable(s: SparkSession, d: String): String =
+    CachePool.memoized(("ivfCentroidTable", d)) {
+      import s.implicits._
+      val table = "graft_ivf_cents_" + (d.hashCode & 0x7fffffff)
+      val (cents, _) = ivfIndex(s, d)
+      val rows = cents.flatMap { case (cid, cv) =>
+        cv.zipWithIndex.map { case (x, i) => (cid, i + 1, x) } }
+      graft.sources.ModelStore.write(rows.toDF("cid", "dim", "x"), table)
+      table
+    }
+  // The readout rounds to 6 digits (the repo's sim convention): the
+  // stored doubles are FULL precision, but DuckDB's DECIMAL(25,15) →
+  // DOUBLE cast differs from Java's correctly-rounded BigDecimal cast
+  // by one ulp on a few components, so the raw values cannot
+  // hash-match cross-engine; bit-exact table-vs-memo is pinned in
+  // Round15Spec instead.
+  private val centroidStore: Q = (s, d) =>
+    graft.sources.ModelStore.read(s, ivfCentroidTable(s, d))
+      .select(col("cid"), col("dim"), round(col("x"), 6).as("x"))
+      .orderBy("cid", "dim")
+  private val centroidStoreSql =
+    s"""WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), c0 AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < $KmK
+), a1 AS (${assignSql("e", "c0")}
+), c1 AS (${updateSql("a1")}
+), a2 AS (${assignSql("e", "c1")}
+), c2 AS (${updateSql("a2")}
+)
+SELECT CAST(cid AS INT) AS cid, CAST(dim AS INT) AS dim, round(x, 6) AS x
+FROM (SELECT cid, generate_subscripts(cv, 1) AS dim, unnest(cv) AS x FROM c2)
+ORDER BY cid, dim"""
+
+  /** The re-cluster DECISION readout that closes the index-maintenance
+    * loop: `ann_index_upsert` emits the drift signal (delta d² under
+    * the frozen base-trained centroids), this face prices what a
+    * re-cluster would buy — total quantization d² of the WHOLE corpus
+    * under the frozen quantizer vs under centroids retrained on
+    * base ∪ delta, plus the relative gain. When gain_permille clears
+    * the operator's threshold, the rebuild (= [[ivfIndex]] on the full
+    * corpus, one write-time shuffle) is worth its cost. Two corpus
+    * aggregates, k×dim driver-held model state each, sums in exact
+    * DECIMAL(25,15); the gain is computed FROM the two rounded doubles
+    * so the readout is self-consistent and cross-engine identical. */
+  private val reclusterGain: Q = (s, d) => {
+    val e = embDouble(s, d).select(col("vec_id"), col("v"))
+    val (frozen, _, _) = upsertedIndex(s, d)
+    val (retrained, _) = ivfIndex(s, d)
+    def d2(cents: Seq[(Int, Seq[Double])]) =
+      (cellMin(cents).getField("d") + dot(col("v"), col("v")))
+        .cast("decimal(25,15)")
+    e.agg(count(lit(1)).as("n_vectors"),
+        round(sum(d2(frozen)).cast("double"), 4).as("d2_frozen"),
+        round(sum(d2(retrained)).cast("double"), 4).as("d2_retrained"))
+      .withColumn("gain_permille",
+        floor((col("d2_frozen") - col("d2_retrained")) * 1000 /
+          col("d2_frozen")).cast("long"))
+  }
+  private val reclusterGainSql =
+    s"""WITH $upsertChainSql, fc0 AS MATERIALIZED (
+  SELECT vec_id AS cid, v AS cv FROM ive WHERE vec_id < $KmK
+), fa1 AS MATERIALIZED (${assignSql("ive", "fc0")}
+), fc1 AS MATERIALIZED (${updateSql("fa1")}
+), fa2 AS MATERIALIZED (${assignSql("ive", "fc1")}
+), fc2 AS MATERIALIZED (${updateSql("fa2")}
+), dfr AS MATERIALIZED (
+  SELECT vec_id, CAST(dmin + list_dot_product(v, v) AS DECIMAL(25,15)) AS d2
+  FROM (
+    SELECT e.vec_id, e.v,
+      list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv) AS dmin,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv),
+        c.cid) AS rn
+    FROM ive e, bc2 c) WHERE rn = 1
+), drt AS MATERIALIZED (
+  SELECT vec_id, CAST(dmin + list_dot_product(v, v) AS DECIMAL(25,15)) AS d2
+  FROM (
+    SELECT e.vec_id, e.v,
+      list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv) AS dmin,
+      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        list_dot_product(c.cv, c.cv) - 2 * list_dot_product(e.v, c.cv),
+        c.cid) AS rn
+    FROM ive e, fc2 c) WHERE rn = 1
+)
+SELECT n_vectors, d2_frozen, d2_retrained,
+  CAST(floor((d2_frozen - d2_retrained) * 1000 / d2_frozen) AS BIGINT)
+    AS gain_permille
+FROM (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM ive) AS n_vectors,
+    (SELECT round(CAST(sum(d2) AS DOUBLE), 4) FROM dfr) AS d2_frozen,
+    (SELECT round(CAST(sum(d2) AS DOUBLE), 4) FROM drt) AS d2_retrained
+)"""
+
   /** Top-5 from the upserted (base ∪ delta) index for the standard
     * query relation — the retrieval face of the maintenance story:
     * identical output contract to [[topkKmeansBucketed]], except the
@@ -1920,6 +2020,8 @@ ORDER BY e.query_id"""
     "ann_topk_ivf_bucketed" -> topkKmeansBucketed,
     "ann_topk_ivf_upserted" -> topkIvfUpserted,
     "ann_upserted_recall" -> upsertedRecall,
+    "ann_centroid_store" -> centroidStore,
+    "ann_recluster_gain" -> reclusterGain,
     "ann_index_upsert" -> indexUpsert,
     "ann_topk_lsh" -> topkLsh,
     "ann_topk_pq" -> topkPq,
@@ -1948,6 +2050,8 @@ ORDER BY e.query_id"""
     "ann_topk_ivf_bucketed" -> topkKmeansSql,
     "ann_topk_ivf_upserted" -> topkIvfUpsertedSql,
     "ann_upserted_recall" -> upsertedRecallSql,
+    "ann_centroid_store" -> centroidStoreSql,
+    "ann_recluster_gain" -> reclusterGainSql,
     "ann_index_upsert" -> indexUpsertSql,
     "ann_topk_lsh" -> topkLshSql,
     "ann_topk_pq" -> topkPqSql,

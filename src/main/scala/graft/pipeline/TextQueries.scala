@@ -2700,11 +2700,19 @@ ORDER BY round, lang"""
     * reweighted training corpus with copy_id for downstream packing
     * salt. The learned weights enter the plan as ≤|domains| literals —
     * at 100 TB this face is one corpus scan with zero shuffles. */
-  private val domainResample: Q = (s, d) => {
+  /** The learned per-domain multipliers (ppm, 10⁶ = 1×) — α_k·10⁶
+    * div u, uniform weight → exactly 1×. Shared by the memo-served
+    * resample face and the model-table writer. */
+  private def drwMultipliers(s: SparkSession, d: String): Seq[(String, Long)] = {
     val last = drwTrained(s, d).filter(_._1 == DrwRounds)
     val u = BigInt(1000000L) / last.size
-    val mult = last.map { case (_, lang, _, a) =>
-      (lang, (a * 1000000 / u).toLong) }
+    last.map { case (_, lang, _, a) => (lang, (a * 1000000 / u).toLong) }
+  }
+  /** The resample dataflow under a given multiplier set: whole copies
+    * ride the scan via explode(sequence), the fractional copy is the
+    * salted-h60 gate — one corpus scan, zero shuffles at any scale. */
+  private def resampleWith(s: SparkSession, d: String,
+      mult: Seq[(String, Long)]): DataFrame = {
     val multCol = mult.foldLeft(lit(null).cast("long")) {
       case (acc, (lg, m)) => when(col("lang") === lg, lit(m)).otherwise(acc) }
     val gate = (pmod(DupCorpus.h60(concat(lit("rw:"),
@@ -2718,6 +2726,32 @@ ORDER BY round, lang"""
         explode(sequence(lit(0), (col("n_copies") - 1).cast("int")))
           .as("copy_id"))
       .orderBy("doc_id", "copy_id")
+  }
+  private val domainResample: Q = (s, d) =>
+    resampleWith(s, d, drwMultipliers(s, d))
+  /** The learned mixture persisted as a parquet model table
+    * ([[clfModelTable]]'s discipline applied to the DoReMi weights):
+    * ≤|domains| (lang, mult_ppm) rows, the whole model a resampling
+    * job needs. */
+  private[graft] def drwModelTable(s: SparkSession, d: String): String =
+    CachePool.memoized(("drwModelTable", d, DrwRounds, DrwVocab)) {
+      import s.implicits._
+      val table = "graft_drw_model_" + (d.hashCode & 0x7fffffff)
+      graft.sources.ModelStore.write(
+        drwMultipliers(s, d).toDF("lang", "mult_ppm"), table)
+      table
+    }
+  private val domainMixtureStore: Q = (s, d) =>
+    graft.sources.ModelStore.read(s, drwModelTable(s, d)).orderBy("lang")
+  /** Resampling with the model TABLE as the source of truth — the
+    * serving-job dataflow: load ≤|domains| rows from the catalog,
+    * then the identical explode+gate projection. Same oracle text as
+    * the memo-served face: the stored mixture IS the learned one. */
+  private val domainResampleStored: Q = (s, d) => {
+    val mult = graft.sources.ModelStore.read(s, drwModelTable(s, d))
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    resampleWith(s, d, mult)
   }
   private val domainResampleSql = {
     val h = OraclePipeline.h60Sql("'rw:' || CAST(doc_id AS VARCHAR)")
@@ -2739,6 +2773,14 @@ SELECT doc_id, lang, CAST(mult_ppm AS BIGINT) AS mult_ppm,
   CAST(copy_id AS INT) AS copy_id
 FROM dex ORDER BY doc_id, copy_id"""
   }
+  /** Oracle mirror of the stored mixture table: the final-round
+    * alphas scaled to multipliers — a mismatch means the parquet
+    * round-trip corrupted the model. */
+  private val domainMixtureStoreSql =
+    s"""$drwChainSql
+SELECT lang,
+  CAST((alpha * 1000000) // (SELECT u FROM unif) AS BIGINT) AS mult_ppm
+FROM a$DrwRounds ORDER BY lang"""
 
   // -------------------------------------------------- training shards
   /** Deterministic global shuffle into training shards — the "write the
@@ -3072,6 +3114,8 @@ GROUP BY doc_id ORDER BY doc_id"""
     "text_classifier_eval" -> classifierEval,
     "text_classifier_select" -> classifierSelect,
     "text_classifier_model_store" -> classifierModelStore,
+    "text_domain_mixture_store" -> domainMixtureStore,
+    "text_domain_resample_stored" -> domainResampleStored,
     "text_classifier_score_stored" -> classifierScoreStored,
     "text_dsir_weights" -> dsirWeights,
     "text_shuffle_shards" -> shuffleShards)
@@ -3127,6 +3171,10 @@ GROUP BY doc_id ORDER BY doc_id"""
     "text_classifier_eval" -> classifierEvalSql,
     "text_classifier_select" -> classifierSelectSql,
     "text_classifier_model_store" -> classifierModelStoreSql,
+    "text_domain_mixture_store" -> domainMixtureStoreSql,
+    // same text as the memo-served resample: the stored mixture IS the
+    // learned one, so serving from the table must reproduce it exactly
+    "text_domain_resample_stored" -> domainResampleSql,
     // same text as the trained-score face: the stored model IS the
     // pocket, so serving from the table must reproduce it exactly
     "text_classifier_score_stored" -> classifierScoreTrainedSql,

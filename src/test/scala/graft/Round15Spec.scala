@@ -120,4 +120,44 @@ class Round15Spec extends SparkSpec {
       spark, d).collect().map(_.toSeq)
     assert(fromTable.toSeq == fromMemo.toSeq)
   }
+
+  test("mixture + centroid model tables round-trip bit-for-bit, resample serves from table") {
+    import graft.pipeline.{SimilarityQueries, TextQueries}
+    val d = Sf
+    // DoReMi mixture: stored multipliers equal the learned final-round
+    // alphas scaled by the uniform weight (the Round14Spec identity)
+    val weights = SparkEntry.queries("text_domain_reweight")(spark, d)
+      .filter(col("round") === 8).collect()
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    val u = 1000000L / weights.size
+    val stored = SparkEntry.queries("text_domain_mixture_store")(spark, d)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stored.keySet == weights.keySet)
+    stored.foreach { case (lang, m) =>
+      assert(m == weights(lang) * 1000000L / u, s"$lang multiplier") }
+    // table-served resample == memo-served resample, row for row
+    val a = SparkEntry.queries("text_domain_resample_stored")(spark, d)
+      .collect().map(_.toSeq)
+    val b = SparkEntry.queries("text_domain_resample")(spark, d)
+      .collect().map(_.toSeq)
+    assert(a.toSeq == b.toSeq)
+    // IVF centroids: the FULL-precision table equals the memoized
+    // model bit-for-bit (the oracle face rounds to 6 for the
+    // cross-engine compare; same-engine round-trip must be exact)
+    val cents = SimilarityQueries.ivfIndex(spark, d)._1
+    val tbl = graft.sources.ModelStore.read(spark,
+        SimilarityQueries.ivfCentroidTable(spark, d))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val flat = cents.flatMap { case (cid, cv) =>
+      cv.zipWithIndex.map { case (x, i) => (cid, i + 1) -> x } }.toMap
+    assert(tbl == flat, "stored centroids must equal the trained model")
+    // recluster gain: self-consistent readout, retrain never worse on
+    // the corpus it was trained on
+    val g = SparkEntry.queries("ann_recluster_gain")(spark, d).head()
+    val (d2f, d2r) = (g.getDouble(1), g.getDouble(2))
+    assert(d2f > 0 && d2r > 0)
+    assert(g.getLong(3) == math.floor((d2f - d2r) * 1000 / d2f).toLong)
+    assert(d2r <= d2f, "full-corpus Lloyd must fit at least as well " +
+      "as the frozen base-trained quantizer")
+  }
 }
