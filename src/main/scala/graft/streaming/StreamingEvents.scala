@@ -218,9 +218,34 @@ object StreamingEvents {
   def annServeStream(queries: DataFrame,
       s: org.apache.spark.sql.SparkSession, d: String,
       k: Int = 5, delayMs: Long = 7200000L): Dataset[AnnHit] = {
+    val (cents, table) = graft.pipeline.SimilarityQueries.ivfIndex(s, d)
+    annServeCore(queries, s, cents,
+      graft.sources.BucketedStore.read(s, table), k, delayMs)
+  }
+
+  /** The online face of the UPSERTED retrieval tier — [[annServeStream]]
+    * probing the frozen base-trained quantizer with candidates from
+    * base ∪ delta cell tables, so a vector upserted between re-clusters
+    * is servable to live queries too (parity vs the batch
+    * `upsertedServe`, pinned in StreamingSpec). Same bounded state:
+    * ≤ k (doc, sim) pairs per open query. */
+  def annServeUpsertedStream(queries: DataFrame,
+      s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int = 5, delayMs: Long = 7200000L): Dataset[AnnHit] = {
+    val (cents, tBase, tDelta) =
+      graft.pipeline.SimilarityQueries.upsertedIndex(s, d)
+    annServeCore(queries, s, cents,
+      graft.sources.BucketedStore.read(s, tBase)
+        .unionByName(graft.sources.BucketedStore.read(s, tDelta)),
+      k, delayMs)
+  }
+
+  private def annServeCore(queries: DataFrame,
+      s: org.apache.spark.sql.SparkSession,
+      cents: Seq[(Int, Seq[Double])], cells: DataFrame,
+      k: Int, delayMs: Long): Dataset[AnnHit] = {
     import s.implicits._
     graft.functions.VectorExpressions.register(s)
-    val (cents, table) = graft.pipeline.SimilarityQueries.ivfIndex(s, d)
     val nprobe = graft.pipeline.SimilarityQueries.KmProbe
     val probeArr = array_sort(array(cents.map { case (cid, cv) =>
       val norm2 = cv.foldLeft(0.0)((a, x) => a + x * x)
@@ -234,7 +259,6 @@ object StreamingEvents {
         explode(slice(probeArr, 1, nprobe)).as("p"))
       .select(col("query_id"), col("ts"), col("qv"),
         col("p.cid").as("probe_cid"))
-    val cells = graft.sources.BucketedStore.read(s, table)
     probed.join(cells,
         col("probe_cid") === col("cid") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("ts"), col("vec_id").as("doc_id"),
