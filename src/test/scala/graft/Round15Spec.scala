@@ -160,4 +160,56 @@ class Round15Spec extends SparkSpec {
     assert(d2r <= d2f, "full-corpus Lloyd must fit at least as well " +
       "as the frozen base-trained quantizer")
   }
+
+  test("GlobalRank differential fuzz: equals the single-task window reference") {
+    // The primitive under half the order-statistic surface, checked
+    // against Spark's own Window on seeded random frames — sizes
+    // around the partition boundaries, duplicate sort keys, skewed
+    // groups, and a null-heavy group column. Deterministic seed: a
+    // failure reproduces.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.GlobalRank
+    val rnd = new scala.util.Random(1511)
+    for (trial <- 1 to 8) {
+      val n = Seq(1, 2, 3, 7, 31, 32, 33, 200)(trial - 1)
+      val rows = (1 to n).map { i =>
+        val g = if (rnd.nextInt(4) == 0) None
+                else Some(s"g${rnd.nextInt(3)}")
+        (i.toLong, g, rnd.nextInt(10).toLong) // unique id, group, dup-heavy key
+      }
+      val df = rows.toDF("id", "g", "x")
+      val parts = 1 + rnd.nextInt(5)
+      // global rank: total order via (x, id)
+      val got = GlobalRank.withRank(df, Seq(col("x"), col("id")), "rk",
+          parts = parts)
+        .select("id", "rk").as[(Long, Long)].collect().toMap
+      val want = df.withColumn("rk",
+          row_number().over(Window.orderBy(col("x"), col("id"))))
+        .select("id", "rk").as[(Long, Int)].collect()
+        .map { case (i, r) => i -> r.toLong }.toMap
+      assert(got == want, s"trial $trial (n=$n, parts=$parts): global rank")
+      // per-group rank + count vs the window reference (null group incl.)
+      val gotG = GlobalRank.withRankAndCountPerGroup(df, "g",
+          Seq(col("x"), col("id")), "rk", "cnt", parts = parts)
+        .select("id", "rk", "cnt").as[(Long, Long, Long)].collect()
+        .map(t => t._1 -> (t._2, t._3)).toMap
+      val wg = Window.partitionBy("g").orderBy(col("x"), col("id"))
+      val wantG = df.withColumn("rk", row_number().over(wg))
+        .withColumn("cnt", count(lit(1)).over(
+          Window.partitionBy("g")))
+        .select("id", "rk", "cnt").as[(Long, Int, Long)].collect()
+        .map(t => t._1 -> (t._2.toLong, t._3)).toMap
+      assert(gotG == wantG, s"trial $trial (n=$n, parts=$parts): group rank")
+      // ntile bands equal Window.ntile exactly
+      val k = 1 + rnd.nextInt(6)
+      val gotN = GlobalRank.withNtile(df, k, Seq(col("x"), col("id")), "b",
+          parts = parts)
+        .select("id", "b").as[(Long, Int)].collect().toMap
+      val wantN = df.withColumn("b",
+          ntile(k).over(Window.orderBy(col("x"), col("id"))))
+        .select("id", "b").as[(Long, Int)].collect().toMap
+      assert(gotN == wantN, s"trial $trial (n=$n, parts=$parts, k=$k): ntile")
+    }
+  }
 }
