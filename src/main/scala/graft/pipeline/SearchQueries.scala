@@ -105,7 +105,7 @@ ORDER BY score DESC, doc_id LIMIT 20"""
     * broadcast 1-row / |terms|-row aggregates of the SAME tf relation —
     * the corpus is tokenized once, and the per-doc side of the join is
     * the IN-filtered tf slice, not the full index. */
-  private val bm25: Q = (s, d) => {
+  private[graft] val bm25: Q = (s, d) => {
     val t = tf(s, d)
     val dl = t.groupBy("doc_id").agg(sum("tf").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),
@@ -160,6 +160,100 @@ ORDER BY score DESC, doc_id LIMIT 20"""
 )
 SELECT doc_id, round($add, 6) AS bm25
 FROM agg ORDER BY bm25 DESC, doc_id LIMIT 20"""
+  }
+
+  // ----------------------------------- pseudo-relevance feedback (PRF)
+  /** Expansion-term count and the min pseudo-relevant-doc support. */
+  val PrfK = 3; val PrfMinR = 3
+
+  /** The PRF expansion terms — RM3's idea under a DETERMINISTIC
+    * integer rule: take the BM25 top-10 as the pseudo-relevant set R,
+    * then among R's tokens (original query terms excluded) rank by
+    * (support in R DESC, global df ASC, tf-in-R DESC, token) — "common
+    * in the feedback set, rare in the corpus", the tf·idf intuition as
+    * a lexicographic key so no cross-engine libm-ulp can flip the
+    * selection. Constant model state: [[PrfK]] strings. At 100 TB the
+    * df lookup is served by the inverted index's token→df column
+    * rather than re-aggregating tf. */
+  private[graft] def prfExpansion(s: SparkSession, d: String): Seq[String] =
+    CachePool.memoized(("prfExpansion", d)) {
+      val t = tf(s, d)
+      val seed = bm25(s, d)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+        .select("doc_id")
+      val inR = t.join(broadcast(seed), "doc_id")
+        .filter(!col("token").isin(Terms: _*))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n_r"), sum("tf").as("tf_r"))
+        .filter(col("n_r") >= PrfMinR)
+      val dfAll = t.groupBy("token").agg(count(lit(1)).as("df"))
+      inR.join(dfAll, "token")
+        .orderBy(col("n_r").desc, col("df").asc, col("tf_r").desc,
+          col("token"))
+        .limit(PrfK).select("token").collect().map(_.getString(0)).toSeq
+    }
+
+  /** Retrieval with the expanded query (original [[Terms]] ∪ the
+    * [[PrfK]] feedback terms): disjunctive match, integer summed-tf
+    * ranking (order-free summation — the final metric stays exact while
+    * the PRF loop supplies the recall the seed query lacked). Same
+    * IN-sliced tf scan shape as [[keywordSearch]] — at serving scale
+    * this reads |terms|+[[PrfK]] postings, never the corpus. */
+  private val prfSearch: Q = (s, d) => {
+    val expanded = Terms ++ prfExpansion(s, d)
+    tf(s, d).filter(col("token").isin(expanded: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum("tf").as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+  private val prfSearchSql = {
+    // the bm25 chain verbatim (shared constants), then the expansion
+    // rule and the expanded keyword search
+    val cases = Terms.indices.map(i =>
+      s"max(CASE WHEN token = '${Terms(i)}' THEN c ELSE 0.0 END) AS c$i")
+      .mkString(",\n    ")
+    val add = Terms.indices.map(i => s"c$i").mkString(" + ")
+    s"""WITH $TfSql, dl AS (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+), stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), dfr AS (
+  SELECT token, count(*) AS df FROM tf
+  WHERE token IN ($termList) GROUP BY token
+), contrib AS (
+  SELECT t.doc_id, t.token,
+    ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) *
+      (t.tf * (${BmK1} + 1)) /
+      (t.tf + ${BmK1} * (1 - ${BmB} + ${BmB} * d.dl / s.avgdl)) AS c
+  FROM tf t
+  JOIN dfr f ON t.token = f.token
+  JOIN dl d ON t.doc_id = d.doc_id
+  CROSS JOIN stats s
+), agg AS (
+  SELECT doc_id,
+    $cases
+  FROM contrib GROUP BY doc_id
+), seed AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, round($add, 6) AS bm25 FROM agg
+  ) ORDER BY bm25 DESC, doc_id LIMIT 10
+), dfall AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), expn AS (
+  SELECT j.token FROM (
+    SELECT t.token, count(*) AS n_r, CAST(sum(t.tf) AS BIGINT) AS tf_r
+    FROM tf t JOIN seed s ON t.doc_id = s.doc_id
+    WHERE t.token NOT IN ($termList)
+    GROUP BY t.token HAVING count(*) >= $PrfMinR
+  ) j JOIN dfall g ON j.token = g.token
+  ORDER BY j.n_r DESC, g.df ASC, j.tf_r DESC, j.token LIMIT $PrfK
+)
+SELECT doc_id, count(*) AS n_terms, CAST(sum(tf) AS BIGINT) AS score
+FROM tf
+WHERE token IN ($termList) OR token IN (SELECT token FROM expn)
+GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
   }
 
   // ------------------------------------------- fuzzy edit-distance link
@@ -573,6 +667,7 @@ ORDER BY query_id"""
     "search_hybrid_rrf_batch" -> hybridRrfBatch,
     "search_hybrid_rrf_batch_ivf" -> hybridRrfBatchIvf,
     "search_batch_ivf_recall" -> batchIvfRecall,
+    "search_prf_expanded" -> prfSearch,
     "dedup_edit_distance" -> editDistance)
   val oracle: Map[String, String] = Map(
     "text_inverted_index" -> invertedIndexSql,
@@ -582,5 +677,6 @@ ORDER BY query_id"""
     "search_hybrid_rrf_batch" -> hybridRrfBatchSql,
     "search_hybrid_rrf_batch_ivf" -> hybridRrfBatchIvfSql,
     "search_batch_ivf_recall" -> batchIvfRecallSql,
+    "search_prf_expanded" -> prfSearchSql,
     "dedup_edit_distance" -> editDistanceSql)
 }

@@ -161,6 +161,42 @@ class Round15Spec extends SparkSpec {
       "as the frozen base-trained quantizer")
   }
 
+  test("PRF expansion: deterministic rule re-derives locally, search honors it") {
+    import graft.pipeline.SearchQueries
+    val d = Sf
+    val exp = SearchQueries.prfExpansion(spark, d)
+    assert(exp.size <= SearchQueries.PrfK)
+    assert(exp.toSet.intersect(SearchQueries.Terms.toSet).isEmpty,
+      "expansion must exclude the original query terms")
+    // re-derive the rule from the tf relation + the (hash-matched) BM25
+    // seed: support in R desc, global df asc, tf-in-R desc, token
+    val top10 = SearchQueries.bm25(spark, d)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val tfRows = graft.Tables.documents(spark, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val dfAll = tfRows.groupBy(_._2).map { case (t, rs) => t -> rs.length }
+    val want = tfRows.filter(r => top10.contains(r._1))
+      .filter(r => !SearchQueries.Terms.contains(r._2))
+      .groupBy(_._2).map { case (t, rs) =>
+        (t, rs.length, rs.map(_._3).sum) }.toSeq
+      .filter(_._2 >= SearchQueries.PrfMinR)
+      .sortBy { case (t, nR, tfR) => (-nR, dfAll(t), -tfR, t) }
+      .take(SearchQueries.PrfK).map(_._1)
+    assert(exp == want, s"expansion $exp vs locally derived $want")
+    // and the search face scores = summed tf over Terms ∪ expansion
+    val all = (SearchQueries.Terms ++ exp).toSet
+    val scores = tfRows.filter(r => all.contains(r._2)).groupBy(_._1)
+      .map { case (id, rs) => id -> (rs.length.toLong, rs.map(_._3).sum) }
+    val got = SparkEntry.queries("search_prf_expanded")(spark, d).collect()
+    got.foreach { r =>
+      assert(scores(r.getLong(0)) == ((r.getLong(1), r.getLong(2))),
+        s"doc ${r.getLong(0)} prf score") }
+    assert(got.length == math.min(20, scores.size))
+  }
+
   test("GlobalRank differential fuzz: equals the single-task window reference") {
     // The primitive under half the order-statistic surface, checked
     // against Spark's own Window on seeded random frames — sizes

@@ -374,8 +374,12 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     import graft.streaming.StreamingEvents
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    // the REAL trained pocket weights — the artifact the stream serves
-    val w = graft.pipeline.TextQueries.clfTrained(spark, Sf)._2
+    // the weights come from the PERSISTED MODEL TABLE — the artifact a
+    // streaming serve job actually loads at startup (and Round15Spec
+    // pins the table equal to the trained pocket bit-for-bit)
+    val w = graft.sources.ModelStore.read(spark,
+        graft.pipeline.TextQueries.clfModelTable(spark, Sf))
+      .orderBy("j").collect().map(_.getLong(1)).toSeq
     val mem = MemoryStream[(Long, String)]
     def typed(df: org.apache.spark.sql.DataFrame) = df.toDF("doc_id", "text")
     val q = StreamingEvents.classifierScoreStream(typed(mem.toDF()), w)
