@@ -54,10 +54,14 @@ class Round13Spec extends SparkSpec {
     // config + cancel-if-absent: ADVICE r10)
     val d = SfMid
     requireFixture(d)
-    val tracker = spark.sparkContext.statusTracker
-    val before = tracker.getJobIdsForGroup(null).length
-    val (merges, collects) = graft.pipeline.TextQueries.bpeStats(spark, d)
-    val jobs = tracker.getJobIdsForGroup(null).length - before
+    // group-scoped job counting (see Round14Spec): concurrent suites'
+    // jobs must not leak into this window
+    val g = "r13-bpe-jobs"
+    spark.sparkContext.setJobGroup(g, g)
+    val (merges, collects) =
+      try graft.pipeline.TextQueries.bpeStats(spark, d)
+      finally spark.sparkContext.clearJobGroup()
+    val jobs = spark.sparkContext.statusTracker.getJobIdsForGroup(g).length
     assert(merges >= 64, s"effective merges = $merges (contract: >=64)")
     assert(collects <= 16, s"driver collects = $collects (contract: <=16)")
     // RELATIVE bound, not an absolute ceiling (absolute job counts are

@@ -90,11 +90,21 @@ class Round14Spec extends SparkSpec {
     // splits the one collect into a handful of stage-jobs)
     val d = SfMid // shared fixture config + cancel-if-absent: ADVICE r10
     requireFixture(d)
+    // job counting SCOPED to a per-measurement job group: suites run
+    // concurrently in one SparkContext, and the unscoped
+    // getJobIdsForGroup(null) counter picks up another suite's jobs
+    // landing inside the measured window (observed flake once the
+    // suite grew past ~250 tests). The group is thread-local, so only
+    // jobs submitted by THIS body are counted; both sides of the
+    // comparison are measured the same way.
     val tracker = spark.sparkContext.statusTracker
+    var grp = 0
     def jobsOf(body: => Unit): Int = {
-      val before = tracker.getJobIdsForGroup(null).length
-      body
-      tracker.getJobIdsForGroup(null).length - before
+      grp += 1
+      val g = s"r14-drw-jobs-$grp"
+      spark.sparkContext.setJobGroup(g, g)
+      try body finally spark.sparkContext.clearJobGroup()
+      tracker.getJobIdsForGroup(g).length
     }
     // cold pass pays one-off file-listing jobs — warm the FileIndex
     // first so the comparison sees identical plans
