@@ -777,6 +777,46 @@ ORDER BY query_id"""
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Full-corpus kNN GRAPH served from the IVF index — the backbone
+    * of semantic dedup / clustering at scale: every vector retrieves
+    * its top-5 from its nprobe cells. Shape matters here:
+    * [[ivfProbeRanks]] BROADCASTS its query relation (right for a
+    * request batch, fatal for a corpus-sized one), so this face
+    * derives each row's probe cells as a PURE PROJECTION over the
+    * broadcast centroid literals (the `annServeStream` probeArr trick)
+    * and equi-joins the bucketed cell table on cid — one shuffle of
+    * the corpus×nprobe probe relation against the pre-bucketed store,
+    * one query_id shuffle for the per-query top-k, no corpus
+    * broadcast, no all-pairs: candidate volume is nprobe/nlist of
+    * corpus², the IVF contract. */
+  private val knnGraphIvf: Q = (s, d) => {
+    val (cents, table) = ivfIndex(s, d)
+    val e = embDouble(s, d).select(col("vec_id"), col("v"))
+    val probeArr = array_sort(array(cents.map { case (cid, cv) =>
+      val n2 = cv.foldLeft(0.0)((a, x) => a + x * x)
+      struct((lit(n2) - lit(2) * dot(col("v"), array(cv.map(lit): _*))).as("d"),
+        lit(cid).as("cid"))
+    }: _*))
+    val probes = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(slice(probeArr, 1, KmProbe)).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cid").as("probe_cid"))
+    val cand = graft.sources.BucketedStore.read(s, table)
+      .join(probes,
+        col("cid") === col("probe_cid") && col("vec_id") =!= col("query_id"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("doc_id"))
+    cand.select(col("query_id"), col("vec_id").as("doc_id"),
+        cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("vec_rank", row_number().over(w))
+      .filter(col("vec_rank") <= 5)
+      .select(col("query_id"), col("doc_id"), col("vec_rank"))
+      .orderBy("query_id", "vec_rank")
+  }
+  private val knnGraphIvfSql =
+    s"""WITH ${ivfProbeChainSql(Int.MaxValue, 5)}
+SELECT query_id, doc_id, vec_rank FROM ivfvec
+ORDER BY query_id, vec_rank"""
+
   /** The trained coarse quantizer persisted as a parquet model table
     * (the classifier's [[graft.sources.ModelStore]] discipline applied
     * to the IVF centroids): k rows unpivoted to (cid, dim, x) so the
@@ -2031,6 +2071,7 @@ ORDER BY e.query_id"""
     "embed_quantize" -> quantize,
     "embed_cluster_profile" -> clusterProfile,
     "knn_join" -> knnJoin,
+    "knn_graph_ivf" -> knnGraphIvf,
     "knn_label_eval" -> knnLabelEval)
 
   val oracle: Map[String, String] = Map(
@@ -2061,5 +2102,6 @@ ORDER BY e.query_id"""
     "embed_quantize" -> quantizeSql,
     "embed_cluster_profile" -> clusterProfileSql,
     "knn_join" -> knnJoinSql,
+    "knn_graph_ivf" -> knnGraphIvfSql,
     "knn_label_eval" -> knnLabelEvalSql)
 }

@@ -197,6 +197,29 @@ class Round15Spec extends SparkSpec {
     assert(got.length == math.min(20, scores.size))
   }
 
+  test("knn_graph_ivf: complete self-free graph, consistent with the request-batch probe") {
+    import graft.pipeline.SimilarityQueries
+    val rows = SparkEntry.queries("knn_graph_ivf")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val n = Tables.embeddings(spark, Sf).count()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == n, s"every vector must be a query: ${byQ.size} vs $n")
+    byQ.foreach { case (q, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length), s"query $q ranks")
+      assert(rs.length <= 5)
+      assert(!rs.exists(_._2 == q), s"query $q returned itself")
+    }
+    // the graph's projection-derived probe cells must agree with the
+    // broadcast request-batch face: identical rows for a shared slice
+    val queries = Tables.embeddings(spark, Sf).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val batch = SimilarityQueries.ivfProbeRanks(spark, Sf, queries, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rows.filter(_._1 < 10).toSet == batch,
+      "graph face and request-batch face must serve identical ranks")
+  }
+
   test("GlobalRank differential fuzz: equals the single-task window reference") {
     // The primitive under half the order-statistic surface, checked
     // against Spark's own Window on seeded random frames — sizes
