@@ -817,6 +817,52 @@ ORDER BY query_id"""
 SELECT query_id, doc_id, vec_rank FROM ivfvec
 ORDER BY query_id, vec_rank"""
 
+  /** Per-query serving-COST readout of the IVF index — the latency
+    * model behind nprobe/nlist tuning and the skew complement to the
+    * recall evals ([[recallEval]] prices pruning LOSS, this prices
+    * pruning WORK): a query's candidate volume is the summed size of
+    * its nprobe cells, and a hot cell makes every query probing it pay
+    * that cell's size. Probe cells come from the same pure-projection
+    * argmin over the broadcast centroid literals as [[knnGraphIvf]]
+    * (no corpus broadcast); cell sizes are a ≤nlist-row aggregate of
+    * the bucketed store joined back by broadcast — the face prices the
+    * candidate fetch WITHOUT paying it (no candidate join at all), so
+    * at 100 TB it is one corpus scan + one k-row broadcast join.
+    * `n_candidates` counts scanned vectors (incl. the query's own row
+    * when its cell is probed — that row IS scanned before the serving
+    * join's `vec_id =!= query_id` drops it); `cost_ppm` is the share
+    * of the corpus scanned, ideal ≈ nprobe/nlist·1e6. */
+  private val probeCost: Q = (s, d) => {
+    val (cents, table) = ivfIndex(s, d)
+    val e = embDouble(s, d).select(col("vec_id"), col("v"))
+    val sizes = graft.sources.BucketedStore.read(s, table)
+      .groupBy("cid").agg(count(lit(1)).as("cell_n"))
+    val probeArr = array_sort(array(cents.map { case (cid, cv) =>
+      val n2 = cv.foldLeft(0.0)((a, x) => a + x * x)
+      struct((lit(n2) - lit(2) * dot(col("v"), array(cv.map(lit): _*))).as("d"),
+        lit(cid).as("cid"))
+    }: _*))
+    val probes = e.select(col("vec_id").as("query_id"),
+        explode(slice(probeArr, 1, KmProbe)).as("p"))
+      .select(col("query_id"), col("p.cid").as("probe_cid"))
+    val tot = sizes.agg(sum("cell_n").as("t"))
+    probes.join(broadcast(sizes), col("probe_cid") === col("cid"))
+      .groupBy("query_id")
+      .agg(sum("cell_n").as("n_candidates"))
+      .crossJoin(broadcast(tot))
+      .select(col("query_id"), col("n_candidates"),
+        expr("n_candidates * 1000000 div t").as("cost_ppm"))
+      .orderBy("query_id")
+  }
+  private val probeCostSql =
+    s"""WITH ${ivfProbeChainSql(Int.MaxValue, 5)}, csz AS (
+  SELECT cid, count(*) AS cell_n FROM ivcells GROUP BY cid
+), ctot AS (SELECT CAST(sum(cell_n) AS BIGINT) AS t FROM csz)
+SELECT query_id, CAST(sum(cell_n) AS BIGINT) AS n_candidates,
+  CAST(sum(cell_n) * 1000000 // max(t) AS BIGINT) AS cost_ppm
+FROM ivprobes p JOIN csz USING (cid), ctot
+GROUP BY query_id ORDER BY query_id"""
+
   /** The trained coarse quantizer persisted as a parquet model table
     * (the classifier's [[graft.sources.ModelStore]] discipline applied
     * to the IVF centroids): k rows unpivoted to (cid, dim, x) so the
@@ -2072,6 +2118,7 @@ ORDER BY e.query_id"""
     "embed_cluster_profile" -> clusterProfile,
     "knn_join" -> knnJoin,
     "knn_graph_ivf" -> knnGraphIvf,
+    "ann_probe_cost" -> probeCost,
     "knn_label_eval" -> knnLabelEval)
 
   val oracle: Map[String, String] = Map(
@@ -2103,5 +2150,6 @@ ORDER BY e.query_id"""
     "embed_cluster_profile" -> clusterProfileSql,
     "knn_join" -> knnJoinSql,
     "knn_graph_ivf" -> knnGraphIvfSql,
+    "ann_probe_cost" -> probeCostSql,
     "knn_label_eval" -> knnLabelEvalSql)
 }

@@ -534,6 +534,57 @@ SELECT lang, count(*) AS n_words,
   CAST(sum(wlen) * 1000000 // sum(n_syms) AS BIGINT) AS chars_per_subword_ppm
 FROM fj GROUP BY lang ORDER BY lang"""
 
+  // -------------------------------------------------------- shard plan
+  /** Token-balanced output-shard planning — the step that turns a
+    * curated corpus into the N physical training shards the writer job
+    * emits: docs are ranked globally by token count (desc, doc_id
+    * tie-break) and dealt round-robin over [[NShards]], the classic
+    * sorted-greedy balancing whose per-shard excess over the ideal is
+    * bounded by one max-document regardless of the size distribution
+    * (contrast hash-sharding, whose imbalance grows with doc-length
+    * variance — [[seqPack]]'s shards balance COUNTS, not tokens).
+    * The rank is [[graft.operators.GlobalRank.withRank]] — two-phase
+    * range partition, no single-task corpus sort, no unpartitioned
+    * Window — and the readout is per-shard docs, tokens, and absolute
+    * deviation from the exact ideal in ppm (integer `div`: token
+    * totals at 100 TB can pass 2^53 where double division stops being
+    * exact). At scale: one corpus scan + the rank's range exchange,
+    * then an N-row aggregate. Oracle: window row_number mirror. */
+  private val NShards = 16L
+  private val shardPlan: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val ranked = graft.operators.GlobalRank.withRank(docs,
+      Seq(col("n_tokens").desc, col("doc_id").asc), "rk")
+    val per = CachePool.cached(ranked
+      .withColumn("shard", expr(s"(rk - 1) % $NShards").cast("int"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("shard_tokens")))
+    val tot = per.agg(sum("shard_tokens").as("t"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("shard_tokens"),
+        expr(s"abs(shard_tokens * $NShards - t) * 1000000 div t")
+          .as("imbalance_ppm"))
+      .orderBy("shard")
+  }
+  private val shardPlanSql =
+    s"""WITH sdocs AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), ranked AS (
+  SELECT n_tokens,
+    row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rk
+  FROM sdocs
+), per AS (
+  SELECT CAST((rk - 1) % $NShards AS INT) AS shard, count(*) AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+  FROM ranked GROUP BY 1
+), stot AS (SELECT CAST(sum(shard_tokens) AS BIGINT) AS t FROM per)
+SELECT shard, n_docs, shard_tokens,
+  CAST(abs(shard_tokens * $NShards - t) * 1000000 // t AS BIGINT)
+    AS imbalance_ppm
+FROM per, stot ORDER BY shard"""
+
   // -------------------------------------------------------- sample split
   /** Deterministic train/val/test split (80/10/10) by content-free id
     * hash — the split op a training pipeline needs at 100 TB: no RNG
@@ -3078,6 +3129,7 @@ GROUP BY doc_id ORDER BY doc_id"""
     "text_clean_corpus" -> cleanCorpus,
     "text_seq_pack" -> seqPack,
     "text_seq_pack_bpe" -> seqPackBpe,
+    "text_shard_plan" -> shardPlan,
     "text_bpe_fertility" -> bpeFertility,
     "text_sample_split" -> sampleSplit,
     "text_decontaminate" -> decontaminate,
@@ -3134,6 +3186,7 @@ GROUP BY doc_id ORDER BY doc_id"""
     "text_clean_corpus" -> cleanCorpusSql,
     "text_seq_pack" -> seqPackSql,
     "text_seq_pack_bpe" -> seqPackBpeSql,
+    "text_shard_plan" -> shardPlanSql,
     "text_bpe_fertility" -> bpeFertilitySql,
     "text_sample_split" -> sampleSplitSql,
     "text_decontaminate" -> decontaminateSql,
