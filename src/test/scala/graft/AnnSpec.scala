@@ -16,10 +16,12 @@ class AnnSpec extends SparkSpec {
       .select("query_id", "neighbor_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-  test("k-means IVF (nprobe=2/8 cells) keeps rank-1 recall >= 60%") {
-    // probing 2 of 8 cells scans ~25% of the corpus; an index no better
-    // than random scanning would put the true rank-1 neighbor in the
-    // probe set ~25% of the time. Measured at sf0.001: 8/10.
+  test("k-means IVF (nprobe=2 of derived nlist cells) keeps rank-1 recall >= 60%") {
+    // nlist = ceil(sqrt(N)) = 23 cells at sf0.001: probing 2 of 23
+    // scans ~9% of the corpus; an index no better than random scanning
+    // would put the true rank-1 neighbor in the probe set ~9% of the
+    // time. Measured at sf0.001: 9/10 (8/10 under the old fixed
+    // 8-cell geometry at 25% scanned — finer cells hurt nothing here).
     val brute = top1("ann_topk_brute")
     val hits = brute.intersect(top1("ann_topk_ivf_kmeans")).size
     assert(hits >= 6, s"rank-1 recall $hits/10")
@@ -72,7 +74,7 @@ class AnnSpec extends SparkSpec {
     // bucketed by cid, a probe (literal IN on cid) must open only the
     // matching bucket files — probing cost scales with nprobe/nlist of
     // the index, not its total size
-    SimilarityQueries.buildIvfIndex(spark, Sf)
+    val nBuckets = SimilarityQueries.buildIvfIndex(spark, Sf).length
     // DisableUnnecessaryBucketedScan turns bucketed reading off for a
     // filter-only scan (no downstream distribution requirement) and
     // loses the pruning with it — pin the bucketed path to assert the
@@ -85,11 +87,12 @@ class AnnSpec extends SparkSpec {
       val plan = probe.queryExecution.executedPlan.toString
       assert(plan.contains("Bucketed: true"), s"probe must ride buckets:\n$plan")
       // two probe cids open at most two buckets (one if murmur3 maps
-      // both cids to the same bucket) — never the full index
-      val selected = "SelectedBucketsCount: (\\d+) out of 8".r
+      // both cids to the same bucket) — never the full index, whose
+      // bucket count now follows the derived nlist (= live cell count)
+      val selected = s"SelectedBucketsCount: (\\d+) out of $nBuckets".r
         .findFirstMatchIn(plan).map(_.group(1).toInt)
       assert(selected.exists(n => n >= 1 && n <= 2),
-        s"IN(1,3) must open <=2 of 8 buckets:\n$plan")
+        s"IN(1,3) must open <=2 of $nBuckets buckets:\n$plan")
       // and the pruned read is not vacuous: exactly the two cells' rows
       assert(probe.select("cid").distinct().collect()
         .map(_.getInt(0)).toSet.subsetOf(Set(1, 3)))
