@@ -60,4 +60,42 @@ class Round16Spec extends SparkSpec {
     assert(small < 150000.0 && large < 80000.0,
       s"operating point regressed: sf0.001=$small sf0.1=$large")
   }
+
+  test("ModelStore retrain is a rename-swap: catalog entry survives, readers resolve") {
+    // VERDICT r11 #4: the old DROP TABLE -> delete -> saveAsTable had a
+    // window where a concurrent serving job caught a missing table.
+    // Same-schema retrains now swap the data directory under an
+    // untouched catalog entry (two renames; a complete model exists at
+    // exactly one path at every instant).
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val t = "graft_r16_model_swap"
+    graft.sources.ModelStore.write(Seq((1, 0.5)).toDF("k", "w"), t)
+    val created = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(t)).createTime
+    val pre = graft.sources.ModelStore.read(spark, t) // long-lived reader
+    assert(pre.collect().map(_.getInt(0)).toSeq == Seq(1))
+    // retrain (same schema) — must take the swap path
+    graft.sources.ModelStore.write(Seq((2, 0.7), (3, 0.1)).toDF("k", "w"), t)
+    // the catalog entry was never dropped...
+    assert(spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier(t)).createTime == created,
+      "same-schema retrain must not recreate the table")
+    // ...and both the pre-swap handle and a fresh read serve the new model
+    assert(pre.count() == 2, "pre-swap reader must resolve post-swap")
+    assert(graft.sources.ModelStore.read(spark, t)
+      .collect().map(_.getInt(0)).toSet == Set(2, 3))
+    // no staging/old leftovers
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath, t)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(loc.getParent,
+      "." + t + ".model-tmp")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(loc.getParent,
+      "." + t + ".model-old")))
+    // a schema-changing rewrite falls back to recreate and still reads
+    graft.sources.ModelStore.write(Seq(("a", 1L, 2L)).toDF("x", "y", "z"), t)
+    assert(graft.sources.ModelStore.read(spark, t).count() == 1)
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+  }
 }
