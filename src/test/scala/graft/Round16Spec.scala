@@ -98,4 +98,46 @@ class Round16Spec extends SparkSpec {
     assert(graft.sources.ModelStore.read(spark, t).count() == 1)
     spark.sql(s"DROP TABLE IF EXISTS `$t`")
   }
+
+  test("recluster: publish is a pointer flip; a pre-publish crash leaves the old tier live") {
+    import spark.implicits._
+    import graft.sources.{BucketedStore, ModelStore}
+    // execute + serve: post-swap serving answers with the retrained
+    // full-corpus quantizer — bit-identical to the full-corpus IVF face
+    val served = SparkEntry.queries("ann_recluster_serve")(spark, Sf)
+      .collect().toSeq
+    val full = SparkEntry.queries("ann_topk_ivf_kmeans")(spark, Sf)
+      .collect().toSeq
+    assert(served == full, "post-swap serving must equal full-corpus IVF")
+    // pointer on generation 2, delta folded in (empty), and the OLD
+    // generation's tables all still readable after publish
+    val ptrT = SimilarityQueries.reclusterPtr(Sf)
+    val p2 = ModelStore.read(spark, ptrT).collect()(0)
+    assert(p2.getInt(0) == 2)
+    assert(BucketedStore.read(spark, p2.getString(2)).count() == 0,
+      "gen-2 delta must be empty (fold-in complete)")
+    val h = Sf.hashCode & 0x7fffffff
+    val (b1, d1, c1) = (s"graft_ivfup_base_$h", s"graft_ivfup_delta_$h",
+      s"graft_ivfup_cents_${h}_g1")
+    assert(BucketedStore.read(spark, b1).count() > 0)
+    assert(BucketedStore.read(spark, d1).count() > 0)
+    assert(ModelStore.read(spark, c1).count() > 0)
+    try {
+      // crash simulation: a failure anywhere before the final pointer
+      // write leaves exactly this state — pointer on gen 1, staged _g2
+      // tables present but unreferenced. Serving through the pointer
+      // must then answer with the frozen pre-swap tier, bit-identical
+      // to the upserted face.
+      ModelStore.write(Seq((1, b1, d1, c1))
+        .toDF("gen", "t_base", "t_delta", "t_cents"), ptrT)
+      val preSwap = SimilarityQueries.serveFromPtr(spark, Sf).collect().toSeq
+      val upserted = SparkEntry.queries("ann_topk_ivf_upserted")(spark, Sf)
+        .collect().toSeq
+      assert(preSwap == upserted,
+        "pointer-at-gen-1 serving must equal the upserted tier")
+    } finally ModelStore.write(
+      Seq((2, p2.getString(1), p2.getString(2), p2.getString(3)))
+        .toDF("gen", "t_base", "t_delta", "t_cents"), ptrT)
+    assert(SimilarityQueries.serveFromPtr(spark, Sf).collect().toSeq == full)
+  }
 }
