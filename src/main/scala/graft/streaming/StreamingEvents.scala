@@ -195,6 +195,38 @@ object StreamingEvents {
           .as("copy_id"))
   }
 
+  /** Streaming BPE tokenization under the TRAINED merge table — the
+    * round-10 deferred face, [[classifierScoreStream]]'s stateless
+    * train-batch/apply-stream discipline for the tokenizer: the stored
+    * merges arrive as LITERALS (loaded once from the
+    * [[graft.pipeline.TextQueries.bpeModelTable]] catalog table by the
+    * serving job), and each arriving document's words map through the
+    * char-split + replay-replaces fold with the subword counts summed
+    * by `aggregate()` — a pure projection, no state, no watermark, no
+    * shuffle. The replayed per-word sequences are deterministic string
+    * ops, identical to the batch vocabulary's training-end symseq, so
+    * per-doc counts equal `text_bpe_apply`'s exactly (StreamingSpec
+    * pins the parity). Docs with no non-empty words are dropped, the
+    * batch face's inner-join semantics. Needs doc_id / text columns. */
+  def bpeApplyStream(docs: DataFrame,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val words = filter(split(lower(col("text")), " "),
+      w => w =!= lit(""))
+    def nSyms(w: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val replayed = merges.foldLeft(
+        concat(lit(" "), regexp_replace(w, "(.)", "$1 "))) {
+          case (e, (l, r)) => replace(e, lit(s" $l $r "), lit(s" $l$r ")) }
+      size(split(trim(replayed), " ")).cast("long")
+    }
+    docs.select(col("doc_id"),
+        size(words).cast("long").as("n_tokens"),
+        aggregate(words, lit(0L), (acc, w) => acc + nSyms(w))
+          .as("n_bpe_tokens"))
+      .filter(col("n_tokens") > 0L)
+      .withColumn("bpe_per_word",
+        round(col("n_bpe_tokens").cast("double") / col("n_tokens"), 6))
+  }
+
   case class AnnHit(query_id: Long, doc_id: Long, rank: Int, sim: Double)
   case class AnnState(tsMs: Long, top: List[(Long, Double)])
 

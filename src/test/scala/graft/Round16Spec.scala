@@ -99,6 +99,17 @@ class Round16Spec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS `$t`")
   }
 
+  test("BPE model table round-trips the trained merge list bit-for-bit") {
+    // the last session-memoized model family persisted (VERDICT r11
+    // #3); the streaming apply face loads this table at startup
+    val stored = SparkEntry.queries("text_bpe_model_store")(spark, Sf)
+      .collect().toSeq
+    val trained = SparkEntry.queries("text_bpe_train")(spark, Sf)
+      .collect().toSeq
+    assert(stored.nonEmpty && stored == trained,
+      "stored merges must equal the trained model")
+  }
+
   test("recluster: publish is a pointer flip; a pre-publish crash leaves the old tier live") {
     import spark.implicits._
     import graft.sources.{BucketedStore, ModelStore}

@@ -424,6 +424,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming BPE apply: replayed stored merges equal the batch tokenizer per doc") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // the merges come from the PERSISTED MODEL TABLE — what a
+    // tokenizing serve job loads at startup (Round16Spec pins the
+    // table equal to the trained merge list)
+    val merges = graft.pipeline.TextQueries.bpeStoredMerges(spark, Sf)
+    assert(merges.nonEmpty, "training must produce merges")
+    val docs = spark.read.parquet(s"$Sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingEvents.bpeApplyStream(
+        mem.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(docs.take(40): _*)
+      q.processAllAvailable()
+      mem.addData(docs.drop(40): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("bpe_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+      val batch = SparkEntry.queries("text_bpe_apply")(spark, Sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(_._1).toSeq
+      assert(streamed.length == batch.length,
+        s"${streamed.length} streamed vs ${batch.length} batch docs")
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming resample: per-row copies equal the batch face under the learned mixture") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
