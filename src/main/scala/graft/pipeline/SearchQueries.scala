@@ -256,6 +256,125 @@ WHERE token IN ($termList) OR token IN (SELECT token FROM expn)
 GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
   }
 
+  // ----------------------------- PRF inside the hybrid retrieval tier
+  /** PRF composed with the PRODUCTION-shaped pipeline (VERDICT r11 #6:
+    * `search_prf_expanded` fed the feedback loop into the summed-tf
+    * keyword face only): the lexical arm is BM25 over the EXPANDED
+    * query ([[Terms]] ∪ the [[PrfK]] feedback terms), the vector arm
+    * is the IVF-SERVED top-20 for the corpus query vector (vec 0 —
+    * [[hybridRrf]]'s convention, but probing the persisted bucketed
+    * cell index via [[SimilarityQueries.ivfProbeRanks]] instead of
+    * scanning the corpus), fused with the same RRF as every hybrid
+    * face. Because the expansion terms are runtime model state (not
+    * compile-time literals), per-term BM25 contributions accumulate as
+    * exact DECIMAL(25,15) — the order-free batch-arm discipline — so
+    * no fixed summation order is needed. At 100 TB: the tf slice reads
+    * |terms|+[[PrfK]] postings, the vector arm reads nprobe/nlist of
+    * the corpus, and the fusion joins two ≤20-row arms. */
+  private val hybridRrfPrf: Q = (s, d) => {
+    val expanded = Terms ++ prfExpansion(s, d)
+    val t = tf(s, d)
+    val dl = t.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val dfRel = t.filter(col("token").isin(expanded: _*))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val contrib = t.filter(col("token").isin(expanded: _*))
+      .join(broadcast(dfRel), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("c",
+        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * (BmK1 + 1)) /
+          (col("tf") + lit(BmK1) *
+            (lit(1 - BmB) + lit(BmB) * col("dl") / col("avgdl"))))
+          .cast("decimal(25,15)"))
+    val lex = contrib.groupBy("doc_id").agg(sum("c").as("s"))
+      .orderBy(col("s").desc, col("doc_id")).limit(20)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("s").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    val q0 = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("qv"))
+    val vec = SimilarityQueries.ivfProbeRanks(s, d, q0, 20)
+      .select(col("doc_id"), col("vec_rank"))
+    lex.join(vec, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("lex_rank"), col("vec_rank"),
+        round(coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+  }
+  // lazy: interpolates RrfK, declared below with the hybrid section —
+  // a strict val here would capture the uninitialized 0
+  private lazy val hybridRrfPrfSql = {
+    val exTerms =
+      s"t.token IN ($termList) OR t.token IN (SELECT token FROM expn)"
+    s"""WITH $TfSql, dl AS MATERIALIZED (
+  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id
+), stats AS MATERIALIZED (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM dl
+), dfr AS (
+  SELECT token, count(*) AS df FROM tf
+  WHERE token IN ($termList) GROUP BY token
+), contrib AS (
+  SELECT t.doc_id, t.token,
+    ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0) *
+      (t.tf * (${BmK1} + 1)) /
+      (t.tf + ${BmK1} * (1 - ${BmB} + ${BmB} * d.dl / s.avgdl)) AS c
+  FROM tf t
+  JOIN dfr f ON t.token = f.token
+  JOIN dl d ON t.doc_id = d.doc_id
+  CROSS JOIN stats s
+), agg AS (
+  SELECT doc_id,
+    ${Terms.indices.map(i =>
+      s"max(CASE WHEN token = '${Terms(i)}' THEN c ELSE 0.0 END) AS c$i")
+      .mkString(",\n    ")}
+  FROM contrib GROUP BY doc_id
+), seed AS (
+  SELECT doc_id FROM (
+    SELECT doc_id, round(${Terms.indices.map(i => s"c$i").mkString(" + ")},
+      6) AS bm25 FROM agg
+  ) ORDER BY bm25 DESC, doc_id LIMIT 10
+), dfall AS MATERIALIZED (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+), expn AS MATERIALIZED (
+  SELECT j.token FROM (
+    SELECT t.token, count(*) AS n_r, CAST(sum(t.tf) AS BIGINT) AS tf_r
+    FROM tf t JOIN seed s ON t.doc_id = s.doc_id
+    WHERE t.token NOT IN ($termList)
+    GROUP BY t.token HAVING count(*) >= $PrfMinR
+  ) j JOIN dfall g ON j.token = g.token
+  ORDER BY j.n_r DESC, g.df ASC, j.tf_r DESC, j.token LIMIT $PrfK
+), pcontrib AS MATERIALIZED (
+  SELECT t.doc_id,
+    CAST(ln((s.n_docs - g.df + 0.5) / (g.df + 0.5) + 1.0) *
+      (t.tf * (${BmK1} + 1)) /
+      (t.tf + ${BmK1} * (1 - ${BmB} + ${BmB} * d.dl / s.avgdl))
+      AS DECIMAL(25,15)) AS c
+  FROM tf t
+  JOIN dfall g ON t.token = g.token
+  JOIN dl d ON t.doc_id = d.doc_id
+  CROSS JOIN stats s
+  WHERE $exTerms
+), plex AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS lex_rank
+  FROM (SELECT doc_id, sum(c) AS s FROM pcontrib GROUP BY doc_id)
+  QUALIFY lex_rank <= 20
+),
+${SimilarityQueries.ivfProbeChainSql(1, 20)}
+SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+  l.lex_rank, v.vec_rank,
+  round(COALESCE(1.0 / ($RrfK + l.lex_rank), 0)
+    + COALESCE(1.0 / ($RrfK + v.vec_rank), 0), 6) AS rrf
+FROM plex l FULL OUTER JOIN ivfvec v ON v.doc_id = l.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 10"""
+  }
+
   // ------------------------------------------- fuzzy edit-distance link
   /** Character-corruption linkage corpus: base documents ∪ corrupted
     * copies (doc_id%13==0 → +30000) with every 25th character deleted —
@@ -668,6 +787,7 @@ ORDER BY query_id"""
     "search_hybrid_rrf_batch_ivf" -> hybridRrfBatchIvf,
     "search_batch_ivf_recall" -> batchIvfRecall,
     "search_prf_expanded" -> prfSearch,
+    "search_hybrid_rrf_prf" -> hybridRrfPrf,
     "dedup_edit_distance" -> editDistance)
   val oracle: Map[String, String] = Map(
     "text_inverted_index" -> invertedIndexSql,
@@ -678,5 +798,6 @@ ORDER BY query_id"""
     "search_hybrid_rrf_batch_ivf" -> hybridRrfBatchIvfSql,
     "search_batch_ivf_recall" -> batchIvfRecallSql,
     "search_prf_expanded" -> prfSearchSql,
+    "search_hybrid_rrf_prf" -> hybridRrfPrfSql,
     "dedup_edit_distance" -> editDistanceSql)
 }

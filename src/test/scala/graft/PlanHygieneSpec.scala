@@ -91,6 +91,8 @@ class PlanHygieneSpec extends SparkSpec {
     val boundedByAggKey: Map[String, (Int, String)] = Map(
       "search_hybrid_rrf" ->
         (2, "rank windows over the two ≤20-row top-k arms"),
+      "search_hybrid_rrf_prf" ->
+        (1, "rank window over the ≤20-row expanded lexical top-k arm"),
       "events_budget_allocation" ->
         (1, "remainder rank over the |event_type| shares relation"),
       "events_trigram_paths" ->
