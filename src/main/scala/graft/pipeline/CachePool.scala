@@ -80,13 +80,29 @@ object CachePool {
     }
   }
 
-  /** Unpersist every registered relation (non-blocking) and forget it. */
-  def release(): Unit = synchronized {
+  /** Unpersist the pooled cached relations but KEEP the memoized
+    * model state — the family-boundary lifecycle for memory-
+    * constrained suites (VERDICT r11 #5): the pool holds the
+    * corpus-scale relations whose accretion pressures unrelated
+    * queries' memory, while memo entries are trained models
+    * (centroids, merges, weights, built index-table names) that are
+    * expensive to retrain and mostly driver-sized. A memoized value
+    * that referenced a pooled cache recomputes lazily — correctness
+    * is unaffected, only the cache cost is re-paid on next touch.
+    * NOT the bench default: measured at sf0.1/local[32] the rebuilds
+    * cost +11% wall vs accretion (see Bench.scala's finding). */
+  def releaseCaches(): Unit = synchronized {
     pairs.foreach(_._1.unpersist(false))
     pairs.clear()
     pool.foreach(_.unpersist(false))
     pool.clear()
     seen.clear()
+  }
+
+  /** Unpersist every registered relation (non-blocking) and forget it,
+    * models included — the corpus-lifecycle boundary. */
+  def release(): Unit = synchronized {
+    releaseCaches()
     memo.clear()
   }
 

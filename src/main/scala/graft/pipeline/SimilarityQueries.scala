@@ -405,8 +405,11 @@ ORDER BY query_id, rank"""
     * scale with the corpus, and `ann_probe_cost`'s cost_ppm
     * (≈ nprobe/nlist·10⁶ = nprobe·10⁶/√N) FALLS as N grows (the
     * scale contract Round16Spec pins). [[KmK]] survives as the floor
-    * (tiny corpora) and as the fixed k of the analytics-clustering
-    * stand-ins that never serve an index. At ~10⁹ vectors this yields
+    * for tiny corpora; every k-means consumer — the serving indexes,
+    * the PQ coarse quantizer, and the cluster-analytics faces
+    * (SemDeDup's published recipe scales cluster count with the
+    * corpus for exactly the bounded-cell-pair reason) — derives k the
+    * same way. At ~10⁹ vectors this yields
     * ~31k cells, past the point where the argmin-over-literals
     * projection should hand off to a broadcast-join argmin (a k-row
     * centroid table is broadcast either way; only the expression form
