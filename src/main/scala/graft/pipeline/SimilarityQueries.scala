@@ -481,6 +481,38 @@ ORDER BY query_id, rank"""
     }
   }
 
+  /** The full-corpus coarse quantizer, trained ONCE per (session,
+    * dataset) — Lloyd is deterministic (decimal-exact means, cid
+    * tie-breaks), so every consumer of "k-means over the whole
+    * embedding relation" (the IVF index, the in-plan top-k face, the
+    * cluster profile, SemDeDup, the kNN label eval, the IVF-PQ coarse
+    * level) walks the IDENTICAL trajectory and can share one trained
+    * model instead of re-running the count + 2 Lloyd passes per face
+    * (measured: ~1 s per avoided retrain at sf0.1 under the derived
+    * k = ⌈√N⌉ geometry). Memoized next to [[ivfIndex]]; cleared by
+    * [[CachePool.release]] at corpus-lifecycle boundaries. */
+  private[graft] def corpusCentroids(s: SparkSession, d: String)
+      : Seq[(Int, Seq[Double])] =
+    CachePool.memoized(("corpusCentroids", d)) {
+      val e = embDouble(s, d).select(col("vec_id"), col("v")).cache()
+      val cents = kmeansCentroids(s, e)
+      e.unpersist()
+      cents
+    }
+
+  /** The base-corpus (vec_id % 10 ≠ 9) quantizer of the upserted tier,
+    * shared by the upsert census, the upserted index build, and the
+    * re-cluster gain's frozen arm — same one-model-many-faces
+    * discipline as [[corpusCentroids]]. */
+  private def baseCentroids(s: SparkSession, d: String)
+      : Seq[(Int, Seq[Double])] =
+    CachePool.memoized(("baseCentroids", d)) {
+      val base = CachePool.cached(embDouble(s, d)
+        .select(col("vec_id"), col("v"))
+        .filter(pmod(col("vec_id"), lit(10L)) =!= 9L))
+      kmeansCentroids(s, base)
+    }
+
   /** nprobe coarse cells per query vector: (query_id, qv, probe_cid). */
   private def probeList(s: SparkSession, e: DataFrame,
                         cents: Seq[(Int, Seq[Double])]): DataFrame = {
@@ -509,17 +541,12 @@ ORDER BY query_id, rank"""
   }
 
   private val topkKmeans: Q = (s, d) => {
-    val e = embDouble(s, d).select(col("vec_id"), col("v")).cache()
-    val cents = kmeansCentroids(s, e)
+    val e = embDouble(s, d).select(col("vec_id"), col("v"))
+    val cents = corpusCentroids(s, d)
     val cells = assignCells(e, cents)
     val probes = probeList(s, e, cents)
-    val out = rerankTop5(cells.join(broadcast(probes),
+    rerankTop5(cells.join(broadcast(probes),
       col("cid") === col("probe_cid") && col("vec_id") =!= col("query_id")))
-    // the cache existed for the Lloyd-iteration collects, which have all
-    // run by now — release it so a long-lived session doesn't accrete
-    // cached relations (the returned plan just re-reads the parquet)
-    e.unpersist()
-    out
   }
 
   /** The SERVING shape of the IVF index: cell assignments persisted
@@ -533,11 +560,10 @@ ORDER BY query_id, rank"""
     * candidate fetch rides the storage layout instead of a runtime
     * join. The probe-cid collect is ≤ k×queries ints of model state. */
   def buildIvfIndex(s: SparkSession, d: String): Seq[(Int, Seq[Double])] = {
-    val e = embDouble(s, d).select(col("vec_id"), col("v")).cache()
-    val cents = kmeansCentroids(s, e)
+    val e = embDouble(s, d).select(col("vec_id"), col("v"))
+    val cents = corpusCentroids(s, d)
     graft.sources.BucketedStore.write(
       assignCells(e, cents), "graft_ivf_cells", "cid", cents.length)
-    e.unpersist()
     cents
   }
   // ------------------------------------------------- IVF index upsert
@@ -559,8 +585,7 @@ ORDER BY query_id, rank"""
     * (order-free) — hash-exact cross-engine. */
   private val indexUpsert: Q = (s, d) => {
     val e = embDouble(s, d).select(col("vec_id"), col("v"))
-    val base = CachePool.cached(e.filter(pmod(col("vec_id"), lit(10L)) =!= 9L))
-    val cents = kmeansCentroids(s, base)
+    val cents = baseCentroids(s, d)
     val win = cellMin(cents)
     val d2 = (win.getField("d") + dot(col("v"), col("v")))
       .cast("decimal(25,15)")
@@ -684,11 +709,10 @@ ORDER BY query_id"""
       : (Seq[(Int, Seq[Double])], String) =
     CachePool.memoized(("ivfIndex", d)) {
       val table = "graft_ivf_cells_" + (d.hashCode & 0x7fffffff)
-      val e = embDouble(s, d).select(col("vec_id"), col("v")).cache()
-      val cents = kmeansCentroids(s, e)
+      val e = embDouble(s, d).select(col("vec_id"), col("v"))
+      val cents = corpusCentroids(s, d)
       graft.sources.BucketedStore.write(
         assignCells(e, cents), table, "cid", cents.length)
-      e.unpersist()
       (cents, table)
     }
 
@@ -762,14 +786,13 @@ ORDER BY query_id"""
       val h = d.hashCode & 0x7fffffff
       val (tBase, tDelta) = (s"graft_ivfup_base_$h", s"graft_ivfup_delta_$h")
       val e = embDouble(s, d).select(col("vec_id"), col("v"))
-      val base = e.filter(pmod(col("vec_id"), lit(10L)) =!= 9L).cache()
-      val cents = kmeansCentroids(s, base)
+      val base = e.filter(pmod(col("vec_id"), lit(10L)) =!= 9L)
+      val cents = baseCentroids(s, d)
       graft.sources.BucketedStore.write(
         assignCells(base, cents), tBase, "cid", cents.length)
       graft.sources.BucketedStore.write(
         assignCells(e.filter(pmod(col("vec_id"), lit(10L)) === 9L), cents),
         tDelta, "cid", cents.length)
-      base.unpersist()
       (cents, tBase, tDelta)
     }
 
@@ -1050,14 +1073,13 @@ FROM (
       // into the cell table, leave an empty delta
       val (tBase2, tDelta2, cents2T) = (s"graft_ivfup_base_${h}_g2",
         s"graft_ivfup_delta_${h}_g2", s"graft_ivfup_cents_${h}_g2")
-      val e = embDouble(s, d).select(col("vec_id"), col("v")).cache()
+      val e = embDouble(s, d).select(col("vec_id"), col("v"))
       val n = e.count()
-      val cents2 = kmeansCentroids(s, e)
+      val cents2 = corpusCentroids(s, d) // ≡ the full-corpus IVF quantizer
       graft.sources.BucketedStore.write(
         assignCells(e, cents2), tBase2, "cid", cents2.length)
       graft.sources.BucketedStore.write(
         assignCells(e, cents2).limit(0), tDelta2, "cid", cents2.length)
-      e.unpersist()
       graft.sources.ModelStore.write(centDf(s, cents2), cents2T)
       // AUDIT: the staged generation must hold exactly the corpus —
       // failing here aborts BEFORE publish, old generation still live
@@ -1276,7 +1298,15 @@ ORDER BY query_id, rank"""
     * same addends as the per-subspace loops, and decimal addition is
     * order-independent, so the centroid trajectory — and therefore the
     * oracle — is bit-identical to the per-subspace formulation. */
-  private def pqCodebooks(s: SparkSession, e: DataFrame): Seq[Seq[(Int, Seq[Double])]] = {
+  private def pqCodebooks(s: SparkSession, d: String)
+      : Seq[Seq[(Int, Seq[Double])]] =
+    CachePool.memoized(("pqCodebooks", d)) {
+      val e = embDouble(s, d).select(col("vec_id"), col("v")).cache()
+      val books = pqTrain(s, e)
+      e.unpersist()
+      books
+    }
+  private def pqTrain(s: SparkSession, e: DataFrame): Seq[Seq[(Int, Seq[Double])]] = {
     import s.implicits._
     val initRows = e.filter(col("vec_id") < PqK)
       .select(col("vec_id").cast("int"), col("v")).as[(Int, Seq[Double])]
@@ -1305,8 +1335,8 @@ ORDER BY query_id, rank"""
 
   private val topkPq: Q = (s, d) => {
     import s.implicits._
-    val e = embDouble(s, d).select(col("vec_id"), col("v")).cache()
-    val books = pqCodebooks(s, e)
+    val e = embDouble(s, d).select(col("vec_id"), col("v"))
+    val books = pqCodebooks(s, d)
     // encode: m code columns, each an argmin over PqK literal structs —
     // a pure projection riding the scan
     val encoded = e.select(col("vec_id") +:
@@ -1341,7 +1371,6 @@ ORDER BY query_id, rank"""
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("adc"), 6).as("adc"))
       .orderBy("query_id", "rank")
-    e.unpersist()
     out
   }
 
@@ -1417,9 +1446,14 @@ ORDER BY query_id, rank"""
     * term that grows with cluster size. Each (which, cid, pos) group's
     * decimal sum sees exactly the addends the separate loops fed it,
     * so BOTH trajectories — and the oracle — are bit-identical. */
-  private def ivfPqModels(s: SparkSession, e: DataFrame)
+  private def ivfPqModels(s: SparkSession, d: String)
+      : (Seq[(Int, Seq[Double])], Seq[Seq[(Int, Seq[Double])]]) =
+    CachePool.memoized(("ivfPqModels", d)) { ivfPqTrain(s,
+      embDouble(s, d).select(col("vec_id"), col("v"))) }
+  private def ivfPqTrain(s: SparkSession, e0: DataFrame)
       : (Seq[(Int, Seq[Double])], Seq[Seq[(Int, Seq[Double])]]) = {
     import s.implicits._
+    val e = e0.cache()
     val nl = nlistOf(e.count())
     val init = e.filter(col("vec_id") < math.max(nl, PqK))
       .select(col("vec_id").cast("int"), col("v")).as[(Int, Seq[Double])]
@@ -1428,7 +1462,7 @@ ORDER BY query_id, rank"""
     def regroup(rows: Seq[(Int, Int, Int, Double)], which: Int) =
       rows.filter(_._1 == which).groupBy(_._2).map { case (cid, xs) =>
         (cid, xs.sortBy(_._3).map(_._4).toSeq) }.toSeq.sortBy(_._1)
-    (1 to KmIters).foldLeft((
+    val out = (1 to KmIters).foldLeft((
       init.take(nl),
       (0 until PqM).map { sub => init.take(PqK).map { case (cid, v) =>
         (cid, v.slice(sub * PqW, (sub + 1) * PqW)) } }: Seq[Seq[(Int, Seq[Double])]]
@@ -1453,12 +1487,14 @@ ORDER BY query_id, rank"""
         .as[(Int, Int, Int, Double)].collect().toSeq
       (regroup(rows, PqM), (0 until PqM).map(regroup(rows, _)))
     }
+    e.unpersist()
+    out
   }
 
   private val topkIvfPq: Q = (s, d) => {
     import s.implicits._
-    val e = embDouble(s, d).select(col("vec_id"), col("v")).cache()
-    val (cents, books) = ivfPqModels(s, e)
+    val e = embDouble(s, d).select(col("vec_id"), col("v"))
+    val (cents, books) = ivfPqModels(s, d)
     val cells = assignCells(e, cents)
     val encoded = cells.select(col("vec_id") +: col("cid") +:
       books.zipWithIndex.map { case (c, sub) => pqCodeCol(c, sub) }: _*)
@@ -1490,7 +1526,6 @@ ORDER BY query_id, rank"""
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("adc"), 6).as("adc"))
       .orderBy("query_id", "rank")
-    e.unpersist()
     out
   }
 
@@ -1773,8 +1808,8 @@ ORDER BY vec_id, rank"""
     * majority label is an integer argmax with (cnt desc, label asc)
     * tie-break. At 100 TB: one scan, one ≤k×labels-group aggregate. */
   private val clusterProfile: Q = (s, d) => {
-    val e = embDouble(s, d).select(col("vec_id"), col("label"), col("v")).cache()
-    val cents = kmeansCentroids(s, e)
+    val e = embDouble(s, d).select(col("vec_id"), col("label"), col("v"))
+    val cents = corpusCentroids(s, d)
     val cm = cellMin(cents)
     val scored = e.select(col("label"), cm.getField("cid").as("cid"),
       (cm.getField("d") + dot(col("v"), col("v"))).as("d2"))
@@ -1783,7 +1818,7 @@ ORDER BY vec_id, rank"""
         sum(col("d2").cast("decimal(25,15)")).as("lbl_inertia"))
     val wMaj = Window.partitionBy("cid")
       .orderBy(col("lbl_cnt").desc, col("label"))
-    val out = byLabel
+    byLabel
       .withColumn("rn", row_number().over(wMaj))
       .withColumn("n_vecs", sum("lbl_cnt").over(Window.partitionBy("cid")))
       .withColumn("inertia",
@@ -1793,8 +1828,6 @@ ORDER BY vec_id, rank"""
       .select(col("cid"), col("n_vecs"), col("label").as("maj_label"),
         col("lbl_cnt").as("maj_cnt"), col("inertia"))
       .orderBy("cid")
-    e.unpersist()
-    out
   }
   private val clusterProfileSql =
     s"""WITH e AS (
@@ -1842,12 +1875,14 @@ ORDER BY cid"""
     * one bucketed self-join. */
   private val SemTau = 0.3
   private val semDedup: Q = (s, d) => {
-    val e = embDouble(s, d).select(col("vec_id"), col("v")).cache()
-    val cents = kmeansCentroids(s, e)
+    val e = embDouble(s, d).select(col("vec_id"), col("v"))
+    val cents = corpusCentroids(s, d)
     val cm = cellMin(cents)
-    val scored = e.select(col("vec_id"), col("v"),
+    // scored feeds BOTH sides of the within-cell self-join — cache it
+    // so the assignment projection runs once, not twice
+    val scored = CachePool.cached(e.select(col("vec_id"), col("v"),
       cm.getField("cid").as("cid"),
-      (cm.getField("d") + dot(col("v"), col("v"))).as("d2"))
+      (cm.getField("d") + dot(col("v"), col("v"))).as("d2")))
     val a = scored.select(col("cid"), col("vec_id").as("a_id"),
       col("v").as("av"), col("d2").as("a_d2"))
     val b = scored.select(col("cid"), col("vec_id").as("b_id"),
@@ -1856,7 +1891,7 @@ ORDER BY cid"""
       .filter(col("a_id") < col("b_id"))
       .withColumn("sim", cosine(col("av"), col("bv")))
       .filter(col("sim") >= SemTau)
-    val out = pairs
+    pairs
       .select(col("cid"),
         when(col("a_d2") < col("b_d2"), col("a_id"))
           .when(col("b_d2") < col("a_d2"), col("b_id"))
@@ -1866,8 +1901,6 @@ ORDER BY cid"""
       .agg(count(lit(1)).as("n_dominators"),
         round(max(col("sim")), 6).as("max_sim"))
       .orderBy("cid", "vec_id")
-    e.unpersist()
-    out
   }
   private val semDedupSql =
     s"""WITH e AS (
@@ -2009,10 +2042,12 @@ FROM w$PcIters ORDER BY pos"""
     * smaller label; singleton-cell vectors have no neighbors and are
     * excluded (counted by the census, visible as n_eval < n_vecs). */
   private val knnLabelEval: Q = (s, d) => {
-    val e = embDouble(s, d).cache()
-    val cents = kmeansCentroids(s, e)
-    val cells = e.select(col("vec_id"), col("label"), col("v"),
-      cellCol(cents).as("cid"))
+    val e = embDouble(s, d)
+    val cents = corpusCentroids(s, d)
+    // cells feeds both sides of the within-cell self-join
+    val cells = CachePool.cached(
+      e.select(col("vec_id"), col("label"), col("v"),
+        cellCol(cents).as("cid")))
     val a = cells.select(col("cid"), col("vec_id").as("a_id"),
       col("label").as("a_label"), col("v").as("av"))
     val b = cells.select(col("cid"), col("vec_id").as("b_id"),
@@ -2028,7 +2063,7 @@ FROM w$PcIters ORDER BY pos"""
       .agg(count(lit(1)).as("nv"))
       .withColumn("vr", row_number().over(wv))
       .filter(col("vr") === 1)
-    val out = pred.groupBy(col("a_label").as("label"))
+    pred.groupBy(col("a_label").as("label"))
       .agg(count(lit(1)).as("n_eval"),
         sum(when(col("b_label") === col("a_label"), 1L).otherwise(0L))
           .cast("long").as("n_correct"))
@@ -2036,8 +2071,6 @@ FROM w$PcIters ORDER BY pos"""
         round(col("n_correct").cast("double") / col("n_eval"), 6)
           .as("accuracy"))
       .orderBy("label")
-    e.unpersist()
-    out
   }
   private val knnLabelEvalSql =
     s"""WITH e AS (
