@@ -1099,7 +1099,13 @@ FROM (
     * base ∪ delta bucketed tables. Nothing here references the
     * training memos, so this is exactly what a process that did NOT
     * train the index runs. */
-  private[graft] def serveFromPtr(s: SparkSession, d: String): DataFrame = {
+  /** Resolve the live index generation through the pointer — one
+    * catalog row naming the tables, then the named quantizer loaded
+    * from its model table (k×dim rows of driver model state, bit-exact
+    * to the trained memo). What any serving job — batch or streaming —
+    * does at boot. */
+  private[graft] def ptrModel(s: SparkSession, d: String)
+      : (Seq[(Int, Seq[Double])], String, String) = {
     import s.implicits._
     val p = graft.sources.ModelStore.read(s, reclusterPtr(d)).collect()(0)
     val (tb, td, tc) = (p.getString(1), p.getString(2), p.getString(3))
@@ -1107,6 +1113,11 @@ FROM (
       .as[(Int, Int, Double)].collect().toSeq
       .groupBy(_._1).map { case (cid, xs) =>
         (cid, xs.sortBy(_._2).map(_._3).toSeq) }.toSeq.sortBy(_._1)
+    (cents, tb, td)
+  }
+
+  private[graft] def serveFromPtr(s: SparkSession, d: String): DataFrame = {
+    val (cents, tb, td) = ptrModel(s, d)
     val e = embDouble(s, d).select(col("vec_id"), col("v"))
     val probes = probeList(s, e, cents)
     val probeCids = probes.select("probe_cid").distinct()

@@ -272,6 +272,29 @@ object StreamingEvents {
       k, delayMs)
   }
 
+  /** The online face served THROUGH THE GENERATION POINTER — what an
+    * ANN serving job that restarted after a re-cluster actually runs:
+    * resolve the pointer at boot (one catalog row), load the named
+    * quantizer from its model table, and probe the named base ∪ delta
+    * bucketed tables — nothing references the training memos, and a
+    * maintenance publish (`ann_recluster_serve`'s atomic pointer flip)
+    * is picked up by the next restart without code or config changes.
+    * Same bounded state as every ANN stream: ≤ k (doc, sim) pairs per
+    * open query. Parity vs the batch pointer serving is pinned in
+    * StreamingSpec. Requires the pointer to exist (a serving job boots
+    * AFTER its first index build — callers run
+    * [[graft.pipeline.SimilarityQueries.reclusterExecute]] or any
+    * maintenance cycle first). */
+  def annServePtrStream(queries: DataFrame,
+      s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int = 5, delayMs: Long = 7200000L): Dataset[AnnHit] = {
+    val (cents, tb, td) = graft.pipeline.SimilarityQueries.ptrModel(s, d)
+    annServeCore(queries, s, cents,
+      graft.sources.BucketedStore.read(s, tb)
+        .unionByName(graft.sources.BucketedStore.read(s, td)),
+      k, delayMs)
+  }
+
   private def annServeCore(queries: DataFrame,
       s: org.apache.spark.sql.SparkSession,
       cents: Seq[(Int, Seq[Double])], cells: DataFrame,

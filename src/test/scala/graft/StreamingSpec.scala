@@ -571,6 +571,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN serve through the generation pointer: serves the published tier") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // a maintenance cycle ran and atomically published generation 2
+    // (delta folded in); a serving job booting now resolves the pointer
+    // and must answer exactly like the full-corpus IVF index — query 19
+    // was a DELTA vector pre-fold, now served from the base arm
+    graft.pipeline.SimilarityQueries.reclusterExecute(spark, Sf)
+    val qvs = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id").isin(3L, 19L))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val mem = MemoryStream[(Long, Long, Seq[Double])]
+    def typed(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("ts_ms", "query_id", "qv")
+        .select(timestamp_millis(col("ts_ms")).as("ts"),
+          col("query_id"), col("qv"))
+    val q = StreamingEvents.annServePtrStream(
+        typed(mem.toDF()), spark, Sf, k = 5, delayMs = 3600000L)
+      .writeStream.format("memory").queryName("ann_serve_ptr")
+      .outputMode("append").start()
+    try {
+      mem.addData(qvs.map { case (id, v) => (1000L, id, v) }: _*)
+      q.processAllAvailable()
+      mem.addData((1000L + 3600000L * 3, 999L, qvs.head._2))
+      q.processAllAvailable()
+      val got = spark.table("ann_serve_ptr").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val queries = Tables.embeddings(spark, Sf)
+        .filter(col("vec_id").isin(3L, 19L))
+        .select(col("vec_id").as("query_id"),
+          col("embedding").cast("array<double>").as("qv"))
+      // post-publish, pointer serving ≡ the full-corpus IVF probe
+      val want = graft.pipeline.SimilarityQueries
+        .ivfProbeRanks(spark, Sf, queries, 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want, s"streamed $got vs batch $want")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming SCD2: closed intervals match the batch history's closed rows") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
