@@ -668,29 +668,41 @@ FROM q ORDER BY event_type"""
     * legitimately differ by a whole gap). The query joins the sketch
     * output back to the events and computes each estimate's occupied
     * rank interval [#(v<a), #(v≤a)−1]; `pXX_ok` asserts the target rank
-    * p·(n−1) falls inside it ±2 (rank error at accuracy 10⁴ on these
-    * group sizes is <1; ±2 absorbs edge rounding — the same bound
-    * ReportingSpec pinned when this was test-only). The oracle recounts
-    * the groups exactly and asserts the contract literally; the sketch
-    * is deterministic on fixed data, so the booleans are stable. At
-    * 100 TB only the sketch aggregate runs — this face is its
-    * verification harness. */
+    * p·(n−1) falls inside it ± the sketch's OWN guarantee, ⌈εn⌉ with
+    * ε = 1/accuracy, plus 2 for edge rounding. The slack MUST scale
+    * with n (round 12, caught by the sf0.1 re-verification of a
+    * contract written at sf0.01 sizes): a fixed ±2 held only while
+    * εn < 1 — at n≈20k the sketch is permitted rank error 2.008 and
+    * legitimately exceeded the fixed band; at 10⁹ rows a fixed band
+    * would be asserting something no mergeable summary promises. The
+    * oracle recounts the groups exactly and asserts the contract
+    * literally; the sketch is deterministic on fixed data, so the
+    * booleans are stable. At 100 TB only the sketch aggregate runs —
+    * this face is its verification harness. */
+  private val ApproxAcc = 10000
   private val quantilesApprox: Q = (s, d) => {
     val ev = Tables.events(s, d).select("event_type", "value")
     val ap = ev.groupBy("event_type")
       .agg(count(lit(1)).as("n_ev"),
         approx_percentile(col("value"), array(lit(0.5), lit(0.9), lit(0.99)),
-          lit(10000)).as("qs"))
+          lit(ApproxAcc)).as("qs"))
       .select(col("event_type").as("t"), col("n_ev"),
         col("qs").getItem(0).as("a50"), col("qs").getItem(1).as("a90"),
         col("qs").getItem(2).as("a99"))
     // rank interval of estimate a: [#(v<a), #(v≤a)−1]; ok ⟺ the target
-    // rank p·(n−1) lies within ±2 of it (booleans of aggregates)
+    // rank p·(n−1) lies within ⌈n/accuracy⌉+2 of it (aggregate booleans)
     def okFor(a: Column, p: Double): Column = {
       val lo = sum(when(col("value") < a, 1L).otherwise(0L))
       val hi = sum(when(col("value") <= a, 1L).otherwise(0L)) - 1L
-      val target = lit(p) * (first(col("n_ev")) - 1L)
-      target >= lo - lit(2) && target <= hi + lit(2)
+      val n = first(col("n_ev"))
+      val target = lit(p) * (n - 1L)
+      // ceil(n/accuracy) via floor((n+acc−1)/acc): Column `/` on longs
+      // is double division, but the quotient here is far below 2^53 so
+      // the floor is exact
+      val tol = lit(2L) +
+        floor((n + lit(ApproxAcc.toLong - 1L)) / lit(ApproxAcc.toLong))
+          .cast("long")
+      target >= lo - tol && target <= hi + tol
     }
     ev.join(broadcast(ap), col("event_type") === col("t"))
       .groupBy("event_type")
