@@ -924,6 +924,145 @@ SELECT query_id, CAST(sum(cell_n) AS BIGINT) AS n_candidates,
 FROM ivprobes p JOIN csz USING (cid), ctot
 GROUP BY query_id ORDER BY query_id"""
 
+  /** The nprobe OPERATING-POINT sweep — the tuning readout that closes
+    * the geometry loop ([[probeCost]] prices the WORK of one operating
+    * point, [[recallEval]]-style faces price its LOSS; this face walks
+    * the curve): for nprobe ∈ {1, 2, 4}, the standard 10-query batch is
+    * served from the persisted index and scored as (total candidates
+    * scanned, cost_ppm of the 10-query corpus budget, exact-top-5 hits,
+    * recall‰). All integers — hash-exact. A deployment reads the first
+    * row whose recall clears its SLA and ships that nprobe; at 100 TB
+    * each arm is the ordinary bucket-pruned serving probe (the sweep
+    * costs nprobe₁+nprobe₂+… probes over the eval batch, nothing
+    * corpus-shaped beyond the one brute ground-truth pass every recall
+    * eval already pays). */
+  private val SweepNprobes = Seq(1, 2, 4)
+  private val nprobeSweep: Q = (s, d) => {
+    import s.implicits._
+    val (cents, table) = ivfIndex(s, d)
+    val e = embDouble(s, d).select(col("vec_id"), col("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = CachePool.cached(
+      topkBrute(s, d).select(col("query_id"), col("neighbor_id")))
+    val nExact = exact.count()
+    val store = graft.sources.BucketedStore.read(s, table)
+    val nTot = store.count()
+    val cdf = cents.toDF("cid", "cv")
+    // ONE probe pass at the largest nprobe with the probe rank kept;
+    // each row then fans out to every arm that would include it
+    // (nprobe ≥ crank) — all three arms ride one candidate fetch, one
+    // serve window, one hit join, one aggregation each for cost and
+    // recall, instead of three independent pipelines (which tripled
+    // the exchange count for identical bytes scanned)
+    val maxNp = SweepNprobes.max
+    val armsOf = explode(filter(typedlit(SweepNprobes),
+      np => np >= col("crank")))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(dot(col("cv"), col("cv")) - lit(2) * dot(col("qv"), col("cv")),
+        col("cid"))
+    val probes = q.crossJoin(broadcast(cdf))
+      .withColumn("crank", row_number().over(wc))
+      .filter(col("crank") <= maxNp)
+      .select(col("query_id"), col("qv"), col("cid").as("probe_cid"),
+        col("crank"))
+    val probeCids = probes.select("probe_cid").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val wServe = Window.partitionBy("nprobe", "query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    val served = store
+      .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
+      .join(broadcast(probes),
+        col("cid") === col("probe_cid") && col("vec_id") =!= col("query_id"))
+      .withColumn("nprobe", armsOf)
+      .select(col("nprobe"), col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("sim"))
+      .withColumn("rk", row_number().over(wServe))
+      .filter(col("rk") <= 5)
+      .select("nprobe", "query_id", "neighbor_id")
+    val hitsAgg = served.join(broadcast(exact), Seq("query_id", "neighbor_id"))
+      .groupBy("nprobe").agg(count(lit(1)).as("n_hits"))
+    val sizes = store.groupBy("cid").agg(count(lit(1)).as("cell_n"))
+    val candAgg = probes.join(broadcast(sizes), col("probe_cid") === col("cid"))
+      .withColumn("nprobe", armsOf)
+      .groupBy("nprobe").agg(sum("cell_n").as("n_candidates"))
+    candAgg.join(broadcast(hitsAgg), Seq("nprobe"), "left")
+      .select(col("nprobe"), col("n_candidates"),
+        expr(s"n_candidates * 1000000 div ${10L * nTot}").as("cost_ppm"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        expr(s"coalesce(n_hits, 0L) * 1000 div $nExact").as("recall_permille"))
+      .orderBy("nprobe")
+  }
+  private val nprobeSweepSql = {
+    def arm(np: Int) = s"""row$np AS (
+  SELECT $np AS nprobe,
+    (SELECT CAST(sum(cell_n) AS BIGINT)
+     FROM (
+       SELECT query_id, cid FROM (
+         SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_dot_product(c.cv, c.cv) - 2 * list_dot_product(q.qv, c.cv),
+             c.cid) AS rn
+         FROM swq q, swc2 c) WHERE rn <= $np
+     ) p JOIN swsz s ON s.cid = p.cid) AS n_candidates,
+    (SELECT CAST(count(*) AS BIGINT)
+     FROM swexact x JOIN (
+       SELECT query_id, neighbor_id FROM (
+         SELECT q.query_id, a.vec_id AS neighbor_id,
+           list_dot_product(q.qv, a.v) / (sqrt(list_dot_product(q.qv, q.qv))
+             * sqrt(list_dot_product(a.v, a.v))) AS sim
+         FROM swq q
+         JOIN (
+           SELECT query_id, cid FROM (
+             SELECT q2.query_id, c.cid,
+               row_number() OVER (PARTITION BY q2.query_id ORDER BY
+                 list_dot_product(c.cv, c.cv) - 2 * list_dot_product(q2.qv, c.cv),
+                 c.cid) AS rn
+             FROM swq q2, swc2 c) WHERE rn <= $np
+         ) p ON p.query_id = q.query_id
+         JOIN swcells a ON a.cid = p.cid AND a.vec_id <> q.query_id
+       )
+       WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+       QUALIFY row_number() OVER w <= 5
+     ) v ON v.query_id = x.query_id AND v.neighbor_id = x.neighbor_id
+    ) AS n_hits
+)"""
+    s"""WITH ive AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), swc0 AS MATERIALIZED (
+  SELECT vec_id AS cid, v AS cv FROM ive WHERE vec_id < ${nlistSql("ive")}
+), swa1 AS MATERIALIZED (${assignSql("ive", "swc0")}
+), swc1 AS MATERIALIZED (${updateSql("swa1")}
+), swa2 AS MATERIALIZED (${assignSql("ive", "swc1")}
+), swc2 AS MATERIALIZED (${updateSql("swa2")}
+), swcells AS MATERIALIZED (${assignSql("ive", "swc2")}
+), swsz AS MATERIALIZED (
+  SELECT cid, count(*) AS cell_n FROM swcells GROUP BY cid
+), swn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ive),
+swq AS MATERIALIZED (
+  SELECT vec_id AS query_id, v AS qv FROM ive WHERE vec_id < 10
+), swexact AS MATERIALIZED (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+      list_dot_product(q.qv, e.v) / (sqrt(list_dot_product(q.qv, q.qv))
+        * sqrt(list_dot_product(e.v, e.v))) AS sim
+    FROM swq q JOIN ive e ON e.vec_id <> q.query_id
+  )
+  WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+  QUALIFY row_number() OVER w <= 5
+), ${SweepNprobes.map(arm).mkString(", ")}
+SELECT nprobe, n_candidates,
+  CAST(n_candidates * 1000000 // (10 * (SELECT n FROM swn)) AS BIGINT)
+    AS cost_ppm,
+  n_hits,
+  CAST(n_hits * 1000 // (SELECT count(*) FROM swexact) AS BIGINT)
+    AS recall_permille
+FROM (${SweepNprobes.map(np => s"SELECT * FROM row$np")
+      .mkString("\n  UNION ALL ")})
+ORDER BY nprobe"""
+  }
+
   /** The trained coarse quantizer persisted as a parquet model table
     * (the classifier's [[graft.sources.ModelStore]] discipline applied
     * to the IVF centroids): k rows unpivoted to (cid, dim, x) so the
@@ -2312,6 +2451,7 @@ ORDER BY e.query_id"""
     "knn_join" -> knnJoin,
     "knn_graph_ivf" -> knnGraphIvf,
     "ann_probe_cost" -> probeCost,
+    "ann_nprobe_sweep" -> nprobeSweep,
     "knn_label_eval" -> knnLabelEval)
 
   val oracle: Map[String, String] = Map(
@@ -2346,5 +2486,6 @@ ORDER BY e.query_id"""
     "knn_join" -> knnJoinSql,
     "knn_graph_ivf" -> knnGraphIvfSql,
     "ann_probe_cost" -> probeCostSql,
+    "ann_nprobe_sweep" -> nprobeSweepSql,
     "knn_label_eval" -> knnLabelEvalSql)
 }
