@@ -61,6 +61,26 @@ class Round16Spec extends SparkSpec {
       s"operating point regressed: sf0.001=$small sf0.1=$large")
   }
 
+  test("nprobe sweep: recall monotone in nprobe, cost strictly increasing") {
+    // served-from-superset monotonicity: adding candidates can only
+    // displace a served member by one with HIGHER sim, and anything
+    // with higher sim than an exact-top-5 member is itself exact-top-5
+    // (shared neighbor_id tie-break) — so hits never decrease
+    val rows = SparkEntry.queries("ann_nprobe_sweep")(spark, Sf)
+      .collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(1, 2, 4))
+    val rec = rows.map(_.getLong(4)).toSeq
+    assert(rec.sliding(2).forall(p => p.head <= p.last),
+      s"recall must be monotone in nprobe: $rec")
+    val cost = rows.map(_.getLong(2)).toSeq
+    assert(cost.sliding(2).forall(p => p.head < p.last),
+      s"cost must grow with nprobe: $cost")
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000)
+      assert(r.getLong(2) > 0 && r.getLong(2) <= 1000000)
+    }
+  }
+
   test("ModelStore retrain is a rename-swap: catalog entry survives, readers resolve") {
     // VERDICT r11 #4: the old DROP TABLE -> delete -> saveAsTable had a
     // window where a concurrent serving job caught a missing table.
