@@ -1572,8 +1572,8 @@ ORDER BY query_id, rank"""
 
   // ------------------------------------------------------------- IVF-PQ
   /** The composed billion-scale index: IVF coarse cells bound WHICH
-    * rows are scanned (nprobe/nlist of the corpus, same k=8/nprobe=2
-    * quantizer as [[topkKmeans]]) and PQ/ADC bounds WHAT each scanned
+    * rows are scanned (nprobe/nlist of the corpus, the same derived
+    * nlist = ⌈√N⌉ geometry as [[topkKmeans]]) and PQ/ADC bounds WHAT each scanned
     * row costs (m table lookups instead of an O(dim) dot) — the two
     * savings multiply, which is exactly the FAISS IVF-PQ layout.
     * Declared simplification vs production IVF-PQ: codes quantize the
@@ -1641,17 +1641,11 @@ ORDER BY query_id, rank"""
     out
   }
 
-  private val topkIvfPq: Q = (s, d) => {
-    import s.implicits._
-    val e = embDouble(s, d).select(col("vec_id"), col("v"))
-    val (cents, books) = ivfPqModels(s, d)
-    val cells = assignCells(e, cents)
-    val encoded = cells.select(col("vec_id") +: col("cid") +:
-      books.zipWithIndex.map { case (c, sub) => pqCodeCol(c, sub) }: _*)
-    val probes = probeList(s, e, cents)
-    val queries = e.filter(col("vec_id") < 10)
-      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
-      .collect().toSeq.sortBy(_._1)
+  /** Per-query ADC distance tables as a literal CASE column — the
+    * driver-side model state of PQ serving (10 queries × m × PqK
+    * doubles), shared by the in-plan face and the stored-codes face. */
+  private def pqAdc(books: Seq[Seq[(Int, Seq[Double])]],
+                    queries: Seq[(Long, Seq[Double])]): Column = {
     def adcFor(qv: Seq[Double]): Column =
       (0 until PqM).map { sub =>
         val qs = qv.slice(sub * PqW, (sub + 1) * PqW)
@@ -1662,8 +1656,14 @@ ORDER BY query_id, rank"""
           .getOrElse(Double.MaxValue))
         element_at(array(dts.map(lit): _*), col(s"code$sub") + 1)
       }.reduce(_ + _)
-    val adc = queries.foldRight(lit(Double.NaN)) { case ((qid, qv), acc) =>
+    queries.foldRight(lit(Double.NaN)) { case ((qid, qv), acc) =>
       when(col("query_id") === qid, adcFor(qv)).otherwise(acc) }
+  }
+
+  /** ADC rank ≤ 5 over (cid, code0..m) candidate rows joined to the
+    * broadcast probes — the serving finish shared by both faces. */
+  private def pqServe(encoded: DataFrame, probes: DataFrame,
+                      adc: Column): DataFrame = {
     val sims = encoded.join(
       broadcast(probes.select(col("query_id"), col("probe_cid"))),
       col("cid") === col("probe_cid") && col("vec_id") =!= col("query_id"))
@@ -1671,12 +1671,65 @@ ORDER BY query_id, rank"""
         adc.as("adc"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc"), col("neighbor_id"))
-    val out = sims.withColumn("rank", row_number().over(w))
+    sims.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 5)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("adc"), 6).as("adc"))
       .orderBy("query_id", "rank")
-    out
+  }
+
+  private def pqEvalQueries(s: SparkSession, e: DataFrame)
+      : Seq[(Long, Seq[Double])] = {
+    import s.implicits._
+    e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
+      .collect().toSeq.sortBy(_._1)
+  }
+
+  private val topkIvfPq: Q = (s, d) => {
+    val e = embDouble(s, d).select(col("vec_id"), col("v"))
+    val (cents, books) = ivfPqModels(s, d)
+    val encoded = assignCells(e, cents).select(col("vec_id") +: col("cid") +:
+      books.zipWithIndex.map { case (c, sub) => pqCodeCol(c, sub) }: _*)
+    pqServe(encoded, probeList(s, e, cents),
+      pqAdc(books, pqEvalQueries(s, e)))
+  }
+
+  /** The IVF-PQ index PERSISTED — the layout that actually carries
+    * billion-vector serving: each corpus vector stored as its coarse
+    * cell plus [[PqM]] small codes (m bytes of payload in place of
+    * dim doubles — the in-memory-index compression claim made a
+    * physical table), bucketed by cid so a probe opens only its
+    * cells' buckets. Built once per (session, dataset); the
+    * generation/publish discipline of [[reclusterExecute]] applies
+    * unchanged when it needs maintenance (same BucketedStore +
+    * pointer machinery). */
+  private[graft] def ivfPqTable(s: SparkSession, d: String): String =
+    CachePool.memoized(("ivfPqTable", d)) {
+      val table = "graft_ivfpq_codes_" + (d.hashCode & 0x7fffffff)
+      val e = embDouble(s, d).select(col("vec_id"), col("v"))
+      val (cents, books) = ivfPqModels(s, d)
+      val encoded = assignCells(e, cents).select(col("vec_id") +: col("cid") +:
+        books.zipWithIndex.map { case (c, sub) => pqCodeCol(c, sub) }: _*)
+      graft.sources.BucketedStore.write(encoded, table, "cid", cents.length)
+      table
+    }
+
+  /** Serving FROM the stored codes: the raw vectors are touched only
+    * to form the query-side ADC tables (10 eval vectors); every
+    * candidate is ranked from its m stored codes via table lookups —
+    * the scan reads the code table's probed buckets, never the
+    * embedding column. Same oracle text as `ann_topk_ivfpq`: the hash
+    * match proves the persisted codes ARE the in-plan encoding. */
+  private val topkIvfPqStored: Q = (s, d) => {
+    val e = embDouble(s, d).select(col("vec_id"), col("v"))
+    val (cents, books) = ivfPqModels(s, d)
+    val probes = probeList(s, e, cents)
+    val probeCids = probes.select("probe_cid").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val encoded = graft.sources.BucketedStore.read(s, ivfPqTable(s, d))
+      .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
+    pqServe(encoded, probes, pqAdc(books, pqEvalQueries(s, e)))
   }
 
   private val topkIvfPqSql = {
@@ -2444,6 +2497,7 @@ ORDER BY e.query_id"""
     "ann_topk_lsh" -> topkLsh,
     "ann_topk_pq" -> topkPq,
     "ann_topk_ivfpq" -> topkIvfPq,
+    "ann_topk_ivfpq_stored" -> topkIvfPqStored,
     "dedup_embedding" -> embedDedup,
     "dedup_semantic" -> semDedup,
     "embed_quantize" -> quantize,
@@ -2479,6 +2533,8 @@ ORDER BY e.query_id"""
     "ann_topk_lsh" -> topkLshSql,
     "ann_topk_pq" -> topkPqSql,
     "ann_topk_ivfpq" -> topkIvfPqSql,
+    // stored-codes serving shares the in-plan face's oracle verbatim
+    "ann_topk_ivfpq_stored" -> topkIvfPqSql,
     "dedup_embedding" -> embedDedupSql,
     "dedup_semantic" -> semDedupSql,
     "embed_quantize" -> quantizeSql,
