@@ -81,6 +81,17 @@ class Round16Spec extends SparkSpec {
     }
   }
 
+  test("knn_graph_ivf: the per-query top-k plans as WindowGroupLimit") {
+    // at corpus scale the candidate relation is nprobe*N^1.5 rows; the
+    // rank<=5 filter must plan as WindowGroupLimit so each map task
+    // forwards at most k rows per query into the query_id exchange —
+    // without it the full candidate volume shuffles
+    val plan = SparkEntry.queries("knn_graph_ivf")(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=5 must plan as WindowGroupLimit:\n${plan.take(3000)}")
+  }
+
   test("IVF-PQ stored codes: m codes per vector on disk, serving equals in-plan") {
     // the compression claim made physical: the persisted index holds
     // one row per corpus vector with ONLY (vec_id, cid, code0..3) —
