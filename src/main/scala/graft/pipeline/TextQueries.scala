@@ -3139,21 +3139,35 @@ FROM a GROUP BY shard ORDER BY shard"""
           .as("bpe_per_word"))
       .orderBy("doc_id")
 
+  /** The `symseq` column REPLAYED under the stored merges — one
+    * vocabulary-sized projection of chained replaces; deterministic
+    * string ops, so the replayed sequences equal the training-end ones
+    * exactly. Shared by every served-from-catalog tokenizer face. */
+  private def bpeReplayed(s: SparkSession, d: String): Column =
+    bpeStoredMerges(s, d).foldLeft(col("symseq")) { case (e, (l, r)) =>
+      replace(e, lit(s" $l $r "), lit(s" $l$r ")) }
+
   /** Tokenization served FROM the catalog — the path a process that
     * did NOT train runs: load the stored merges (driver model state),
-    * REPLAY them over the char-split vocabulary (one vocabulary-sized
-    * projection of chained replaces — deterministic string ops, so the
-    * replayed symbol sequences equal the training-end ones exactly),
-    * and emit the same per-doc readout as [[bpeApply]]. Same oracle
-    * text as `text_bpe_apply`: the hash match proves the stored model
-    * IS the trained tokenizer end-to-end. */
-  private val bpeApplyStored: Q = (s, d) => {
-    val merges = bpeStoredMerges(s, d)
-    val replayed = merges.foldLeft(col("symseq")) { case (e, (l, r)) =>
-      replace(e, lit(s" $l $r "), lit(s" $l$r ")) }
+    * replay them over the char-split vocabulary, and emit the same
+    * per-doc readout as [[bpeApply]]. Same oracle text as
+    * `text_bpe_apply`: the hash match proves the stored model IS the
+    * trained tokenizer end-to-end. */
+  private val bpeApplyStored: Q = (s, d) =>
     bpeApplyOver(s, d, bpeWords(s, d).select(col("word"),
-      size(split(trim(replayed), " ")).cast("long").as("n_syms")))
-  }
+      size(split(trim(bpeReplayed(s, d)), " ")).cast("long").as("n_syms")))
+
+  /** The shipped subword vocabulary re-derived FROM the catalog —
+    * [[bpeVocab]]'s artifact produced by a serving job that only holds
+    * the merge table (same oracle text as `text_bpe_vocab`), completing
+    * the stored-tokenizer set: model ↔ apply ↔ vocabulary. */
+  private val bpeVocabStored: Q = (s, d) =>
+    bpeWords(s, d)
+      .select(col("freq"),
+        explode(split(trim(bpeReplayed(s, d)), " ")).as("subword"))
+      .groupBy("subword")
+      .agg(sum("freq").as("occurrences"), count(lit(1)).as("n_words"))
+      .orderBy(col("occurrences").desc, col("subword"))
   /** The K training rounds unrolled as chained CTEs (the oracle
     * re-derives the merges itself — nothing learned leaks into the
     * SQL): s0 = char-split vocab; each round r = pair count over
@@ -3242,6 +3256,7 @@ GROUP BY doc_id ORDER BY doc_id"""
     "text_bpe_model_store" -> bpeModelStore,
     "text_bpe_apply_stored" -> bpeApplyStored,
     "text_bpe_vocab" -> bpeVocab,
+    "text_bpe_vocab_stored" -> bpeVocabStored,
     "text_langid" -> langid,
     "text_quality" -> quality,
     "text_tokens" -> tokens,
@@ -3304,6 +3319,7 @@ GROUP BY doc_id ORDER BY doc_id"""
     "text_bpe_model_store" -> bpeTrainSql,
     "text_bpe_apply_stored" -> bpeApplySql,
     "text_bpe_vocab" -> bpeVocabSql,
+    "text_bpe_vocab_stored" -> bpeVocabSql,
     "text_langid" -> langidSql,
     "text_quality" -> qualitySql,
     "text_tokens" -> tokensSql,
