@@ -48,15 +48,36 @@ object ModelStore {
     } else {
       // retrain: stage → rename-swap → drop old; the catalog entry
       // (name, schema, location) is untouched, so concurrent readers
-      // resolve the table at every instant
+      // resolve the table at every instant. (The instant between the
+      // two renames has no directory at `loc` — a reader that LISTS
+      // the location right then sees it missing; the roll-forward
+      // below makes that window recoverable, not invisible.)
       val parent = loc.getParent
       val tmp = new Path(parent, "." + loc.getName + ".model-tmp")
       val old = new Path(parent, "." + loc.getName + ".model-old")
-      fs.delete(tmp, true); fs.delete(old, true) // stale crash leftovers
+      // crash recovery FIRST (ADVICE r12): a crash between the two
+      // swap renames leaves `loc` missing and `old` holding the only
+      // complete model — roll it forward before anything is deleted.
+      // Deleting `old` as a "stale leftover" here destroyed that last
+      // copy and made every retry fail on rename(loc, old).
+      if (!fs.exists(loc) && fs.exists(old)) fs.rename(old, loc)
+      fs.delete(tmp, true) // a half-written stage IS safe to discard
       df.write.mode("overwrite").parquet(tmp.toString)
-      if (!fs.rename(loc, old) || !fs.rename(tmp, loc))
+      val swapped =
+        if (fs.exists(loc)) {
+          // `old` can only be a leftover of a COMPLETED prior swap
+          // now (loc exists), so dropping it before reusing the name
+          // never removes the sole copy
+          fs.delete(old, true)
+          fs.rename(loc, old) && fs.rename(tmp, loc)
+        } else fs.rename(tmp, loc) // loc vanished: promote the stage
+      if (!swapped) {
+        // restore the previous model before failing, so a failed
+        // retrain leaves the prior generation served, not a hole
+        if (!fs.exists(loc) && fs.exists(old)) fs.rename(old, loc)
         throw new java.io.IOException(s"model swap failed for $table")
-      fs.delete(old, true)
+      }
+      fs.delete(old, true) // only after BOTH renames succeeded
       // drop the cached FileIndex so readers list the swapped files
       spark.catalog.refreshTable(table)
     }
