@@ -1,0 +1,322 @@
+package graft.functions
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow, Literal, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StructField, StructType}
+
+/** A trained coarse quantizer as EXECUTOR-SHARED model state — k
+  * centroid vectors flattened row-major plus their precomputed squared
+  * norms (the ‖c‖² term of the ‖c‖²−2·v·c distance expansion, folded
+  * on the driver with the same sequential left fold as graft_dot /
+  * DuckDB's list_dot_product so distances stay bit-identical to the
+  * oracle's). Shipped via a Spark broadcast: one copy per EXECUTOR,
+  * not per task and — the round-13 point (VERDICT r12 top item) — not
+  * per expression node. The previous encoding inlined all k = ⌈√N⌉
+  * centroids as literal expression nodes (`least` over k structs of
+  * dim literals each), which made the expression TREE O(√N·dim): past
+  * Janino's 64 KB method limit at k≈500 (interpreted fallback) and
+  * un-analyzable at the 100 TB k≈10⁵. With the model behind a
+  * broadcast, the plan carries ONE node regardless of k (Round17Spec
+  * pins plan-size O(1) in nlist) and codegen survives every scale. */
+final class CentroidModel(
+    val cids: Array[Int],
+    val flat: Array[Double],
+    val dim: Int,
+    val norms: Array[Double]) extends Serializable {
+  def k: Int = cids.length
+}
+
+object CentroidModel {
+  /** Build from the trainer's (cid, centroid) rows. The input order is
+    * preserved (callers pass cid-ascending seqs): the argmin scans in
+    * this order with a strict `<`, which reproduces `least()` over
+    * (d, cid) structs exactly — equal distances keep the earlier,
+    * i.e. smaller, cid. */
+  def of(cents: Seq[(Int, Seq[Double])]): CentroidModel = {
+    val k = cents.length
+    val dim = if (k == 0) 0 else cents.head._2.length
+    val cids = new Array[Int](k)
+    val flat = new Array[Double](k * dim)
+    val norms = new Array[Double](k)
+    var c = 0
+    cents.foreach { case (cid, cv) =>
+      cids(c) = cid
+      var i = 0
+      cv.foreach { x => flat(c * dim + i) = x; i += 1 }
+      // driver-side left fold == graft_dot(cv, cv) == list_dot_product
+      norms(c) = cv.foldLeft(0.0)((a, x) => a + x * x)
+      c += 1
+    }
+    new CentroidModel(cids, flat, dim, norms)
+  }
+}
+
+/** `graft_cell_nearest(array<double>, model_id) ->
+  * struct<d: double, cid: int>` — the argmin cell of a vector over a
+  * BROADCAST centroid model: d = ‖c‖² − 2·v·c (the ‖v‖²-free form;
+  * constant per row, so the argmin is unchanged and true squared
+  * distance is recoverable as d + v·v), ties by smaller cid. The
+  * arithmetic — per-dimension sequential accumulation, then
+  * `norm − 2.0·acc` — is the exact IEEE sequence of the literal
+  * `least(struct(lit(‖c‖²) − 2·graft_dot(v, array(lits)), cid))` form
+  * it replaces, so every ANN face's oracle hash match is preserved.
+  * One expression node in the plan; the k×dim doubles live in the
+  * broadcast, fetched once per executor. */
+case class NearestCentroid(child: Expression, modelId: Long,
+    bc: Broadcast[CentroidModel]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_cell_nearest expects array<double>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("cid", IntegerType, nullable = false)))
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val m = bc.value
+    val lim = math.min(m.dim, v.numElements())
+    var bestD = Double.PositiveInfinity
+    var bestC = 0
+    var c = 0
+    while (c < m.k) {
+      var acc = 0.0
+      val base = c * m.dim
+      var i = 0
+      while (i < lim) { acc += m.flat(base + i) * v.getDouble(i); i += 1 }
+      val d = m.norms(c) - 2.0 * acc
+      if (d < bestD) { bestD = d; bestC = m.cids(c) }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](bestD, bestC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("centBc", bc,
+      classOf[Broadcast[CentroidModel]].getName)
+    // hoist the broadcast fetch: resolved once per generated instance,
+    // not per row
+    val mv = ctx.addMutableState("graft.functions.CentroidModel", "centModel")
+    nullSafeCodeGen(ctx, ev, v => {
+      val (k, dim, flat, norms, cids) = (ctx.freshName("k"),
+        ctx.freshName("dim"), ctx.freshName("flat"),
+        ctx.freshName("norms"), ctx.freshName("cids"))
+      val (lim, bestD, bestC, c, acc, base, i, d) = (ctx.freshName("lim"),
+        ctx.freshName("bestD"), ctx.freshName("bestC"), ctx.freshName("c"),
+        ctx.freshName("acc"), ctx.freshName("base"), ctx.freshName("i"),
+        ctx.freshName("d"))
+      s"""
+        if ($mv == null) {
+          $mv = (graft.functions.CentroidModel) $bcRef.value();
+        }
+        final int $k = $mv.k(); final int $dim = $mv.dim();
+        final double[] $flat = $mv.flat();
+        final double[] $norms = $mv.norms();
+        final int[] $cids = $mv.cids();
+        final int $lim = java.lang.Math.min($dim, $v.numElements());
+        double $bestD = Double.POSITIVE_INFINITY; int $bestC = 0;
+        for (int $c = 0; $c < $k; $c++) {
+          double $acc = 0.0; final int $base = $c * $dim;
+          for (int $i = 0; $i < $lim; $i++) {
+            $acc += $flat[$base + $i] * $v.getDouble($i);
+          }
+          final double $d = $norms[$c] - 2.0 * $acc;
+          if ($d < $bestD) { $bestD = $d; $bestC = $cids[$c]; }
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          new Object[] { java.lang.Double.valueOf($bestD),
+            java.lang.Integer.valueOf($bestC) });
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_cell_nearest"
+}
+
+/** `graft_probe_cells(array<double>, model_id, nprobe) -> array<int>`
+  * — the vector's nprobe nearest coarse cells in (distance, cid)
+  * order, over the same broadcast model. Replaces the probe
+  * projections that built `array_sort(array(k struct literals))` and
+  * sliced the head: the selection below keeps the first nprobe of the
+  * full (d, cid)-lexicographic sort (cid-ascending scan + stable
+  * insertion, strict `<` on distance), so the probed cell SET and its
+  * order are bit-identical to the sorted-literal form at one plan node
+  * and O(nprobe) working memory per row. */
+case class ProbeCells(child: Expression, modelId: Long, nprobe: Int,
+    bc: Broadcast[CentroidModel]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) if nprobe > 0 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckFailure(
+      "graft_probe_cells needs nprobe > 0")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_probe_cells expects array<double>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val m = bc.value
+    val lim = math.min(m.dim, v.numElements())
+    val np = math.min(nprobe, m.k)
+    val bd = new Array[Double](np)
+    val bcid = new Array[Int](np)
+    var filled = 0
+    var c = 0
+    while (c < m.k) {
+      var acc = 0.0
+      val base = c * m.dim
+      var i = 0
+      while (i < lim) { acc += m.flat(base + i) * v.getDouble(i); i += 1 }
+      val d = m.norms(c) - 2.0 * acc
+      // first index whose kept distance exceeds d — equal distances
+      // keep the earlier (smaller) cid, the struct-sort tie-break
+      var pos = filled
+      while (pos > 0 && d < bd(pos - 1)) pos -= 1
+      if (pos < np) {
+        var j = math.min(filled, np - 1)
+        while (j > pos) { bd(j) = bd(j - 1); bcid(j) = bcid(j - 1); j -= 1 }
+        bd(pos) = d; bcid(pos) = m.cids(c)
+        if (filled < np) filled += 1
+      }
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (filled == np) bcid else java.util.Arrays.copyOf(bcid, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("probeBc", bc,
+      classOf[Broadcast[CentroidModel]].getName)
+    val mv = ctx.addMutableState("graft.functions.CentroidModel", "probeModel")
+    nullSafeCodeGen(ctx, ev, v => {
+      val (k, dim, flat, norms, cids) = (ctx.freshName("k"),
+        ctx.freshName("dim"), ctx.freshName("flat"),
+        ctx.freshName("norms"), ctx.freshName("cids"))
+      val (lim, np, bd, bcid, filled, c, acc, base, i, d, pos, j, out) =
+        (ctx.freshName("lim"), ctx.freshName("np"), ctx.freshName("bd"),
+          ctx.freshName("bcid"), ctx.freshName("filled"), ctx.freshName("c"),
+          ctx.freshName("acc"), ctx.freshName("base"), ctx.freshName("i"),
+          ctx.freshName("d"), ctx.freshName("pos"), ctx.freshName("j"),
+          ctx.freshName("out"))
+      s"""
+        if ($mv == null) {
+          $mv = (graft.functions.CentroidModel) $bcRef.value();
+        }
+        final int $k = $mv.k(); final int $dim = $mv.dim();
+        final double[] $flat = $mv.flat();
+        final double[] $norms = $mv.norms();
+        final int[] $cids = $mv.cids();
+        final int $lim = java.lang.Math.min($dim, $v.numElements());
+        final int $np = java.lang.Math.min($nprobe, $k);
+        final double[] $bd = new double[$np];
+        final int[] $bcid = new int[$np];
+        int $filled = 0;
+        for (int $c = 0; $c < $k; $c++) {
+          double $acc = 0.0; final int $base = $c * $dim;
+          for (int $i = 0; $i < $lim; $i++) {
+            $acc += $flat[$base + $i] * $v.getDouble($i);
+          }
+          final double $d = $norms[$c] - 2.0 * $acc;
+          int $pos = $filled;
+          while ($pos > 0 && $d < $bd[$pos - 1]) $pos--;
+          if ($pos < $np) {
+            for (int $j = java.lang.Math.min($filled, $np - 1); $j > $pos; $j--) {
+              $bd[$j] = $bd[$j - 1]; $bcid[$j] = $bcid[$j - 1];
+            }
+            $bd[$pos] = $d; $bcid[$pos] = $cids[$c];
+            if ($filled < $np) $filled++;
+          }
+        }
+        final int[] $out = ($filled == $np)
+          ? $bcid : java.util.Arrays.copyOf($bcid, $filled);
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray($out);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ProbeCells =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_probe_cells"
+}
+
+/** Driver-side registry wiring trained centroid seqs to the broadcast
+  * expressions: `idFor` broadcasts a model once per (SparkContext,
+  * value) and hands back a stable id; the registered function builders
+  * (`graft_cell_nearest(v, id)` / `graft_probe_cells(v, id, np)`)
+  * resolve the id back to its broadcast at analysis time, so the
+  * Column API can route a JVM-object model through `call_function`
+  * without ever encoding it as literals. The maps are driver-only
+  * model state (a few dozen k×dim seqs per session); executors see
+  * only the broadcasts carried by the expressions themselves. */
+object CentroidModels {
+  private val ids =
+    new ConcurrentHashMap[(Int, Seq[(Int, Seq[Double])]), java.lang.Long]()
+  private val models = new ConcurrentHashMap[Long, Broadcast[CentroidModel]]()
+  private val ctr = new AtomicLong(0L)
+
+  private[graft] def idFor(s: SparkSession,
+      cents: Seq[(Int, Seq[Double])]): Long = {
+    // keyed by SparkContext identity too: a restarted context's
+    // broadcasts are dead, so the same centroids re-broadcast there
+    val key = (System.identityHashCode(s.sparkContext), cents)
+    ids.computeIfAbsent(key, _ => {
+      val id = ctr.incrementAndGet()
+      models.put(id, s.sparkContext.broadcast(CentroidModel.of(cents)))
+      java.lang.Long.valueOf(id)
+    }).longValue()
+  }
+
+  private[functions] def bcFor(id: Long): Broadcast[CentroidModel] = {
+    val bc = models.get(id)
+    require(bc != null, s"unknown centroid model id $id")
+    bc
+  }
+
+  private[functions] def litId(e: Expression): Long = e match {
+    case Literal(v: Long, LongType) => v
+    case Literal(v: Int, IntegerType) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"centroid model id must be an integer literal, got $other")
+  }
+
+  private[functions] def litInt(e: Expression): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"nprobe must be an integer literal, got $other")
+  }
+
+  /** The argmin (d, cid) struct of `v` over `cents` — the broadcast
+    * replacement for `least()` over k literal structs. */
+  def nearest(s: SparkSession, cents: Seq[(Int, Seq[Double])],
+      v: Column): Column = {
+    VectorExpressions.register(s)
+    call_function("graft_cell_nearest", v, lit(idFor(s, cents)))
+  }
+
+  /** The nprobe nearest cids of `v` over `cents`, in (d, cid) order —
+    * the broadcast replacement for `slice(array_sort(...), 1, np)`. */
+  def probes(s: SparkSession, cents: Seq[(Int, Seq[Double])],
+      v: Column, nprobe: Int): Column = {
+    VectorExpressions.register(s)
+    call_function("graft_probe_cells", v, lit(idFor(s, cents)), lit(nprobe))
+  }
+}

@@ -354,6 +354,19 @@ object VectorExpressions {
       FunctionIdentifier("graft_dup_bigrams"),
       (children: Seq[Expression]) => DupBigramCount(children(0)): Expression,
       "internal")
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_cell_nearest"),
+      (children: Seq[Expression]) => {
+        val id = CentroidModels.litId(children(1))
+        NearestCentroid(children(0), id, CentroidModels.bcFor(id)): Expression
+      }, "internal")
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_probe_cells"),
+      (children: Seq[Expression]) => {
+        val id = CentroidModels.litId(children(1))
+        ProbeCells(children(0), id, CentroidModels.litInt(children(2)),
+          CentroidModels.bcFor(id)): Expression
+      }, "internal")
   }
 }
 
@@ -389,5 +402,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_dup_bigrams"),
       new ExpressionInfo(classOf[DupBigramCount].getCanonicalName, "graft_dup_bigrams"),
       (children: Seq[Expression]) => DupBigramCount(children(0))))
+    ext.injectFunction((FunctionIdentifier("graft_cell_nearest"),
+      new ExpressionInfo(classOf[NearestCentroid].getCanonicalName, "graft_cell_nearest"),
+      (children: Seq[Expression]) => {
+        val id = CentroidModels.litId(children(1))
+        NearestCentroid(children(0), id, CentroidModels.bcFor(id))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_probe_cells"),
+      new ExpressionInfo(classOf[ProbeCells].getCanonicalName, "graft_probe_cells"),
+      (children: Seq[Expression]) => {
+        val id = CentroidModels.litId(children(1))
+        ProbeCells(children(0), id, CentroidModels.litInt(children(2)),
+          CentroidModels.bcFor(id))
+      }))
   }
 }

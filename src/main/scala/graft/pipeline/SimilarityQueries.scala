@@ -426,25 +426,27 @@ ORDER BY query_id, rank"""
     s"(SELECT greatest($KmK, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM $rel)"
 
   /** Assignment as a PURE PROJECTION: the k centroids are driver-side
-    * model state, so the argmin is `least()` over k (distance, cid)
-    * structs built from literals — no crossJoin, no window, zero
-    * shuffle of the corpus (the earlier row_number-over-vec_id form
-    * shuffled corpus×k rows every Lloyd iteration). ‖c‖² is folded on
-    * the driver with the same sequential left fold as graft_dot /
-    * DuckDB's list_dot_product, so distances stay bit-identical to
-    * the oracle's runtime-computed ones; struct comparison breaks
-    * distance ties by cid exactly as the window's orderBy did. */
-  /** The winning (relative distance, cid) struct over the k centroid
-    * literals — `d` is ‖c‖² − 2·v·c (the ‖v‖²-free form: constant per
-    * row, so the argmin is unchanged and the true squared distance is
-    * recoverable as d + v·v). Shared by [[assignCells]], the fused
-    * IVF-PQ training pass, and the cluster-profile inertia. */
+    * model state shipped to executors as a BROADCAST consumed by the
+    * native argmin expression `graft_cell_nearest` — no crossJoin, no
+    * window, zero shuffle of the corpus, and (the round-13 fix of
+    * VERDICT r12's top item) ONE expression node regardless of
+    * k = ⌈√N⌉. The previous `least()`-over-k-literal-structs form made
+    * the expression tree itself O(√N·dim): past Janino's 64 KB codegen
+    * limit at k≈500 and un-analyzable at the 100 TB k≈10⁵; Round17Spec
+    * pins the plan-size-O(1)-in-nlist contract. */
+  /** The winning (relative distance, cid) struct over the broadcast
+    * centroid model — `d` is ‖c‖² − 2·v·c (the ‖v‖²-free form:
+    * constant per row, so the argmin is unchanged and the true squared
+    * distance is recoverable as d + v·v); ‖c‖² is folded on the driver
+    * with the same sequential left fold as graft_dot / DuckDB's
+    * list_dot_product and the scan breaks distance ties by cid, so
+    * results are bit-identical to the literal `least()` form this
+    * replaces (see [[graft.functions.NearestCentroid]]). Shared by
+    * [[assignCells]], the fused IVF-PQ training pass, and the
+    * cluster-profile inertia. */
   private def cellMin(cents: Seq[(Int, Seq[Double])]): Column =
-    least(cents.map { case (cid, cv) =>
-      val norm2 = cv.foldLeft(0.0)((acc, x) => acc + x * x)
-      struct((lit(norm2) - lit(2) * dot(col("v"), array(cv.map(lit): _*))).as("d"),
-        lit(cid).as("cid"))
-    }: _*)
+    graft.functions.CentroidModels.nearest(
+      SparkSession.active, cents, col("v"))
 
   /** The argmin cell id over the full vector as a Column — shared by
     * [[assignCells]] and the fused IVF-PQ training pass. */
@@ -513,20 +515,17 @@ ORDER BY query_id, rank"""
       kmeansCentroids(s, base)
     }
 
-  /** nprobe coarse cells per query vector: (query_id, qv, probe_cid). */
+  /** nprobe coarse cells per query vector: (query_id, qv, probe_cid).
+    * A pure projection over the broadcast centroid model
+    * (`graft_probe_cells` — same (d, cid) order as the
+    * crossJoin-window form it replaces, without the window exchange
+    * or the k-literal encoding). */
   private def probeList(s: SparkSession, e: DataFrame,
-                        cents: Seq[(Int, Seq[Double])]): DataFrame = {
-    import s.implicits._
-    val cdf = cents.toDF("cid", "cv")
-    val qs = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val wc = Window.partitionBy("query_id")
-      .orderBy(dot(col("cv"), col("cv")) - lit(2) * dot(col("qv"), col("cv")), col("cid"))
-    qs.crossJoin(broadcast(cdf))
-      .withColumn("crank", row_number().over(wc))
-      .filter(col("crank") <= KmProbe)
-      .select(col("query_id"), col("qv"), col("cid").as("probe_cid"))
-  }
+                        cents: Seq[(Int, Seq[Double])]): DataFrame =
+    e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(graft.functions.CentroidModels.probes(
+          s, cents, col("v"), KmProbe)).as("probe_cid"))
 
   /** Exact cosine rerank of candidate (query, neighbor) rows → top-5. */
   private def rerankTop5(cand: DataFrame): DataFrame = {
@@ -728,16 +727,10 @@ ORDER BY query_id"""
     * matching every ANN face's convention. */
   private[graft] def ivfProbeRanks(s: SparkSession, d: String,
       queries: DataFrame, k: Int): DataFrame = {
-    import s.implicits._
     val (cents, table) = ivfIndex(s, d)
-    val cdf = cents.toDF("cid", "cv")
-    val wc = Window.partitionBy("query_id")
-      .orderBy(dot(col("cv"), col("cv")) - lit(2) * dot(col("qv"), col("cv")),
-        col("cid"))
-    val probes = queries.crossJoin(broadcast(cdf))
-      .withColumn("crank", row_number().over(wc))
-      .filter(col("crank") <= KmProbe)
-      .select(col("query_id"), col("qv"), col("cid").as("probe_cid"))
+    val probes = queries.select(col("query_id"), col("qv"),
+      explode(graft.functions.CentroidModels.probes(
+        s, cents, col("qv"), KmProbe)).as("probe_cid"))
     val probeCids = probes.select("probe_cid").distinct()
       .collect().map(_.getInt(0)).sorted
     val cand = graft.sources.BucketedStore.read(s, table)
@@ -807,16 +800,10 @@ ORDER BY query_id"""
     * lands (Round15Spec pins rank-1 self-retrieval). */
   private[graft] def upsertedServe(s: SparkSession, d: String,
       queries: DataFrame, k: Int): DataFrame = {
-    import s.implicits._
     val (cents, tBase, tDelta) = upsertedIndex(s, d)
-    val cdf = cents.toDF("cid", "cv")
-    val wc = Window.partitionBy("query_id")
-      .orderBy(dot(col("cv"), col("cv")) - lit(2) * dot(col("qv"), col("cv")),
-        col("cid"))
-    val probes = queries.crossJoin(broadcast(cdf))
-      .withColumn("crank", row_number().over(wc))
-      .filter(col("crank") <= KmProbe)
-      .select(col("query_id"), col("qv"), col("cid").as("probe_cid"))
+    val probes = queries.select(col("query_id"), col("qv"),
+      explode(graft.functions.CentroidModels.probes(
+        s, cents, col("qv"), KmProbe)).as("probe_cid"))
     val probeCids = probes.select("probe_cid").distinct()
       .collect().map(_.getInt(0)).sorted
     def arm(t: String) = graft.sources.BucketedStore.read(s, t)
@@ -853,14 +840,9 @@ ORDER BY query_id"""
   private val knnGraphIvf: Q = (s, d) => {
     val (cents, table) = ivfIndex(s, d)
     val e = embDouble(s, d).select(col("vec_id"), col("v"))
-    val probeArr = array_sort(array(cents.map { case (cid, cv) =>
-      val n2 = cv.foldLeft(0.0)((a, x) => a + x * x)
-      struct((lit(n2) - lit(2) * dot(col("v"), array(cv.map(lit): _*))).as("d"),
-        lit(cid).as("cid"))
-    }: _*))
     val probes = e.select(col("vec_id").as("query_id"), col("v").as("qv"),
-        explode(slice(probeArr, 1, KmProbe)).as("p"))
-      .select(col("query_id"), col("qv"), col("p.cid").as("probe_cid"))
+      explode(graft.functions.CentroidModels.probes(
+        s, cents, col("v"), KmProbe)).as("probe_cid"))
     val cand = graft.sources.BucketedStore.read(s, table)
       .join(probes,
         col("cid") === col("probe_cid") && col("vec_id") =!= col("query_id"))
@@ -898,14 +880,9 @@ ORDER BY query_id, vec_rank"""
     val e = embDouble(s, d).select(col("vec_id"), col("v"))
     val sizes = graft.sources.BucketedStore.read(s, table)
       .groupBy("cid").agg(count(lit(1)).as("cell_n"))
-    val probeArr = array_sort(array(cents.map { case (cid, cv) =>
-      val n2 = cv.foldLeft(0.0)((a, x) => a + x * x)
-      struct((lit(n2) - lit(2) * dot(col("v"), array(cv.map(lit): _*))).as("d"),
-        lit(cid).as("cid"))
-    }: _*))
     val probes = e.select(col("vec_id").as("query_id"),
-        explode(slice(probeArr, 1, KmProbe)).as("p"))
-      .select(col("query_id"), col("p.cid").as("probe_cid"))
+      explode(graft.functions.CentroidModels.probes(
+        s, cents, col("v"), KmProbe)).as("probe_cid"))
     val tot = sizes.agg(sum("cell_n").as("t"))
     probes.join(broadcast(sizes), col("probe_cid") === col("cid"))
       .groupBy("query_id")
@@ -948,7 +925,6 @@ GROUP BY query_id ORDER BY query_id"""
     val nExact = exact.count()
     val store = graft.sources.BucketedStore.read(s, table)
     val nTot = store.count()
-    val cdf = cents.toDF("cid", "cv")
     // ONE probe pass at the largest nprobe with the probe rank kept;
     // each row then fans out to every arm that would include it
     // (nprobe ≥ crank) — all three arms ride one candidate fetch, one
@@ -958,14 +934,11 @@ GROUP BY query_id ORDER BY query_id"""
     val maxNp = SweepNprobes.max
     val armsOf = explode(filter(typedlit(SweepNprobes),
       np => np >= col("crank")))
-    val wc = Window.partitionBy("query_id")
-      .orderBy(dot(col("cv"), col("cv")) - lit(2) * dot(col("qv"), col("cv")),
-        col("cid"))
-    val probes = q.crossJoin(broadcast(cdf))
-      .withColumn("crank", row_number().over(wc))
-      .filter(col("crank") <= maxNp)
-      .select(col("query_id"), col("qv"), col("cid").as("probe_cid"),
-        col("crank"))
+    val probes = q.select(col("query_id"), col("qv"),
+        posexplode(graft.functions.CentroidModels.probes(
+          s, cents, col("qv"), maxNp)).as(Seq("crank0", "probe_cid")))
+      .select(col("query_id"), col("qv"), col("probe_cid"),
+        (col("crank0") + 1).as("crank"))
     val probeCids = probes.select("probe_cid").distinct()
       .collect().map(_.getInt(0)).sorted
     val wServe = Window.partitionBy("nprobe", "query_id")
@@ -1430,14 +1403,15 @@ ORDER BY query_id, rank"""
   private def foldDot(xs: Seq[Double], ys: Seq[Double]): Double =
     xs.zip(ys).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
 
-  /** The per-subspace argmin code column for one subspace, from literal
-    * centroids — shared by the Lloyd assignment and the final encode. */
+  /** The per-subspace argmin code column for one subspace, over the
+    * broadcast codebook (the [[cellMin]] expression applied to the
+    * subvector slice; a PQ codebook is constant-size — PqK×PqW — but
+    * the uniform encoding keeps every argmin one plan node) — shared
+    * by the Lloyd assignment and the final encode. */
   private def pqCodeCol(cents: Seq[(Int, Seq[Double])], sub: Int): Column =
-    least(cents.map { case (cid, cv) =>
-      val n2 = cv.foldLeft(0.0)((a, x) => a + x * x)
-      struct((lit(n2) - lit(2) * dot(subv(col("v"), sub),
-        array(cv.map(lit): _*))).as("d"), lit(cid).as("cid"))
-    }: _*).getField("cid").as(s"code$sub")
+    graft.functions.CentroidModels.nearest(
+      SparkSession.active, cents, subv(col("v"), sub))
+      .getField("cid").as(s"code$sub")
 
   /** All [[PqM]] codebooks, Lloyd-iterated TOGETHER: each iteration is
     * ONE corpus pass that assigns all m subspaces (m argmin projection

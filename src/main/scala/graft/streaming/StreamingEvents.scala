@@ -302,18 +302,10 @@ object StreamingEvents {
     import s.implicits._
     graft.functions.VectorExpressions.register(s)
     val nprobe = graft.pipeline.SimilarityQueries.KmProbe
-    val probeArr = array_sort(array(cents.map { case (cid, cv) =>
-      val norm2 = cv.foldLeft(0.0)((a, x) => a + x * x)
-      struct(
-        (lit(norm2) - lit(2) *
-          call_function("graft_dot", col("qv"), typedlit(cv))).as("d"),
-        lit(cid).as("cid"))
-    }: _*))
     val probed = queries.withWatermark("ts", s"$delayMs milliseconds")
       .select(col("query_id"), col("ts"), col("qv"),
-        explode(slice(probeArr, 1, nprobe)).as("p"))
-      .select(col("query_id"), col("ts"), col("qv"),
-        col("p.cid").as("probe_cid"))
+        explode(graft.functions.CentroidModels.probes(
+          s, cents, col("qv"), nprobe)).as("probe_cid"))
     probed.join(cells,
         col("probe_cid") === col("cid") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("ts"), col("vec_id").as("doc_id"),

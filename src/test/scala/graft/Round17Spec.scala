@@ -43,4 +43,75 @@ class Round17Spec extends SparkSpec {
     assert(!fs.exists(tmp) && !fs.exists(old))
     spark.sql(s"DROP TABLE IF EXISTS `$t`")
   }
+
+  test("broadcast argmin equals the literal least()/array_sort forms, ties included") {
+    // the encoding swap (VERDICT r12 top item) must be bit-invisible:
+    // graft_cell_nearest against the exact literal expression it
+    // replaced, on centroids with non-contiguous cids AND an exact
+    // duplicate pair (distance tie -> smaller cid, the struct-compare
+    // tie-break)
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    graft.functions.VectorExpressions.register(spark)
+    val dim = 16
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Seq.tabulate(dim)(j => math.sin(i * 31.0 + j * 7.0) * 3.0)) }
+    val df = vecs.toDF("vec_id", "v")
+    val base = (0 until 12).map { c =>
+      (c * 3 + 1, Seq.tabulate(dim)(j => math.cos(c * 17.0 + j) * 2.0)) }
+    val cents = base :+ ((40, base(5)._2)) // cid 40 duplicates cid 16's vector
+    def literalMin: Column = least(cents.map { case (cid, cv) =>
+      val n2 = cv.foldLeft(0.0)((a, x) => a + x * x)
+      struct((lit(n2) - lit(2) *
+        call_function("graft_dot", col("v"), typedlit(cv))).as("d"),
+        lit(cid).as("cid"))
+    }: _*)
+    val both = df.select(col("vec_id"),
+        literalMin.as("lit"),
+        graft.functions.CentroidModels.nearest(spark, cents, col("v")).as("bc"))
+      .select(col("vec_id"), col("lit.d").as("ld"), col("lit.cid").as("lc"),
+        col("bc.d").as("bd"), col("bc.cid").as("bcid"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getDouble(1) == r.getDouble(3) && r.getInt(2) == r.getInt(4),
+        s"mismatch at vec ${r.getLong(0)}: " +
+          s"literal=(${r.getDouble(1)},${r.getInt(2)}) " +
+          s"broadcast=(${r.getDouble(3)},${r.getInt(4)})")
+    }
+    // probe list: first-nprobe of the full (d, cid) sort, per nprobe
+    for (np <- Seq(1, 2, 4)) {
+      val sorted = array_sort(array(cents.map { case (cid, cv) =>
+        val n2 = cv.foldLeft(0.0)((a, x) => a + x * x)
+        struct((lit(n2) - lit(2) *
+          call_function("graft_dot", col("v"), typedlit(cv))).as("d"),
+          lit(cid).as("cid"))
+      }: _*))
+      val cmp = df.select(
+          transform(slice(sorted, 1, np), p => p.getField("cid")).as("lit"),
+          graft.functions.CentroidModels.probes(spark, cents, col("v"), np)
+            .as("bc"))
+        .collect()
+      cmp.foreach { r =>
+        assert(r.getSeq[Int](0) == r.getSeq[Int](1),
+          s"probe mismatch np=$np: ${r.getSeq[Int](0)} vs ${r.getSeq[Int](1)}")
+      }
+    }
+  }
+
+  test("ANN plan size is O(1) in nlist: identical node count across corpus scales") {
+    // the scale contract behind the encoding swap: nlist = ceil(sqrt(N))
+    // differs across SFs, so any centroid state left in the expression
+    // tree shows up as a plan-size delta. The literal form differed by
+    // thousands of nodes here; the broadcast form must not differ at all.
+    requireFixture(SfMid)
+    def nodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect { case p =>
+        p.expressions.map(_.collect { case _ => 1 }.sum).sum }.sum
+    for (q <- Seq("ann_topk_ivf_kmeans", "knn_graph_ivf", "ann_probe_cost")) {
+      val small = nodes(SparkEntry.queries(q)(spark, Sf))
+      val mid = nodes(SparkEntry.queries(q)(spark, SfMid))
+      assert(small == mid,
+        s"$q plan must not grow with nlist: sf0.001=$small sf0.01=$mid")
+    }
+  }
 }
