@@ -1217,9 +1217,15 @@ FROM (
     * to the trained memo). What any serving job — batch or streaming —
     * does at boot. */
   private[graft] def ptrModel(s: SparkSession, d: String)
+      : (Seq[(Int, Seq[Double])], String, String) =
+    ptrModelAt(s, reclusterPtr(d))
+
+  /** [[ptrModel]] for an arbitrary pointer table — shared by the
+    * upserted tier's pointer and the lifecycle-cycle namespace. */
+  private[graft] def ptrModelAt(s: SparkSession, ptrTable: String)
       : (Seq[(Int, Seq[Double])], String, String) = {
     import s.implicits._
-    val p = graft.sources.ModelStore.read(s, reclusterPtr(d)).collect()(0)
+    val p = graft.sources.ModelStore.read(s, ptrTable).collect()(0)
     val (tb, td, tc) = (p.getString(1), p.getString(2), p.getString(3))
     val cents = graft.sources.ModelStore.read(s, tc)
       .as[(Int, Int, Double)].collect().toSeq
@@ -1228,8 +1234,15 @@ FROM (
     (cents, tb, td)
   }
 
-  private[graft] def serveFromPtr(s: SparkSession, d: String): DataFrame = {
-    val (cents, tb, td) = ptrModel(s, d)
+  private[graft] def serveFromPtr(s: SparkSession, d: String): DataFrame =
+    serveVia(s, d, reclusterPtr(d))
+
+  /** Pointer-resolved serving for any generation namespace: resolve
+    * the pointer, load the named quantizer, probe the named
+    * base ∪ delta bucketed tables, exact-cosine top-5. */
+  private[graft] def serveVia(s: SparkSession, d: String,
+      ptrTable: String): DataFrame = {
+    val (cents, tb, td) = ptrModelAt(s, ptrTable)
     val e = embDouble(s, d).select(col("vec_id"), col("v"))
     val probes = probeList(s, e, cents)
     val probeCids = probes.select("probe_cid").distinct()
@@ -1254,6 +1267,155 @@ FROM (
     reclusterExecute(s, d)
     serveFromPtr(s, d)
   }
+
+  // ------------------------------------------ maintenance loop, CYCLE 2+
+  private[graft] def cyclePtr(d: String): String =
+    "graft_ivfcyc_ptr_" + (d.hashCode & 0x7fffffff)
+  private[graft] def cycleNames(d: String, g: Int): (String, String, String) = {
+    val h = d.hashCode & 0x7fffffff
+    (s"graft_ivfcyc_base_${h}_g$g", s"graft_ivfcyc_delta_${h}_g$g",
+      s"graft_ivfcyc_cents_${h}_g$g")
+  }
+
+  /** Day-2 arrivals for the lifecycle: deterministic re-keyed
+    * duplicates (vec_id % 7 == 3, re-keyed past the corpus to
+    * vec_id + N) — ids the serving tier has never indexed, with
+    * vectors the oracle re-derives from the same relation. */
+  private def day2Batch(s: SparkSession, d: String, n: Long): DataFrame =
+    embDouble(s, d).filter(pmod(col("vec_id"), lit(7L)) === 3L)
+      .select((col("vec_id") + lit(n)).as("vec_id"), col("v"))
+
+  /** TWO full maintenance cycles plus generation REAP (VERDICT r12
+    * missing #2: [[reclusterExecute]] proves exactly one pointer flip;
+    * nothing exercised upserts landing through the pointer, a second
+    * re-cluster, or reaping drained generations). Runs in its own
+    * `graft_ivfcyc_*` namespace so the upserted tier's tables and
+    * pointer — contract-pinned by other faces — are never reaped out
+    * from under them.
+    *
+    * g1 = base-trained quantizer, base cells + day-1 delta; publish.
+    * Recluster #1 → g2: retrain on base ∪ delta (the corpus), fold the
+    * delta in, AUDIT, publish. Day-2 batch: resolve the POINTER, load
+    * that generation's quantizer from its model table, assign the
+    * batch to the frozen cells, and land it in the POINTER-NAMED delta
+    * table — the serving tier's own upsert path, no training memo
+    * touched. Recluster #2 → g3: retrain on base ∪ delta read back
+    * FROM the pointer-resolved serving tables (corpus + day-2), fold
+    * in, AUDIT, publish. REAP: drop every table of generations
+    * ≤ current − 2 — the `infra_vacuum` bounded-history discipline.
+    * Policy: the live generation stays (serving), its predecessor
+    * stays as the reader DRAIN WINDOW (a reader that resolved the
+    * pointer just before the flip still holds g2's table names until
+    * its query ends); anything older has no possible reader and goes. */
+  private[graft] def reclusterCycleExecute(s: SparkSession, d: String): Unit =
+    CachePool.memoized(("reclusterCycle", d)) {
+      import s.implicits._
+      val ptrT = cyclePtr(d)
+      def stage(g: Int, cents: Seq[(Int, Seq[Double])],
+                base: DataFrame, delta: DataFrame): Unit = {
+        val (b, dl, c) = cycleNames(d, g)
+        graft.sources.BucketedStore.write(
+          assignCells(base, cents), b, "cid", cents.length)
+        graft.sources.BucketedStore.write(
+          assignCells(delta, cents), dl, "cid", cents.length)
+        graft.sources.ModelStore.write(centDf(s, cents), c)
+      }
+      def publish(g: Int): Unit = {
+        val (b, dl, c) = cycleNames(d, g)
+        graft.sources.ModelStore.write(
+          Seq((g, b, dl, c)).toDF("gen", "t_base", "t_delta", "t_cents"),
+          ptrT)
+      }
+      val e = embDouble(s, d).select(col("vec_id"), col("v"))
+      val n = e.count()
+      // cycle 1, day 1: the base-trained upserted tier, pointer-addressed
+      stage(1, baseCentroids(s, d),
+        e.filter(pmod(col("vec_id"), lit(10L)) =!= 9L),
+        e.filter(pmod(col("vec_id"), lit(10L)) === 9L))
+      publish(1)
+      // recluster #1: retrain on base ∪ delta = the corpus; fold in
+      stage(2, corpusCentroids(s, d), e, e.limit(0))
+      require(graft.sources.BucketedStore.read(s, cycleNames(d, 2)._1)
+        .count() == n, "cycle audit: g2 must hold the corpus")
+      publish(2)
+      // day 2: upsert THROUGH THE POINTER — frozen live-generation
+      // cells, pointer-named delta table
+      val (gCents, gBase, gDelta) = ptrModelAt(s, ptrT)
+      graft.sources.BucketedStore.write(
+        assignCells(day2Batch(s, d, n), gCents), gDelta, "cid",
+        gCents.length)
+      // recluster #2: base ∪ delta read back from the SERVING tier
+      val corpus2 = CachePool.cached(
+        graft.sources.BucketedStore.read(s, gBase)
+          .select(col("vec_id"), col("v"))
+          .unionByName(graft.sources.BucketedStore.read(s, gDelta)
+            .select(col("vec_id"), col("v"))))
+      val n2 = corpus2.count()
+      stage(3, kmeansCentroids(s, corpus2), corpus2, corpus2.limit(0))
+      require(graft.sources.BucketedStore.read(s, cycleNames(d, 3)._1)
+        .count() == n2, "cycle audit: g3 must hold corpus + day-2")
+      publish(3)
+      reapCycleGenerations(s, d, 3)
+    }
+
+  /** Drop every cycle table of generations ≤ current − 2: no pointer
+    * reference, past the drain window — managed tables, so DROP
+    * removes both catalog entry and data. */
+  private def reapCycleGenerations(s: SparkSession, d: String,
+                                   current: Int): Unit =
+    for (g <- 1 to current - 2) {
+      val (b, dl, c) = cycleNames(d, g)
+      Seq(b, dl, c).foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+    }
+
+  /** Serving after two full upsert → recluster cycles ≡ full-corpus
+    * IVF over corpus ∪ day-2: the oracle trains the same quantizer on
+    * the unioned relation (nlist derived from ITS count) and probes it
+    * for the standard queries, so the hash match proves the pointer
+    * walked g1 → g2 → g3 and the day-2 vectors are first-class
+    * servables (a stale pointer at any earlier generation answers with
+    * a different quantizer — and without day-2's exact duplicates at
+    * rank 1 for the vec_id % 7 == 3 queries — and hash-mismatches). */
+  private val reclusterCycle: Q = (s, d) => {
+    reclusterCycleExecute(s, d)
+    serveVia(s, d, cyclePtr(d))
+  }
+  private val reclusterCycleSql =
+    s"""WITH ive AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ive2 AS MATERIALIZED (
+  SELECT vec_id, v FROM ive
+  UNION ALL
+  SELECT vec_id + (SELECT count(*) FROM ive) AS vec_id, v
+  FROM ive WHERE vec_id % 7 = 3
+), yc0 AS MATERIALIZED (
+  SELECT vec_id AS cid, v AS cv FROM ive2 WHERE vec_id < ${nlistSql("ive2")}
+), ya1 AS MATERIALIZED (${assignSql("ive2", "yc0")}
+), yc1 AS MATERIALIZED (${updateSql("ya1")}
+), ya2 AS MATERIALIZED (${assignSql("ive2", "yc1")}
+), yc2 AS MATERIALIZED (${updateSql("ya2")}
+), ycells AS MATERIALIZED (${assignSql("ive2", "yc2")}
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM ive WHERE vec_id < 10
+), probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        list_dot_product(c.cv, c.cv) - 2 * list_dot_product(q.qv, c.cv), c.cid) AS rn
+    FROM q, yc2 c) WHERE rn <= $KmProbe
+), sims AS (
+  SELECT q.query_id, a.vec_id AS neighbor_id,
+    list_dot_product(q.qv, a.v) /
+      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(a.v, a.v))) AS sim
+  FROM q
+  JOIN probes p ON p.query_id = q.query_id
+  JOIN ycells a ON a.cid = p.cid AND a.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(row_number() OVER w AS INT) AS rank, round(sim, 6) AS sim
+FROM sims
+WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+QUALIFY row_number() OVER w <= 5
+ORDER BY query_id, rank"""
 
   /** Top-5 from the upserted (base ∪ delta) index for the standard
     * query relation — the retrieval face of the maintenance story:
@@ -2573,6 +2735,7 @@ ORDER BY e.query_id"""
     "ann_centroid_store" -> centroidStore,
     "ann_recluster_gain" -> reclusterGain,
     "ann_recluster_serve" -> reclusterServe,
+    "ann_recluster_cycle" -> reclusterCycle,
     "ann_index_upsert" -> indexUpsert,
     "ann_topk_lsh" -> topkLsh,
     "ann_topk_pq" -> topkPq,
@@ -2610,6 +2773,7 @@ ORDER BY e.query_id"""
     "ann_recluster_gain" -> reclusterGainSql,
     // post-swap serving IS full-corpus IVF serving — oracle verbatim
     "ann_recluster_serve" -> topkKmeansSql,
+    "ann_recluster_cycle" -> reclusterCycleSql,
     "ann_index_upsert" -> indexUpsertSql,
     "ann_topk_lsh" -> topkLshSql,
     "ann_topk_pq" -> topkPqSql,
