@@ -728,12 +728,41 @@ ORDER BY query_id"""
   private[graft] def ivfProbeRanks(s: SparkSession, d: String,
       queries: DataFrame, k: Int): DataFrame = {
     val (cents, table) = ivfIndex(s, d)
+    probeRanksCore(s, cents,
+      graft.sources.BucketedStore.read(s, table), queries, k)
+  }
+
+  /** [[ivfProbeRanks]] against the POINTER-resolved generation tier
+    * (base ∪ delta of whatever generation the maintenance loop last
+    * published) instead of the training-session index memo — the
+    * vector arm a serving process that never trained uses. Requires a
+    * published pointer ([[reclusterExecute]] first). Post-swap the
+    * published tier holds the corpus under the corpus-trained
+    * quantizer, so output ≡ [[ivfProbeRanks]] — which is exactly what
+    * lets the stored-serving faces reuse the in-plan oracle. */
+  private[graft] def ptrProbeRanks(s: SparkSession, d: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val (cents, tb, td) = ptrModel(s, d)
+    probeRanksCore(s, cents,
+      graft.sources.BucketedStore.read(s, tb)
+        .unionByName(graft.sources.BucketedStore.read(s, td)),
+      queries, k)
+  }
+
+  /** Shared probe-and-rank body of the two faces above: explode each
+    * query's nprobe nearest cells (broadcast-centroid argmin — O(1)
+    * plan size in nlist), bucket-pruned equi-join against the cell
+    * relation, exact-cosine rerank, per-query top-k as a
+    * WindowGroupLimit. */
+  private def probeRanksCore(s: SparkSession,
+      cents: Seq[(Int, Seq[Double])], cells: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
     val probes = queries.select(col("query_id"), col("qv"),
       explode(graft.functions.CentroidModels.probes(
         s, cents, col("qv"), KmProbe)).as("probe_cid"))
     val probeCids = probes.select("probe_cid").distinct()
       .collect().map(_.getInt(0)).sorted
-    val cand = graft.sources.BucketedStore.read(s, table)
+    val cand = cells
       .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
       .join(broadcast(probes),
         col("cid") === col("probe_cid") && col("vec_id") =!= col("query_id"))

