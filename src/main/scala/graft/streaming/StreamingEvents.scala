@@ -207,7 +207,21 @@ object StreamingEvents {
     * ops, identical to the batch vocabulary's training-end symseq, so
     * per-doc counts equal `text_bpe_apply`'s exactly (StreamingSpec
     * pins the parity). Docs with no non-empty words are dropped, the
-    * batch face's inner-join semantics. Needs doc_id / text columns. */
+    * batch face's inner-join semantics.
+    *
+    * OOV contract (ADVICE r12): a word the trainer never saw is
+    * tokenized by the SAME replay — its char-split sequence folded
+    * through whatever stored merges apply (none apply → one subword
+    * per character). This is the intended serving semantics, and it is
+    * what the catalog-served batch face computes too
+    * ([[graft.pipeline.TextQueries]]' `text_bpe_apply_stored` replays
+    * over the vocabulary of the corpus being TOKENIZED, not the
+    * training vocabulary — both serving paths are total on unseen
+    * words and agree by construction; StreamingSpec pins the OOV
+    * case). Only the training-session readout `text_bpe_apply` joins
+    * its own training vocabulary — total on its own corpus by
+    * definition, so no face ever drops a word in practice.
+    * Needs doc_id / text columns. */
   def bpeApplyStream(docs: DataFrame,
                      merges: Seq[(String, String)]): DataFrame = {
     val words = filter(split(lower(col("text")), " "),
@@ -236,8 +250,9 @@ object StreamingEvents {
     * built once, frozen), and each query's exact-cosine top-k over its
     * nprobe cells is emitted when the watermark closes the query.
     * The probe-cell selection is a PURE projection (the k coarse
-    * centroids are literals — `array_sort` over k (distance, cid)
-    * structs, same ‖c‖²−2·q·c expansion and cid tie-break as the
+    * centroids ride a broadcast consumed by the native
+    * `graft_probe_cells` expression — O(1) plan size in nlist, same
+    * ‖c‖²−2·q·c expansion and cid tie-break as the
     * batch probe, so the probed set is identical); candidates come
     * from ONE stream-static equi-join against the cell table (the
     * bucket-pruned scan at rest — stateless); only the top-k

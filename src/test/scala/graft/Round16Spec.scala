@@ -72,9 +72,17 @@ class Round16Spec extends SparkSpec {
     val rec = rows.map(_.getLong(4)).toSeq
     assert(rec.sliding(2).forall(p => p.head <= p.last),
       s"recall must be monotone in nprobe: $rec")
+    // per-step non-strict: a rank-2..4 probed cell can be EMPTY (left
+    // by 2-iteration Lloyd near a query), and empty cells drop out of
+    // the per-cell-size join identically on both engines — so two
+    // adjacent arms may tie on candidates (ADVICE r12). Strictness is
+    // asserted end-to-end, where nprobe=4 must cover nprobe=1's cells
+    // plus at least one non-empty extra on any non-degenerate fixture.
     val cost = rows.map(_.getLong(2)).toSeq
-    assert(cost.sliding(2).forall(p => p.head < p.last),
-      s"cost must grow with nprobe: $cost")
+    assert(cost.sliding(2).forall(p => p.head <= p.last),
+      s"cost must be non-decreasing in nprobe: $cost")
+    assert(cost.head < cost.last,
+      s"end-to-end cost must strictly grow nprobe 1→4: $cost")
     rows.foreach { r =>
       assert(r.getLong(4) >= 0 && r.getLong(4) <= 1000)
       assert(r.getLong(2) > 0 && r.getLong(2) <= 1000000)

@@ -458,6 +458,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming BPE apply: unseen words tokenize by replay, never dropped (OOV contract)") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // ADVICE r12: the serving OOV semantics are REPLAY — a word the
+    // trainer never saw folds its char-split sequence through whatever
+    // stored merges apply (none → one subword per character). It must
+    // be counted, not silently dropped like an index miss.
+    val merges = graft.pipeline.TextQueries.bpeStoredMerges(spark, Sf)
+    def replaySyms(w: String): Long =
+      merges.foldLeft(" " + w.flatMap(c => s"$c ")) {
+        case (sq, (l, r)) => sq.replace(s" $l $r ", s" $l$r ")
+      }.trim.split(" ").length.toLong
+    val oovText = "zzqx vrkp stream" // two unseen words + one seen
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingEvents.bpeApplyStream(
+        mem.toDF().toDF("doc_id", "text"), merges)
+      .writeStream.format("memory").queryName("bpe_oov")
+      .outputMode("append").start()
+    try {
+      mem.addData((7000L, oovText))
+      q.processAllAvailable()
+      val rows = spark.table("bpe_oov").collect()
+      assert(rows.length == 1)
+      val r = rows.head
+      assert(r.getLong(1) == 3L, s"all 3 words count: ${r.toSeq}")
+      val want = oovText.split(" ").map(replaySyms).sum
+      assert(r.getLong(2) == want,
+        s"OOV subword count must be the replay's: got ${r.getLong(2)}, want $want")
+      // merge-free unseen words decompose to one subword per char
+      assert(replaySyms("zzqx") == 4L && replaySyms("vrkp") == 4L)
+    } finally q.stop()
+  }
+
   test("streaming resample: per-row copies equal the batch face under the learned mixture") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
