@@ -302,8 +302,23 @@ object StreamingEvents {
     * maintenance cycle first). */
   def annServePtrStream(queries: DataFrame,
       s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int = 5, delayMs: Long = 7200000L): Dataset[AnnHit] =
+    annServePtrStreamAt(queries, s,
+      graft.pipeline.SimilarityQueries.reclusterPtr(d), k, delayMs)
+
+  /** [[annServePtrStream]] for an ARBITRARY generation pointer — the
+    * online tier of the full maintenance LIFECYCLE: whatever
+    * generation the pointer names at boot (g1, g2 after the first
+    * re-cluster, g3 after the second — `ann_recluster_cycle`'s walk)
+    * is the one served, and a reaped generation is unreachable
+    * because the pointer by definition no longer names it. Restart =
+    * re-resolve; StreamingSpec pins post-cycle parity against the
+    * batch [[graft.pipeline.SimilarityQueries.serveVia]] tier. */
+  def annServePtrStreamAt(queries: DataFrame,
+      s: org.apache.spark.sql.SparkSession, ptrTable: String,
       k: Int = 5, delayMs: Long = 7200000L): Dataset[AnnHit] = {
-    val (cents, tb, td) = graft.pipeline.SimilarityQueries.ptrModel(s, d)
+    val (cents, tb, td) =
+      graft.pipeline.SimilarityQueries.ptrModelAt(s, ptrTable)
     annServeCore(queries, s, cents,
       graft.sources.BucketedStore.read(s, tb)
         .unionByName(graft.sources.BucketedStore.read(s, td)),

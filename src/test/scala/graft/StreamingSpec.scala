@@ -647,6 +647,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN through the CYCLED pointer: serves generation 3 after the reap") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two full upsert→recluster cycles ran and g1 was reaped; a
+    // serving job booting NOW must resolve the pointer to g3 and
+    // answer from it — the online tier follows the pointer across
+    // every flip, and can never reference the reaped generation
+    graft.pipeline.SimilarityQueries.reclusterCycleExecute(spark, Sf)
+    val ptrT = graft.pipeline.SimilarityQueries.cyclePtr(Sf)
+    val qvs = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id").isin(3L, 7L))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val mem = MemoryStream[(Long, Long, Seq[Double])]
+    def typed(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("ts_ms", "query_id", "qv")
+        .select(timestamp_millis(col("ts_ms")).as("ts"),
+          col("query_id"), col("qv"))
+    val q = StreamingEvents.annServePtrStreamAt(
+        typed(mem.toDF()), spark, ptrT, k = 5, delayMs = 3600000L)
+      .writeStream.format("memory").queryName("ann_serve_cyc")
+      .outputMode("append").start()
+    try {
+      mem.addData(qvs.map { case (id, v) => (1000L, id, v) }: _*)
+      q.processAllAvailable()
+      mem.addData((1000L + 3600000L * 3, 999L, qvs.head._2))
+      q.processAllAvailable()
+      val got = spark.table("ann_serve_cyc").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val want = graft.pipeline.SimilarityQueries
+        .serveVia(spark, Sf, ptrT)
+        .filter(col("query_id").isin(3L, 7L))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got == want, s"streamed $got vs batch $want")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming hybrid retrieval: parity with the catalog-served batch RRF tier") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
