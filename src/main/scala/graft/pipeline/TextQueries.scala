@@ -3002,7 +3002,13 @@ FROM a GROUP BY shard ORDER BY shard"""
     * checkpoint actions. */
   private val BpeCkptEvery = 2
   private def bpeWords(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    bpeWordsOver(Tables.documents(s, d))
+  /** (word, freq, char-split symseq) over an arbitrary document
+    * relation — the trainer's input, and the apply faces' replay
+    * domain (always the corpus being TOKENIZED, which is what makes
+    * serving total on words the trainer never saw). */
+  private def bpeWordsOver(docs: DataFrame): DataFrame =
+    docs
       .select(explode(toks).as("word")).filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("freq"))
       .withColumn("symseq",
@@ -3026,8 +3032,15 @@ FROM a GROUP BY shard ORDER BY shard"""
     }.map(_._1).take(m)
   private def bpeTrained(s: SparkSession, d: String)
       : (Seq[(Int, Int, String, String, Long)], DataFrame, Int) =
-    CachePool.memoized(("bpe", d, BpeRounds, BpeCand, BpeBatch)) {
-      var words = bpeWords(s, d).localCheckpoint()
+    bpeTrainedOver(s, ("bpe", d), bpeWords(s, d))
+  /** The K driver-round trainer over an arbitrary word relation —
+    * shared by the full-corpus trainer and the held-out-half trainer
+    * of the OOV face. */
+  private def bpeTrainedOver(s: SparkSession, memoKey: (String, String),
+      input: DataFrame)
+      : (Seq[(Int, Int, String, String, Long)], DataFrame, Int) =
+    CachePool.memoized((memoKey, BpeRounds, BpeCand, BpeBatch)) {
+      var words = input.localCheckpoint()
       var roundTrips = 0 // driver model round-trips (collects)
       val merges = Seq.newBuilder[(Int, Int, String, String, Long)]
       for (round <- 1 to BpeRounds) {
@@ -3168,6 +3181,50 @@ FROM a GROUP BY shard ORDER BY shard"""
       .groupBy("subword")
       .agg(sum("freq").as("occurrences"), count(lit(1)).as("n_words"))
       .orderBy(col("occurrences").desc, col("subword"))
+
+  /** The OOV serving contract ORACLE-GATED (ADVICE r12 follow-through:
+    * the spec pins replay-on-unseen; this face makes the oracle prove
+    * it): train the tokenizer under a RESTRICTED training vocabulary —
+    * words lexicographically below [[BpeOovSplit]], a deterministic
+    * stand-in for any train/serve domain shift (a doc-level split
+    * can't produce OOV here: the synthetic corpus's 31-word vocabulary
+    * is covered by any half) — then tokenize the WHOLE corpus by
+    * replaying the restricted merges over the full vocabulary. Every
+    * held-out word decomposes through whatever merges still apply
+    * (trained merges fire on shared character pairs, so replay on
+    * unseen words is real merging, not just char counting — pinned in
+    * Round17Spec), exactly like the streaming face. The oracle
+    * re-derives the restricted training chain AND the full-vocabulary
+    * replay itself, so the hash match proves the cross-domain apply
+    * semantics end to end (an inner-join-on-training-vocab
+    * implementation drops the held-out words from every doc and
+    * hash-mismatches). */
+  private[graft] val BpeOovSplit = "n"
+  /** The `symseq` column replayed under the RESTRICTED-vocabulary
+    * merges (trained on words < [[BpeOovSplit]] only). */
+  private def bpeOovReplayed(s: SparkSession, d: String): Column =
+    bpeTrainedOver(s, ("bpeOov", d),
+      bpeWords(s, d).filter(col("word") < BpeOovSplit))._1
+      .sortBy(t => (t._1, t._2))
+      .foldLeft(col("symseq")) { case (e, (_, _, l, r, _)) =>
+        replace(e, lit(s" $l $r "), lit(s" $l$r ")) }
+  private val bpeApplyOov: Q = (s, d) =>
+    bpeApplyOver(s, d, bpeWords(s, d).select(col("word"),
+      size(split(trim(bpeOovReplayed(s, d)), " ")).cast("long")
+        .as("n_syms")))
+  /** Round17Spec probe: (held-out vocabulary size, held-out words on
+    * which at least one restricted-trained merge fired) — the proof
+    * the OOV face exercises real cross-domain replay, not just char
+    * counting. */
+  private[graft] def bpeOovStats(s: SparkSession, d: String): (Long, Long) = {
+    val held = bpeWords(s, d).filter(col("word") >= BpeOovSplit)
+      .select(col("word"),
+        size(split(trim(bpeOovReplayed(s, d)), " ")).as("n_syms"),
+        length(col("word")).as("n_chars"))
+    (held.count(),
+      held.filter(col("n_syms") < col("n_chars")).count())
+  }
+
   /** The K training rounds unrolled as chained CTEs (the oracle
     * re-derives the merges itself — nothing learned leaks into the
     * SQL): s0 = char-split vocab; each round r = pair count over
@@ -3177,13 +3234,20 @@ FROM a GROUP BY shard ORDER BY shard"""
     * subquery is COALESCE-guarded to the never-occurring chr(1)
     * sentinel, so a round with fewer than [[BpeBatch]] picks (or
     * none) degrades to no-op replaces instead of NULLing the chain. */
-  private def bpeChainSql: String = {
-    val rounds = (1 to BpeRounds).map { i =>
-      val reps = (1 to BpeBatch).foldLeft("symseq") { (e, j) =>
-        s"""replace($e,
+  private def bpeChainSql: String = bpeChainSqlFor("")
+
+  /** One round's COALESCE-guarded replace chain against k\$i — shared
+    * by the training chain and the OOV face's apply chain. */
+  private def bpeRepsSql(i: Int): String =
+    (1 to BpeBatch).foldLeft("symseq") { (e, j) =>
+      s"""replace($e,
     COALESCE((SELECT ' ' || l || ' ' || r || ' ' FROM k$i WHERE pk = $j), chr(1)),
     COALESCE((SELECT ' ' || l || r || ' ' FROM k$i WHERE pk = $j), chr(1)))"""
-      }
+    }
+
+  private def bpeChainSqlFor(wordWhere: String): String = {
+    val rounds = (1 to BpeRounds).map { i =>
+      val reps = bpeRepsSql(i)
       s"""p$i AS MATERIALIZED (
   SELECT syms[g.i] AS l, syms[g.i + 1] AS r, CAST(sum(freq) AS BIGINT) AS cnt
   FROM (SELECT freq, string_split(trim(symseq), ' ') AS syms FROM s${i - 1}),
@@ -3207,7 +3271,7 @@ FROM a GROUP BY shard ORDER BY shard"""
     s"""WITH w0 AS MATERIALIZED (
   SELECT word, count(*) AS freq FROM (
     SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
-  ) WHERE word <> '' GROUP BY word
+  ) WHERE word <> '' $wordWhere GROUP BY word
 ), s0 AS MATERIALIZED (
   SELECT word, freq,
     ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS symseq
@@ -3250,11 +3314,45 @@ FROM (
 WHERE word <> ''
 GROUP BY doc_id ORDER BY doc_id"""
 
+  /** OOV-face oracle: the training chain runs over the restricted
+    * vocabulary only (w0's predicate), then the FULL corpus vocabulary replays
+    * the same k\$i merge tables round by round (a0..aK — chained
+    * MATERIALIZED CTEs like the trainer's own s-chain) before the
+    * per-doc join. Unseen words simply pass through rounds whose
+    * merges never match. */
+  private val bpeApplyOovSql = {
+    val applyRounds = (1 to BpeRounds).map { i =>
+      s""", a$i AS MATERIALIZED (
+  SELECT word, ${bpeRepsSql(i)} AS symseq FROM a${i - 1}
+)"""
+    }.mkString
+    s"""${bpeChainSqlFor(s"AND word < '$BpeOovSplit'")}, a0 AS MATERIALIZED (
+  SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS symseq
+  FROM (
+    SELECT DISTINCT unnest(string_split(lower(text), ' ')) AS word
+    FROM documents
+  ) WHERE word <> ''
+)$applyRounds, wf AS MATERIALIZED (
+  SELECT word, CAST(len(string_split(trim(symseq), ' ')) AS BIGINT) AS n_syms
+  FROM a$BpeRounds
+)
+SELECT doc_id, count(*) AS n_tokens,
+  CAST(sum(n_syms) AS BIGINT) AS n_bpe_tokens,
+  round(CAST(sum(n_syms) AS DOUBLE) / count(*), 6) AS bpe_per_word
+FROM (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents
+) dt JOIN wf USING (word)
+WHERE word <> ''
+GROUP BY doc_id ORDER BY doc_id"""
+  }
+
   val queries: Map[String, Q] = Map(
     "text_bpe_train" -> bpeTrain,
     "text_bpe_apply" -> bpeApply,
     "text_bpe_model_store" -> bpeModelStore,
     "text_bpe_apply_stored" -> bpeApplyStored,
+    "text_bpe_apply_oov" -> bpeApplyOov,
     "text_bpe_vocab" -> bpeVocab,
     "text_bpe_vocab_stored" -> bpeVocabStored,
     "text_langid" -> langid,
@@ -3318,6 +3416,7 @@ GROUP BY doc_id ORDER BY doc_id"""
     // hash match proves the catalog round-trip loses nothing
     "text_bpe_model_store" -> bpeTrainSql,
     "text_bpe_apply_stored" -> bpeApplySql,
+    "text_bpe_apply_oov" -> bpeApplyOovSql,
     "text_bpe_vocab" -> bpeVocabSql,
     "text_bpe_vocab_stored" -> bpeVocabSql,
     "text_langid" -> langidSql,

@@ -147,6 +147,19 @@ class Round17Spec extends SparkSpec {
     assert(live.count() > n, "g3 base must include the day-2 batch")
   }
 
+  test("BPE OOV face: held-out words exist and real merges fire on them") {
+    // the oracle gate on text_bpe_apply_oov only proves the replay
+    // semantics if the restricted-vocabulary split actually holds
+    // words out AND the trained merges still apply across the split
+    // (shared character pairs) — otherwise the face degenerates to
+    // char counting and an inner-join implementation would pass too
+    val (heldOut, merged) = graft.pipeline.TextQueries.bpeOovStats(spark, Sf)
+    assert(heldOut > 0, "the vocabulary split must hold words out")
+    assert(merged > 0,
+      s"of $heldOut held-out words, none had a trained merge fire — " +
+        "the OOV replay is vacuous on this fixture")
+  }
+
   test("ANN plan size is O(1) in nlist: identical node count across corpus scales") {
     // the scale contract behind the encoding swap: nlist = ceil(sqrt(N))
     // differs across SFs, so any centroid state left in the expression
