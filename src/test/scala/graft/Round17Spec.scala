@@ -147,6 +147,22 @@ class Round17Spec extends SparkSpec {
     assert(live.count() > n, "g3 base must include the day-2 batch")
   }
 
+  test("search_hybrid_stored: the serving plan is catalog-only — no corpus tokenize") {
+    // the whole point of the persisted lexical index: a serving
+    // process reads postings/df/dl/stats tables and the pointer-named
+    // cell tables, NEVER the documents table (no tokenize at serve
+    // time). The query-vector scan of embeddings is legitimate — in
+    // production those arrive with the request batch. The index
+    // builds themselves scan documents, but as one-time side effects,
+    // not in the returned serving plan.
+    val plan = SparkEntry.queries("search_hybrid_stored")(spark, Sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      s"serving plan must not scan the corpus:\n${plan.take(2000)}")
+    assert(plan.contains("graft_srchidx_tf_"),
+      "lexical arm must read the persisted postings table")
+  }
+
   test("BPE OOV face: held-out words exist and real merges fire on them") {
     // the oracle gate on text_bpe_apply_oov only proves the replay
     // semantics if the restricted-vocabulary split actually holds
