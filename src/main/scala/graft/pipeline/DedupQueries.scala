@@ -244,6 +244,36 @@ $minhashPairSelect
   AND (i.doc_a % 5 = 0 OR i.doc_b % 5 = 0)
 ORDER BY doc_a, doc_b"""
 
+  /** Catalog names of the ingest-dedup HISTORY stores consumed by the
+    * streaming probe face ([[graft.streaming.StreamingEvents
+    * .dedupProbeStream]]): the banded signature index (bucketed+sorted
+    * by the full band key — a probe batch's collision join reads
+    * co-located buckets) and the per-doc shingle sketch store
+    * (bucketed by doc_id — the verify join's key), both over every
+    * HISTORY document (doc_id % 5 ≠ 0, [[minhashIncremental]]'s
+    * split). */
+  private[graft] def historyStores(d: String): (String, String) = {
+    val h = d.hashCode & 0x7fffffff
+    (s"graft_mh_hist_bands_$h", s"graft_mh_hist_sk_$h")
+  }
+
+  /** Build + persist the ingest-dedup history once (memoized like the
+    * ANN index builds): one shingle pass over the history slice feeds
+    * both tables. At 100 TB this is the write-time half of ingest
+    * dedup — each arriving batch then probes these stores and never
+    * re-reads history text. */
+  private[graft] def historyStoresExecute(s: SparkSession, d: String): Unit =
+    CachePool.memoized(("mhHistory", d)) {
+      VectorExpressions.register(s)
+      val (bandsT, skT) = historyStores(d)
+      val sh = shingleRows(DupCorpus.corpus(s, d)
+        .filter(pmod(col("doc_id"), lit(5)) =!= 0))
+      graft.sources.BucketedStore.write(bandRows(sh), bandsT,
+        Seq("band_idx", "k1", "k2"), 8)
+      graft.sources.BucketedStore.write(shingleSketches(sh), skT,
+        "doc_id", 8)
+    }
+
   // -------------------------------------------------------------- cluster
   /** Canonical-document selection — the step that turns near-dup PAIRS
     * into a keep/drop decision: connected components over the verified

@@ -367,6 +367,81 @@ object StreamingEvents {
       }
   }
 
+  /** Streaming INGEST near-dup filtering — the online face of
+    * `dedup_minhash_incremental` (the production shape: history is
+    * indexed once; arriving documents are deduped against it without
+    * ever re-reading history text). Boot reads two catalog stores
+    * ([[graft.pipeline.DedupQueries.historyStoresExecute]]): the
+    * banded signature index and the per-doc shingle sketch store.
+    *
+    * Per arriving document everything is computed IN ROW — 3-gram
+    * shingles, h60 hashes, the 8 permutation minima, the 4 LSH band
+    * keys, and the [[graft.pipeline.DedupQueries.SketchK]]-smallest
+    * sketch — as array lambdas (no window, no aggregation: a
+    * signature is a per-doc fold, so the batch face's groupBy is
+    * replaced by `array_min`/`array_sort` over the doc's own shingle
+    * array; HOFs run interpreted, an acceptable per-arriving-doc
+    * cost). Candidates come from ONE stream-static equi-join against
+    * the band index (bucket-co-located at rest), verification is the
+    * batch `graft_intersect` sketch Jaccard against the stored
+    * history sketches, and multi-band collisions collapse via
+    * `dropDuplicatesWithinWatermark` on the pair key — the only
+    * stateful operator, bounded by the watermark. Emits
+    * (doc_a, doc_b, jaccard) exactly like the batch face; parity vs
+    * its cross (new-vs-history) pairs is pinned in StreamingSpec.
+    * In-batch new-vs-new duplicates are the batch face applied to the
+    * accumulated batch at checkpoint time — the same division of
+    * labor as the incremental face itself. Needs doc_id / ts / text
+    * columns. */
+  def dedupProbeStream(docs: DataFrame,
+      s: org.apache.spark.sql.SparkSession, d: String,
+      delayMs: Long = 7200000L): DataFrame = {
+    import graft.pipeline.{DedupQueries, DupCorpus}
+    graft.functions.VectorExpressions.register(s)
+    val (bandsT, skT) = DedupQueries.historyStores(d)
+    val histBands = graft.sources.BucketedStore.read(s, bandsT)
+      .select(col("band_idx"), col("k1"), col("k2"),
+        col("doc_id").as("hist_doc"))
+    val histSk = graft.sources.BucketedStore.read(s, skT)
+      .select(col("doc_id").as("hist_doc"),
+        col("hs").as("hb"), col("n").as("nb"))
+    val toks = split(lower(col("text")), " ")
+    val shingles = array_distinct(transform(
+      sequence(lit(0), size(toks) - 3),
+      i => concat_ws(" ", element_at(toks, i + 1),
+        element_at(toks, i + 2), element_at(toks, i + 3))))
+    val row = docs.withWatermark("ts", s"$delayMs milliseconds")
+      .filter(size(toks) >= 3)
+      .select(col("doc_id"), col("ts"),
+        transform(shingles, sg => DupCorpus.h60(sg)).as("hst"))
+    val sigCols = Seq(col("doc_id"), col("ts"),
+      slice(array_sort(col("hst")), 1, DedupQueries.SketchK).as("ha"),
+      least(size(col("hst")), lit(DedupQueries.SketchK)).cast("long")
+        .as("na")) ++
+      (0 to 7).map(i =>
+        array_min(transform(col("hst"), h => DupCorpus.perm(i, h)))
+          .as(s"m$i"))
+    val banded = row.select(sigCols: _*)
+      .select(col("doc_id"), col("ts"), col("ha"), col("na"), expr(
+        """inline(array(
+        struct(0 as band_idx, m0 as k1, m1 as k2),
+        struct(1 as band_idx, m2 as k1, m3 as k2),
+        struct(2 as band_idx, m4 as k1, m5 as k2),
+        struct(3 as band_idx, m6 as k1, m7 as k2)))"""))
+    val j = col("ni").cast("double") / (col("na") + col("nb") - col("ni"))
+    banded.join(histBands, Seq("band_idx", "k1", "k2"))
+      .join(histSk, "hist_doc")
+      .withColumn("ni",
+        call_function("graft_intersect", col("ha"), col("hb")))
+      .filter(j >= 0.4)
+      .select(col("ts"),
+        least(col("doc_id"), col("hist_doc")).as("doc_a"),
+        greatest(col("doc_id"), col("hist_doc")).as("doc_b"),
+        round(j, 6).as("jaccard"))
+      .dropDuplicatesWithinWatermark("doc_a", "doc_b")
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
   case class HybHit(query_id: Long, doc_id: Long, lex_rank: Option[Int],
     vec_rank: Option[Int], rrf: Double)
   case class HybIn(query_id: Long, ts: java.sql.Timestamp,

@@ -647,6 +647,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ingest dedup: probe pairs equal the batch incremental cross pairs") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    requireFixture(SfMid) // sf0.001 has too few natural cross-split dups
+    // history indexed once (bands + sketches); the stream never
+    // re-reads history text
+    graft.pipeline.DedupQueries.historyStoresExecute(spark, SfMid)
+    val newDocs = graft.pipeline.DupCorpus.corpus(spark, SfMid)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mem = MemoryStream[(Long, Long, String)]
+    def typed(df: org.apache.spark.sql.DataFrame) =
+      df.toDF("ts_ms", "doc_id", "text")
+        .select(timestamp_millis(col("ts_ms")).as("ts"),
+          col("doc_id"), col("text"))
+    val q = StreamingEvents.dedupProbeStream(
+        typed(mem.toDF()), spark, SfMid, delayMs = 3600000L)
+      .writeStream.format("memory").queryName("dedup_probe")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = newDocs.splitAt(newDocs.length / 2)
+      mem.addData(b1.map { case (id, t) => (1000L, id, t) }: _*)
+      q.processAllAvailable()
+      mem.addData(b2.map { case (id, t) => (2000L, id, t) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("dedup_probe").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // batch incremental output restricted to new-vs-history pairs
+      // (new-vs-new is the batch face's half of the division of labor)
+      val want = SparkEntry.queries("dedup_minhash_incremental")(spark, SfMid)
+        .filter((col("doc_a") % 5 === 0) =!= (col("doc_b") % 5 === 0))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(got == want,
+        s"streamed ${got.size} vs batch ${want.size}; " +
+          s"+${(got diff want).take(3)} -${(want diff got).take(3)}")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming ANN through the CYCLED pointer: serves generation 3 after the reap") {
     import spark.implicits._
     import graft.streaming.StreamingEvents
