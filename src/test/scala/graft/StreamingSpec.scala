@@ -771,6 +771,14 @@ class StreamingSpec extends SparkSpec {
         s"streamed ${got.size} vs batch ${want.size}; " +
           s"+${(got diff want).take(3)} -${(want diff got).take(3)}")
       assert(got.size == want.size && got.nonEmpty)
+      // state hygiene — the O(open queries) claim: every served
+      // query's fusion state was removed at close, so only the
+      // sentinel's remains
+      val stateRows = q.recentProgress.reverse
+        .find(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+      assert(stateRows.exists(_ <= 1L),
+        s"state must drain to the open sentinel, got $stateRows")
     } finally q.stop()
   }
 
