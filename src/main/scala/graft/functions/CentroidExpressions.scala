@@ -1,6 +1,5 @@
 package graft.functions
 
-import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.broadcast.Broadcast
@@ -88,7 +87,13 @@ case class NearestCentroid(child: Expression, modelId: Long,
     val m = bc.value
     val lim = math.min(m.dim, v.numElements())
     var bestD = Double.PositiveInfinity
-    var bestC = 0
+    // seed with the FIRST cid, not 0: if every distance is NaN (a
+    // corrupt all-NaN vector makes each norm−2·acc NaN, so the strict
+    // `<` never fires) the row must land in a REAL cell — the
+    // smallest cid, which is what the replaced least()-over-structs
+    // returns when all d compare equal — not phantom cell 0 that a
+    // cid equi-join would silently drop
+    var bestC = if (m.k > 0) m.cids(0) else -1
     var c = 0
     while (c < m.k) {
       var acc = 0.0
@@ -125,7 +130,8 @@ case class NearestCentroid(child: Expression, modelId: Long,
         final double[] $norms = $mv.norms();
         final int[] $cids = $mv.cids();
         final int $lim = java.lang.Math.min($dim, $v.numElements());
-        double $bestD = Double.POSITIVE_INFINITY; int $bestC = 0;
+        double $bestD = Double.POSITIVE_INFINITY;
+        int $bestC = ($k > 0) ? $cids[0] : -1;
         for (int $c = 0; $c < $k; $c++) {
           double $acc = 0.0; final int $base = $c * $dim;
           for (int $i = 0; $i < $lim; $i++) {
@@ -267,28 +273,65 @@ case class ProbeCells(child: Expression, modelId: Long, nprobe: Int,
   * model state (a few dozen k×dim seqs per session); executors see
   * only the broadcasts carried by the expressions themselves. */
 object CentroidModels {
+  /** Registry cap. The maps below hold the ONLY permanent strong
+    * references to the broadcasts — resolved expressions carry the
+    * `Broadcast` object directly and the maps are consulted solely at
+    * analysis time — so evicting the eldest entry past the cap makes
+    * its broadcast collectible by the ContextCleaner as soon as no
+    * analyzed plan holds it. Without the cap, a long-lived driver
+    * running periodic retrains pinned every quantizer forever
+    * (each Lloyd iterate registers an interim model: heap and
+    * executor BlockManager growth per retrain, unbounded). An evicted
+    * model that is requested again simply re-broadcasts — k×dim
+    * doubles, cheap. */
+  private val MaxModels = 64
   private val ids =
-    new ConcurrentHashMap[(Int, Seq[(Int, Seq[Double])]), java.lang.Long]()
-  private val models = new ConcurrentHashMap[Long, Broadcast[CentroidModel]]()
+    new java.util.LinkedHashMap[(Long, Seq[(Int, Seq[Double])]), java.lang.Long]()
+  private val models =
+    new java.util.LinkedHashMap[java.lang.Long, Broadcast[CentroidModel]]()
   private val ctr = new AtomicLong(0L)
+  // per-context EPOCH (monotone counter under weak context keys), not
+  // System.identityHashCode: identity hashes can collide between a
+  // dead context and its replacement, which would alias the dead
+  // context's destroyed broadcasts onto the new one's keys
+  private val epochs =
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Long]()
+  private val epochCtr = new AtomicLong(0L)
 
   private[graft] def idFor(s: SparkSession,
-      cents: Seq[(Int, Seq[Double])]): Long = {
-    // keyed by SparkContext identity too: a restarted context's
-    // broadcasts are dead, so the same centroids re-broadcast there
-    val key = (System.identityHashCode(s.sparkContext), cents)
-    ids.computeIfAbsent(key, _ => {
-      val id = ctr.incrementAndGet()
+      cents: Seq[(Int, Seq[Double])]): Long = synchronized {
+    val epoch = {
+      val e = epochs.get(s.sparkContext)
+      if (e != null) e else {
+        val n = java.lang.Long.valueOf(epochCtr.incrementAndGet())
+        epochs.put(s.sparkContext, n); n
+      }
+    }
+    val key = (epoch.longValue(), cents)
+    val existing = ids.get(key)
+    if (existing != null) existing.longValue()
+    else {
+      val id = java.lang.Long.valueOf(ctr.incrementAndGet())
       models.put(id, s.sparkContext.broadcast(CentroidModel.of(cents)))
-      java.lang.Long.valueOf(id)
-    }).longValue()
+      ids.put(key, id)
+      while (ids.size > MaxModels) {
+        val eldest = ids.keySet().iterator().next()
+        models.remove(ids.remove(eldest))
+      }
+      id.longValue()
+    }
   }
 
-  private[functions] def bcFor(id: Long): Broadcast[CentroidModel] = {
-    val bc = models.get(id)
-    require(bc != null, s"unknown centroid model id $id")
-    bc
-  }
+  private[graft] def registrySize: Int = synchronized { models.size }
+
+  private[functions] def bcFor(id: Long): Broadcast[CentroidModel] =
+    synchronized {
+      val bc = models.get(java.lang.Long.valueOf(id))
+      require(bc != null,
+        s"unknown or evicted centroid model id $id (ids are minted by " +
+          "idFor immediately before analysis; re-request the model)")
+      bc
+    }
 
   private[functions] def litId(e: Expression): Long = e match {
     case Literal(v: Long, LongType) => v

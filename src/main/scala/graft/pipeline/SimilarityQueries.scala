@@ -757,22 +757,35 @@ ORDER BY query_id"""
   private def probeRanksCore(s: SparkSession,
       cents: Seq[(Int, Seq[Double])], cells: DataFrame,
       queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("doc_id"))
+    probeCandSims(s, cents, cells, queries)
+      .withColumn("vec_rank", row_number().over(w))
+      .filter(col("vec_rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("vec_rank"))
+  }
+
+  /** The probe BODY every request-batch serving face shares
+    * (ivf-memo, pointer-resolved, upserted base∪delta): explode each
+    * query's nprobe nearest cells (broadcast-centroid argmin — O(1)
+    * plan size in nlist), prune the cell relation to the probed cids
+    * (bucket pruning at rest), broadcast the query fan-out into one
+    * equi-join, exact-cosine per candidate. Callers differ only in
+    * the cell relation and the top-k readout shape. */
+  private def probeCandSims(s: SparkSession,
+      cents: Seq[(Int, Seq[Double])], cells: DataFrame,
+      queries: DataFrame): DataFrame = {
     val probes = queries.select(col("query_id"), col("qv"),
       explode(graft.functions.CentroidModels.probes(
         s, cents, col("qv"), KmProbe)).as("probe_cid"))
     val probeCids = probes.select("probe_cid").distinct()
       .collect().map(_.getInt(0)).sorted
-    val cand = cells
+    cells
       .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
       .join(broadcast(probes),
         col("cid") === col("probe_cid") && col("vec_id") =!= col("query_id"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("doc_id"))
-    cand.select(col("query_id"), col("vec_id").as("doc_id"),
+      .select(col("query_id"), col("vec_id").as("doc_id"),
         cosine(col("qv"), col("v")).as("sim"))
-      .withColumn("vec_rank", row_number().over(w))
-      .filter(col("vec_rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("vec_rank"))
   }
 
   private val topkKmeansBucketed: Q = (s, d) => {
@@ -830,24 +843,16 @@ ORDER BY query_id"""
   private[graft] def upsertedServe(s: SparkSession, d: String,
       queries: DataFrame, k: Int): DataFrame = {
     val (cents, tBase, tDelta) = upsertedIndex(s, d)
-    val probes = queries.select(col("query_id"), col("qv"),
-      explode(graft.functions.CentroidModels.probes(
-        s, cents, col("qv"), KmProbe)).as("probe_cid"))
-    val probeCids = probes.select("probe_cid").distinct()
-      .collect().map(_.getInt(0)).sorted
-    def arm(t: String) = graft.sources.BucketedStore.read(s, t)
-      .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
-    val cand = arm(tBase).unionByName(arm(tDelta))
-      .join(broadcast(probes),
-        col("cid") === col("probe_cid") && col("vec_id") =!= col("query_id"))
     val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    cand.select(col("query_id"), col("vec_id").as("neighbor_id"),
-        cosine(col("qv"), col("v")).as("sim"))
+      .orderBy(col("sim").desc, col("doc_id"))
+    probeCandSims(s, cents,
+      graft.sources.BucketedStore.read(s, tBase)
+        .unionByName(graft.sources.BucketedStore.read(s, tDelta)),
+      queries)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"),
-        round(col("sim"), 6).as("sim"))
+      .select(col("query_id"), col("doc_id").as("neighbor_id"),
+        col("rank"), round(col("sim"), 6).as("sim"))
   }
 
   /** Full-corpus kNN GRAPH served from the IVF index — the backbone
@@ -1897,13 +1902,23 @@ ORDER BY query_id, rank"""
       val h = d.hashCode & 0x7fffffff
       val (coarseT, booksT) =
         (s"graft_ivfpq_coarse_$h", s"graft_ivfpq_books_$h")
-      val (cents, books) = ivfPqModels(s, d)
-      graft.sources.ModelStore.write(centDf(s, cents), coarseT)
-      graft.sources.ModelStore.write(
-        books.zipWithIndex.flatMap { case (book, sub) =>
-          book.flatMap { case (cid, cv) =>
-            cv.zipWithIndex.map { case (x, i) => (sub, cid, i + 1, x) } } }
-          .toDF("sub", "cid", "dim", "x"), booksT)
+      // ensure-trained, not retrain-on-read: when the catalog already
+      // holds both model tables, the read side must NOT run training
+      // or catalog writes (a serving process may not even have the
+      // training corpus). Under a persistent metastore this is what
+      // makes [[storedPqModels]]'s "a process that did NOT train"
+      // claim literal; explicit retrains go through a fresh write
+      // after a model drop (ModelStore's atomic-swap discipline).
+      if (!(s.catalog.tableExists(coarseT) &&
+          s.catalog.tableExists(booksT))) {
+        val (cents, books) = ivfPqModels(s, d)
+        graft.sources.ModelStore.write(centDf(s, cents), coarseT)
+        graft.sources.ModelStore.write(
+          books.zipWithIndex.flatMap { case (book, sub) =>
+            book.flatMap { case (cid, cv) =>
+              cv.zipWithIndex.map { case (x, i) => (sub, cid, i + 1, x) } } }
+            .toDF("sub", "cid", "dim", "x"), booksT)
+      }
       (coarseT, booksT)
     }
 

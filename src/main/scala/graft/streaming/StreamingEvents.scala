@@ -405,13 +405,19 @@ object StreamingEvents {
     val histSk = graft.sources.BucketedStore.read(s, skT)
       .select(col("doc_id").as("hist_doc"),
         col("hs").as("hb"), col("n").as("nb"))
+    // project the token array ONCE before the shingle lambda: an
+    // interpreted HOF re-evaluates its argument subtree per element,
+    // so element_at over the raw split() would re-split the text
+    // O(L) times (the shingleRows comment's measured 10×+ trap,
+    // quadratic here) — over an attribute it's an array index
     val toks = split(lower(col("text")), " ")
     val shingles = array_distinct(transform(
-      sequence(lit(0), size(toks) - 3),
-      i => concat_ws(" ", element_at(toks, i + 1),
-        element_at(toks, i + 2), element_at(toks, i + 3))))
+      sequence(lit(0), size(col("toks")) - 3),
+      i => concat_ws(" ", element_at(col("toks"), i + 1),
+        element_at(col("toks"), i + 2), element_at(col("toks"), i + 3))))
     val row = docs.withWatermark("ts", s"$delayMs milliseconds")
       .filter(size(toks) >= 3)
+      .select(col("doc_id"), col("ts"), toks.as("toks"))
       .select(col("doc_id"), col("ts"),
         transform(shingles, sg => DupCorpus.h60(sg)).as("hst"))
     val sigCols = Seq(col("doc_id"), col("ts"),

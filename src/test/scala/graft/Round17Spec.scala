@@ -147,6 +147,28 @@ class Round17Spec extends SparkSpec {
     assert(live.count() > n, "g3 base must include the day-2 batch")
   }
 
+  test("centroid broadcast registry is bounded: eviction past the cap, stable ids") {
+    // a long-lived driver running periodic retrains registers a model
+    // per Lloyd iterate per retrain; without eviction every broadcast
+    // is pinned forever (the registry held the only permanent strong
+    // refs). Registering far past the cap must keep the registry
+    // bounded while already-resolved ids stay usable (resolved plans
+    // carry the Broadcast object itself, not the id).
+    import graft.functions.CentroidModels
+    val before = CentroidModels.registrySize
+    for (g <- 0 until 100) {
+      val cents = Seq((0, Seq(g.toDouble, 1.0)), (1, Seq(0.0, g.toDouble)))
+      CentroidModels.idFor(spark, cents)
+    }
+    assert(CentroidModels.registrySize <= 64,
+      s"registry must stay bounded, got ${CentroidModels.registrySize} " +
+        s"(was $before)")
+    // idempotent re-request of a LIVE model returns the same id
+    val cents = Seq((0, Seq(99.0, 1.0)), (1, Seq(0.0, 99.0)))
+    assert(CentroidModels.idFor(spark, cents) ==
+      CentroidModels.idFor(spark, cents))
+  }
+
   test("search_hybrid_stored: the serving plan is catalog-only — no corpus tokenize") {
     // the whole point of the persisted lexical index: a serving
     // process reads postings/df/dl/stats tables and the pointer-named
