@@ -2018,6 +2018,34 @@ ORDER BY which, cid, dim"""
     pqServe(encoded, probes, pqAdc(books, pqEvalQueries(s, e)))
   }
 
+  /** IVF-PQ serving composed with the MAINTENANCE POINTER — the PQ
+    * tier joins the generation lifecycle: the coarse quantizer is
+    * resolved from the pointer-published generation's centroid model
+    * table ([[reclusterExecute]]'s flip — not the training memo, not
+    * even the PQ coarse table), the subspace codebooks from the PQ
+    * model tables, the candidates from the persisted code table's
+    * probed buckets. Sound because the published generation's
+    * quantizer IS the corpus-trained coarse quantizer — identical
+    * init (first-nlist seed), identical Lloyd rounds, identical
+    * exact-decimal mean updates — so the stored codes' cells are the
+    * pointer generation's cells; the verbatim `ann_topk_ivfpq` oracle
+    * is the proof (a pointer left at a pre-fold generation, or any
+    * drift between the two trainers, hash-mismatches). With
+    * [[pqModelTables]]' ensure-trained read side, every input here is
+    * a catalog read. */
+  private val topkIvfPqPtr: Q = (s, d) => {
+    reclusterExecute(s, d)
+    val e = embDouble(s, d).select(col("vec_id"), col("v"))
+    val (cents, _, _) = ptrModel(s, d)
+    val (_, books) = storedPqModels(s, d)
+    val probes = probeList(s, e, cents)
+    val probeCids = probes.select("probe_cid").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val encoded = graft.sources.BucketedStore.read(s, ivfPqTable(s, d))
+      .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
+    pqServe(encoded, probes, pqAdc(books, pqEvalQueries(s, e)))
+  }
+
   private val topkIvfPqSql = {
     def sub(v: String, s: Int) = s"$v[${s * PqW + 1}:${(s + 1) * PqW}]"
     val pqCtes = (0 until PqM).map { s =>
@@ -2785,6 +2813,7 @@ ORDER BY e.query_id"""
     "ann_topk_pq" -> topkPq,
     "ann_topk_ivfpq" -> topkIvfPq,
     "ann_topk_ivfpq_stored" -> topkIvfPqStored,
+    "ann_topk_ivfpq_ptr" -> topkIvfPqPtr,
     "ann_pq_model_store" -> pqModelStore,
     "dedup_embedding" -> embedDedup,
     "dedup_semantic" -> semDedup,
@@ -2825,6 +2854,8 @@ ORDER BY e.query_id"""
     "ann_pq_model_store" -> pqModelStoreSql,
     // stored-codes serving shares the in-plan face's oracle verbatim
     "ann_topk_ivfpq_stored" -> topkIvfPqSql,
+    // pointer-resolved quantizer ≡ the PQ trainer's coarse quantizer
+    "ann_topk_ivfpq_ptr" -> topkIvfPqSql,
     "dedup_embedding" -> embedDedupSql,
     "dedup_semantic" -> semDedupSql,
     "embed_quantize" -> quantizeSql,
