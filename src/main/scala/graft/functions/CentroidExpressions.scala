@@ -40,8 +40,12 @@ object CentroidModel {
     * (d, cid) structs exactly — equal distances keep the earlier,
     * i.e. smaller, cid. */
   def of(cents: Seq[(Int, Seq[Double])]): CentroidModel = {
+    // an empty quantizer has no argmin: the expressions declare their
+    // outputs non-nullable (cid is a REAL cell by contract), so refuse
+    // at model-build time instead of emitting a phantom cid=-1 row
+    require(cents.nonEmpty, "centroid model needs at least one centroid")
     val k = cents.length
-    val dim = if (k == 0) 0 else cents.head._2.length
+    val dim = cents.head._2.length
     val cids = new Array[Int](k)
     val flat = new Array[Double](k * dim)
     val norms = new Array[Double](k)
@@ -93,7 +97,8 @@ case class NearestCentroid(child: Expression, modelId: Long,
     // smallest cid, which is what the replaced least()-over-structs
     // returns when all d compare equal — not phantom cell 0 that a
     // cid equi-join would silently drop
-    var bestC = if (m.k > 0) m.cids(0) else -1
+    var bestC = m.cids(0)
+    var fired = false
     var c = 0
     while (c < m.k) {
       var acc = 0.0
@@ -101,9 +106,15 @@ case class NearestCentroid(child: Expression, modelId: Long,
       var i = 0
       while (i < lim) { acc += m.flat(base + i) * v.getDouble(i); i += 1 }
       val d = m.norms(c) - 2.0 * acc
-      if (d < bestD) { bestD = d; bestC = m.cids(c) }
+      if (d < bestD) { bestD = d; bestC = m.cids(c); fired = true }
       c += 1
     }
+    // d-parity with the least()-over-structs form (ADVICE r13): when
+    // no distance ever compared below the +Inf seed (all-NaN input →
+    // every d is NaN), least() ties all structs equal and keeps the
+    // first — whose d is NaN, not the seed. Consumers of d (inertia,
+    // upsert drift sums) must see the same value on corrupt vectors.
+    if (!fired) bestD = Double.NaN
     new GenericInternalRow(Array[Any](bestD, bestC))
   }
 
@@ -117,10 +128,10 @@ case class NearestCentroid(child: Expression, modelId: Long,
       val (k, dim, flat, norms, cids) = (ctx.freshName("k"),
         ctx.freshName("dim"), ctx.freshName("flat"),
         ctx.freshName("norms"), ctx.freshName("cids"))
-      val (lim, bestD, bestC, c, acc, base, i, d) = (ctx.freshName("lim"),
+      val (lim, bestD, bestC, c, acc, base, i, d, fired) = (ctx.freshName("lim"),
         ctx.freshName("bestD"), ctx.freshName("bestC"), ctx.freshName("c"),
         ctx.freshName("acc"), ctx.freshName("base"), ctx.freshName("i"),
-        ctx.freshName("d"))
+        ctx.freshName("d"), ctx.freshName("fired"))
       s"""
         if ($mv == null) {
           $mv = (graft.functions.CentroidModel) $bcRef.value();
@@ -131,15 +142,17 @@ case class NearestCentroid(child: Expression, modelId: Long,
         final int[] $cids = $mv.cids();
         final int $lim = java.lang.Math.min($dim, $v.numElements());
         double $bestD = Double.POSITIVE_INFINITY;
-        int $bestC = ($k > 0) ? $cids[0] : -1;
+        int $bestC = $cids[0];
+        boolean $fired = false;
         for (int $c = 0; $c < $k; $c++) {
           double $acc = 0.0; final int $base = $c * $dim;
           for (int $i = 0; $i < $lim; $i++) {
             $acc += $flat[$base + $i] * $v.getDouble($i);
           }
           final double $d = $norms[$c] - 2.0 * $acc;
-          if ($d < $bestD) { $bestD = $d; $bestC = $cids[$c]; }
+          if ($d < $bestD) { $bestD = $d; $bestC = $cids[$c]; $fired = true; }
         }
+        if (!$fired) $bestD = Double.NaN;
         ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           new Object[] { java.lang.Double.valueOf($bestD),
             java.lang.Integer.valueOf($bestC) });
@@ -283,12 +296,23 @@ object CentroidModels {
     * (each Lloyd iterate registers an interim model: heap and
     * executor BlockManager growth per retrain, unbounded). An evicted
     * model that is requested again simply re-broadcasts — k×dim
-    * doubles, cheap. */
+    * doubles, cheap.
+    *
+    * Eviction is LRU, not FIFO (ADVICE r13): `ids` is access-ordered
+    * and every analysis-time `bcFor` hit refreshes the model's entry
+    * (via the id→key reverse map), so a model whose id is still being
+    * resolved by live plans can only be evicted after 64 DISTINCT
+    * other models were registered or resolved with no intervening hit
+    * — a Lloyd loop's interim registrations no longer age out a
+    * handed-out id that analysis keeps touching. */
   private val MaxModels = 64
   private val ids =
-    new java.util.LinkedHashMap[(Long, Seq[(Int, Seq[Double])]), java.lang.Long]()
+    new java.util.LinkedHashMap[(Long, Seq[(Int, Seq[Double])]), java.lang.Long](
+      16, 0.75f, true) // accessOrder=true: get() refreshes recency
   private val models =
     new java.util.LinkedHashMap[java.lang.Long, Broadcast[CentroidModel]]()
+  private val idKeys =
+    new java.util.HashMap[java.lang.Long, (Long, Seq[(Int, Seq[Double])])]()
   private val ctr = new AtomicLong(0L)
   // per-context EPOCH (monotone counter under weak context keys), not
   // System.identityHashCode: identity hashes can collide between a
@@ -308,15 +332,18 @@ object CentroidModels {
       }
     }
     val key = (epoch.longValue(), cents)
-    val existing = ids.get(key)
+    val existing = ids.get(key) // access-ordered get: refreshes recency
     if (existing != null) existing.longValue()
     else {
       val id = java.lang.Long.valueOf(ctr.incrementAndGet())
       models.put(id, s.sparkContext.broadcast(CentroidModel.of(cents)))
       ids.put(key, id)
+      idKeys.put(id, key)
       while (ids.size > MaxModels) {
         val eldest = ids.keySet().iterator().next()
-        models.remove(ids.remove(eldest))
+        val evictedId = ids.remove(eldest)
+        models.remove(evictedId)
+        idKeys.remove(evictedId)
       }
       id.longValue()
     }
@@ -330,6 +357,10 @@ object CentroidModels {
       require(bc != null,
         s"unknown or evicted centroid model id $id (ids are minted by " +
           "idFor immediately before analysis; re-request the model)")
+      // LRU refresh (ADVICE r13): a resolution hit marks the id's key
+      // most-recently-used so lazily-analyzed plans that keep
+      // resolving an old id never see it evicted under them
+      ids.get(idKeys.get(java.lang.Long.valueOf(id)))
       bc
     }
 

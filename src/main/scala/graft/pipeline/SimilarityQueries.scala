@@ -444,18 +444,21 @@ ORDER BY query_id, rank"""
     * replaces (see [[graft.functions.NearestCentroid]]). Shared by
     * [[assignCells]], the fused IVF-PQ training pass, and the
     * cluster-profile inertia. */
-  private def cellMin(cents: Seq[(Int, Seq[Double])]): Column =
-    graft.functions.CentroidModels.nearest(
-      SparkSession.active, cents, col("v"))
+  private def cellMin(s: SparkSession, cents: Seq[(Int, Seq[Double])]): Column =
+    graft.functions.CentroidModels.nearest(s, cents, col("v"))
 
   /** The argmin cell id over the full vector as a Column — shared by
-    * [[assignCells]] and the fused IVF-PQ training pass. */
-  private def cellCol(cents: Seq[(Int, Seq[Double])]): Column =
-    cellMin(cents).getField("cid")
+    * [[assignCells]] and the fused IVF-PQ training pass. The owning
+    * session is threaded explicitly (ADVICE r13): registering the
+    * function — and minting the model id — on `SparkSession.active`
+    * binds whichever session HAPPENS to be active in a multi-session
+    * driver, not the one that owns the DataFrame being built. */
+  private def cellCol(s: SparkSession, cents: Seq[(Int, Seq[Double])]): Column =
+    cellMin(s, cents).getField("cid")
 
   private def assignCells(e: DataFrame,
                           cents: Seq[(Int, Seq[Double])]): DataFrame =
-    e.select(col("vec_id"), col("v"), cellCol(cents).as("cid"))
+    e.select(col("vec_id"), col("v"), cellCol(e.sparkSession, cents).as("cid"))
 
   /** KmIters Lloyd iterations over `e` (vec_id, v) → final centroids.
     * Deterministic init = vectors 0..k-1; per-iteration state is k×dim
@@ -585,7 +588,7 @@ ORDER BY query_id, rank"""
   private val indexUpsert: Q = (s, d) => {
     val e = embDouble(s, d).select(col("vec_id"), col("v"))
     val cents = baseCentroids(s, d)
-    val win = cellMin(cents)
+    val win = cellMin(s, cents)
     val d2 = (win.getField("d") + dot(col("v"), col("v")))
       .cast("decimal(25,15)")
     val isNew = pmod(col("vec_id"), lit(10L)) === 9L
@@ -1123,7 +1126,7 @@ ORDER BY cid, dim"""
     val (frozen, _, _) = upsertedIndex(s, d)
     val (retrained, _) = ivfIndex(s, d)
     def d2(cents: Seq[(Int, Seq[Double])]) =
-      (cellMin(cents).getField("d") + dot(col("v"), col("v")))
+      (cellMin(s, cents).getField("d") + dot(col("v"), col("v")))
         .cast("decimal(25,15)")
     e.agg(count(lit(1)).as("n_vectors"),
         round(sum(d2(frozen)).cast("double"), 4).as("d2_frozen"),
@@ -1604,9 +1607,9 @@ ORDER BY query_id, rank"""
     * subvector slice; a PQ codebook is constant-size — PqK×PqW — but
     * the uniform encoding keeps every argmin one plan node) — shared
     * by the Lloyd assignment and the final encode. */
-  private def pqCodeCol(cents: Seq[(Int, Seq[Double])], sub: Int): Column =
-    graft.functions.CentroidModels.nearest(
-      SparkSession.active, cents, subv(col("v"), sub))
+  private def pqCodeCol(s: SparkSession, cents: Seq[(Int, Seq[Double])],
+      sub: Int): Column =
+    graft.functions.CentroidModels.nearest(s, cents, subv(col("v"), sub))
       .getField("cid").as(s"code$sub")
 
   /** All [[PqM]] codebooks, Lloyd-iterated TOGETHER: each iteration is
@@ -1638,7 +1641,7 @@ ORDER BY query_id, rank"""
       val subCol = (col("pos") / PqW).cast("int")
       val rows = e
         .select(col("v") +:
-          books.zipWithIndex.map { case (c, sub) => pqCodeCol(c, sub) }: _*)
+          books.zipWithIndex.map { case (c, sub) => pqCodeCol(s, c, sub) }: _*)
         .select(posexplode(col("v")).as(Seq("pos", "x")),
           element_at(array((0 until PqM).map(i => col(s"code$i")): _*),
             subCol + 1).as("cid"))
@@ -1660,7 +1663,7 @@ ORDER BY query_id, rank"""
     // encode: m code columns, each an argmin over PqK literal structs —
     // a pure projection riding the scan
     val encoded = e.select(col("vec_id") +:
-      books.zipWithIndex.map { case (c, sub) => pqCodeCol(c, sub) }: _*)
+      books.zipWithIndex.map { case (c, sub) => pqCodeCol(s, c, sub) }: _*)
     val queries = e.filter(col("vec_id") < 10)
       .select(col("vec_id"), col("v")).as[(Long, Seq[Double])]
       .collect().toSeq.sortBy(_._1)
@@ -1788,8 +1791,8 @@ ORDER BY query_id, rank"""
         (cid, v.slice(sub * PqW, (sub + 1) * PqW)) } }: Seq[Seq[(Int, Seq[Double])]]
     )) { case ((coarse, books), _) =>
       val rows = e
-        .select(col("v") +: cellCol(coarse).as("ccid") +:
-          books.zipWithIndex.map { case (c, sub) => pqCodeCol(c, sub) }: _*)
+        .select(col("v") +: cellCol(s, coarse).as("ccid") +:
+          books.zipWithIndex.map { case (c, sub) => pqCodeCol(s, c, sub) }: _*)
         .select(posexplode(col("v")).as(Seq("pos", "x")) +: col("ccid") +:
           (0 until PqM).map(i => col(s"code$i")): _*)
         .select(col("pos"), col("x"), col("ccid"),
@@ -1860,7 +1863,7 @@ ORDER BY query_id, rank"""
     val e = embDouble(s, d).select(col("vec_id"), col("v"))
     val (cents, books) = ivfPqModels(s, d)
     val encoded = assignCells(e, cents).select(col("vec_id") +: col("cid") +:
-      books.zipWithIndex.map { case (c, sub) => pqCodeCol(c, sub) }: _*)
+      books.zipWithIndex.map { case (c, sub) => pqCodeCol(s, c, sub) }: _*)
     pqServe(encoded, probeList(s, e, cents),
       pqAdc(books, pqEvalQueries(s, e)))
   }
@@ -1880,7 +1883,7 @@ ORDER BY query_id, rank"""
       val e = embDouble(s, d).select(col("vec_id"), col("v"))
       val (cents, books) = ivfPqModels(s, d)
       val encoded = assignCells(e, cents).select(col("vec_id") +: col("cid") +:
-        books.zipWithIndex.map { case (c, sub) => pqCodeCol(c, sub) }: _*)
+        books.zipWithIndex.map { case (c, sub) => pqCodeCol(s, c, sub) }: _*)
       graft.sources.BucketedStore.write(encoded, table, "cid", cents.length)
       table
     }
@@ -2327,7 +2330,7 @@ ORDER BY vec_id, rank"""
   private val clusterProfile: Q = (s, d) => {
     val e = embDouble(s, d).select(col("vec_id"), col("label"), col("v"))
     val cents = corpusCentroids(s, d)
-    val cm = cellMin(cents)
+    val cm = cellMin(s, cents)
     val scored = e.select(col("label"), cm.getField("cid").as("cid"),
       (cm.getField("d") + dot(col("v"), col("v"))).as("d2"))
     val byLabel = scored.groupBy("cid", "label")
@@ -2394,7 +2397,7 @@ ORDER BY cid"""
   private val semDedup: Q = (s, d) => {
     val e = embDouble(s, d).select(col("vec_id"), col("v"))
     val cents = corpusCentroids(s, d)
-    val cm = cellMin(cents)
+    val cm = cellMin(s, cents)
     // scored feeds BOTH sides of the within-cell self-join — cache it
     // so the assignment projection runs once, not twice
     val scored = CachePool.cached(e.select(col("vec_id"), col("v"),
@@ -2564,7 +2567,7 @@ FROM w$PcIters ORDER BY pos"""
     // cells feeds both sides of the within-cell self-join
     val cells = CachePool.cached(
       e.select(col("vec_id"), col("label"), col("v"),
-        cellCol(cents).as("cid")))
+        cellCol(s, cents).as("cid")))
     val a = cells.select(col("cid"), col("vec_id").as("a_id"),
       col("label").as("a_label"), col("v").as("av"))
     val b = cells.select(col("cid"), col("vec_id").as("b_id"),

@@ -435,7 +435,12 @@ object StreamingEvents {
         struct(2 as band_idx, m4 as k1, m5 as k2),
         struct(3 as band_idx, m6 as k1, m7 as k2)))"""))
     val j = col("ni").cast("double") / (col("na") + col("nb") - col("ni"))
+    // doc_id ≠ hist_doc (ADVICE r13): under at-least-once delivery a
+    // redelivered document — or any arriving id already indexed in
+    // history — collides with its own bands; without the guard it
+    // emits a spurious self-pair (doc_a == doc_b, jaccard 1.0)
     banded.join(histBands, Seq("band_idx", "k1", "k2"))
+      .filter(col("doc_id") =!= col("hist_doc"))
       .join(histSk, "hist_doc")
       .withColumn("ni",
         call_function("graft_intersect", col("ha"), col("hb")))

