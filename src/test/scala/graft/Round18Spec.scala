@@ -84,4 +84,37 @@ class Round18Spec extends SparkSpec {
         s"self-pairs emitted: ${pairs.filter(p => p._1 == p._2).toSeq}")
     } finally q.stop()
   }
+
+  test("hybrid stream state bound: the lexical accumulator stays at LexKeep under 100x postings") {
+    // VERDICT r13 top item: HybState.lex grew O(distinct docs matching
+    // any query term). The bounded fold must (a) never hold more than
+    // LexKeep entries no matter how long the posting stream is, and
+    // (b) keep EXACTLY the arm's true top-20 — same scores, same
+    // (score desc, doc asc) order — as the unbounded accumulator.
+    import graft.streaming.StreamingEvents.{foldLexTop, LexKeep}
+    val n = LexKeep * 100 // a stop-word-heavy query: 2000 matching docs
+    // deterministic pseudo-random decimal contributions, several per doc
+    def contribs(seed: Int) = (0 until n * 3).map { i =>
+      val doc = (i * 31 + seed) % n
+      (doc.toLong, BigDecimal(((i * 7919 + seed * 104729) % 10000) + 1) / 1000)
+    }
+    // stream them through the fold in many small "micro-batches", with
+    // each doc's contributions kept within one batch (the contract:
+    // a query's postings co-arrive with its row)
+    val perDoc = contribs(42).groupBy(_._1).map { case (d, xs) =>
+      (d, xs.map(_._2).sum) }.toList
+    val batches = perDoc.grouped(37).toList
+    val kept = batches.foldLeft(List.empty[(Long, BigDecimal)]) {
+      (st, b) =>
+        val next = foldLexTop(st, b)
+        assert(next.size <= LexKeep, s"state grew to ${next.size}")
+        next
+    }
+    assert(kept.size == LexKeep)
+    // exactness: equals the unbounded accumulator's top-20
+    val want = perDoc.sortWith { case ((d1, s1), (d2, s2)) =>
+      val c = s1.compare(s2); if (c != 0) c > 0 else d1 < d2 }
+      .take(LexKeep)
+    assert(kept == want, s"bounded fold diverged:\n$kept\nvs\n$want")
+  }
 }
