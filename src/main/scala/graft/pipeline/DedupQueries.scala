@@ -36,14 +36,14 @@ object DedupQueries {
     * per-shingle row explosion (a join-based intersection count explodes
     * every pair into |shingles| rows, which goes quadratic on
     * dense-overlap corpora; measured 30-100 s at sf0.1 vs ~2 s here). */
-  private def shingleSketches(sh: DataFrame): DataFrame =
+  private[graft] def shingleSketches(sh: DataFrame): DataFrame =
     sh.groupBy("doc_id").agg(
       slice(sort_array(collect_list(col("h"))), 1, SketchK).as("hs"),
       least(count("*"), lit(SketchK.toLong)).as("n"))
 
   /** Verify candidate pairs (doc_a, doc_b) with sketch Jaccard ≥
     * threshold; emits (doc_a, doc_b, jaccard). */
-  private def jaccardVerify(cand: DataFrame, sketches: DataFrame,
+  private[graft] def jaccardVerify(cand: DataFrame, sketches: DataFrame,
                             threshold: Double): DataFrame = {
     val j = col("ni").cast("double") / (col("na") + col("nb") - col("ni"))
     cand
@@ -72,18 +72,24 @@ object DedupQueries {
     * and the cache inherits doc_id partitioning for the downstream
     * per-doc aggregations. CacheManager dedupes by canonical plan, so
     * minhash and ngram_jaccard share one cached copy per sfDir. */
-  private def shingleRows(corpus: DataFrame): DataFrame = {
+  private def shingleRows(corpus: DataFrame): DataFrame =
+    CachePool.cached(shingleRowsOf(corpus))
+
+  /** The uncached body — for per-micro-batch callers (the ingest
+    * sink), where registering every batch's plan in the session cache
+    * pool would accrete forever; they cache/unpersist locally. */
+  private[graft] def shingleRowsOf(corpus: DataFrame): DataFrame = {
     val toks = corpus.select(col("doc_id"),
       posexplode(split(lower(col("text")), " ")).as(Seq("idx", "tok")))
     val w = Window.partitionBy("doc_id").orderBy("idx")
-    CachePool.cached(toks
+    toks
       .withColumn("t1", lead("tok", 1).over(w))
       .withColumn("t2", lead("tok", 2).over(w))
       .filter(col("t2").isNotNull)
       .select(col("doc_id"),
         concat_ws(" ", col("tok"), col("t1"), col("t2")).as("shingle"))
       .dropDuplicates("doc_id", "shingle")
-      .withColumn("h", DupCorpus.h60(col("shingle"))))
+      .withColumn("h", DupCorpus.h60(col("shingle")))
   }
 
   // ---------------------------------------------------------------- exact
@@ -255,6 +261,20 @@ ORDER BY doc_a, doc_b"""
   private[graft] def historyStores(d: String): (String, String) = {
     val h = d.hashCode & 0x7fffffff
     (s"graft_mh_hist_bands_$h", s"graft_mh_hist_sk_$h")
+  }
+
+  /** Catalog names of the GROWING half of the ingest-dedup history —
+    * the delta band/sketch tables that accepted stream documents land
+    * in ([[graft.streaming.StreamingEvents.dedupIngestBatch]]) — plus
+    * the emitted-pairs table. Plain parquet append tables: per batch
+    * the write is O(batch); a maintenance job periodically folds the
+    * delta into the bucketed base ([[historyStoresExecute]]'s layout)
+    * and truncates it — the same base ∪ delta → recluster discipline
+    * as the ANN upsert tier. */
+  private[graft] def ingestTables(d: String): (String, String, String) = {
+    val h = d.hashCode & 0x7fffffff
+    (s"graft_mh_delta_bands_$h", s"graft_mh_delta_sk_$h",
+      s"graft_mh_ingest_pairs_$h")
   }
 
   /** Build + persist the ingest-dedup history once (memoized like the

@@ -453,6 +453,102 @@ object StreamingEvents {
       .select("doc_a", "doc_b", "jaccard")
   }
 
+  /** Append `df` to a managed parquet table, creating it on first use
+    * (clearing a surviving managed LOCATION a restarted session's
+    * catalog forgot, the BucketedStore discipline). */
+  private def appendTable(df: DataFrame, table: String): Unit = {
+    val s = df.sparkSession
+    if (s.catalog.tableExists(table))
+      df.write.mode("append").format("parquet").saveAsTable(table)
+    else {
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.conf.warehousePath, table.toLowerCase)
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      df.write.mode("overwrite").format("parquet").saveAsTable(table)
+    }
+  }
+
+  /** Streaming ingest dedup with a GROWING history (VERDICT r13 #3):
+    * [[dedupProbeStream]] probes a boot-frozen index, so a
+    * cross-micro-batch duplicate pair — batch-2 near-dup of a batch-1
+    * document, neither in history — is missed forever. This face
+    * applies the upsert discipline in `foreachBatch` (the
+    * [[StreamingEtl]] merge shape): each batch's signatures are
+    * computed once, probed against base ∪ delta (the boot-time
+    * bucketed history PLUS every previously accepted document), the
+    * batch's own in-batch collisions are self-joined, verified pairs
+    * land in the pairs table, and ONLY THEN the batch's band rows and
+    * sketches are appended to the delta — so a crash replays the probe
+    * (at-least-once pairs, deduped at read by [[dedupIngestPairs]])
+    * rather than losing it, and a REDELIVERED document is a no-op (its
+    * id is anti-joined out against the already-indexed set before
+    * probing: no self-pairs, no double-append). Per-batch cost is
+    * O(batch collisions): the base join reads co-located buckets, the
+    * delta side is ∝ accepted stream volume and is periodically folded
+    * into the bucketed base by maintenance
+    * ([[graft.pipeline.DedupQueries.ingestTables]]). Parity: streaming
+    * the new slice through this sink in ANY batching yields exactly
+    * `dedup_minhash_incremental`'s pair relation (Round18Spec). */
+  def dedupIngestBatch(s: org.apache.spark.sql.SparkSession, d: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    import graft.pipeline.DedupQueries
+    graft.functions.VectorExpressions.register(s)
+    val (bandsT, skT) = DedupQueries.historyStores(d)
+    val (dBandsT, dSkT, pairsT) = DedupQueries.ingestTables(d)
+    val rows = batch.select(col("doc_id"), col("text"))
+    if (rows.isEmpty) return
+    val sh = DedupQueries.shingleRowsOf(rows).cache()
+    val nbAll = DedupQueries.bandRows(sh)
+    try {
+      val histBands = graft.sources.BucketedStore.read(s, bandsT)
+        .unionByName(
+          if (s.catalog.tableExists(dBandsT)) s.table(dBandsT)
+          else graft.sources.BucketedStore.read(s, bandsT).limit(0))
+      val histSk = graft.sources.BucketedStore.read(s, skT)
+        .unionByName(
+          if (s.catalog.tableExists(dSkT)) s.table(dSkT)
+          else graft.sources.BucketedStore.read(s, skT).limit(0))
+      val knownIds = histSk.select("doc_id")
+      // novel documents only: a redelivered (or already-history) id
+      // re-probing would self-collide and re-append
+      val nb = nbAll.join(knownIds, Seq("doc_id"), "left_anti").cache()
+      try {
+        val nsk = DedupQueries.shingleSketches(sh)
+          .join(knownIds, Seq("doc_id"), "left_anti")
+        val cross = nb.as("a").join(histBands.as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+            col("a.k1") === col("b.k1") && col("a.k2") === col("b.k2"))
+          .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+            greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+        val cand = cross.union(DedupQueries.bandPairs(nb)).distinct()
+        appendTable(DedupQueries.jaccardVerify(
+          cand, histSk.unionByName(nsk), 0.4), pairsT)
+        // accept AFTER the probe committed: crash ⇒ replay re-probes
+        appendTable(nb, dBandsT)
+        appendTable(nsk, dSkT)
+      } finally nb.unpersist()
+    } finally sh.unpersist()
+  }
+
+  /** The `writeStream` wiring of [[dedupIngestBatch]]: checkpointed
+    * foreachBatch, exactly like [[StreamingEtl.runStream]]. Needs
+    * doc_id / text columns. */
+  def dedupIngestStream(docs: DataFrame,
+      s: org.apache.spark.sql.SparkSession, d: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch(dedupIngestBatch(s, d) _)
+      .start()
+
+  /** Read side of the ingest pair log — distinct, because crash
+    * replays may append a batch's pairs twice (the probe is re-run so
+    * the VALUES are identical; distinct restores exactly-once). */
+  def dedupIngestPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val (_, _, pairsT) = graft.pipeline.DedupQueries.ingestTables(d)
+    s.table(pairsT).distinct()
+  }
+
   case class HybHit(query_id: Long, doc_id: Long, lex_rank: Option[Int],
     vec_rank: Option[Int], rrf: Double)
   case class HybIn(query_id: Long, ts: java.sql.Timestamp,

@@ -117,4 +117,55 @@ class Round18Spec extends SparkSpec {
       .take(LexKeep)
     assert(kept == want, s"bounded fold diverged:\n$kept\nvs\n$want")
   }
+
+  test("streaming ingest dedup grows the history: cross-micro-batch pairs emerge; parity with the batch incremental face") {
+    // VERDICT r13 #3: dedupProbeStream probes a boot-frozen index, so
+    // a batch-2 near-dup of a batch-1 doc (neither in history) was
+    // missed forever. The foreachBatch sink lands accepted signatures
+    // in the delta, so streaming the new slice in ANY batching must
+    // reproduce dedup_minhash_incremental's ENTIRE pair relation —
+    // cross (new-vs-history) AND self (new-vs-new), including pairs
+    // whose two docs arrive in different micro-batches.
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    requireFixture(SfMid)
+    graft.pipeline.DedupQueries.historyStoresExecute(spark, SfMid)
+    val (dB, dSk, pT) = graft.pipeline.DedupQueries.ingestTables(SfMid)
+    Seq(dB, dSk, pT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val want = SparkEntry.queries("dedup_minhash_incremental")(spark, SfMid)
+      .collect().map(row).toSet
+    // pick a new-vs-new pair and force its docs into DIFFERENT batches
+    val span = want.find { case (a, b, _) => a % 5 == 0 && b % 5 == 0 }
+    assume(span.nonEmpty, "fixture has no new-vs-new near-dup pair")
+    val (spanA, spanB, _) = span.get
+    val newDocs = graft.pipeline.DupCorpus.corpus(spark, SfMid)
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val b1 = newDocs.filter(_._1 != spanB)
+    val b2 = newDocs.filter(_._1 == spanB)
+    assert(b1.exists(_._1 == spanA) && b2.nonEmpty)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-ingest-ckpt").toString
+    val q = StreamingEvents.dedupIngestStream(
+      mem.toDF().toDF("doc_id", "text"), spark, SfMid, ckpt)
+    try {
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = StreamingEvents.dedupIngestPairs(spark, SfMid)
+      .collect().map(row).toSet
+    assert(got.contains(span.get),
+      s"cross-batch pair $span missing — history did not grow")
+    assert(got == want,
+      s"streamed ${got.size} vs batch ${want.size}; " +
+        s"+${(got diff want).take(3)} -${(want diff got).take(3)}")
+  }
 }
