@@ -1313,6 +1313,50 @@ FROM (
     (s"graft_ivfcyc_base_${h}_g$g", s"graft_ivfcyc_delta_${h}_g$g",
       s"graft_ivfcyc_cents_${h}_g$g")
   }
+  /** Per-generation PQ tables (VERDICT r13 #2): the stored CODE tables
+    * (base + delta halves, mirroring the cell tables) and the subspace
+    * codebook model table — staged, published, and reaped WITH their
+    * generation. [[ivfPqTable]]'s once-per-session encode is the
+    * g1-style instance of this discipline. */
+  private[graft] def cyclePqNames(d: String, g: Int): (String, String, String) = {
+    val h = d.hashCode & 0x7fffffff
+    (s"graft_ivfcyc_pqb_${h}_g$g", s"graft_ivfcyc_pqd_${h}_g$g",
+      s"graft_ivfcyc_books_${h}_g$g")
+  }
+
+  /** The m subspace codebooks as one unpivoted (sub, cid, dim, x)
+    * model relation — the [[centDf]] of the PQ family, shared by
+    * [[pqModelTables]] and the generation stores. */
+  private def booksDf(s: SparkSession,
+      books: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    import s.implicits._
+    books.zipWithIndex.flatMap { case (book, sub) =>
+      book.flatMap { case (cid, cv) =>
+        cv.zipWithIndex.map { case (x, i) => (sub, cid, i + 1, x) } } }
+      .toDF("sub", "cid", "dim", "x")
+  }
+
+  /** Reassemble [[booksDf]]'s relation back into the m driver-side
+    * codebooks — the serving job's catalog read. */
+  private def booksFrom(s: SparkSession, table: String)
+      : Seq[Seq[(Int, Seq[Double])]] = {
+    import s.implicits._
+    val bookRows = graft.sources.ModelStore.read(s, table)
+      .as[(Int, Int, Int, Double)].collect().toSeq
+    (0 until PqM).map { sub =>
+      bookRows.filter(_._1 == sub).groupBy(_._2).map { case (cid, xs) =>
+        (cid, xs.sortBy(_._3).map(_._4).toSeq) }.toSeq.sortBy(_._1) }
+  }
+
+  /** (vec_id, cid, code0..m−1) — the stored IVF-PQ row: coarse cell
+    * from `cents`, subspace codes from `books`, all argmin projections
+    * riding one scan. */
+  private def encodePq(e: DataFrame, cents: Seq[(Int, Seq[Double])],
+      books: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    val s = e.sparkSession
+    assignCells(e, cents).select(col("vec_id") +: col("cid") +:
+      books.zipWithIndex.map { case (c, sub) => pqCodeCol(s, c, sub) }: _*)
+  }
 
   /** Day-2 arrivals for the lifecycle: deterministic re-keyed
     * duplicates (vec_id % 7 == 3, re-keyed past the corpus to
@@ -1348,38 +1392,62 @@ FROM (
     CachePool.memoized(("reclusterCycle", d)) {
       import s.implicits._
       val ptrT = cyclePtr(d)
+      // each generation stages the CELL tier (base/delta cell tables +
+      // coarse model) AND the PQ tier (VERDICT r13 #2: base/delta CODE
+      // tables encoded with the staged quantizer and the generation's
+      // codebooks, plus the codebook model table) before the pointer
+      // flips — stored-codes serving walks generations exactly like
+      // cell serving, and a reaped generation takes its codes with it
       def stage(g: Int, cents: Seq[(Int, Seq[Double])],
+                books: Seq[Seq[(Int, Seq[Double])]],
                 base: DataFrame, delta: DataFrame): Unit = {
         val (b, dl, c) = cycleNames(d, g)
+        val (pqb, pqd, bk) = cyclePqNames(d, g)
         graft.sources.BucketedStore.write(
           assignCells(base, cents), b, "cid", cents.length)
         graft.sources.BucketedStore.write(
           assignCells(delta, cents), dl, "cid", cents.length)
         graft.sources.ModelStore.write(centDf(s, cents), c)
+        graft.sources.BucketedStore.write(
+          encodePq(base, cents, books), pqb, "cid", cents.length)
+        graft.sources.BucketedStore.write(
+          encodePq(delta, cents, books), pqd, "cid", cents.length)
+        graft.sources.ModelStore.write(booksDf(s, books), bk)
       }
       def publish(g: Int): Unit = {
         val (b, dl, c) = cycleNames(d, g)
+        val (pqb, pqd, bk) = cyclePqNames(d, g)
         graft.sources.ModelStore.write(
-          Seq((g, b, dl, c)).toDF("gen", "t_base", "t_delta", "t_cents"),
+          Seq((g, b, dl, c, pqb, pqd, bk))
+            .toDF("gen", "t_base", "t_delta", "t_cents",
+              "t_pqb", "t_pqd", "t_books"),
           ptrT)
       }
       val e = embDouble(s, d).select(col("vec_id"), col("v"))
       val n = e.count()
       // cycle 1, day 1: the base-trained upserted tier, pointer-addressed
-      stage(1, baseCentroids(s, d),
-        e.filter(pmod(col("vec_id"), lit(10L)) =!= 9L),
-        e.filter(pmod(col("vec_id"), lit(10L)) === 9L))
+      val base1 = CachePool.cached(
+        e.filter(pmod(col("vec_id"), lit(10L)) =!= 9L))
+      stage(1, baseCentroids(s, d), pqTrain(s, base1),
+        base1, e.filter(pmod(col("vec_id"), lit(10L)) === 9L))
       publish(1)
       // recluster #1: retrain on base ∪ delta = the corpus; fold in
-      stage(2, corpusCentroids(s, d), e, e.limit(0))
+      stage(2, corpusCentroids(s, d), pqCodebooks(s, d), e, e.limit(0))
       require(graft.sources.BucketedStore.read(s, cycleNames(d, 2)._1)
         .count() == n, "cycle audit: g2 must hold the corpus")
       publish(2)
       // day 2: upsert THROUGH THE POINTER — frozen live-generation
-      // cells, pointer-named delta table
+      // cells + codebooks (both read back from the published catalog
+      // tables, the serving job's own upsert path), pointer-named
+      // delta tables for cells AND codes
+      val ptr = graft.sources.ModelStore.read(s, ptrT).collect()(0)
       val (gCents, gBase, gDelta) = ptrModelAt(s, ptrT)
+      val (gPqd, gBooksT) = (ptr.getString(5), ptr.getString(6))
+      val day2 = CachePool.cached(day2Batch(s, d, n))
       graft.sources.BucketedStore.write(
-        assignCells(day2Batch(s, d, n), gCents), gDelta, "cid",
+        assignCells(day2, gCents), gDelta, "cid", gCents.length)
+      graft.sources.BucketedStore.write(
+        encodePq(day2, gCents, booksFrom(s, gBooksT)), gPqd, "cid",
         gCents.length)
       // recluster #2: base ∪ delta read back from the SERVING tier
       val corpus2 = CachePool.cached(
@@ -1388,7 +1456,8 @@ FROM (
           .unionByName(graft.sources.BucketedStore.read(s, gDelta)
             .select(col("vec_id"), col("v"))))
       val n2 = corpus2.count()
-      stage(3, kmeansCentroids(s, corpus2), corpus2, corpus2.limit(0))
+      stage(3, kmeansCentroids(s, corpus2), pqTrain(s, corpus2),
+        corpus2, corpus2.limit(0))
       require(graft.sources.BucketedStore.read(s, cycleNames(d, 3)._1)
         .count() == n2, "cycle audit: g3 must hold corpus + day-2")
       publish(3)
@@ -1397,12 +1466,15 @@ FROM (
 
   /** Drop every cycle table of generations ≤ current − 2: no pointer
     * reference, past the drain window — managed tables, so DROP
-    * removes both catalog entry and data. */
+    * removes both catalog entry and data. The PQ tier's tables reap
+    * with their generation. */
   private def reapCycleGenerations(s: SparkSession, d: String,
                                    current: Int): Unit =
     for (g <- 1 to current - 2) {
       val (b, dl, c) = cycleNames(d, g)
-      Seq(b, dl, c).foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+      val (pqb, pqd, bk) = cyclePqNames(d, g)
+      Seq(b, dl, c, pqb, pqd, bk)
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
 
   /** Serving after two full upsert → recluster cycles ≡ full-corpus
@@ -1862,9 +1934,7 @@ ORDER BY query_id, rank"""
   private val topkIvfPq: Q = (s, d) => {
     val e = embDouble(s, d).select(col("vec_id"), col("v"))
     val (cents, books) = ivfPqModels(s, d)
-    val encoded = assignCells(e, cents).select(col("vec_id") +: col("cid") +:
-      books.zipWithIndex.map { case (c, sub) => pqCodeCol(s, c, sub) }: _*)
-    pqServe(encoded, probeList(s, e, cents),
+    pqServe(encodePq(e, cents, books), probeList(s, e, cents),
       pqAdc(books, pqEvalQueries(s, e)))
   }
 
@@ -1882,9 +1952,8 @@ ORDER BY query_id, rank"""
       val table = "graft_ivfpq_codes_" + (d.hashCode & 0x7fffffff)
       val e = embDouble(s, d).select(col("vec_id"), col("v"))
       val (cents, books) = ivfPqModels(s, d)
-      val encoded = assignCells(e, cents).select(col("vec_id") +: col("cid") +:
-        books.zipWithIndex.map { case (c, sub) => pqCodeCol(s, c, sub) }: _*)
-      graft.sources.BucketedStore.write(encoded, table, "cid", cents.length)
+      graft.sources.BucketedStore.write(
+        encodePq(e, cents, books), table, "cid", cents.length)
       table
     }
 
@@ -1916,11 +1985,7 @@ ORDER BY query_id, rank"""
           s.catalog.tableExists(booksT))) {
         val (cents, books) = ivfPqModels(s, d)
         graft.sources.ModelStore.write(centDf(s, cents), coarseT)
-        graft.sources.ModelStore.write(
-          books.zipWithIndex.flatMap { case (book, sub) =>
-            book.flatMap { case (cid, cv) =>
-              cv.zipWithIndex.map { case (x, i) => (sub, cid, i + 1, x) } } }
-            .toDF("sub", "cid", "dim", "x"), booksT)
+        graft.sources.ModelStore.write(booksDf(s, books), booksT)
       }
       (coarseT, booksT)
     }
@@ -1937,12 +2002,7 @@ ORDER BY query_id, rank"""
       .as[(Int, Int, Double)].collect().toSeq
       .groupBy(_._1).map { case (cid, xs) =>
         (cid, xs.sortBy(_._2).map(_._3).toSeq) }.toSeq.sortBy(_._1)
-    val bookRows = graft.sources.ModelStore.read(s, booksT)
-      .as[(Int, Int, Int, Double)].collect().toSeq
-    val books = (0 until PqM).map { sub =>
-      bookRows.filter(_._1 == sub).groupBy(_._2).map { case (cid, xs) =>
-        (cid, xs.sortBy(_._3).map(_._4).toSeq) }.toSeq.sortBy(_._1) }
-    (cents, books)
+    (cents, booksFrom(s, booksT))
   }
 
   /** Round-trip readout of the persisted PQ models — subspace
@@ -2049,11 +2109,16 @@ ORDER BY which, cid, dim"""
     pqServe(encoded, probes, pqAdc(books, pqEvalQueries(s, e)))
   }
 
-  private val topkIvfPqSql = {
+  /** The full IVF-PQ serving oracle over an arbitrary corpus relation
+    * `rel` (declared by the CTEs in `head`): coarse + per-subspace
+    * Lloyd chains, probe selection, code join, ADC rank ≤ 5. The
+    * in-plan, stored-codes, pointer, and lifecycle-cycle faces all
+    * share this text — only the corpus relation differs. */
+  private def ivfPqServeSqlOver(head: String, rel: String): String = {
     def sub(v: String, s: Int) = s"$v[${s * PqW + 1}:${(s + 1) * PqW}]"
     val pqCtes = (0 until PqM).map { s =>
       s"""es$s AS (
-  SELECT vec_id, ${sub("v", s)} AS v FROM e
+  SELECT vec_id, ${sub("v", s)} AS v FROM $rel
 ), pc0_$s AS (
   SELECT vec_id AS cid, v AS cv FROM es$s WHERE vec_id < $PqK
 ), pa1_$s AS (${assignSql(s"es$s", s"pc0_$s")}
@@ -2069,17 +2134,15 @@ ORDER BY which, cid, dim"""
   FROM q, pc2_$s c
 )"""
     }.mkString(", ")
-    s"""WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), q AS (
-  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+    s"""WITH $head, q AS (
+  SELECT vec_id AS query_id, v AS qv FROM $rel WHERE vec_id < 10
 ), c0 AS (
-  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < ${nlistSql("e")}
-), a1 AS (${assignSql("e", "c0")}
+  SELECT vec_id AS cid, v AS cv FROM $rel WHERE vec_id < ${nlistSql(rel)}
+), a1 AS (${assignSql(rel, "c0")}
 ), c1 AS (${updateSql("a1")}
-), a2 AS (${assignSql("e", "c1")}
+), a2 AS (${assignSql(rel, "c1")}
 ), c2 AS (${updateSql("a2")}
-), cells AS (${assignSql("e", "c2")}
+), cells AS (${assignSql(rel, "c2")}
 ), probes AS (
   SELECT query_id, cid FROM (
     SELECT q.query_id, c.cid,
@@ -2108,6 +2171,50 @@ WINDOW w AS (PARTITION BY query_id ORDER BY adc, neighbor_id)
 QUALIFY row_number() OVER w <= 5
 ORDER BY query_id, rank"""
   }
+
+  private val topkIvfPqSql = ivfPqServeSqlOver(
+    """e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)""", "e")
+
+  /** IVF-PQ stored-codes serving AFTER TWO MAINTENANCE CYCLES — the PQ
+    * tier folded into the generation lifecycle (VERDICT r13 #2): every
+    * input is resolved through the CYCLE POINTER — the coarse quantizer
+    * from the published generation's centroid model table, the subspace
+    * codebooks from ITS codebook table, the candidates from ITS
+    * base ∪ delta CODE tables' probed buckets — and the answer must
+    * equal full-corpus IVF-PQ over corpus ∪ day-2 (the
+    * `ann_recluster_cycle` oracle discipline applied to the PQ family:
+    * same Lloyd text over the unioned relation). A pointer left at any
+    * earlier generation serves base-trained or pre-fold codes — and
+    * misses day-2's exact duplicates at rank 1 for the
+    * vec_id % 7 == 3 queries — and hash-mismatches; g1's code tables
+    * are REAPED by the cycle (Round18Spec), so the served codes cannot
+    * come from anywhere but the live generation. */
+  private val topkIvfPqCycle: Q = (s, d) => {
+    reclusterCycleExecute(s, d)
+    val e = embDouble(s, d).select(col("vec_id"), col("v"))
+    val ptr = graft.sources.ModelStore.read(s, cyclePtr(d)).collect()(0)
+    val (cents, _, _) = ptrModelAt(s, cyclePtr(d))
+    val books = booksFrom(s, ptr.getString(6))
+    val probes = probeList(s, e, cents)
+    val probeCids = probes.select("probe_cid").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val encoded = Seq(ptr.getString(4), ptr.getString(5))
+      .map(t => graft.sources.BucketedStore.read(s, t)
+        .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*)))
+      .reduce(_.unionByName(_))
+    pqServe(encoded, probes, pqAdc(books, pqEvalQueries(s, e)))
+  }
+  private val ivfPqCycleSql = ivfPqServeSqlOver(
+    s"""ive AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ive2 AS MATERIALIZED (
+  SELECT vec_id, v FROM ive
+  UNION ALL
+  SELECT vec_id + (SELECT count(*) FROM ive) AS vec_id, v
+  FROM ive WHERE vec_id % 7 = 3
+)""", "ive2")
 
   /** Random-hyperplane LSH ANN — the second scale path next to IVF:
     * 12 sign-of-dot bits per vector (hyperplane components are a
@@ -2817,6 +2924,7 @@ ORDER BY e.query_id"""
     "ann_topk_ivfpq" -> topkIvfPq,
     "ann_topk_ivfpq_stored" -> topkIvfPqStored,
     "ann_topk_ivfpq_ptr" -> topkIvfPqPtr,
+    "ann_ivfpq_recluster_cycle" -> topkIvfPqCycle,
     "ann_pq_model_store" -> pqModelStore,
     "dedup_embedding" -> embedDedup,
     "dedup_semantic" -> semDedup,
@@ -2859,6 +2967,10 @@ ORDER BY e.query_id"""
     "ann_topk_ivfpq_stored" -> topkIvfPqSql,
     // pointer-resolved quantizer ≡ the PQ trainer's coarse quantizer
     "ann_topk_ivfpq_ptr" -> topkIvfPqSql,
+    // the lifecycle face answers like full-corpus IVF-PQ over the
+    // UNIONED relation (corpus + day-2) — the recluster_cycle oracle
+    // discipline applied to the PQ tier
+    "ann_ivfpq_recluster_cycle" -> ivfPqCycleSql,
     "dedup_embedding" -> embedDedupSql,
     "dedup_semantic" -> semDedupSql,
     "embed_quantize" -> quantizeSql,

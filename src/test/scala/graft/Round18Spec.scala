@@ -168,4 +168,35 @@ class Round18Spec extends SparkSpec {
       s"streamed ${got.size} vs batch ${want.size}; " +
         s"+${(got diff want).take(3)} -${(want diff got).take(3)}")
   }
+
+  test("PQ lifecycle: generation-scoped code tables — g1 reaped, g2 drain window, g3 live and complete") {
+    // VERDICT r13 #2: the PQ tier joins the maintenance cycle. Each
+    // generation stages its own code tables + codebook model; the reap
+    // drops g1's WITH its cell tables, the predecessor stays as the
+    // reader drain window, and the pointer names the live generation's
+    // PQ tables.
+    import graft.pipeline.SimilarityQueries
+    SimilarityQueries.reclusterCycleExecute(spark, Sf)
+    val g1 = SimilarityQueries.cyclePqNames(Sf, 1)
+    val g2 = SimilarityQueries.cyclePqNames(Sf, 2)
+    val g3 = SimilarityQueries.cyclePqNames(Sf, 3)
+    Seq(g1._1, g1._2, g1._3).foreach(t =>
+      assert(!spark.catalog.tableExists(t), s"g1 table $t must be reaped"))
+    (Seq(g2._1, g2._2, g2._3) ++ Seq(g3._1, g3._2, g3._3)).foreach(t =>
+      assert(spark.catalog.tableExists(t), s"$t must survive"))
+    // the pointer names g3's PQ tables...
+    val ptr = graft.sources.ModelStore
+      .read(spark, SimilarityQueries.cyclePtr(Sf)).collect()(0)
+    assert((ptr.getString(4), ptr.getString(5), ptr.getString(6)) == g3)
+    // ...whose base code table holds corpus + day-2, one code row per
+    // vector, codes in the PqK range
+    val n = Tables.embeddings(spark, Sf).count()
+    val n2 = n + Tables.embeddings(spark, Sf)
+      .filter(col("vec_id") % 7 === 3).count()
+    val codes = spark.table(g3._1)
+    assert(codes.count() == n2, "g3 codes must cover corpus + day-2")
+    assert(codes.filter(col("code0") < 0 || col("code0") > 15).count() == 0)
+    // day-2's re-keyed vectors are encoded (ids past the corpus)
+    assert(codes.filter(col("vec_id") >= n).count() == n2 - n)
+  }
 }
