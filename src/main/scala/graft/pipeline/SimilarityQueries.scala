@@ -1667,11 +1667,11 @@ ORDER BY query_id, rank"""
     * both engines, and ranking ties break by neighbor_id. The oracle
     * replays the identical per-subspace Lloyd trajectory in SQL and
     * computes the same table-lookup distances via joins. */
-  private val PqM = 4; private val PqW = 16; private val PqK = 16
+  private[graft] val PqM = 4; private[graft] val PqW = 16; private[graft] val PqK = 16
 
   private def subv(v: Column, sub: Int): Column =
     slice(v, sub * PqW + 1, PqW)
-  private def foldDot(xs: Seq[Double], ys: Seq[Double]): Double =
+  private[graft] def foldDot(xs: Seq[Double], ys: Seq[Double]): Double =
     xs.zip(ys).foldLeft(0.0) { case (a, (x, y)) => a + x * y }
 
   /** The per-subspace argmin code column for one subspace, over the

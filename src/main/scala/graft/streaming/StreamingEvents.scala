@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.pipeline.EventQueries
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
@@ -451,6 +451,95 @@ object StreamingEvents {
         round(j, 6).as("jaccard"))
       .dropDuplicatesWithinWatermark("doc_a", "doc_b")
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  case class PqHit(query_id: Long, neighbor_id: Long, rank: Int, adc: Double)
+  case class PqState(tsMs: Long, top: List[(Long, Double)])
+
+  /** Streaming ADC serving — the stored-codes tier's online face
+    * (VERDICT r13 #4): query vectors arrive as a stream and are
+    * answered from the PERSISTED IVF-PQ layout exactly like the batch
+    * `ann_topk_ivfpq_stored`. Boot discipline = the batch face's:
+    * coarse quantizer and subspace codebooks load from their
+    * [[graft.pipeline.SimilarityQueries.pqModelTables]] catalog tables
+    * (ensure-trained read side — a serving job neither trains nor
+    * touches the raw corpus), candidates come from the persisted code
+    * table's probed buckets via ONE stream-static equi-join on cid
+    * (bucket-co-located at rest, stateless).
+    *
+    * ADC at runtime: the batch face knows its queries and folds each
+    * per-query distance table into literals driver-side; here the
+    * query vector is a COLUMN, so the m per-subspace 16-slot tables
+    * are projected per query row BEFORE the join —
+    * `‖qs‖² − 2·qs·cv + ‖cv‖²` per codebook entry, with `qs·qs` /
+    * `qs·cv` as the same sequential-fold `graft_dot` and `‖cv‖²`
+    * pre-folded on the driver, so every slot is the bit-identical
+    * IEEE sequence of [[graft.pipeline.SimilarityQueries.pqAdc]]'s
+    * literals (an emptied codebook slot stays Double.MaxValue). Each
+    * candidate then costs m `element_at` lookups — never an O(dim)
+    * dot — which is the ADC property carried into the stream. Only
+    * the per-query top-k accumulator is stateful: ≤ k (doc, adc)
+    * pairs per open query, emitted once with batch tie-breaks
+    * (adc asc, neighbor asc) and `round(adc, 6)` at event-time close.
+    * Parity vs the batch stored-codes face is pinned in Round18Spec.
+    * Needs query_id / ts / qv columns. */
+  def annServePqStream(queries: DataFrame,
+      s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int = 5, delayMs: Long = 7200000L): Dataset[PqHit] = {
+    import s.implicits._
+    import graft.pipeline.SimilarityQueries.{PqM, PqW, PqK, foldDot}
+    graft.functions.VectorExpressions.register(s)
+    val sq = graft.pipeline.SimilarityQueries
+    val (cents, books) = sq.storedPqModels(s, d)
+    val codes = graft.sources.BucketedStore.read(s, sq.ivfPqTable(s, d))
+    def gdot(a: Column, b: Column) = call_function("graft_dot", a, b)
+    // per-subspace 16-slot ADC table, projected once per QUERY row
+    val adts = (0 until PqM).map { sub =>
+      val qs = slice(col("qv"), sub * PqW + 1, PqW)
+      val bm = books(sub).toMap
+      val slots = (0 until PqK).map(cid => bm.get(cid)
+        .map(cv => gdot(qs, qs) - lit(2.0) * gdot(qs, typedLit(cv)) +
+          lit(foldDot(cv, cv)))
+        .getOrElse(lit(Double.MaxValue)))
+      array(slots: _*).as(s"adt$sub")
+    }
+    val probed = queries.withWatermark("ts", s"$delayMs milliseconds")
+      .select(col("query_id") +: col("ts") +:
+        explode(graft.functions.CentroidModels.probes(
+          s, cents, col("qv"), sq.KmProbe)).as("probe_cid") +: adts: _*)
+    val adc = (0 until PqM)
+      .map(sub => element_at(col(s"adt$sub"), col(s"code$sub") + 1))
+      .reduce(_ + _)
+    probed.join(codes,
+        col("probe_cid") === col("cid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("ts"), col("vec_id").as("doc_id"),
+        adc.as("adc"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[PqState, PqHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (qid, it, state) =>
+          if (state.hasTimedOut) {
+            val out = state.get.top.sortBy { case (doc, a) => (a, doc) }
+              .zipWithIndex.map { case ((doc, a), i) =>
+                PqHit(qid, doc, i + 1, java.math.BigDecimal.valueOf(a)
+                  .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()) }
+            state.remove()
+            out.iterator
+          } else {
+            val prev = state.getOption.getOrElse(PqState(0L, Nil))
+            var (ts, top) = (prev.tsMs, prev.top)
+            it.foreach { case (_, t, doc, a) =>
+              ts = math.max(ts, t.getTime)
+              top = ((doc, a) :: top)
+                .sortBy { case (dc, ac) => (ac, dc) }.take(k)
+            }
+            state.update(PqState(ts, top))
+            state.setTimeoutTimestamp(math.max(
+              ts + delayMs, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          }
+      }
   }
 
   /** Append `df` to a managed parquet table, creating it on first use

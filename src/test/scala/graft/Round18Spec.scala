@@ -199,4 +199,48 @@ class Round18Spec extends SparkSpec {
     // day-2's re-keyed vectors are encoded (ids past the corpus)
     assert(codes.filter(col("vec_id") >= n).count() == n2 - n)
   }
+
+  test("streaming ADC serving: parity with the batch stored-codes IVF-PQ face") {
+    // VERDICT r13 #4: the stored-codes tier's online face — catalog
+    // models + persisted code table, query vectors as a stream, ADC
+    // tables projected per query row. Every (query, neighbor, rank,
+    // adc) must equal ann_topk_ivfpq_stored's.
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // batch face first: trains/persists models + code table, and is
+    // the parity target
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    val want = SparkEntry.queries("ann_topk_ivfpq_stored")(spark, Sf)
+      .collect().map(row).toSet
+    val qvs = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Seq[Double])]
+    val typed = mem.toDF().toDF("ts_ms", "query_id", "qv")
+      .select(timestamp_millis(col("ts_ms")).as("ts"),
+        col("query_id"), col("qv"))
+    val q = StreamingEvents.annServePqStream(typed, spark, Sf,
+        k = 5, delayMs = 3600000L)
+      .writeStream.format("memory").queryName("ann_serve_pq")
+      .outputMode("append").start()
+    try {
+      // two micro-batches: candidate accumulation must merge across them
+      val (q1, q2) = qvs.splitAt(5)
+      mem.addData(q1.map { case (id, v) => (1000L, id, v) }: _*)
+      q.processAllAvailable()
+      mem.addData(q2.map { case (id, v) => (2000L, id, v) }: _*)
+      q.processAllAvailable()
+      mem.addData((2000L + 3600000L * 3, 999L, qvs.head._2))
+      q.processAllAvailable()
+      val got = spark.table("ann_serve_pq").collect().map(row).toSet
+      assert(got == want,
+        s"streamed ${got.size} vs batch ${want.size}; " +
+          s"+${(got diff want).take(3)} -${(want diff got).take(3)}")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
