@@ -119,4 +119,10 @@ object CachePool {
     reapPairs()
     memo.getOrElseUpdate(key, build).asInstanceOf[T]
   }
+
+  /** Forget ONE memo entry — the targeted lifecycle boundary for a
+    * maintenance job that rewrote the tables a build-once key stands
+    * for (e.g. the ingest-history compaction), where a full
+    * [[release]] would needlessly drop every other trained model. */
+  def memoDrop(key: Any): Unit = synchronized { memo.remove(key); () }
 }

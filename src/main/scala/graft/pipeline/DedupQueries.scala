@@ -277,6 +277,33 @@ ORDER BY doc_a, doc_b"""
       s"graft_mh_ingest_pairs_$h")
   }
 
+  /** MAINTENANCE: fold the ingest delta into the bucketed history and
+    * truncate it — the dedup analog of the ANN re-cluster fold. The
+    * append-shaped delta grows per accepted batch and joins without
+    * bucket co-location; past a threshold a maintenance job rewrites
+    * the bucketed base as base ∪ delta (one write-time shuffle,
+    * amortized over every later probe) and drops the delta, restoring
+    * the boot-time layout with the accepted documents first-class.
+    * base ∪ delta is materialized (eager localCheckpoint) BEFORE the
+    * rewrite because [[graft.sources.BucketedStore.write]] drops the
+    * table it is about to read from; idempotent — no delta, no work.
+    * Round18Spec pins fold + truncate + probe-after-compact. */
+  private[graft] def compactIngestHistory(s: SparkSession, d: String): Unit = {
+    val (bandsT, skT) = historyStores(d)
+    val (dB, dSk, _) = ingestTables(d)
+    if (!s.catalog.tableExists(dB) && !s.catalog.tableExists(dSk)) return
+    if (s.catalog.tableExists(dB)) {
+      val bands = s.table(bandsT).unionByName(s.table(dB)).localCheckpoint()
+      graft.sources.BucketedStore.write(bands, bandsT,
+        Seq("band_idx", "k1", "k2"), 8)
+    }
+    if (s.catalog.tableExists(dSk)) {
+      val sks = s.table(skT).unionByName(s.table(dSk)).localCheckpoint()
+      graft.sources.BucketedStore.write(sks, skT, "doc_id", 8)
+    }
+    Seq(dB, dSk).foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
   /** Build + persist the ingest-dedup history once (memoized like the
     * ANN index builds): one shingle pass over the history slice feeds
     * both tables. At 100 TB this is the write-time half of ingest

@@ -243,4 +243,44 @@ class Round18Spec extends SparkSpec {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  test("ingest-history compaction: delta folds into the bucketed base, truncates, and stays probe-able") {
+    // the maintenance half of the growing-history story: the
+    // append-shaped delta is periodically rewritten INTO the bucketed
+    // base (one write-time shuffle, restoring bucket co-location for
+    // every later probe) and dropped.
+    import graft.pipeline.{DedupQueries, DupCorpus}
+    import graft.streaming.StreamingEvents
+    DedupQueries.historyStoresExecute(spark, Sf)
+    val (dB, dSk, pT) = DedupQueries.ingestTables(Sf)
+    Seq(dB, dSk, pT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    val newSlice = DupCorpus.corpus(spark, Sf)
+      .filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+    // land one accepted batch through the real sink, then compact
+    StreamingEvents.dedupIngestBatch(spark, Sf)(newSlice, 0L)
+    assert(spark.catalog.tableExists(dB) && spark.catalog.tableExists(dSk))
+    val nNew = newSlice.count()
+    val before = spark.table(DedupQueries.historyStores(Sf)._1).count()
+    DedupQueries.compactIngestHistory(spark, Sf)
+    assert(!spark.catalog.tableExists(dB) && !spark.catalog.tableExists(dSk),
+      "delta must truncate after the fold")
+    val (bandsT, skT) = DedupQueries.historyStores(Sf)
+    assert(spark.table(bandsT).count() == before + nNew * 4,
+      "base must absorb the delta's 4 band rows per accepted doc")
+    assert(spark.table(skT).select("doc_id").distinct().count() ==
+      spark.table(skT).count(), "one sketch per doc after the fold")
+    // idempotent: a second compaction with no delta is a no-op
+    DedupQueries.compactIngestHistory(spark, Sf)
+    assert(spark.table(bandsT).count() == before + nNew * 4)
+    // the compacted base serves the next batch: a redelivery of an
+    // ACCEPTED (post-compact) doc is anti-joined out — no self-pairs,
+    // no delta re-creation for known ids
+    StreamingEvents.dedupIngestBatch(spark, Sf)(newSlice.limit(2), 1L)
+    if (spark.catalog.tableExists(dB))
+      assert(spark.table(dB).count() == 0, "redelivered ids must not re-land")
+    // restore a clean slate for other suites sharing the Sf namespace
+    Seq(dB, dSk, pT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    graft.pipeline.CachePool.memoDrop(("mhHistory", Sf))
+    DedupQueries.historyStoresExecute(spark, Sf)
+  }
 }
