@@ -283,4 +283,32 @@ class Round18Spec extends SparkSpec {
     graft.pipeline.CachePool.memoDrop(("mhHistory", Sf))
     DedupQueries.historyStoresExecute(spark, Sf)
   }
+
+  test("cycle code tables: a probe opens only its cells' buckets of the live generation") {
+    // the 100 TB property of the generation-scoped PQ layout: the code
+    // tables are bucketed by cid, so stored-codes serving reads the
+    // probed cells' buckets — cost ∝ nprobe/nlist of the code table,
+    // never its total size — exactly like the cell tier's index scan.
+    import graft.pipeline.SimilarityQueries
+    SimilarityQueries.reclusterCycleExecute(spark, Sf)
+    val (pqb3, _, _) = SimilarityQueries.cyclePqNames(Sf, 3)
+    val nBuckets = spark.table(pqb3).select("cid").distinct().count()
+    val auto = spark.conf
+      .get("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    try {
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+      val probe = graft.sources.BucketedStore.read(spark, pqb3)
+        .filter(col("cid").isin(1, 3))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"codes must ride buckets:\n$plan")
+      val selected = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(plan).map(m => (m.group(1).toInt, m.group(2).toInt))
+      assert(selected.exists { case (sel, total) =>
+        sel >= 1 && sel <= 2 && total >= nBuckets.toInt },
+        s"IN(1,3) must open <=2 buckets:\n$plan")
+    } finally
+      spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", auto)
+  }
 }
