@@ -258,9 +258,10 @@ ORDER BY doc_a, doc_b"""
     * (bucketed by doc_id — the verify join's key), both over every
     * HISTORY document (doc_id % 5 ≠ 0, [[minhashIncremental]]'s
     * split). */
-  private[graft] def historyStores(d: String): (String, String) = {
+  private[graft] def historyStores(d: String, ns: String = "")
+      : (String, String) = {
     val h = d.hashCode & 0x7fffffff
-    (s"graft_mh_hist_bands_$h", s"graft_mh_hist_sk_$h")
+    (s"graft_mh_hist_bands$ns" + s"_$h", s"graft_mh_hist_sk$ns" + s"_$h")
   }
 
   /** Catalog names of the GROWING half of the ingest-dedup history —
@@ -271,10 +272,11 @@ ORDER BY doc_a, doc_b"""
     * delta into the bucketed base ([[historyStoresExecute]]'s layout)
     * and truncates it — the same base ∪ delta → recluster discipline
     * as the ANN upsert tier. */
-  private[graft] def ingestTables(d: String): (String, String, String) = {
+  private[graft] def ingestTables(d: String, ns: String = "")
+      : (String, String, String) = {
     val h = d.hashCode & 0x7fffffff
-    (s"graft_mh_delta_bands_$h", s"graft_mh_delta_sk_$h",
-      s"graft_mh_ingest_pairs_$h")
+    (s"graft_mh_delta_bands$ns" + s"_$h", s"graft_mh_delta_sk$ns" + s"_$h",
+      s"graft_mh_ingest_pairs$ns" + s"_$h")
   }
 
   /** MAINTENANCE: fold the ingest delta into the bucketed history and
@@ -288,9 +290,10 @@ ORDER BY doc_a, doc_b"""
     * rewrite because [[graft.sources.BucketedStore.write]] drops the
     * table it is about to read from; idempotent — no delta, no work.
     * Round18Spec pins fold + truncate + probe-after-compact. */
-  private[graft] def compactIngestHistory(s: SparkSession, d: String): Unit = {
-    val (bandsT, skT) = historyStores(d)
-    val (dB, dSk, _) = ingestTables(d)
+  private[graft] def compactIngestHistory(s: SparkSession, d: String,
+      ns: String = ""): Unit = {
+    val (bandsT, skT) = historyStores(d, ns)
+    val (dB, dSk, _) = ingestTables(d, ns)
     if (!s.catalog.tableExists(dB) && !s.catalog.tableExists(dSk)) return
     if (s.catalog.tableExists(dB)) {
       val bands = s.table(bandsT).unionByName(s.table(dB)).localCheckpoint()
@@ -304,15 +307,50 @@ ORDER BY doc_a, doc_b"""
     Seq(dB, dSk).foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
+  /** The ingest-history LIFECYCLE as one oracle-gated face, in its own
+    * `_lc` table namespace (the shared stores keep their history-only
+    * invariant for the probe faces): boot the bucketed history over
+    * the %5 ≠ 0 slice, land the day's accepted slice (%5 == 0) through
+    * the REAL ingest sink ([[graft.streaming.StreamingEvents
+    * .dedupIngestBatch]] — probe, pairs, delta append), FOLD the delta
+    * into the bucketed base ([[compactIngestHistory]]), and emit the
+    * compacted band index. The oracle derives the banded signature
+    * relation over the WHOLE corpus independently, so the hash match
+    * proves boot ∪ ingest ∪ compact lost and invented nothing — the
+    * dedup analog of `ann_recluster_cycle`'s lifecycle proof. Runs
+    * once per session (memoized); the read-back is the bucketed
+    * table, i.e. the layout every later probe rides. */
+  private val historyCompact: Q = (s, d) => {
+    VectorExpressions.register(s)
+    CachePool.memoized(("mhCompactFace", d)) {
+      val (dB, dSk, pT) = ingestTables(d, "_lc")
+      Seq(dB, dSk, pT).foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+      historyStoresExecute(s, d, "_lc")
+      graft.streaming.StreamingEvents.dedupIngestBatch(s, d, "_lc")(
+        DupCorpus.corpus(s, d)
+          .filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select(col("doc_id"), col("text")), 0L)
+      compactIngestHistory(s, d, "_lc")
+    }
+    graft.sources.BucketedStore.read(s, historyStores(d, "_lc")._1)
+      .select(col("doc_id"), col("band_idx"), col("k1"), col("k2"))
+      .orderBy("doc_id", "band_idx")
+  }
+  private lazy val historyCompactSql =
+    s"""$minhashCtes
+SELECT doc_id, band_idx, k1, k2 FROM bands
+ORDER BY doc_id, band_idx"""
+
   /** Build + persist the ingest-dedup history once (memoized like the
     * ANN index builds): one shingle pass over the history slice feeds
     * both tables. At 100 TB this is the write-time half of ingest
     * dedup — each arriving batch then probes these stores and never
     * re-reads history text. */
-  private[graft] def historyStoresExecute(s: SparkSession, d: String): Unit =
-    CachePool.memoized(("mhHistory", d)) {
+  private[graft] def historyStoresExecute(s: SparkSession, d: String,
+      ns: String = ""): Unit =
+    CachePool.memoized(("mhHistory", d, ns)) {
       VectorExpressions.register(s)
-      val (bandsT, skT) = historyStores(d)
+      val (bandsT, skT) = historyStores(d, ns)
       val sh = shingleRows(DupCorpus.corpus(s, d)
         .filter(pmod(col("doc_id"), lit(5)) =!= 0))
       graft.sources.BucketedStore.write(bandRows(sh), bandsT,
@@ -1607,6 +1645,7 @@ ORDER BY stage_ord"""
     "dedup_minhash" -> minhash,
     "dedup_minhash_bucketed" -> minhashBucketed,
     "dedup_minhash_incremental" -> minhashIncremental,
+    "dedup_history_compact" -> historyCompact,
     "dedup_simhash" -> simhash,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_jaccard_prefix" -> prefixJaccard,
@@ -1632,6 +1671,7 @@ ORDER BY stage_ord"""
     // serving shape, identical semantics: shares the runtime-join oracle
     "dedup_minhash_bucketed" -> minhashSql,
     "dedup_minhash_incremental" -> minhashIncrementalSql,
+    "dedup_history_compact" -> historyCompactSql,
     "dedup_simhash" -> simhashSql,
     "dedup_ngram_jaccard" -> ngramJaccardSql,
     "dedup_jaccard_prefix" -> prefixJaccardSql,

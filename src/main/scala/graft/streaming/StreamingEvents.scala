@@ -578,12 +578,12 @@ object StreamingEvents {
     * ([[graft.pipeline.DedupQueries.ingestTables]]). Parity: streaming
     * the new slice through this sink in ANY batching yields exactly
     * `dedup_minhash_incremental`'s pair relation (Round18Spec). */
-  def dedupIngestBatch(s: org.apache.spark.sql.SparkSession, d: String)(
-      batch: DataFrame, batchId: Long): Unit = {
+  def dedupIngestBatch(s: org.apache.spark.sql.SparkSession, d: String,
+      ns: String = "")(batch: DataFrame, batchId: Long): Unit = {
     import graft.pipeline.DedupQueries
     graft.functions.VectorExpressions.register(s)
-    val (bandsT, skT) = DedupQueries.historyStores(d)
-    val (dBandsT, dSkT, pairsT) = DedupQueries.ingestTables(d)
+    val (bandsT, skT) = DedupQueries.historyStores(d, ns)
+    val (dBandsT, dSkT, pairsT) = DedupQueries.ingestTables(d, ns)
     val rows = batch.select(col("doc_id"), col("text"))
     if (rows.isEmpty) return
     val sh = DedupQueries.shingleRowsOf(rows).cache()

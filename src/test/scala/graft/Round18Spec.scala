@@ -280,7 +280,7 @@ class Round18Spec extends SparkSpec {
       assert(spark.table(dB).count() == 0, "redelivered ids must not re-land")
     // restore a clean slate for other suites sharing the Sf namespace
     Seq(dB, dSk, pT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
-    graft.pipeline.CachePool.memoDrop(("mhHistory", Sf))
+    graft.pipeline.CachePool.memoDrop(("mhHistory", Sf, ""))
     DedupQueries.historyStoresExecute(spark, Sf)
   }
 
