@@ -597,7 +597,20 @@ object StreamingEvents {
         .unionByName(
           if (s.catalog.tableExists(dSkT)) s.table(dSkT)
           else graft.sources.BucketedStore.read(s, skT).limit(0))
-      val knownIds = histSk.select("doc_id")
+      // idempotence set = boot-time base ids (CACHED once per stream —
+      // the base is frozen between compactions, so later micro-batches
+      // anti-join against memory, not parquet) ∪ the growing delta's
+      // ids (read fresh per batch, ∝ accepted stream volume). At
+      // 100 TB a Bloom sidecar over the base ids replaces the exact
+      // set; the shape — tiny batch anti-joined against a
+      // doc_id-bucketed store — stays exchange-free on the stored side
+      // either way.
+      val knownIds = graft.pipeline.CachePool.cached(
+          graft.sources.BucketedStore.read(s, skT).select("doc_id"))
+        .unionByName(
+          if (s.catalog.tableExists(dSkT)) s.table(dSkT).select("doc_id")
+          else graft.sources.BucketedStore.read(s, skT)
+            .select("doc_id").limit(0))
       // novel documents only: a redelivered (or already-history) id
       // re-probing would self-collide and re-append
       val nb = nbAll.join(knownIds, Seq("doc_id"), "left_anti").cache()
