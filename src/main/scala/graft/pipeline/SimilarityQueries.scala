@@ -1338,7 +1338,7 @@ FROM (
 
   /** Reassemble [[booksDf]]'s relation back into the m driver-side
     * codebooks — the serving job's catalog read. */
-  private def booksFrom(s: SparkSession, table: String)
+  private[graft] def booksFrom(s: SparkSession, table: String)
       : Seq[Seq[(Int, Seq[Double])]] = {
     import s.implicits._
     val bookRows = graft.sources.ModelStore.read(s, table)
@@ -2191,16 +2191,28 @@ ORDER BY query_id, rank"""
     * vec_id % 7 == 3 queries — and hash-mismatches; g1's code tables
     * are REAPED by the cycle (Round18Spec), so the served codes cannot
     * come from anywhere but the live generation. */
+  /** Resolve the PQ tier of a PQ-carrying generation pointer: the
+    * published generation's coarse quantizer and codebooks (catalog
+    * reads) plus its base/delta CODE table names — the boot call of
+    * every pointer-walking ADC consumer (batch cycle face, streaming
+    * [[graft.streaming.StreamingEvents.annServePqPtrStreamAt]]). */
+  private[graft] def ptrPqModelAt(s: SparkSession, ptrTable: String)
+      : (Seq[(Int, Seq[Double])], Seq[Seq[(Int, Seq[Double])]],
+         String, String) = {
+    val ptr = graft.sources.ModelStore.read(s, ptrTable).collect()(0)
+    val (cents, _, _) = ptrModelAt(s, ptrTable)
+    (cents, booksFrom(s, ptr.getString(6)),
+      ptr.getString(4), ptr.getString(5))
+  }
+
   private val topkIvfPqCycle: Q = (s, d) => {
     reclusterCycleExecute(s, d)
     val e = embDouble(s, d).select(col("vec_id"), col("v"))
-    val ptr = graft.sources.ModelStore.read(s, cyclePtr(d)).collect()(0)
-    val (cents, _, _) = ptrModelAt(s, cyclePtr(d))
-    val books = booksFrom(s, ptr.getString(6))
+    val (cents, books, pqbT, pqdT) = ptrPqModelAt(s, cyclePtr(d))
     val probes = probeList(s, e, cents)
     val probeCids = probes.select("probe_cid").distinct()
       .collect().map(_.getInt(0)).sorted
-    val encoded = Seq(ptr.getString(4), ptr.getString(5))
+    val encoded = Seq(pqbT, pqdT)
       .map(t => graft.sources.BucketedStore.read(s, t)
         .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*)))
       .reduce(_.unionByName(_))

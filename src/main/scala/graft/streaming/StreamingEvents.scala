@@ -486,12 +486,41 @@ object StreamingEvents {
   def annServePqStream(queries: DataFrame,
       s: org.apache.spark.sql.SparkSession, d: String,
       k: Int = 5, delayMs: Long = 7200000L): Dataset[PqHit] = {
+    val sq = graft.pipeline.SimilarityQueries
+    val (cents, books) = sq.storedPqModels(s, d)
+    annServePqCore(queries, s, cents, books,
+      graft.sources.BucketedStore.read(s, sq.ivfPqTable(s, d)), k, delayMs)
+  }
+
+  /** Streaming ADC through an arbitrary PQ-carrying GENERATION POINTER
+    * — the online tier of the PQ lifecycle (the [[annServePtrStreamAt]]
+    * discipline applied to the stored-codes family): resolve the
+    * pointer at boot, load the published generation's coarse quantizer
+    * and codebooks from their catalog tables, and serve from ITS
+    * base ∪ delta code tables. A reaped generation is unreachable
+    * because the pointer no longer names it; a maintenance publish is
+    * picked up by the next restart. Parity vs the batch cycle face is
+    * pinned in Round18Spec. */
+  def annServePqPtrStreamAt(queries: DataFrame,
+      s: org.apache.spark.sql.SparkSession, ptrTable: String,
+      k: Int = 5, delayMs: Long = 7200000L): Dataset[PqHit] = {
+    val sq = graft.pipeline.SimilarityQueries
+    val (cents, books, pqbT, pqdT) = sq.ptrPqModelAt(s, ptrTable)
+    annServePqCore(queries, s, cents, books,
+      graft.sources.BucketedStore.read(s, pqbT)
+        .unionByName(graft.sources.BucketedStore.read(s, pqdT)),
+      k, delayMs)
+  }
+
+  private def annServePqCore(queries: DataFrame,
+      s: org.apache.spark.sql.SparkSession,
+      cents: Seq[(Int, Seq[Double])],
+      books: Seq[Seq[(Int, Seq[Double])]],
+      codes: DataFrame, k: Int, delayMs: Long): Dataset[PqHit] = {
     import s.implicits._
     import graft.pipeline.SimilarityQueries.{PqM, PqW, PqK, foldDot}
     graft.functions.VectorExpressions.register(s)
     val sq = graft.pipeline.SimilarityQueries
-    val (cents, books) = sq.storedPqModels(s, d)
-    val codes = graft.sources.BucketedStore.read(s, sq.ivfPqTable(s, d))
     def gdot(a: Column, b: Column) = call_function("graft_dot", a, b)
     // per-subspace 16-slot ADC table, projected once per QUERY row
     val adts = (0 until PqM).map { sub =>

@@ -284,6 +284,44 @@ class Round18Spec extends SparkSpec {
     DedupQueries.historyStoresExecute(spark, Sf)
   }
 
+  test("streaming ADC through the CYCLED pointer: serves generation 3's codes after the reap") {
+    // tasks #2 + #4 composed: a PQ serving job booting after two
+    // maintenance cycles must resolve the pointer to g3 and answer
+    // from ITS code tables and codebooks — equal to the batch cycle
+    // face on every (query, neighbor, rank, adc).
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    val want = SparkEntry.queries("ann_ivfpq_recluster_cycle")(spark, Sf)
+      .filter(col("query_id").isin(2L, 3L, 7L))
+      .collect().map(row).toSet
+    val qvs = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id").isin(2L, 3L, 7L))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Seq[Double])]
+    val typed = mem.toDF().toDF("ts_ms", "query_id", "qv")
+      .select(timestamp_millis(col("ts_ms")).as("ts"),
+        col("query_id"), col("qv"))
+    val q = StreamingEvents.annServePqPtrStreamAt(typed, spark,
+        graft.pipeline.SimilarityQueries.cyclePtr(Sf),
+        k = 5, delayMs = 3600000L)
+      .writeStream.format("memory").queryName("ann_serve_pq_cyc")
+      .outputMode("append").start()
+    try {
+      mem.addData(qvs.map { case (id, v) => (1000L, id, v) }: _*)
+      q.processAllAvailable()
+      mem.addData((1000L + 3600000L * 3, 999L, qvs.head._2))
+      q.processAllAvailable()
+      val got = spark.table("ann_serve_pq_cyc").collect().map(row).toSet
+      assert(got == want, s"streamed $got vs batch $want")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("cycle code tables: a probe opens only its cells' buckets of the live generation") {
     // the 100 TB property of the generation-scoped PQ layout: the code
     // tables are bucketed by cid, so stored-codes serving reads the
