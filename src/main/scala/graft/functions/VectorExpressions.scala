@@ -318,6 +318,69 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def prettyName: String = "graft_cosine"
 }
 
+
+/** `graft_sub(array<double>, array<double>) -> array<double>` —
+  * elementwise vector difference (the residual r = v − c of residual
+  * product quantization), codegen'd.
+  *
+  * Why custom: the built-in route is `zip_with(a, b, _-_)` — a
+  * higher-order function, interpreted per row and per element, on the
+  * corpus-scale hot path that feeds every residual-PQ training pass
+  * and encode. Output length follows the left operand (the vector);
+  * a shorter right operand contributes 0 past its end — in practice
+  * both are dim-length. Same IEEE subtraction sequence as the oracle's
+  * per-dimension x − cx, so residuals are bit-identical cross-engine. */
+case class VectorDiff(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"graft_sub expects (array<double>, array<double>), " +
+          s"got (${left.dataType.sql}, ${right.dataType.sql})")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = math.min(n, y.numElements())
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < m) { out(i) = x.getDouble(i) - y.getDouble(i); i += 1 }
+    while (i < n) { out(i) = x.getDouble(i); i += 1 }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val (n, m, i, out) = (ctx.freshName("n"), ctx.freshName("m"),
+        ctx.freshName("i"), ctx.freshName("out"))
+      s"""
+        final int $n = $x.numElements();
+        final int $m = java.lang.Math.min($n, $y.numElements());
+        final double[] $out = new double[$n];
+        int $i = 0;
+        for (; $i < $m; $i++) {
+          $out[$i] = $x.getDouble($i) - $y.getDouble($i);
+        }
+        for (; $i < $n; $i++) { $out[$i] = $x.getDouble($i); }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray($out);
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VectorDiff =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "graft_sub"
+}
+
 object VectorExpressions {
   /** Idempotently register graft_dot in the session's function registry
     * so `expr("graft_dot(a, b)")` resolves. Belt-and-braces for
@@ -340,6 +403,10 @@ object VectorExpressions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_sum_len"),
       (children: Seq[Expression]) => SumStringLength(children(0)): Expression,
+      "internal")
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_sub"),
+      (children: Seq[Expression]) => VectorDiff(children(0), children(1)): Expression,
       "internal")
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_cosine"),
@@ -393,6 +460,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_sum_len"),
       new ExpressionInfo(classOf[SumStringLength].getCanonicalName, "graft_sum_len"),
       (children: Seq[Expression]) => SumStringLength(children(0))))
+    ext.injectFunction((FunctionIdentifier("graft_sub"),
+      new ExpressionInfo(classOf[VectorDiff].getCanonicalName, "graft_sub"),
+      (children: Seq[Expression]) => VectorDiff(children(0), children(1))))
     ext.injectFunction((FunctionIdentifier("graft_cosine"),
       new ExpressionInfo(classOf[CosineSimilarity].getCanonicalName, "graft_cosine"),
       (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))

@@ -1886,23 +1886,45 @@ ORDER BY query_id, rank"""
     out
   }
 
+  /** The m per-subspace 16-slot ADC lookup of one query-side vector
+    * `qv` (the raw query for shared-codebook PQ; the query RESIDUAL
+    * for residual PQ) against the codebooks — summed left-assoc like
+    * every ADC consumer. */
+  private def adcFor(books: Seq[Seq[(Int, Seq[Double])]],
+                     qv: Seq[Double]): Column =
+    (0 until PqM).map { sub =>
+      val qs = qv.slice(sub * PqW, (sub + 1) * PqW)
+      val qq = foldDot(qs, qs)
+      val bm = books(sub).toMap
+      val dts = (0 until PqK).map(cid => bm.get(cid)
+        .map(cv => qq - 2 * foldDot(qs, cv) + foldDot(cv, cv))
+        .getOrElse(Double.MaxValue))
+      element_at(array(dts.map(lit): _*), col(s"code$sub") + 1)
+    }.reduce(_ + _)
+
   /** Per-query ADC distance tables as a literal CASE column — the
     * driver-side model state of PQ serving (10 queries × m × PqK
     * doubles), shared by the in-plan face and the stored-codes face. */
   private def pqAdc(books: Seq[Seq[(Int, Seq[Double])]],
-                    queries: Seq[(Long, Seq[Double])]): Column = {
-    def adcFor(qv: Seq[Double]): Column =
-      (0 until PqM).map { sub =>
-        val qs = qv.slice(sub * PqW, (sub + 1) * PqW)
-        val qq = foldDot(qs, qs)
-        val bm = books(sub).toMap
-        val dts = (0 until PqK).map(cid => bm.get(cid)
-          .map(cv => qq - 2 * foldDot(qs, cv) + foldDot(cv, cv))
-          .getOrElse(Double.MaxValue))
-        element_at(array(dts.map(lit): _*), col(s"code$sub") + 1)
-      }.reduce(_ + _)
+                    queries: Seq[(Long, Seq[Double])]): Column =
     queries.foldRight(lit(Double.NaN)) { case ((qid, qv), acc) =>
-      when(col("query_id") === qid, adcFor(qv)).otherwise(acc) }
+      when(col("query_id") === qid, adcFor(books, qv)).otherwise(acc) }
+
+  /** Residual-PQ ADC: the distance table depends on the (query, probed
+    * cell) PAIR — ‖(q − c_cell) − r̂‖² — so the CASE keys on
+    * (query_id, cid) and each branch looks up the query's residual
+    * against that cell (nprobe × |queries| branches of driver-side
+    * model state). */
+  private def pqAdcResidual(cents: Seq[(Int, Seq[Double])],
+      books: Seq[Seq[(Int, Seq[Double])]],
+      queries: Seq[(Long, Seq[Double])],
+      probePairs: Seq[(Long, Int)]): Column = {
+    val qm = queries.toMap
+    val cm = cents.toMap
+    probePairs.foldRight(lit(Double.NaN)) { case ((qid, pc), acc) =>
+      val qres = qm(qid).zip(cm(pc)).map { case (a, b) => a - b }
+      when(col("query_id") === qid && col("cid") === pc,
+        adcFor(books, qres)).otherwise(acc) }
   }
 
   /** ADC rank ≤ 5 over (cid, code0..m) candidate rows joined to the
@@ -2218,6 +2240,121 @@ ORDER BY query_id, rank"""
       .reduce(_.unionByName(_))
     pqServe(encoded, probes, pqAdc(books, pqEvalQueries(s, e)))
   }
+  /** RESIDUAL product quantization — closing [[topkIvfPq]]'s declared
+    * simplification ("codes quantize the raw vectors with one shared
+    * codebook rather than per-cell residuals"): codes quantize
+    * r = v − c_cell (the FAISS IVF-PQ layout, Jégou et al. 2011,
+    * §III), which centers every cell's distribution at the origin so
+    * the PqK-slot codebooks spend their capacity on within-cell spread
+    * instead of between-cell offsets. Coarse quantizer = the SHARED
+    * corpus-trained memo (zero extra coarse training); residuals ride
+    * the native codegen'd `graft_sub` (a zip_with lambda runs
+    * interpreted on this corpus-scale path); the codebooks train on
+    * residual slices by the same exact-decimal Lloyd; serving ranks
+    * each candidate from its codes via the (query, probed-cell)
+    * distance table ‖(q − c) − r̂‖² — the table now keys on the PAIR,
+    * which is the one structural difference from shared-codebook ADC.
+    * Remaining declared deviation: ONE residual codebook family shared
+    * across cells (true per-cell codebooks need nlist × PqK × dim
+    * model state); the plan shape is identical either way. */
+  private val topkIvfPqResidual: Q = (s, d) => {
+    import s.implicits._
+    graft.functions.VectorExpressions.register(s)
+    val e = embDouble(s, d).select(col("vec_id"), col("v"))
+    val cents = corpusCentroids(s, d)
+    val centDF = cents.toDF("cid", "cv")
+    val resid = CachePool.cached(
+      assignCells(e, cents).join(broadcast(centDF), "cid")
+        .select(col("vec_id"), col("cid"),
+          call_function("graft_sub", col("v"), col("cv")).as("v")))
+    val books = CachePool.memoized(("pqResidualBooks", d)) {
+      pqTrain(s, resid.select(col("vec_id"), col("v")))
+    }
+    val encoded = resid.select(col("vec_id") +: col("cid") +:
+      books.zipWithIndex.map { case (c, sub) => pqCodeCol(s, c, sub) }: _*)
+    val probes = probeList(s, e, cents)
+    val probePairs = probes.select("query_id", "probe_cid")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    pqServe(encoded, probes,
+      pqAdcResidual(cents, books, pqEvalQueries(s, e), probePairs))
+  }
+
+  private lazy val topkIvfPqResidualSql = {
+    def sub(v: String, s: Int) = s"$v[${s * PqW + 1}:${(s + 1) * PqW}]"
+    val pqCtes = (0 until PqM).map { s =>
+      s"""res$s AS (
+  SELECT vec_id, ${sub("v", s)} AS v FROM rsd
+), rc0_$s AS (
+  SELECT vec_id AS cid, v AS cv FROM res$s WHERE vec_id < $PqK
+), ra1_$s AS (${assignSql(s"res$s", s"rc0_$s")}
+), rc1_$s AS (${updateSql(s"ra1_$s")}
+), ra2_$s AS (${assignSql(s"res$s", s"rc1_$s")}
+), rc2_$s AS (${updateSql(s"ra2_$s")}
+), rcodes_$s AS (${assignSql(s"res$s", s"rc2_$s")}
+), rdt_$s AS (
+  SELECT r.query_id, r.pcell, b.cid,
+    list_dot_product(${sub("r.qv", s)}, ${sub("r.qv", s)})
+      - 2 * list_dot_product(${sub("r.qv", s)}, b.cv)
+      + list_dot_product(b.cv, b.cv) AS val
+  FROM qres r, rc2_$s b
+)"""
+    }.mkString(", ")
+    s"""WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+), c0 AS (
+  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < ${nlistSql("e")}
+), a1 AS (${assignSql("e", "c0")}
+), c1 AS (${updateSql("a1")}
+), a2 AS (${assignSql("e", "c1")}
+), c2 AS MATERIALIZED (${updateSql("a2")}
+), cells AS MATERIALIZED (${assignSql("e", "c2")}
+), probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+      row_number() OVER (PARTITION BY q.query_id ORDER BY
+        list_dot_product(c.cv, c.cv) - 2 * list_dot_product(q.qv, c.cv), c.cid) AS rn
+    FROM q, c2 c) WHERE rn <= $KmProbe
+), cunp AS MATERIALIZED (
+  SELECT cid, generate_subscripts(cv, 1) AS dim, unnest(cv) AS cx FROM c2
+), rsd AS MATERIALIZED (
+  SELECT vec_id, cid, list(rx ORDER BY dim) AS v FROM (
+    SELECT r.vec_id, r.cid, r.dim, r.x - cu.cx AS rx
+    FROM (SELECT vec_id, cid, generate_subscripts(v, 1) AS dim,
+            unnest(v) AS x FROM cells) r
+    JOIN cunp cu ON cu.cid = r.cid AND cu.dim = r.dim)
+  GROUP BY vec_id, cid
+), qres AS MATERIALIZED (
+  SELECT query_id, pcell, list(rx ORDER BY dim) AS qv FROM (
+    SELECT qq.query_id, p.cid AS pcell, qq.dim, qq.x - cu.cx AS rx
+    FROM probes p
+    JOIN (SELECT query_id, generate_subscripts(qv, 1) AS dim,
+            unnest(qv) AS x FROM q) qq ON qq.query_id = p.query_id
+    JOIN cunp cu ON cu.cid = p.cid AND cu.dim = qq.dim)
+  GROUP BY query_id, pcell
+), $pqCtes, sims AS (
+  SELECT p.query_id, cl.vec_id AS neighbor_id,
+    ((d0.val + d1.val) + d2.val) + d3.val AS adc
+  FROM probes p
+  JOIN cells cl ON cl.cid = p.cid AND cl.vec_id <> p.query_id
+  JOIN rcodes_0 n0 ON n0.vec_id = cl.vec_id
+  JOIN rcodes_1 n1 ON n1.vec_id = cl.vec_id
+  JOIN rcodes_2 n2 ON n2.vec_id = cl.vec_id
+  JOIN rcodes_3 n3 ON n3.vec_id = cl.vec_id
+  JOIN rdt_0 d0 ON d0.query_id = p.query_id AND d0.pcell = p.cid AND d0.cid = n0.cid
+  JOIN rdt_1 d1 ON d1.query_id = p.query_id AND d1.pcell = p.cid AND d1.cid = n1.cid
+  JOIN rdt_2 d2 ON d2.query_id = p.query_id AND d2.pcell = p.cid AND d2.cid = n2.cid
+  JOIN rdt_3 d3 ON d3.query_id = p.query_id AND d3.pcell = p.cid AND d3.cid = n3.cid
+)
+SELECT query_id, neighbor_id, CAST(row_number() OVER w AS INT) AS rank,
+  round(adc, 6) AS adc
+FROM sims
+WINDOW w AS (PARTITION BY query_id ORDER BY adc, neighbor_id)
+QUALIFY row_number() OVER w <= 5
+ORDER BY query_id, rank"""
+  }
+
   private val ivfPqCycleSql = ivfPqServeSqlOver(
     s"""ive AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -2896,6 +3033,28 @@ FROM exact e LEFT JOIN approx a
   ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
 GROUP BY e.query_id
 ORDER BY e.query_id"""
+  /** Recall@5 of RESIDUAL IVF-PQ vs the brute-exact top-5 — next to
+    * [[pqRecallEval]] this is the quantization-error readout that
+    * prices the residual encoding against the shared-codebook one on
+    * the same candidate set. */
+  private val pqrRecallEval: Q = (s, d) =>
+    recallAgainstBrute(
+      topkBrute(s, d).select(col("query_id"), col("neighbor_id")),
+      topkIvfPqResidual(s, d))
+  private lazy val pqrRecallEvalSql =
+    s"""WITH exact AS (
+  SELECT query_id, neighbor_id FROM ($topkBruteSql)
+), approx AS (
+  SELECT query_id, neighbor_id FROM ($topkIvfPqResidualSql)
+)
+SELECT e.query_id, CAST(count(*) AS INT) AS k,
+  CAST(count(a.neighbor_id) AS INT) AS n_hit,
+  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6) AS recall
+FROM exact e LEFT JOIN approx a
+  ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+ORDER BY e.query_id"""
+
   private lazy val pqRecallEvalSql =
     s"""WITH exact AS (
   SELECT query_id, neighbor_id FROM ($topkBruteSql)
@@ -2913,6 +3072,7 @@ ORDER BY e.query_id"""
   val queries: Map[String, Q] = Map(
     "ann_recall_eval" -> recallEval,
     "ann_recall_eval_pq" -> pqRecallEval,
+    "ann_recall_eval_pqr" -> pqrRecallEval,
     "embed_random_projection" -> randomProjection,
     "embed_top_pc" -> topPc,
     "embed_remove_top_pc" -> removeTopPc,
@@ -2937,6 +3097,7 @@ ORDER BY e.query_id"""
     "ann_topk_ivfpq_stored" -> topkIvfPqStored,
     "ann_topk_ivfpq_ptr" -> topkIvfPqPtr,
     "ann_ivfpq_recluster_cycle" -> topkIvfPqCycle,
+    "ann_topk_ivfpq_residual" -> topkIvfPqResidual,
     "ann_pq_model_store" -> pqModelStore,
     "dedup_embedding" -> embedDedup,
     "dedup_semantic" -> semDedup,
@@ -2951,6 +3112,7 @@ ORDER BY e.query_id"""
   val oracle: Map[String, String] = Map(
     "ann_recall_eval" -> recallEvalSql,
     "ann_recall_eval_pq" -> pqRecallEvalSql,
+    "ann_recall_eval_pqr" -> pqrRecallEvalSql,
     "embed_random_projection" -> randomProjectionSql,
     "embed_top_pc" -> topPcSql,
     "embed_remove_top_pc" -> removeTopPcSql,
@@ -2983,6 +3145,7 @@ ORDER BY e.query_id"""
     // UNIONED relation (corpus + day-2) — the recluster_cycle oracle
     // discipline applied to the PQ tier
     "ann_ivfpq_recluster_cycle" -> ivfPqCycleSql,
+    "ann_topk_ivfpq_residual" -> topkIvfPqResidualSql,
     "dedup_embedding" -> embedDedupSql,
     "dedup_semantic" -> semDedupSql,
     "embed_quantize" -> quantizeSql,

@@ -322,6 +322,42 @@ class Round18Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("graft_sub: elementwise residual, codegen and interpreted agree, length follows the left") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 2.5, -3.0), Seq(0.5, 2.5, 1.0)),
+      (2L, Seq(4.0, 0.0, 1.0), Seq(1.0)) // short right: tail passes through
+    ).toDF("id", "a", "b")
+    graft.functions.VectorExpressions.register(spark)
+    val out = df.select(col("id"),
+        call_function("graft_sub", col("a"), col("b")).as("r"))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+    assert(out(0)._2 == Seq(0.5, 0.0, -4.0))
+    assert(out(1)._2 == Seq(3.0, 0.0, 1.0))
+    // interpreted path (eval) agrees with codegen
+    val e = graft.functions.VectorDiff(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(1.0, 2.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq(0.25, 1.0), org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType)))
+    val got = e.eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toDoubleArray.toSeq
+    assert(got == Seq(0.75, 1.0))
+  }
+
+  test("residual IVF-PQ: every query answers from its probed cells with 5 ranked neighbors") {
+    val out = SparkEntry.queries("ann_topk_ivfpq_residual")(spark, Sf)
+      .collect()
+    assert(out.length == 50)
+    assert(out.map(_.getLong(0)).distinct.length == 10)
+    // ADC distances are finite (no candidate ever hit an empty slot)
+    assert(out.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+  }
+
   test("cycle code tables: a probe opens only its cells' buckets of the live generation") {
     // the 100 TB property of the generation-scoped PQ layout: the code
     // tables are bucketed by cid, so stored-codes serving reads the
