@@ -1612,15 +1612,15 @@ ORDER BY query_id, rank"""
 )"""
 
   private val topkKmeansSql = {
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), c0 AS (
   SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < ${nlistSql("e")}
 ), a1 AS (${assignSql("e", "c0")}
 ), c1 AS (${updateSql("a1")}
 ), a2 AS (${assignSql("e", "c1")}
-), c2 AS (${updateSql("a2")}
-), cells AS (${assignSql("e", "c2")}
+), c2 AS MATERIALIZED (${updateSql("a2")}
+), cells AS MATERIALIZED (${assignSql("e", "c2")}
 ), q AS (
   SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
 ), probes AS (
@@ -1772,15 +1772,15 @@ ORDER BY query_id, rank"""
   private val topkPqSql = {
     def sub(v: String, s: Int) = s"$v[${s * PqW + 1}:${(s + 1) * PqW}]"
     val subspaceCtes = (0 until PqM).map { s =>
-      s"""es$s AS (
+      s"""es$s AS MATERIALIZED (
   SELECT vec_id, ${sub("v", s)} AS v FROM e
 ), c0_$s AS (
   SELECT vec_id AS cid, v AS cv FROM es$s WHERE vec_id < $PqK
 ), a1_$s AS (${assignSql(s"es$s", s"c0_$s")}
 ), c1_$s AS (${updateSql(s"a1_$s")}
 ), a2_$s AS (${assignSql(s"es$s", s"c1_$s")}
-), c2_$s AS (${updateSql(s"a2_$s")}
-), codes_$s AS (${assignSql(s"es$s", s"c2_$s")}
+), c2_$s AS MATERIALIZED (${updateSql(s"a2_$s")}
+), codes_$s AS MATERIALIZED (${assignSql(s"es$s", s"c2_$s")}
 ), dt_$s AS (
   SELECT q.query_id, c.cid,
     list_dot_product(${sub("q.qv", s)}, ${sub("q.qv", s)})
@@ -1789,7 +1789,7 @@ ORDER BY query_id, rank"""
   FROM q, c2_$s c
 )"""
     }.mkString(", ")
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), q AS (
   SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
@@ -2049,7 +2049,7 @@ ORDER BY query_id, rank"""
   private val pqModelStoreSql = {
     def sub(v: String, s: Int) = s"$v[${s * PqW + 1}:${(s + 1) * PqW}]"
     val bookCtes = (0 until PqM).map { s =>
-      s"""es$s AS (
+      s"""es$s AS MATERIALIZED (
   SELECT vec_id, ${sub("v", s)} AS v FROM e
 ), pc0_$s AS (
   SELECT vec_id AS cid, v AS cv FROM es$s WHERE vec_id < $PqK
@@ -2063,7 +2063,7 @@ ORDER BY query_id, rank"""
       s"""SELECT $s AS which, cid, generate_subscripts(cv, 1) AS dim,
     unnest(cv) AS x FROM pc2_$s"""
     }.mkString("\n  UNION ALL ")
-    s"""WITH e AS (
+    s"""WITH e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), $bookCtes, c0 AS (
   SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < ${nlistSql("e")}
@@ -2139,15 +2139,15 @@ ORDER BY which, cid, dim"""
   private def ivfPqServeSqlOver(head: String, rel: String): String = {
     def sub(v: String, s: Int) = s"$v[${s * PqW + 1}:${(s + 1) * PqW}]"
     val pqCtes = (0 until PqM).map { s =>
-      s"""es$s AS (
+      s"""es$s AS MATERIALIZED (
   SELECT vec_id, ${sub("v", s)} AS v FROM $rel
 ), pc0_$s AS (
   SELECT vec_id AS cid, v AS cv FROM es$s WHERE vec_id < $PqK
 ), pa1_$s AS (${assignSql(s"es$s", s"pc0_$s")}
 ), pc1_$s AS (${updateSql(s"pa1_$s")}
 ), pa2_$s AS (${assignSql(s"es$s", s"pc1_$s")}
-), pc2_$s AS (${updateSql(s"pa2_$s")}
-), codes_$s AS (${assignSql(s"es$s", s"pc2_$s")}
+), pc2_$s AS MATERIALIZED (${updateSql(s"pa2_$s")}
+), codes_$s AS MATERIALIZED (${assignSql(s"es$s", s"pc2_$s")}
 ), dt_$s AS (
   SELECT q.query_id, c.cid,
     list_dot_product(${sub("q.qv", s)}, ${sub("q.qv", s)})
@@ -2163,8 +2163,8 @@ ORDER BY which, cid, dim"""
 ), a1 AS (${assignSql(rel, "c0")}
 ), c1 AS (${updateSql("a1")}
 ), a2 AS (${assignSql(rel, "c1")}
-), c2 AS (${updateSql("a2")}
-), cells AS (${assignSql(rel, "c2")}
+), c2 AS MATERIALIZED (${updateSql("a2")}
+), cells AS MATERIALIZED (${assignSql(rel, "c2")}
 ), probes AS (
   SELECT query_id, cid FROM (
     SELECT q.query_id, c.cid,
@@ -2195,7 +2195,7 @@ ORDER BY query_id, rank"""
   }
 
   private val topkIvfPqSql = ivfPqServeSqlOver(
-    """e AS (
+    """e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 )""", "e")
 
