@@ -410,9 +410,9 @@ ORDER BY doc_id, band_idx"""
         .select("doc_a", "doc_b"))
   }
   private val clusterSql =
-    minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s""", pairs AS (
+    minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s""", pairs AS MATERIALIZED (
 $minhashPairSelect
-), sym AS (
+), sym AS MATERIALIZED (
   SELECT doc_a, doc_b FROM pairs
   UNION ALL
   SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
@@ -498,9 +498,9 @@ $clusterSql
       .orderBy("doc_id")
   }
   private val bfsHopsSql =
-    minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s""", pairs AS (
+    minhashCtes.replaceFirst("WITH ", "WITH RECURSIVE ") + s""", pairs AS MATERIALIZED (
 $minhashPairSelect
-), sym AS (
+), sym AS MATERIALIZED (
   SELECT doc_a, doc_b FROM pairs
   UNION ALL
   SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
