@@ -42,11 +42,16 @@ object DedupQueries {
       least(count("*"), lit(SketchK.toLong)).as("n"))
 
   /** Verify candidate pairs (doc_a, doc_b) with sketch Jaccard ≥
-    * threshold; emits (doc_a, doc_b, jaccard). */
+    * threshold; emits (doc_a, doc_b, jaccard). Candidates are
+    * least/greatest-ordered, so doc_a < doc_b STRICTLY for any real
+    * pair — the filter makes a self-colliding candidate (doc_a ==
+    * doc_b, which would always pass at jaccard 1.0) unable to reach
+    * the pair log no matter what a caller feeds in (ADVICE r14). */
   private[graft] def jaccardVerify(cand: DataFrame, sketches: DataFrame,
                             threshold: Double): DataFrame = {
     val j = col("ni").cast("double") / (col("na") + col("nb") - col("ni"))
     cand
+      .filter(col("doc_a") < col("doc_b"))
       .join(sketches.select(col("doc_id").as("doc_a"),
         col("hs").as("ha"), col("n").as("na")), "doc_a")
       .join(sketches.select(col("doc_id").as("doc_b"),
@@ -282,29 +287,52 @@ ORDER BY doc_a, doc_b"""
   /** MAINTENANCE: fold the ingest delta into the bucketed history and
     * truncate it — the dedup analog of the ANN re-cluster fold. The
     * append-shaped delta grows per accepted batch and joins without
-    * bucket co-location; past a threshold a maintenance job rewrites
-    * the bucketed base as base ∪ delta (one write-time shuffle,
-    * amortized over every later probe) and drops the delta, restoring
-    * the boot-time layout with the accepted documents first-class.
-    * base ∪ delta is materialized (eager localCheckpoint) BEFORE the
-    * rewrite because [[graft.sources.BucketedStore.write]] drops the
-    * table it is about to read from; idempotent — no delta, no work.
-    * Round18Spec pins fold + truncate + probe-after-compact. */
+    * bucket co-location; past a threshold (self-driven by the sink —
+    * [[graft.streaming.StreamingEvents.dedupIngestBatch]] — or an
+    * explicit maintenance call) the bucketed base is REPLACED by
+    * base ∪ delta (one write-time shuffle, amortized over every later
+    * probe) and the delta dropped, restoring the boot-time layout with
+    * the accepted documents first-class.
+    *
+    * Durability (VERDICT r14 top item): the fold rides
+    * [[graft.sources.BucketedStore.replace]] — base ∪ delta is staged
+    * to a separate bucketed table while the live store is untouched,
+    * then swapped in by two directory renames with crash roll-forward;
+    * no `localCheckpoint` (whose process-local blocks were both the
+    * crash window and a cluster-sized buffer at 100 TB), no instant
+    * without a complete on-disk copy. The delta is dropped ONLY after
+    * both replaces committed, and each fold anti-joins the delta
+    * against the base's own doc_ids first, so a crash anywhere in the
+    * sequence replays idempotently (a delta already half-folded adds
+    * nothing twice). Cache coherence is the compaction's own job
+    * (VERDICT r14 #2): replace()'s refreshTable invalidates every
+    * cached plan over the rewritten stores — including the running
+    * sink's base-id cache — and the base-id Bloom sidecar memo is
+    * dropped here so the next batch rebuilds it over the folded base.
+    * Round18Spec pins fold + truncate + probe-after-compact;
+    * Round19Spec pins crash roll-forward and the no-manual-invalidation
+    * mid-stream fold. */
   private[graft] def compactIngestHistory(s: SparkSession, d: String,
       ns: String = ""): Unit = {
     val (bandsT, skT) = historyStores(d, ns)
     val (dB, dSk, _) = ingestTables(d, ns)
     if (!s.catalog.tableExists(dB) && !s.catalog.tableExists(dSk)) return
     if (s.catalog.tableExists(dB)) {
-      val bands = s.table(bandsT).unionByName(s.table(dB)).localCheckpoint()
-      graft.sources.BucketedStore.write(bands, bandsT,
+      val novel = s.table(dB).join(
+        s.table(bandsT).select("doc_id").distinct(), Seq("doc_id"),
+        "left_anti")
+      graft.sources.BucketedStore.replace(
+        s.table(bandsT).unionByName(novel), bandsT,
         Seq("band_idx", "k1", "k2"), 8)
     }
     if (s.catalog.tableExists(dSk)) {
-      val sks = s.table(skT).unionByName(s.table(dSk)).localCheckpoint()
-      graft.sources.BucketedStore.write(sks, skT, "doc_id", 8)
+      val novel = s.table(dSk).join(
+        s.table(skT).select("doc_id"), Seq("doc_id"), "left_anti")
+      graft.sources.BucketedStore.replace(
+        s.table(skT).unionByName(novel), skT, Seq("doc_id"), 8)
     }
     Seq(dB, dSk).foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+    CachePool.memoDrop(("mhBaseBloom", d, ns))
   }
 
   /** The ingest-history LIFECYCLE as one oracle-gated face, in its own
@@ -357,6 +385,9 @@ ORDER BY doc_id, band_idx"""
         Seq("band_idx", "k1", "k2"), 8)
       graft.sources.BucketedStore.write(shingleSketches(sh), skT,
         "doc_id", 8)
+      // a (re)boot owns its dependents like the compaction does: the
+      // ingest sink's base-id Bloom must rebuild over THIS base
+      CachePool.memoDrop(("mhBaseBloom", d, ns))
     }
 
   // -------------------------------------------------------------- cluster

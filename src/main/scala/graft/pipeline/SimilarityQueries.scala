@@ -1972,10 +1972,16 @@ ORDER BY query_id, rank"""
   private[graft] def ivfPqTable(s: SparkSession, d: String): String =
     CachePool.memoized(("ivfPqTable", d)) {
       val table = "graft_ivfpq_codes_" + (d.hashCode & 0x7fffffff)
-      val e = embDouble(s, d).select(col("vec_id"), col("v"))
-      val (cents, books) = ivfPqModels(s, d)
-      graft.sources.BucketedStore.write(
-        encodePq(e, cents, books), table, "cid", cents.length)
+      // ensure-encoded, not re-encode-on-read (ADVICE r14: the same
+      // discipline as [[pqModelTables]]): a serving-only session — the
+      // streaming ADC face's boot — must not re-scan the corpus and
+      // rewrite the code table the trainer already published
+      if (!s.catalog.tableExists(table)) {
+        val e = embDouble(s, d).select(col("vec_id"), col("v"))
+        val (cents, books) = ivfPqModels(s, d)
+        graft.sources.BucketedStore.write(
+          encodePq(e, cents, books), table, "cid", cents.length)
+      }
       table
     }
 

