@@ -1324,6 +1324,16 @@ FROM (
       s"graft_ivfcyc_books_${h}_g$g")
   }
 
+  /** Per-generation RESIDUAL-PQ tables (VERDICT r14 #2: the residual
+    * tier — the higher-recall layout — joins the lifecycle like the
+    * shared-codebook tier): base/delta residual-code tables plus the
+    * generation-trained residual codebook model. */
+  private[graft] def cyclePqrNames(d: String, g: Int): (String, String, String) = {
+    val h = d.hashCode & 0x7fffffff
+    (s"graft_ivfcyc_pqrb_${h}_g$g", s"graft_ivfcyc_pqrd_${h}_g$g",
+      s"graft_ivfcyc_rbooks_${h}_g$g")
+  }
+
   /** The m subspace codebooks as one unpivoted (sub, cid, dim, x)
     * model relation — the [[centDf]] of the PQ family, shared by
     * [[pqModelTables]] and the generation stores. */
@@ -1400,9 +1410,11 @@ FROM (
       // cell serving, and a reaped generation takes its codes with it
       def stage(g: Int, cents: Seq[(Int, Seq[Double])],
                 books: Seq[Seq[(Int, Seq[Double])]],
+                rbooks: Seq[Seq[(Int, Seq[Double])]],
                 base: DataFrame, delta: DataFrame): Unit = {
         val (b, dl, c) = cycleNames(d, g)
         val (pqb, pqd, bk) = cyclePqNames(d, g)
+        val (pqrb, pqrd, rbk) = cyclePqrNames(d, g)
         graft.sources.BucketedStore.write(
           assignCells(base, cents), b, "cid", cents.length)
         graft.sources.BucketedStore.write(
@@ -1413,41 +1425,61 @@ FROM (
         graft.sources.BucketedStore.write(
           encodePq(delta, cents, books), pqd, "cid", cents.length)
         graft.sources.ModelStore.write(booksDf(s, books), bk)
+        // the residual tier stages WITH its generation (VERDICT r14
+        // #2): residual codes against this generation's centroids,
+        // codebooks trained on this generation's residual relation
+        graft.sources.BucketedStore.write(
+          encodePqr(base, cents, rbooks), pqrb, "cid", cents.length)
+        graft.sources.BucketedStore.write(
+          encodePqr(delta, cents, rbooks), pqrd, "cid", cents.length)
+        graft.sources.ModelStore.write(booksDf(s, rbooks), rbk)
       }
       def publish(g: Int): Unit = {
         val (b, dl, c) = cycleNames(d, g)
         val (pqb, pqd, bk) = cyclePqNames(d, g)
+        val (pqrb, pqrd, rbk) = cyclePqrNames(d, g)
         graft.sources.ModelStore.write(
-          Seq((g, b, dl, c, pqb, pqd, bk))
+          Seq((g, b, dl, c, pqb, pqd, bk, pqrb, pqrd, rbk))
             .toDF("gen", "t_base", "t_delta", "t_cents",
-              "t_pqb", "t_pqd", "t_books"),
+              "t_pqb", "t_pqd", "t_books",
+              "t_pqrb", "t_pqrd", "t_rbooks"),
           ptrT)
       }
+      def rTrain(rel: DataFrame, cents: Seq[(Int, Seq[Double])]) =
+        pqTrain(s, residualOf(rel, cents).select(col("vec_id"), col("v")))
       val e = embDouble(s, d).select(col("vec_id"), col("v"))
       val n = e.count()
       // cycle 1, day 1: the base-trained upserted tier, pointer-addressed
       val base1 = CachePool.cached(
         e.filter(pmod(col("vec_id"), lit(10L)) =!= 9L))
-      stage(1, baseCentroids(s, d), pqTrain(s, base1),
+      val cents1 = baseCentroids(s, d)
+      stage(1, cents1, pqTrain(s, base1), rTrain(base1, cents1),
         base1, e.filter(pmod(col("vec_id"), lit(10L)) === 9L))
       publish(1)
       // recluster #1: retrain on base ∪ delta = the corpus; fold in
-      stage(2, corpusCentroids(s, d), pqCodebooks(s, d), e, e.limit(0))
+      // (the corpus-wide residual books ARE the pqrBooks memo — same
+      // relation, same trajectory)
+      stage(2, corpusCentroids(s, d), pqCodebooks(s, d), pqrBooks(s, d),
+        e, e.limit(0))
       require(graft.sources.BucketedStore.read(s, cycleNames(d, 2)._1)
         .count() == n, "cycle audit: g2 must hold the corpus")
       publish(2)
       // day 2: upsert THROUGH THE POINTER — frozen live-generation
-      // cells + codebooks (both read back from the published catalog
+      // cells + codebooks (all read back from the published catalog
       // tables, the serving job's own upsert path), pointer-named
-      // delta tables for cells AND codes
+      // delta tables for cells AND codes AND residual codes
       val ptr = graft.sources.ModelStore.read(s, ptrT).collect()(0)
       val (gCents, gBase, gDelta) = ptrModelAt(s, ptrT)
       val (gPqd, gBooksT) = (ptr.getString(5), ptr.getString(6))
+      val (gPqrd, gRBooksT) = (ptr.getString(8), ptr.getString(9))
       val day2 = CachePool.cached(day2Batch(s, d, n))
       graft.sources.BucketedStore.write(
         assignCells(day2, gCents), gDelta, "cid", gCents.length)
       graft.sources.BucketedStore.write(
         encodePq(day2, gCents, booksFrom(s, gBooksT)), gPqd, "cid",
+        gCents.length)
+      graft.sources.BucketedStore.write(
+        encodePqr(day2, gCents, booksFrom(s, gRBooksT)), gPqrd, "cid",
         gCents.length)
       // recluster #2: base ∪ delta read back from the SERVING tier
       val corpus2 = CachePool.cached(
@@ -1456,7 +1488,8 @@ FROM (
           .unionByName(graft.sources.BucketedStore.read(s, gDelta)
             .select(col("vec_id"), col("v"))))
       val n2 = corpus2.count()
-      stage(3, kmeansCentroids(s, corpus2), pqTrain(s, corpus2),
+      val cents3 = kmeansCentroids(s, corpus2)
+      stage(3, cents3, pqTrain(s, corpus2), rTrain(corpus2, cents3),
         corpus2, corpus2.limit(0))
       require(graft.sources.BucketedStore.read(s, cycleNames(d, 3)._1)
         .count() == n2, "cycle audit: g3 must hold corpus + day-2")
@@ -1473,7 +1506,8 @@ FROM (
     for (g <- 1 to current - 2) {
       val (b, dl, c) = cycleNames(d, g)
       val (pqb, pqd, bk) = cyclePqNames(d, g)
-      Seq(b, dl, c, pqb, pqd, bk)
+      val (pqrb, pqrd, rbk) = cyclePqrNames(d, g)
+      Seq(b, dl, c, pqb, pqd, bk, pqrb, pqrd, rbk)
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
 
@@ -2246,6 +2280,48 @@ ORDER BY query_id, rank"""
       .reduce(_.unionByName(_))
     pqServe(encoded, probes, pqAdc(books, pqEvalQueries(s, e)))
   }
+
+  /** Resolve the RESIDUAL tier of the generation pointer: the
+    * published generation's coarse quantizer and residual codebooks
+    * (catalog reads) plus its base/delta residual-code table names —
+    * the boot call of every pointer-walking residual-ADC consumer
+    * (the batch cycle face, streaming
+    * [[graft.streaming.StreamingEvents.annServePqrPtrStreamAt]]). */
+  private[graft] def ptrPqrModelAt(s: SparkSession, ptrTable: String)
+      : (Seq[(Int, Seq[Double])], Seq[Seq[(Int, Seq[Double])]],
+         String, String) = {
+    val ptr = graft.sources.ModelStore.read(s, ptrTable).collect()(0)
+    val (cents, _, _) = ptrModelAt(s, ptrTable)
+    (cents, booksFrom(s, ptr.getString(9)),
+      ptr.getString(7), ptr.getString(8))
+  }
+
+  /** RESIDUAL-PQ stored-codes serving AFTER TWO MAINTENANCE CYCLES —
+    * the residual tier walked through the same pointer lifecycle as
+    * the shared-codebook tier (`ann_ivfpq_recluster_cycle`): coarse
+    * quantizer, residual codebooks, and base ∪ delta residual-code
+    * tables all resolve through the CYCLE POINTER, and the answer
+    * must equal full-relation residual IVF-PQ over corpus ∪ day-2 —
+    * the [[ivfPqrServeSqlOver]] oracle over the unioned relation. A
+    * stale pointer serves pre-fold residual codes (and misses day-2's
+    * exact duplicates at rank 1) and hash-mismatches; g1's residual
+    * tables are reaped with its generation (Round19Spec). */
+  private val topkIvfPqrCycle: Q = (s, d) => {
+    reclusterCycleExecute(s, d)
+    val e = embDouble(s, d).select(col("vec_id"), col("v"))
+    val (cents, books, pqrbT, pqrdT) = ptrPqrModelAt(s, cyclePtr(d))
+    val probes = probeList(s, e, cents)
+    val probeCids = probes.select("probe_cid").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val probePairs = probes.select("query_id", "probe_cid")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val encoded = Seq(pqrbT, pqrdT)
+      .map(t => graft.sources.BucketedStore.read(s, t)
+        .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*)))
+      .reduce(_.unionByName(_))
+    pqServe(encoded, probes,
+      pqAdcResidual(cents, books, pqEvalQueries(s, e), probePairs))
+  }
   /** RESIDUAL product quantization — closing [[topkIvfPq]]'s declared
     * simplification ("codes quantize the raw vectors with one shared
     * codebook rather than per-cell residuals"): codes quantize
@@ -2263,21 +2339,49 @@ ORDER BY query_id, rank"""
     * Remaining declared deviation: ONE residual codebook family shared
     * across cells (true per-cell codebooks need nlist × PqK × dim
     * model state); the plan shape is identical either way. */
-  private val topkIvfPqResidual: Q = (s, d) => {
+  /** (vec_id, cid, v = v − c_cid): every vector's coarse cell plus its
+    * RESIDUAL against that cell's centroid — the relation the whole
+    * residual-PQ tier (training, encoding, oracle) derives from. The
+    * centroid lookup is a broadcast join; the subtraction is the
+    * codegen'd `graft_sub`. */
+  private def residualOf(e: DataFrame,
+      cents: Seq[(Int, Seq[Double])]): DataFrame = {
+    val s = e.sparkSession
     import s.implicits._
     graft.functions.VectorExpressions.register(s)
-    val e = embDouble(s, d).select(col("vec_id"), col("v"))
-    val cents = corpusCentroids(s, d)
     val centDF = cents.toDF("cid", "cv")
-    val resid = CachePool.cached(
-      assignCells(e, cents).join(broadcast(centDF), "cid")
-        .select(col("vec_id"), col("cid"),
-          call_function("graft_sub", col("v"), col("cv")).as("v")))
-    val books = CachePool.memoized(("pqResidualBooks", d)) {
+    assignCells(e, cents).join(broadcast(centDF), "cid")
+      .select(col("vec_id"), col("cid"),
+        call_function("graft_sub", col("v"), col("cv")).as("v"))
+  }
+
+  /** The corpus-wide residual codebooks (shared family — the per-cell
+    * variant is [[pqrCellBooks]]), trained once per (session, dataset)
+    * on the residual relation against the corpus quantizer. */
+  private def pqrBooks(s: SparkSession, d: String)
+      : Seq[Seq[(Int, Seq[Double])]] =
+    CachePool.memoized(("pqResidualBooks", d)) {
+      val resid = CachePool.cached(
+        residualOf(embDouble(s, d).select(col("vec_id"), col("v")),
+          corpusCentroids(s, d)))
       pqTrain(s, resid.select(col("vec_id"), col("v")))
     }
-    val encoded = resid.select(col("vec_id") +: col("cid") +:
+
+  /** (vec_id, cid, code0..m−1) — the stored residual-PQ row: coarse
+    * cell from `cents`, subspace codes of the RESIDUAL r = v − c_cid
+    * against `books`. The residual analog of [[encodePq]]. */
+  private def encodePqr(e: DataFrame, cents: Seq[(Int, Seq[Double])],
+      books: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    val s = e.sparkSession
+    residualOf(e, cents).select(col("vec_id") +: col("cid") +:
       books.zipWithIndex.map { case (c, sub) => pqCodeCol(s, c, sub) }: _*)
+  }
+
+  private val topkIvfPqResidual: Q = (s, d) => {
+    val e = embDouble(s, d).select(col("vec_id"), col("v"))
+    val cents = corpusCentroids(s, d)
+    val books = pqrBooks(s, d)
+    val encoded = encodePqr(e, cents, books)
     val probes = probeList(s, e, cents)
     val probePairs = probes.select("query_id", "probe_cid")
       .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
@@ -2285,7 +2389,62 @@ ORDER BY query_id, rank"""
       pqAdcResidual(cents, books, pqEvalQueries(s, e), probePairs))
   }
 
-  private lazy val topkIvfPqResidualSql = {
+  /** The residual tier PERSISTED (VERDICT r14 #2: the residual face —
+    * the HIGHER-recall one users would actually deploy — trained and
+    * encoded per session with no serving plumbing): the residual
+    * codebooks as a ModelStore table and the residual codes bucketed
+    * by cid, both ensure-trained like [[pqModelTables]] /
+    * [[ivfPqTable]] — a serving-only session boots from the catalog
+    * without touching the raw corpus. */
+  private[graft] def pqrTables(s: SparkSession, d: String)
+      : (String, String) =
+    CachePool.memoized(("pqrTables", d)) {
+      val h = d.hashCode & 0x7fffffff
+      val (booksT, codesT) =
+        (s"graft_ivfpqr_books_$h", s"graft_ivfpqr_codes_$h")
+      if (!(s.catalog.tableExists(booksT) &&
+          s.catalog.tableExists(codesT))) {
+        val cents = corpusCentroids(s, d)
+        val books = pqrBooks(s, d)
+        graft.sources.ModelStore.write(booksDf(s, books), booksT)
+        graft.sources.BucketedStore.write(
+          encodePqr(embDouble(s, d).select(col("vec_id"), col("v")),
+            cents, books), codesT, "cid", cents.length)
+      }
+      (booksT, codesT)
+    }
+
+  /** Serving from the STORED residual codes and catalog models: the
+    * coarse quantizer loads from its [[pqModelTables]] table (the
+    * joint trainer walks the identical Lloyd trajectory as the
+    * residual face's [[corpusCentroids]] memo — same init, same
+    * decimal means — so the stored coarse model IS the residual
+    * tier's quantizer), the residual codebooks from [[pqrTables]],
+    * and candidates from the persisted code table's probed buckets.
+    * Same oracle text as `ann_topk_ivfpq_residual`: the hash match
+    * proves the persisted residual layout serves the in-plan
+    * encoding. */
+  private val topkIvfPqrStored: Q = (s, d) => {
+    val e = embDouble(s, d).select(col("vec_id"), col("v"))
+    val (cents, _) = storedPqModels(s, d)
+    val (booksT, codesT) = pqrTables(s, d)
+    val books = booksFrom(s, booksT)
+    val probes = probeList(s, e, cents)
+    val probeCids = probes.select("probe_cid").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val probePairs = probes.select("query_id", "probe_cid")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val encoded = graft.sources.BucketedStore.read(s, codesT)
+      .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
+    pqServe(encoded, probes,
+      pqAdcResidual(cents, books, pqEvalQueries(s, e), probePairs))
+  }
+
+  /** The full RESIDUAL IVF-PQ serving oracle over an arbitrary corpus
+    * relation `rel` (declared by the CTEs in `head`) — the residual
+    * analog of [[ivfPqServeSqlOver]], shared by the in-plan, stored,
+    * and lifecycle-cycle residual faces. */
+  private def ivfPqrServeSqlOver(head: String, rel: String): String = {
     def sub(v: String, s: Int) = s"$v[${s * PqW + 1}:${(s + 1) * PqW}]"
     val pqCtes = (0 until PqM).map { s =>
       s"""res$s AS (
@@ -2305,17 +2464,15 @@ ORDER BY query_id, rank"""
   FROM qres r, rc2_$s b
 )"""
     }.mkString(", ")
-    s"""WITH e AS MATERIALIZED (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-), q AS (
-  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+    s"""WITH $head, q AS (
+  SELECT vec_id AS query_id, v AS qv FROM $rel WHERE vec_id < 10
 ), c0 AS (
-  SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < ${nlistSql("e")}
-), a1 AS (${assignSql("e", "c0")}
+  SELECT vec_id AS cid, v AS cv FROM $rel WHERE vec_id < ${nlistSql(rel)}
+), a1 AS (${assignSql(rel, "c0")}
 ), c1 AS (${updateSql("a1")}
-), a2 AS (${assignSql("e", "c1")}
+), a2 AS (${assignSql(rel, "c1")}
 ), c2 AS MATERIALIZED (${updateSql("a2")}
-), cells AS MATERIALIZED (${assignSql("e", "c2")}
+), cells AS MATERIALIZED (${assignSql(rel, "c2")}
 ), probes AS (
   SELECT query_id, cid FROM (
     SELECT q.query_id, c.cid,
@@ -2361,7 +2518,12 @@ QUALIFY row_number() OVER w <= 5
 ORDER BY query_id, rank"""
   }
 
-  private val ivfPqCycleSql = ivfPqServeSqlOver(
+  private lazy val topkIvfPqResidualSql = ivfPqrServeSqlOver(
+    """e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+)""", "e")
+
+  private val cycleCorpusHead =
     s"""ive AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ), ive2 AS MATERIALIZED (
@@ -2369,7 +2531,10 @@ ORDER BY query_id, rank"""
   UNION ALL
   SELECT vec_id + (SELECT count(*) FROM ive) AS vec_id, v
   FROM ive WHERE vec_id % 7 = 3
-)""", "ive2")
+)"""
+
+  private val ivfPqCycleSql = ivfPqServeSqlOver(cycleCorpusHead, "ive2")
+  private lazy val ivfPqrCycleSql = ivfPqrServeSqlOver(cycleCorpusHead, "ive2")
 
   /** Random-hyperplane LSH ANN — the second scale path next to IVF:
     * 12 sign-of-dot bits per vector (hyperplane components are a
@@ -3104,6 +3269,8 @@ ORDER BY e.query_id"""
     "ann_topk_ivfpq_ptr" -> topkIvfPqPtr,
     "ann_ivfpq_recluster_cycle" -> topkIvfPqCycle,
     "ann_topk_ivfpq_residual" -> topkIvfPqResidual,
+    "ann_topk_ivfpq_residual_stored" -> topkIvfPqrStored,
+    "ann_ivfpqr_recluster_cycle" -> topkIvfPqrCycle,
     "ann_pq_model_store" -> pqModelStore,
     "dedup_embedding" -> embedDedup,
     "dedup_semantic" -> semDedup,
@@ -3152,6 +3319,8 @@ ORDER BY e.query_id"""
     // discipline applied to the PQ tier
     "ann_ivfpq_recluster_cycle" -> ivfPqCycleSql,
     "ann_topk_ivfpq_residual" -> topkIvfPqResidualSql,
+    "ann_topk_ivfpq_residual_stored" -> topkIvfPqResidualSql,
+    "ann_ivfpqr_recluster_cycle" -> ivfPqrCycleSql,
     "dedup_embedding" -> embedDedupSql,
     "dedup_semantic" -> semDedupSql,
     "embed_quantize" -> quantizeSql,

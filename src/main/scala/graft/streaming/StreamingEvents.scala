@@ -512,19 +512,83 @@ object StreamingEvents {
       k, delayMs)
   }
 
+  /** Streaming RESIDUAL-ADC serving (VERDICT r14 #1 "missing": the
+    * residual tier — the recall winner — had no serving plumbing):
+    * query vectors stream in and are answered from the PERSISTED
+    * residual layout ([[graft.pipeline.SimilarityQueries.pqrTables]])
+    * exactly like the batch `ann_topk_ivfpq_residual_stored`. Same
+    * boot discipline as [[annServePqStream]] — coarse quantizer,
+    * residual codebooks, and code table are all catalog reads — with
+    * ONE structural difference carried into the plan: the ADC table
+    * keys on the (query, probed cell) pair, so the per-subspace slots
+    * fold over the query RESIDUAL q − c_probe, computed as a COLUMN
+    * (centroid literal-map lookup + codegen'd `graft_sub`) after the
+    * probe explode rather than the batch face's driver-side literal
+    * CASE. Candidates still cost m `element_at` lookups each. */
+  def annServePqrStream(queries: DataFrame,
+      s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int = 5, delayMs: Long = 7200000L): Dataset[PqHit] = {
+    val sq = graft.pipeline.SimilarityQueries
+    val (cents, _) = sq.storedPqModels(s, d)
+    val (booksT, codesT) = sq.pqrTables(s, d)
+    annServePqCore(queries, s, cents, sq.booksFrom(s, booksT),
+      graft.sources.BucketedStore.read(s, codesT), k, delayMs,
+      residual = true)
+  }
+
+  /** Streaming residual ADC through the cycled GENERATION POINTER —
+    * the residual analog of [[annServePqPtrStreamAt]]: resolve the
+    * pointer at boot, serve from the published generation's residual
+    * codebooks and base ∪ delta residual-code tables. */
+  def annServePqrPtrStreamAt(queries: DataFrame,
+      s: org.apache.spark.sql.SparkSession, ptrTable: String,
+      k: Int = 5, delayMs: Long = 7200000L): Dataset[PqHit] = {
+    val sq = graft.pipeline.SimilarityQueries
+    val (cents, books, pqrbT, pqrdT) = sq.ptrPqrModelAt(s, ptrTable)
+    annServePqCore(queries, s, cents, books,
+      graft.sources.BucketedStore.read(s, pqrbT)
+        .unionByName(graft.sources.BucketedStore.read(s, pqrdT)),
+      k, delayMs, residual = true)
+  }
+
   private def annServePqCore(queries: DataFrame,
       s: org.apache.spark.sql.SparkSession,
       cents: Seq[(Int, Seq[Double])],
       books: Seq[Seq[(Int, Seq[Double])]],
-      codes: DataFrame, k: Int, delayMs: Long): Dataset[PqHit] = {
+      codes: DataFrame, k: Int, delayMs: Long,
+      residual: Boolean = false): Dataset[PqHit] = {
     import s.implicits._
     import graft.pipeline.SimilarityQueries.{PqM, PqW, PqK, foldDot}
     graft.functions.VectorExpressions.register(s)
     val sq = graft.pipeline.SimilarityQueries
     def gdot(a: Column, b: Column) = call_function("graft_dot", a, b)
-    // per-subspace 16-slot ADC table, projected once per QUERY row
+    // explode probes FIRST: for residual PQ the ADC table keys on the
+    // (query, probed cell) PAIR — the query-side vector the slots fold
+    // over is the RESIDUAL q − c_probe, so the table is a per
+    // (query row, probe) projection; for shared-codebook PQ the same
+    // post-explode projection computes the identical IEEE sequence it
+    // did pre-explode (nprobe duplicate evaluations of a tiny fold —
+    // model-sized work, not corpus-sized)
+    val exploded = queries.withWatermark("ts", s"$delayMs milliseconds")
+      .select(col("query_id"), col("ts"), col("qv"),
+        explode(graft.functions.CentroidModels.probes(
+          s, cents, col("qv"), sq.KmProbe)).as("probe_cid"))
+    // the query-side vector the ADC slots derive from: raw query for
+    // shared-codebook PQ; the residual against the probed cell's
+    // centroid (broadcast-sized literal map lookup + codegen'd
+    // graft_sub — the bit-identical column form of the batch face's
+    // driver-side subtraction) for residual PQ
+    val qb =
+      if (residual)
+        call_function("graft_sub", col("qv"),
+          element_at(
+            map(cents.flatMap { case (cid, cv) =>
+              Seq(lit(cid), typedLit(cv)) }: _*),
+            col("probe_cid")))
+      else col("qv")
+    // per-subspace 16-slot ADC table, projected per (query row, probe)
     val adts = (0 until PqM).map { sub =>
-      val qs = slice(col("qv"), sub * PqW + 1, PqW)
+      val qs = slice(col("qb"), sub * PqW + 1, PqW)
       val bm = books(sub).toMap
       val slots = (0 until PqK).map(cid => bm.get(cid)
         .map(cv => gdot(qs, qs) - lit(2.0) * gdot(qs, typedLit(cv)) +
@@ -532,10 +596,8 @@ object StreamingEvents {
         .getOrElse(lit(Double.MaxValue)))
       array(slots: _*).as(s"adt$sub")
     }
-    val probed = queries.withWatermark("ts", s"$delayMs milliseconds")
-      .select(col("query_id") +: col("ts") +:
-        explode(graft.functions.CentroidModels.probes(
-          s, cents, col("qv"), sq.KmProbe)).as("probe_cid") +: adts: _*)
+    val probed = exploded.withColumn("qb", qb)
+      .select(col("query_id") +: col("ts") +: col("probe_cid") +: adts: _*)
     val adc = (0 until PqM)
       .map(sub => element_at(col(s"adt$sub"), col(s"code$sub") + 1))
       .reduce(_ + _)

@@ -222,4 +222,105 @@ class Round19Spec extends SparkSpec {
     graft.pipeline.CachePool.memoDrop(("mhHistory", SfMid, ""))
     DedupQueries.historyStoresExecute(spark, SfMid)
   }
+
+  test("residual-PQ lifecycle: generation-scoped residual tables — g1 reaped, g2 drain, g3 live; pointer names them") {
+    // VERDICT r14 #2: the residual tier joins the maintenance cycle
+    // exactly like the shared-codebook tier.
+    import graft.pipeline.SimilarityQueries
+    SimilarityQueries.reclusterCycleExecute(spark, Sf)
+    val g1 = SimilarityQueries.cyclePqrNames(Sf, 1)
+    val g2 = SimilarityQueries.cyclePqrNames(Sf, 2)
+    val g3 = SimilarityQueries.cyclePqrNames(Sf, 3)
+    Seq(g1._1, g1._2, g1._3).foreach(t =>
+      assert(!spark.catalog.tableExists(t), s"g1 table $t must be reaped"))
+    (Seq(g2._1, g2._2, g2._3) ++ Seq(g3._1, g3._2, g3._3)).foreach(t =>
+      assert(spark.catalog.tableExists(t), s"$t must survive"))
+    val ptr = graft.sources.ModelStore
+      .read(spark, SimilarityQueries.cyclePtr(Sf)).collect()(0)
+    assert((ptr.getString(7), ptr.getString(8), ptr.getString(9)) == g3)
+    // g3's base residual-code table holds corpus + day-2
+    val n = Tables.embeddings(spark, Sf).count()
+    val n2 = n + Tables.embeddings(spark, Sf)
+      .filter(col("vec_id") % 7 === 3).count()
+    val codes = spark.table(g3._1)
+    assert(codes.count() == n2, "g3 residual codes must cover corpus + day-2")
+    assert(codes.filter(col("code0") < 0 || col("code0") > 15).count() == 0)
+    assert(codes.filter(col("vec_id") >= n).count() == n2 - n)
+  }
+
+  test("streaming residual ADC: parity with the batch stored-residual face across split micro-batches") {
+    // VERDICT r14 #1 (missing): the residual tier — the recall winner
+    // — gets real serving plumbing. The per-(query, probed-cell) ADC
+    // is computed as a COLUMN (centroid lookup + graft_sub before the
+    // per-subspace fold); every (query, neighbor, rank, adc) must be
+    // bit-equal to ann_topk_ivfpq_residual_stored's.
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    val want = SparkEntry.queries("ann_topk_ivfpq_residual_stored")(spark, Sf)
+      .collect().map(row).toSet
+    val qvs = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Seq[Double])]
+    val typed = mem.toDF().toDF("ts_ms", "query_id", "qv")
+      .select(timestamp_millis(col("ts_ms")).as("ts"),
+        col("query_id"), col("qv"))
+    val q = StreamingEvents.annServePqrStream(typed, spark, Sf,
+        k = 5, delayMs = 3600000L)
+      .writeStream.format("memory").queryName("ann_serve_pqr")
+      .outputMode("append").start()
+    try {
+      val (q1, q2) = qvs.splitAt(5)
+      mem.addData(q1.map { case (id, v) => (1000L, id, v) }: _*)
+      q.processAllAvailable()
+      mem.addData(q2.map { case (id, v) => (2000L, id, v) }: _*)
+      q.processAllAvailable()
+      mem.addData((2000L + 3600000L * 3, 999L, qvs.head._2))
+      q.processAllAvailable()
+      val got = spark.table("ann_serve_pqr").collect().map(row).toSet
+      assert(got == want,
+        s"streamed ${got.size} vs batch ${want.size}; " +
+          s"+${(got diff want).take(3)} -${(want diff got).take(3)}")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming residual ADC through the CYCLED pointer: serves generation 3's residual codes after the reap") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    val want = SparkEntry.queries("ann_ivfpqr_recluster_cycle")(spark, Sf)
+      .filter(col("query_id").isin(2L, 3L, 7L))
+      .collect().map(row).toSet
+    val qvs = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id").isin(2L, 3L, 7L))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Seq[Double])]
+    val typed = mem.toDF().toDF("ts_ms", "query_id", "qv")
+      .select(timestamp_millis(col("ts_ms")).as("ts"),
+        col("query_id"), col("qv"))
+    val q = StreamingEvents.annServePqrPtrStreamAt(typed, spark,
+        graft.pipeline.SimilarityQueries.cyclePtr(Sf),
+        k = 5, delayMs = 3600000L)
+      .writeStream.format("memory").queryName("ann_serve_pqr_cyc")
+      .outputMode("append").start()
+    try {
+      mem.addData(qvs.map { case (id, v) => (1000L, id, v) }: _*)
+      q.processAllAvailable()
+      mem.addData((1000L + 3600000L * 3, 999L, qvs.head._2))
+      q.processAllAvailable()
+      val got = spark.table("ann_serve_pqr_cyc").collect().map(row).toSet
+      assert(got == want, s"streamed $got vs batch $want")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
