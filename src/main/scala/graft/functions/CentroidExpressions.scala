@@ -276,6 +276,172 @@ case class ProbeCells(child: Expression, modelId: Long, nprobe: Int,
   override def prettyName: String = "graft_probe_cells"
 }
 
+/** A FAMILY of per-group codebooks as one broadcast — the model state
+  * of per-cell residual PQ (VERDICT r14 #4: one codebook family per
+  * coarse cell, the full FAISS IVF-PQ layout). Groups are laid out
+  * contiguously in one flat array with an offsets table, so the model
+  * is nlist × PqK × dim doubles in ONE broadcast regardless of group
+  * count — the same O(1)-plan-size discipline as [[CentroidModel]],
+  * where the alternative (an argmin expression per cell selected by a
+  * CASE on cid) is O(nlist) plan nodes AND evaluates every cell's
+  * argmin per row. Group lookup is a binary search over the sorted
+  * group keys: O(log nlist) per row, then the argmin scans only the
+  * row's own group's entries. */
+final class GroupedCentroidModel(
+    val groupKeys: Array[Int],
+    val starts: Array[Int],
+    val cids: Array[Int],
+    val flat: Array[Double],
+    val dim: Int,
+    val norms: Array[Double]) extends Serializable {
+  def nGroups: Int = groupKeys.length
+}
+
+object GroupedCentroidModel {
+  /** Build from (groupKey → (cid, centroid) rows). Within each group
+    * the caller's order is preserved (cid-ascending by contract): the
+    * argmin scans in this order with a strict `<`, so equal distances
+    * keep the smaller cid — the same tie-break as [[CentroidModel]]. */
+  def of(groups: Seq[(Int, Seq[(Int, Seq[Double])])]): GroupedCentroidModel = {
+    require(groups.nonEmpty, "grouped centroid model needs at least one group")
+    require(groups.forall(_._2.nonEmpty),
+      "every group needs at least one centroid")
+    val sorted = groups.sortBy(_._1)
+    val dim = sorted.head._2.head._2.length
+    val total = sorted.iterator.map(_._2.length).sum
+    val groupKeys = new Array[Int](sorted.length)
+    val starts = new Array[Int](sorted.length + 1)
+    val cids = new Array[Int](total)
+    val flat = new Array[Double](total * dim)
+    val norms = new Array[Double](total)
+    var g = 0; var c = 0
+    sorted.foreach { case (gid, cents) =>
+      groupKeys(g) = gid; starts(g) = c
+      cents.foreach { case (cid, cv) =>
+        cids(c) = cid
+        var i = 0
+        cv.foreach { x => flat(c * dim + i) = x; i += 1 }
+        norms(c) = cv.foldLeft(0.0)((a, x) => a + x * x)
+        c += 1
+      }
+      g += 1
+    }
+    starts(g) = c
+    new GroupedCentroidModel(groupKeys, starts, cids, flat, dim, norms)
+  }
+}
+
+/** `graft_group_nearest(array<double>, gid int, model_id) ->
+  * struct<d: double, cid: int>` — the argmin entry of a vector over
+  * its OWN group's codebook in a broadcast [[GroupedCentroidModel]]:
+  * the per-cell-residual-PQ assignment, where a row quantizes against
+  * the codebook family of its coarse cell and only that family. Same
+  * arithmetic contract as [[NearestCentroid]] (d = ‖c‖² − 2·v·c
+  * accumulated per dimension, strict `<`, ties keep the smaller cid,
+  * all-NaN vectors land in the group's first cid with d = NaN); an
+  * unknown gid is a contract violation (every encoded row's cell comes
+  * from the same quantizer the books trained on) and fails loudly
+  * rather than emitting a phantom code. */
+case class NearestInGroup(vec: Expression, gid: Expression, modelId: Long,
+    bc: Broadcast[GroupedCentroidModel])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = gid
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, gid.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (v, g) => TypeCheckResult.TypeCheckFailure(
+        s"graft_group_nearest expects (array<double>, int), got " +
+          s"(${v.sql}, ${g.sql})")
+    }
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("d", DoubleType, nullable = false),
+    StructField("cid", IntegerType, nullable = false)))
+
+  override protected def nullSafeEval(a: Any, g: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val m = bc.value
+    val gi = java.util.Arrays.binarySearch(m.groupKeys, g.asInstanceOf[Int])
+    if (gi < 0) throw new IllegalArgumentException(
+      s"graft_group_nearest: no codebook group for gid $g")
+    val from = m.starts(gi); val until = m.starts(gi + 1)
+    val lim = math.min(m.dim, v.numElements())
+    var bestD = Double.PositiveInfinity
+    var bestC = m.cids(from)
+    var fired = false
+    var c = from
+    while (c < until) {
+      var acc = 0.0
+      val base = c * m.dim
+      var i = 0
+      while (i < lim) { acc += m.flat(base + i) * v.getDouble(i); i += 1 }
+      val d = m.norms(c) - 2.0 * acc
+      if (d < bestD) { bestD = d; bestC = m.cids(c); fired = true }
+      c += 1
+    }
+    if (!fired) bestD = Double.NaN
+    new GenericInternalRow(Array[Any](bestD, bestC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("groupBc", bc,
+      classOf[Broadcast[GroupedCentroidModel]].getName)
+    val mv = ctx.addMutableState(
+      "graft.functions.GroupedCentroidModel", "groupModel")
+    nullSafeCodeGen(ctx, ev, (v, g) => {
+      val (dim, flat, norms, cids) = (ctx.freshName("dim"),
+        ctx.freshName("flat"), ctx.freshName("norms"), ctx.freshName("cids"))
+      val (gi, from, until, lim, bestD, bestC, c, acc, base, i, d, fired) =
+        (ctx.freshName("gi"), ctx.freshName("from"), ctx.freshName("until"),
+          ctx.freshName("lim"), ctx.freshName("bestD"), ctx.freshName("bestC"),
+          ctx.freshName("c"), ctx.freshName("acc"), ctx.freshName("base"),
+          ctx.freshName("i"), ctx.freshName("d"), ctx.freshName("fired"))
+      s"""
+        if ($mv == null) {
+          $mv = (graft.functions.GroupedCentroidModel) $bcRef.value();
+        }
+        final int $gi = java.util.Arrays.binarySearch($mv.groupKeys(), $g);
+        if ($gi < 0) {
+          throw new IllegalArgumentException(
+            "graft_group_nearest: no codebook group for gid " + $g);
+        }
+        final int $dim = $mv.dim();
+        final double[] $flat = $mv.flat();
+        final double[] $norms = $mv.norms();
+        final int[] $cids = $mv.cids();
+        final int $from = $mv.starts()[$gi];
+        final int $until = $mv.starts()[$gi + 1];
+        final int $lim = java.lang.Math.min($dim, $v.numElements());
+        double $bestD = Double.POSITIVE_INFINITY;
+        int $bestC = $cids[$from];
+        boolean $fired = false;
+        for (int $c = $from; $c < $until; $c++) {
+          double $acc = 0.0; final int $base = $c * $dim;
+          for (int $i = 0; $i < $lim; $i++) {
+            $acc += $flat[$base + $i] * $v.getDouble($i);
+          }
+          final double $d = $norms[$c] - 2.0 * $acc;
+          if ($d < $bestD) { $bestD = $d; $bestC = $cids[$c]; $fired = true; }
+        }
+        if (!$fired) $bestD = Double.NaN;
+        ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          new Object[] { java.lang.Double.valueOf($bestD),
+            java.lang.Integer.valueOf($bestC) });
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): NearestInGroup =
+    copy(vec = newLeft, gid = newRight)
+
+  override def prettyName: String = "graft_group_nearest"
+}
+
 /** Driver-side registry wiring trained centroid seqs to the broadcast
   * expressions: `idFor` broadcasts a model once per (SparkContext,
   * value) and hands back a stable id; the registered function builders
@@ -285,34 +451,39 @@ case class ProbeCells(child: Expression, modelId: Long, nprobe: Int,
   * without ever encoding it as literals. The maps are driver-only
   * model state (a few dozen k×dim seqs per session); executors see
   * only the broadcasts carried by the expressions themselves. */
-object CentroidModels {
-  /** Registry cap. The maps below hold the ONLY permanent strong
-    * references to the broadcasts — resolved expressions carry the
-    * `Broadcast` object directly and the maps are consulted solely at
-    * analysis time — so evicting the eldest entry past the cap makes
-    * its broadcast collectible by the ContextCleaner as soon as no
-    * analyzed plan holds it. Without the cap, a long-lived driver
-    * running periodic retrains pinned every quantizer forever
-    * (each Lloyd iterate registers an interim model: heap and
-    * executor BlockManager growth per retrain, unbounded). An evicted
-    * model that is requested again simply re-broadcasts — k×dim
-    * doubles, cheap.
-    *
-    * Eviction is LRU, not FIFO (ADVICE r13): `ids` is access-ordered
-    * and every analysis-time `bcFor` hit refreshes the model's entry
-    * (via the id→key reverse map), so a model whose id is still being
-    * resolved by live plans can only be evicted after 64 DISTINCT
-    * other models were registered or resolved with no intervening hit
-    * — a Lloyd loop's interim registrations no longer age out a
-    * handed-out id that analysis keeps touching. */
+/** The LRU broadcast-registry machinery shared by [[CentroidModels]]
+  * and [[GroupedCentroidModels]] — one instance per model type, so the
+  * eviction discipline lives in exactly one place.
+  *
+  * Registry cap. The maps below hold the ONLY permanent strong
+  * references to the broadcasts — resolved expressions carry the
+  * `Broadcast` object directly and the maps are consulted solely at
+  * analysis time — so evicting the eldest entry past the cap makes
+  * its broadcast collectible by the ContextCleaner as soon as no
+  * analyzed plan holds it. Without the cap, a long-lived driver
+  * running periodic retrains pinned every quantizer forever
+  * (each Lloyd iterate registers an interim model: heap and
+  * executor BlockManager growth per retrain, unbounded). An evicted
+  * model that is requested again simply re-broadcasts — k×dim
+  * doubles, cheap.
+  *
+  * Eviction is LRU, not FIFO (ADVICE r13): `ids` is access-ordered
+  * and every analysis-time `bcFor` hit refreshes the model's entry
+  * (via the id→key reverse map), so a model whose id is still being
+  * resolved by live plans can only be evicted after 64 DISTINCT
+  * other models were registered or resolved with no intervening hit
+  * — a Lloyd loop's interim registrations no longer age out a
+  * handed-out id that analysis keeps touching. */
+private[functions] final class BroadcastModelRegistry[V, M](
+    kind: String, build: V => M)(implicit ct: scala.reflect.ClassTag[M]) {
   private val MaxModels = 64
   private val ids =
-    new java.util.LinkedHashMap[(Long, Seq[(Int, Seq[Double])]), java.lang.Long](
+    new java.util.LinkedHashMap[(Long, V), java.lang.Long](
       16, 0.75f, true) // accessOrder=true: get() refreshes recency
   private val models =
-    new java.util.LinkedHashMap[java.lang.Long, Broadcast[CentroidModel]]()
+    new java.util.LinkedHashMap[java.lang.Long, Broadcast[M]]()
   private val idKeys =
-    new java.util.HashMap[java.lang.Long, (Long, Seq[(Int, Seq[Double])])]()
+    new java.util.HashMap[java.lang.Long, (Long, V)]()
   private val ctr = new AtomicLong(0L)
   // per-context EPOCH (monotone counter under weak context keys), not
   // System.identityHashCode: identity hashes can collide between a
@@ -322,8 +493,7 @@ object CentroidModels {
     new java.util.WeakHashMap[org.apache.spark.SparkContext, java.lang.Long]()
   private val epochCtr = new AtomicLong(0L)
 
-  private[graft] def idFor(s: SparkSession,
-      cents: Seq[(Int, Seq[Double])]): Long = synchronized {
+  def idFor(s: SparkSession, value: V): Long = synchronized {
     val epoch = {
       val e = epochs.get(s.sparkContext)
       if (e != null) e else {
@@ -331,12 +501,12 @@ object CentroidModels {
         epochs.put(s.sparkContext, n); n
       }
     }
-    val key = (epoch.longValue(), cents)
+    val key = (epoch.longValue(), value)
     val existing = ids.get(key) // access-ordered get: refreshes recency
     if (existing != null) existing.longValue()
     else {
       val id = java.lang.Long.valueOf(ctr.incrementAndGet())
-      models.put(id, s.sparkContext.broadcast(CentroidModel.of(cents)))
+      models.put(id, s.sparkContext.broadcast(build(value)))
       ids.put(key, id)
       idKeys.put(id, key)
       while (ids.size > MaxModels) {
@@ -349,13 +519,13 @@ object CentroidModels {
     }
   }
 
-  private[graft] def registrySize: Int = synchronized { models.size }
+  def registrySize: Int = synchronized { models.size }
 
-  private[functions] def bcFor(id: Long): Broadcast[CentroidModel] =
+  def bcFor(id: Long): Broadcast[M] =
     synchronized {
       val bc = models.get(java.lang.Long.valueOf(id))
       require(bc != null,
-        s"unknown or evicted centroid model id $id (ids are minted by " +
+        s"unknown or evicted $kind model id $id (ids are minted by " +
           "idFor immediately before analysis; re-request the model)")
       // LRU refresh (ADVICE r13): a resolution hit marks the id's key
       // most-recently-used so lazily-analyzed plans that keep
@@ -363,6 +533,20 @@ object CentroidModels {
       ids.get(idKeys.get(java.lang.Long.valueOf(id)))
       bc
     }
+}
+
+object CentroidModels {
+  private val reg =
+    new BroadcastModelRegistry[Seq[(Int, Seq[Double])], CentroidModel](
+      "centroid", CentroidModel.of)
+
+  private[graft] def idFor(s: SparkSession,
+      cents: Seq[(Int, Seq[Double])]): Long = reg.idFor(s, cents)
+
+  private[graft] def registrySize: Int = reg.registrySize
+
+  private[functions] def bcFor(id: Long): Broadcast[CentroidModel] =
+    reg.bcFor(id)
 
   private[functions] def litId(e: Expression): Long = e match {
     case Literal(v: Long, LongType) => v
@@ -392,5 +576,34 @@ object CentroidModels {
       v: Column, nprobe: Int): Column = {
     VectorExpressions.register(s)
     call_function("graft_probe_cells", v, lit(idFor(s, cents)), lit(nprobe))
+  }
+}
+
+/** Registry for [[GroupedCentroidModel]] families — the per-cell
+  * residual-PQ codebooks. Same id-minting/LRU/broadcast discipline as
+  * [[CentroidModels]] (shared via [[BroadcastModelRegistry]]); the id
+  * spaces are independent, which is why `graft_group_nearest` resolves
+  * through this object and never through CentroidModels. */
+object GroupedCentroidModels {
+  private val reg = new BroadcastModelRegistry[
+      Seq[(Int, Seq[(Int, Seq[Double])])], GroupedCentroidModel](
+    "grouped-centroid", GroupedCentroidModel.of)
+
+  private[graft] def idFor(s: SparkSession,
+      groups: Seq[(Int, Seq[(Int, Seq[Double])])]): Long = reg.idFor(s, groups)
+
+  private[graft] def registrySize: Int = reg.registrySize
+
+  private[functions] def bcFor(id: Long): Broadcast[GroupedCentroidModel] =
+    reg.bcFor(id)
+
+  /** The argmin (d, cid) struct of `v` over ITS OWN group `gid`'s
+    * codebook — the per-cell residual assignment. `groups` is the full
+    * (gid → cid-ascending codebook) family; one broadcast total. */
+  def nearestInGroup(s: SparkSession,
+      groups: Seq[(Int, Seq[(Int, Seq[Double])])],
+      v: Column, gid: Column): Column = {
+    VectorExpressions.register(s)
+    call_function("graft_group_nearest", v, gid, lit(idFor(s, groups)))
   }
 }

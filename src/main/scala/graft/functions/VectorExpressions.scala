@@ -434,6 +434,13 @@ object VectorExpressions {
         ProbeCells(children(0), id, CentroidModels.litInt(children(2)),
           CentroidModels.bcFor(id)): Expression
       }, "internal")
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_group_nearest"),
+      (children: Seq[Expression]) => {
+        val id = CentroidModels.litId(children(2))
+        NearestInGroup(children(0), children(1), id,
+          GroupedCentroidModels.bcFor(id)): Expression
+      }, "internal")
   }
 }
 
@@ -484,6 +491,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val id = CentroidModels.litId(children(1))
         ProbeCells(children(0), id, CentroidModels.litInt(children(2)),
           CentroidModels.bcFor(id))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_group_nearest"),
+      new ExpressionInfo(classOf[NearestInGroup].getCanonicalName, "graft_group_nearest"),
+      (children: Seq[Expression]) => {
+        val id = CentroidModels.litId(children(2))
+        NearestInGroup(children(0), children(1), id,
+          GroupedCentroidModels.bcFor(id))
       }))
   }
 }

@@ -323,4 +323,58 @@ class Round19Spec extends SparkSpec {
       assert(got.nonEmpty)
     } finally q.stop()
   }
+
+  test("graft_group_nearest: argmin stays inside the row's own group, ties keep the smaller code, unknown gid fails loudly") {
+    import spark.implicits._
+    // gid 5's two codes are EQUIDISTANT from (0.1, 0.9):
+    // ‖(2,2)‖²−2·v·(2,2) = 8−4 = 4 and ‖(−1,−1)‖²−2·v·(−1,−1) = 2+2=4
+    // — the strict < must keep code 0, same tie-break as the oracle's
+    // ORDER BY dist, code
+    val groups = Seq(
+      (1, Seq((0, Seq(0.0, 1.0)), (1, Seq(1.0, 0.0)))),
+      (5, Seq((0, Seq(2.0, 2.0)), (1, Seq(-1.0, -1.0)))))
+    val df = Seq((1L, Seq(0.1, 0.9), 1), (2L, Seq(0.1, 0.9), 5),
+      (3L, Seq(0.9, 0.1), 1)).toDF("id", "v", "gid")
+    val out = df.select(col("id"),
+        graft.functions.GroupedCentroidModels.nearestInGroup(
+          spark, groups, col("v"), col("gid")).getField("cid").as("code"))
+      .orderBy("id").collect().map(_.getInt(1)).toSeq
+    assert(out == Seq(0, 0, 1),
+      "row 1: own group's nearest; row 2: tie → smaller code; row 3: code 1")
+    // interpreted eval agrees with the codegen'd column above
+    val bc = spark.sparkContext.broadcast(
+      graft.functions.GroupedCentroidModel.of(groups))
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def evalOn(v: Seq[Double], gid: Int) =
+      graft.functions.NearestInGroup(
+        Literal.create(v, ArrayType(DoubleType)), Literal(gid), 0L, bc)
+        .eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    assert(evalOn(Seq(0.1, 0.9), 5).getInt(1) == 0)
+    assert(evalOn(Seq(0.9, 0.1), 1).getInt(1) == 1)
+    // all-NaN vector: d = NaN (least()-form parity), group's first code
+    val nanRow = evalOn(Seq(Double.NaN, Double.NaN), 5)
+    assert(nanRow.getDouble(0).isNaN && nanRow.getInt(1) == 0)
+    // a gid with no codebook family is a contract violation, not a
+    // silent phantom code
+    val err = intercept[Exception] {
+      df.withColumn("gid", lit(3)).select(
+        graft.functions.GroupedCentroidModels.nearestInGroup(
+          spark, groups, col("v"), col("gid"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(_.getMessage != null) &&
+      causes(err).exists(c => c.getMessage != null &&
+        c.getMessage.contains("no codebook group for gid 3")))
+  }
+
+  test("per-cell residual IVF-PQ: 5 ranked neighbors per query from probed cells, finite ADC") {
+    val out = SparkEntry.queries("ann_topk_ivfpq_residual_cell")(spark, Sf)
+      .collect()
+    assert(out.length == 50)
+    assert(out.map(_.getLong(0)).distinct.length == 10)
+    assert(out.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
+  }
 }
