@@ -2565,6 +2565,80 @@ ORDER BY query_id, rank"""
       topkBrute(s, d).select(col("query_id"), col("neighbor_id")),
       topkIvfPqrCell(s, d))
 
+  /** The per-cell families as one unpivoted (sub, cell, code, dim, x)
+    * model relation — [[booksDf]] with the owning cell as an extra
+    * key column. */
+  private def cellBooksDf(s: SparkSession,
+      groups: Seq[Seq[(Int, Seq[(Int, Seq[Double])])]]): DataFrame = {
+    import s.implicits._
+    groups.zipWithIndex.flatMap { case (cells, sub) =>
+      cells.flatMap { case (cell, book) =>
+        book.flatMap { case (code, cv) =>
+          cv.zipWithIndex.map { case (x, i) =>
+            (sub, cell, code, i + 1, x) } } } }
+      .toDF("sub", "cell", "code", "dim", "x")
+  }
+
+  /** Reassemble [[cellBooksDf]]'s relation back into the per-cell
+    * families — the serving job's catalog read (parquet doubles
+    * round-trip bit-exactly; Round19Spec pins table == memo). */
+  private[graft] def cellBooksFrom(s: SparkSession, table: String)
+      : Seq[Seq[(Int, Seq[(Int, Seq[Double])])]] = {
+    import s.implicits._
+    val rows = graft.sources.ModelStore.read(s, table)
+      .as[(Int, Int, Int, Int, Double)].collect().toSeq
+    (0 until PqM).map { sub =>
+      rows.filter(_._1 == sub).groupBy(_._2).map { case (cell, xs) =>
+        (cell, xs.groupBy(_._3).map { case (code, ys) =>
+          (code, ys.sortBy(_._4).map(_._5).toSeq) }.toSeq.sortBy(_._1))
+      }.toSeq.sortBy(_._1) }
+  }
+
+  /** The per-cell tier PERSISTED: families as a ModelStore table,
+    * per-cell codes bucketed by cid — ensure-trained like
+    * [[pqrTables]], so a serving-only session boots from the catalog
+    * without touching the raw corpus. */
+  private[graft] def pqrcTables(s: SparkSession, d: String)
+      : (String, String) =
+    CachePool.memoized(("pqrcTables", d)) {
+      val h = d.hashCode & 0x7fffffff
+      val (booksT, codesT) =
+        (s"graft_ivfpqrc_books_$h", s"graft_ivfpqrc_codes_$h")
+      if (!(s.catalog.tableExists(booksT) &&
+          s.catalog.tableExists(codesT))) {
+        val cents = corpusCentroids(s, d)
+        val groups = pqrCellBooks(s, d)
+        graft.sources.ModelStore.write(cellBooksDf(s, groups), booksT)
+        graft.sources.BucketedStore.write(
+          encodePqrCell(embDouble(s, d).select(col("vec_id"), col("v")),
+            cents, groups), codesT, "cid", cents.length)
+      }
+      (booksT, codesT)
+    }
+
+  /** Serving from the STORED per-cell codes and catalog models — the
+    * per-cell sibling of [[topkIvfPqrStored]]: coarse quantizer from
+    * [[pqModelTables]] (identical Lloyd trajectory), families from
+    * [[pqrcTables]], candidates from the persisted code table's
+    * probed buckets only. Same oracle text as
+    * `ann_topk_ivfpq_residual_cell`: the hash match proves the
+    * persisted per-cell layout serves the in-plan encoding. */
+  private val topkIvfPqrCellStored: Q = (s, d) => {
+    val e = embDouble(s, d).select(col("vec_id"), col("v"))
+    val (cents, _) = storedPqModels(s, d)
+    val (booksT, codesT) = pqrcTables(s, d)
+    val groups = cellBooksFrom(s, booksT)
+    val probes = probeList(s, e, cents)
+    val probeCids = probes.select("probe_cid").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val probePairs = probes.select("query_id", "probe_cid")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val encoded = graft.sources.BucketedStore.read(s, codesT)
+      .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
+    pqServe(encoded, probes,
+      pqAdcResidualCell(cents, groups, pqEvalQueries(s, e), probePairs))
+  }
+
   /** The full RESIDUAL IVF-PQ serving oracle over an arbitrary corpus
     * relation `rel` (declared by the CTEs in `head`) — the residual
     * analog of [[ivfPqServeSqlOver]], shared by the in-plan, stored,
@@ -3476,6 +3550,7 @@ ORDER BY e.query_id"""
     "ann_topk_ivfpq_residual" -> topkIvfPqResidual,
     "ann_topk_ivfpq_residual_stored" -> topkIvfPqrStored,
     "ann_topk_ivfpq_residual_cell" -> topkIvfPqrCell,
+    "ann_topk_ivfpq_residual_cell_stored" -> topkIvfPqrCellStored,
     "ann_ivfpqr_recluster_cycle" -> topkIvfPqrCycle,
     "ann_pq_model_store" -> pqModelStore,
     "dedup_embedding" -> embedDedup,
@@ -3528,6 +3603,7 @@ ORDER BY e.query_id"""
     "ann_topk_ivfpq_residual" -> topkIvfPqResidualSql,
     "ann_topk_ivfpq_residual_stored" -> topkIvfPqResidualSql,
     "ann_topk_ivfpq_residual_cell" -> topkIvfPqrCellSql,
+    "ann_topk_ivfpq_residual_cell_stored" -> topkIvfPqrCellSql,
     "ann_ivfpqr_recluster_cycle" -> ivfPqrCycleSql,
     "dedup_embedding" -> embedDedupSql,
     "dedup_semantic" -> semDedupSql,

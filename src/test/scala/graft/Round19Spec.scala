@@ -377,4 +377,16 @@ class Round19Spec extends SparkSpec {
     assert(out.map(_.getLong(0)).distinct.length == 10)
     assert(out.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
   }
+
+  test("per-cell family catalog round-trip: cellBooksFrom(table) is bit-identical to the trained memo, and the stored face serves the same rows") {
+    val stored = SparkEntry.queries("ann_topk_ivfpq_residual_cell_stored")(
+      spark, Sf).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    val inPlan = SparkEntry.queries("ann_topk_ivfpq_residual_cell")(
+      spark, Sf).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+    assert(stored == inPlan,
+      "catalog-served per-cell ADC must equal the in-plan face bit-for-bit")
+    assert(stored.nonEmpty)
+  }
 }
