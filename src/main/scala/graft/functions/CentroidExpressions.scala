@@ -31,6 +31,20 @@ final class CentroidModel(
     val dim: Int,
     val norms: Array[Double]) extends Serializable {
   def k: Int = cids.length
+
+  // cid → row index for graft_cell_vec: cids sorted alongside their
+  // original positions, built lazily per JVM (transient — the
+  // broadcast ships only the model arrays). O(log k) per lookup with
+  // NO ordering contract on the caller's cid sequence.
+  @transient private lazy val cidLookup: (Array[Int], Array[Int]) = {
+    val order = cids.indices.toArray.sortBy(cids)
+    (order.map(cids), order)
+  }
+  def indexOfCid(cid: Int): Int = {
+    val (sorted, idx) = cidLookup
+    val p = java.util.Arrays.binarySearch(sorted, cid)
+    if (p < 0) -1 else idx(p)
+  }
 }
 
 object CentroidModel {
@@ -274,6 +288,67 @@ case class ProbeCells(child: Expression, modelId: Long, nprobe: Int,
     copy(child = newChild)
 
   override def prettyName: String = "graft_probe_cells"
+}
+
+/** `graft_cell_vec(cid int, model_id) -> array<double>` — the
+  * centroid VECTOR of a cell id from the broadcast [[CentroidModel]]:
+  * the lookup the residual serving path needs (q − c_probe as a
+  * column) without encoding the quantizer as literals. The
+  * alternative — a literal `map(cid -> array(...))` — is
+  * O(nlist·dim) plan nodes, the same plan-size failure the broadcast
+  * argmin replaced (un-analyzable at the 100 TB nlist≈10⁵); this is
+  * ONE node and an O(log k) per-row lookup. An unknown cid is a
+  * contract violation (probes come from the same quantizer) and
+  * fails loudly. */
+case class CellVector(child: Expression, modelId: Long,
+    bc: Broadcast[CentroidModel]) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case IntegerType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_cell_vec expects an int cid, got ${t.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(c: Any): Any = {
+    val m = bc.value
+    val i = m.indexOfCid(c.asInstanceOf[Int])
+    if (i < 0) throw new IllegalArgumentException(
+      s"graft_cell_vec: unknown cid $c")
+    val out = new Array[Double](m.dim)
+    System.arraycopy(m.flat, i * m.dim, out, 0, m.dim)
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("cellVecBc", bc,
+      classOf[Broadcast[CentroidModel]].getName)
+    val mv = ctx.addMutableState("graft.functions.CentroidModel", "cellVecModel")
+    nullSafeCodeGen(ctx, ev, c => {
+      val (i, out) = (ctx.freshName("i"), ctx.freshName("out"))
+      s"""
+        if ($mv == null) {
+          $mv = (graft.functions.CentroidModel) $bcRef.value();
+        }
+        final int $i = $mv.indexOfCid($c);
+        if ($i < 0) {
+          throw new IllegalArgumentException(
+            "graft_cell_vec: unknown cid " + $c);
+        }
+        final double[] $out = new double[$mv.dim()];
+        System.arraycopy($mv.flat(), $i * $mv.dim(), $out, 0, $mv.dim());
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray($out);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CellVector =
+    copy(child = newChild)
+
+  override def prettyName: String = "graft_cell_vec"
 }
 
 /** A FAMILY of per-group codebooks as one broadcast — the model state
@@ -576,6 +651,14 @@ object CentroidModels {
       v: Column, nprobe: Int): Column = {
     VectorExpressions.register(s)
     call_function("graft_probe_cells", v, lit(idFor(s, cents)), lit(nprobe))
+  }
+
+  /** The centroid VECTOR of `cid` — the broadcast replacement for a
+    * literal cid→array map (O(nlist·dim) plan nodes vs one). */
+  def cellVec(s: SparkSession, cents: Seq[(Int, Seq[Double])],
+      cid: Column): Column = {
+    VectorExpressions.register(s)
+    call_function("graft_cell_vec", cid, lit(idFor(s, cents)))
   }
 }
 

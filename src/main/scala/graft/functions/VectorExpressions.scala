@@ -441,6 +441,12 @@ object VectorExpressions {
         NearestInGroup(children(0), children(1), id,
           GroupedCentroidModels.bcFor(id)): Expression
       }, "internal")
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_cell_vec"),
+      (children: Seq[Expression]) => {
+        val id = CentroidModels.litId(children(1))
+        CellVector(children(0), id, CentroidModels.bcFor(id)): Expression
+      }, "internal")
   }
 }
 
@@ -498,6 +504,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val id = CentroidModels.litId(children(2))
         NearestInGroup(children(0), children(1), id,
           GroupedCentroidModels.bcFor(id))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_cell_vec"),
+      new ExpressionInfo(classOf[CellVector].getCanonicalName, "graft_cell_vec"),
+      (children: Seq[Expression]) => {
+        val id = CentroidModels.litId(children(1))
+        CellVector(children(0), id, CentroidModels.bcFor(id))
       }))
   }
 }

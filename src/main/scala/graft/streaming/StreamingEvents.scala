@@ -575,16 +575,17 @@ object StreamingEvents {
           s, cents, col("qv"), sq.KmProbe)).as("probe_cid"))
     // the query-side vector the ADC slots derive from: raw query for
     // shared-codebook PQ; the residual against the probed cell's
-    // centroid (broadcast-sized literal map lookup + codegen'd
-    // graft_sub — the bit-identical column form of the batch face's
-    // driver-side subtraction) for residual PQ
+    // centroid for residual PQ — the centroid comes from the BROADCAST
+    // model via graft_cell_vec (one plan node and an O(log nlist)
+    // per-row lookup; a literal cid→array map here would be
+    // O(nlist·dim) plan nodes, the exact plan-size failure the
+    // broadcast argmin eliminated) and the subtraction is the
+    // codegen'd graft_sub — bit-identical to the batch face's
+    // driver-side per-dimension subtraction
     val qb =
       if (residual)
         call_function("graft_sub", col("qv"),
-          element_at(
-            map(cents.flatMap { case (cid, cv) =>
-              Seq(lit(cid), typedLit(cv)) }: _*),
-            col("probe_cid")))
+          graft.functions.CentroidModels.cellVec(s, cents, col("probe_cid")))
       else col("qv")
     // per-subspace 16-slot ADC table, projected per (query row, probe)
     val adts = (0 until PqM).map { sub =>

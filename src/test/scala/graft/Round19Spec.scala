@@ -378,6 +378,26 @@ class Round19Spec extends SparkSpec {
     assert(out.forall(r => !r.getDouble(3).isNaN && !r.getDouble(3).isInfinite))
   }
 
+  test("graft_cell_vec: broadcast centroid lookup — caller order preserved, no ordering contract, unknown cid fails loudly") {
+    import spark.implicits._
+    // cids deliberately NOT ascending: the lookup must not assume the
+    // argmin's caller-order contract
+    val cents = Seq((7, Seq(1.0, 2.0)), (2, Seq(-3.0, 0.5)), (5, Seq(0.0, 9.0)))
+    val df = Seq((1L, 2), (2L, 7), (3L, 5)).toDF("id", "cid")
+    val out = df.select(col("id"),
+        graft.functions.CentroidModels.cellVec(spark, cents, col("cid")).as("cv"))
+      .orderBy("id").collect().map(_.getSeq[Double](1)).toSeq
+    assert(out == Seq(Seq(-3.0, 0.5), Seq(1.0, 2.0), Seq(0.0, 9.0)))
+    val err = intercept[Exception] {
+      df.withColumn("cid", lit(99)).select(
+        graft.functions.CentroidModels.cellVec(spark, cents, col("cid"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(c => c.getMessage != null &&
+      c.getMessage.contains("unknown cid 99")))
+  }
+
   test("per-cell family catalog round-trip: cellBooksFrom(table) is bit-identical to the trained memo, and the stored face serves the same rows") {
     val stored = SparkEntry.queries("ann_topk_ivfpq_residual_cell_stored")(
       spark, Sf).collect().map(r =>
