@@ -517,6 +517,126 @@ case class NearestInGroup(vec: Expression, gid: Expression, modelId: Long,
   override def prettyName: String = "graft_group_nearest"
 }
 
+/** `graft_group_adc(vec array<double>, gid int, model_id, nslots) ->
+  * array<double>` — the nslots-slot ADC distance table of a
+  * query-side subvector against its probed group's OWN codebook in a
+  * broadcast [[GroupedCentroidModel]]: slot[code] = ‖v‖² − 2·v·c +
+  * ‖c‖² for each code the group holds, `Double.MaxValue` for holes
+  * (a code that emptied during Lloyd — never referenced, since
+  * candidates carry only codes the same books emitted). This is the
+  * streaming serving shape of PER-CELL residual PQ: the batch face
+  * computes these slots as driver-side literals per (query, probed
+  * cell) pair, which cannot be a stream's plan; here the identical
+  * IEEE sequence (sequential left-fold dots, ‖c‖² folded at model
+  * build, the a − 2b + c association) is evaluated per (query row,
+  * probe) as ONE plan node over the one-broadcast family —
+  * candidates then cost one `element_at` per subspace, never an
+  * O(dim) dot.
+  *
+  * A gid with NO group yields the inert all-MaxValue table rather
+  * than failing: a probe may legitimately select an EMPTY coarse cell
+  * (the quantizer covers cells no corpus vector landed in), and the
+  * batch face simply skips such (query, cell) pairs — no candidate
+  * can exist in an unindexed cell, so the slots are never consumed.
+  * (Contrast [[NearestInGroup]], where the gid comes from the row's
+  * own assignment and a missing group IS a contract violation.) */
+case class GroupAdcTable(vec: Expression, gid: Expression, modelId: Long,
+    nslots: Int, bc: Broadcast[GroupedCentroidModel])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = gid
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, gid.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (v, g) => TypeCheckResult.TypeCheckFailure(
+        s"graft_group_adc expects (array<double>, int), got " +
+          s"(${v.sql}, ${g.sql})")
+    }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(a: Any, g: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val m = bc.value
+    val gi = java.util.Arrays.binarySearch(m.groupKeys, g.asInstanceOf[Int])
+    if (gi < 0) // empty probed cell: inert table (see class doc)
+      return UnsafeArrayData.fromPrimitiveArray(
+        Array.fill(nslots)(Double.MaxValue))
+    val from = m.starts(gi); val until = m.starts(gi + 1)
+    val lim = math.min(m.dim, v.numElements())
+    var qq = 0.0
+    var i = 0
+    while (i < lim) { val x = v.getDouble(i); qq += x * x; i += 1 }
+    val out = Array.fill(nslots)(Double.MaxValue)
+    var c = from
+    while (c < until) {
+      val code = m.cids(c)
+      if (code < 0 || code >= nslots) throw new IllegalArgumentException(
+        s"graft_group_adc: code $code outside $nslots slots for gid $g")
+      var dot = 0.0
+      val base = c * m.dim
+      i = 0
+      while (i < lim) { dot += m.flat(base + i) * v.getDouble(i); i += 1 }
+      out(code) = qq - 2.0 * dot + m.norms(c)
+      c += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("groupAdcBc", bc,
+      classOf[Broadcast[GroupedCentroidModel]].getName)
+    val mv = ctx.addMutableState(
+      "graft.functions.GroupedCentroidModel", "groupAdcModel")
+    nullSafeCodeGen(ctx, ev, (v, g) => {
+      val (gi, from, until, lim, qq, out, c, code, dot, base, i, x) =
+        (ctx.freshName("gi"), ctx.freshName("from"), ctx.freshName("until"),
+          ctx.freshName("lim"), ctx.freshName("qq"), ctx.freshName("out"),
+          ctx.freshName("c"), ctx.freshName("code"), ctx.freshName("dot"),
+          ctx.freshName("base"), ctx.freshName("i"), ctx.freshName("x"))
+      s"""
+        if ($mv == null) {
+          $mv = (graft.functions.GroupedCentroidModel) $bcRef.value();
+        }
+        final int $gi = java.util.Arrays.binarySearch($mv.groupKeys(), $g);
+        // empty probed cell: inert all-MaxValue table (see class doc)
+        final int $from = $gi < 0 ? 0 : $mv.starts()[$gi];
+        final int $until = $gi < 0 ? 0 : $mv.starts()[$gi + 1];
+        final int $lim = java.lang.Math.min($mv.dim(), $v.numElements());
+        double $qq = 0.0;
+        for (int $i = 0; $i < $lim; $i++) {
+          final double $x = $v.getDouble($i); $qq += $x * $x;
+        }
+        final double[] $out = new double[$nslots];
+        java.util.Arrays.fill($out, Double.MAX_VALUE);
+        for (int $c = $from; $c < $until; $c++) {
+          final int $code = $mv.cids()[$c];
+          if ($code < 0 || $code >= $nslots) {
+            throw new IllegalArgumentException(
+              "graft_group_adc: code " + $code + " outside $nslots slots");
+          }
+          double $dot = 0.0; final int $base = $c * $mv.dim();
+          for (int $i = 0; $i < $lim; $i++) {
+            $dot += $mv.flat()[$base + $i] * $v.getDouble($i);
+          }
+          $out[$code] = $qq - 2.0 * $dot + $mv.norms()[$c];
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray($out);
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): GroupAdcTable =
+    copy(vec = newLeft, gid = newRight)
+
+  override def prettyName: String = "graft_group_adc"
+}
+
 /** Driver-side registry wiring trained centroid seqs to the broadcast
   * expressions: `idFor` broadcasts a model once per (SparkContext,
   * value) and hands back a stable id; the registered function builders
@@ -688,5 +808,15 @@ object GroupedCentroidModels {
       v: Column, gid: Column): Column = {
     VectorExpressions.register(s)
     call_function("graft_group_nearest", v, gid, lit(idFor(s, groups)))
+  }
+
+  /** The nslots-slot ADC table of `v` against group `gid`'s own
+    * codebook — the per-cell residual streaming-serving projection. */
+  def adcTable(s: SparkSession,
+      groups: Seq[(Int, Seq[(Int, Seq[Double])])],
+      v: Column, gid: Column, nslots: Int): Column = {
+    VectorExpressions.register(s)
+    call_function("graft_group_adc", v, gid, lit(idFor(s, groups)),
+      lit(nslots))
   }
 }

@@ -447,6 +447,14 @@ object VectorExpressions {
         val id = CentroidModels.litId(children(1))
         CellVector(children(0), id, CentroidModels.bcFor(id)): Expression
       }, "internal")
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_group_adc"),
+      (children: Seq[Expression]) => {
+        val id = CentroidModels.litId(children(2))
+        GroupAdcTable(children(0), children(1), id,
+          CentroidModels.litInt(children(3)),
+          GroupedCentroidModels.bcFor(id)): Expression
+      }, "internal")
   }
 }
 
@@ -510,6 +518,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         val id = CentroidModels.litId(children(1))
         CellVector(children(0), id, CentroidModels.bcFor(id))
+      }))
+    ext.injectFunction((FunctionIdentifier("graft_group_adc"),
+      new ExpressionInfo(classOf[GroupAdcTable].getCanonicalName, "graft_group_adc"),
+      (children: Seq[Expression]) => {
+        val id = CentroidModels.litId(children(2))
+        GroupAdcTable(children(0), children(1), id,
+          CentroidModels.litInt(children(3)),
+          GroupedCentroidModels.bcFor(id))
       }))
   }
 }

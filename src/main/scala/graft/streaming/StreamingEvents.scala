@@ -551,12 +551,36 @@ object StreamingEvents {
       k, delayMs, residual = true)
   }
 
+  /** Streaming PER-CELL residual ADC — the serving face of
+    * `ann_topk_ivfpq_residual_cell_stored`: boots from the catalog
+    * (coarse quantizer, per-cell families via
+    * [[graft.pipeline.SimilarityQueries.pqrcTables]], bucketed
+    * per-cell codes), computes the query residual per probe with
+    * `graft_cell_vec` + `graft_sub`, and projects each subspace's
+    * 16-slot table with `graft_group_adc` — the probed CELL's own
+    * codebook resolved from the one-broadcast family, so the plan is
+    * O(1) in nlist even though every cell carries distinct books.
+    * Candidates still cost m `element_at` lookups. Parity vs the
+    * batch stored face is pinned in Round19Spec. */
+  def annServePqrCellStream(queries: DataFrame,
+      s: org.apache.spark.sql.SparkSession, d: String,
+      k: Int = 5, delayMs: Long = 7200000L): Dataset[PqHit] = {
+    val sq = graft.pipeline.SimilarityQueries
+    val (cents, _) = sq.storedPqModels(s, d)
+    val (booksT, codesT) = sq.pqrcTables(s, d)
+    annServePqCore(queries, s, cents, Nil,
+      graft.sources.BucketedStore.read(s, codesT), k, delayMs,
+      residual = true, cellBooks = sq.cellBooksFrom(s, booksT))
+  }
+
   private def annServePqCore(queries: DataFrame,
       s: org.apache.spark.sql.SparkSession,
       cents: Seq[(Int, Seq[Double])],
       books: Seq[Seq[(Int, Seq[Double])]],
       codes: DataFrame, k: Int, delayMs: Long,
-      residual: Boolean = false): Dataset[PqHit] = {
+      residual: Boolean = false,
+      cellBooks: Seq[Seq[(Int, Seq[(Int, Seq[Double])])]] = null)
+      : Dataset[PqHit] = {
     import s.implicits._
     import graft.pipeline.SimilarityQueries.{PqM, PqW, PqK, foldDot}
     graft.functions.VectorExpressions.register(s)
@@ -587,15 +611,25 @@ object StreamingEvents {
         call_function("graft_sub", col("qv"),
           graft.functions.CentroidModels.cellVec(s, cents, col("probe_cid")))
       else col("qv")
-    // per-subspace 16-slot ADC table, projected per (query row, probe)
+    // per-subspace 16-slot ADC table, projected per (query row, probe):
+    // shared-family books inline as bounded literal slots (PqM·PqK·PqW
+    // doubles — codebook-sized, constant in nlist); PER-CELL families
+    // resolve the probed cell's own book from the one-broadcast family
+    // via graft_group_adc (a literal encoding would be O(nlist·PqK·PqW)
+    // plan nodes)
     val adts = (0 until PqM).map { sub =>
       val qs = slice(col("qb"), sub * PqW + 1, PqW)
-      val bm = books(sub).toMap
-      val slots = (0 until PqK).map(cid => bm.get(cid)
-        .map(cv => gdot(qs, qs) - lit(2.0) * gdot(qs, typedLit(cv)) +
-          lit(foldDot(cv, cv)))
-        .getOrElse(lit(Double.MaxValue)))
-      array(slots: _*).as(s"adt$sub")
+      if (cellBooks != null)
+        graft.functions.GroupedCentroidModels.adcTable(
+          s, cellBooks(sub), qs, col("probe_cid"), PqK).as(s"adt$sub")
+      else {
+        val bm = books(sub).toMap
+        val slots = (0 until PqK).map(cid => bm.get(cid)
+          .map(cv => gdot(qs, qs) - lit(2.0) * gdot(qs, typedLit(cv)) +
+            lit(foldDot(cv, cv)))
+          .getOrElse(lit(Double.MaxValue)))
+        array(slots: _*).as(s"adt$sub")
+      }
     }
     val probed = exploded.withColumn("qb", qb)
       .select(col("query_id") +: col("ts") +: col("probe_cid") +: adts: _*)
