@@ -2639,6 +2639,84 @@ ORDER BY query_id, rank"""
       pqAdcResidualCell(cents, groups, pqEvalQueries(s, e), probePairs))
   }
 
+  /** Round-trip readout of the persisted residual codebooks
+    * ([[pqrTables]]) — the [[pqModelStore]] discipline for the
+    * residual family: the oracle replays coarse Lloyd → residuals →
+    * per-subspace residual Lloyd in SQL, so a hash match proves the
+    * residual train → parquet → catalog read loses nothing. */
+  private val pqrModelStore: Q = (s, d) => {
+    val (booksT, _) = pqrTables(s, d)
+    graft.sources.ModelStore.read(s, booksT)
+      .select(col("sub"), col("cid"), col("dim"),
+        round(col("x"), 6).as("x"))
+      .orderBy("sub", "cid", "dim")
+  }
+
+  /** Round-trip readout of the persisted PER-CELL families
+    * ([[pqrcTables]]): the oracle replays the grouped per-cell Lloyd,
+    * so the match proves the whole nlist·PqM·PqK·PqW model survives
+    * the catalog round-trip. */
+  private val pqrcModelStore: Q = (s, d) => {
+    val (booksT, _) = pqrcTables(s, d)
+    graft.sources.ModelStore.read(s, booksT)
+      .select(col("sub"), col("cell"), col("code"), col("dim"),
+        round(col("x"), 6).as("x"))
+      .orderBy("sub", "cell", "code", "dim")
+  }
+
+  private lazy val pqrModelStoreSql = {
+    def sub(v: String, s: Int) = s"$v[${s * PqW + 1}:${(s + 1) * PqW}]"
+    val trainCtes = (0 until PqM).map { s =>
+      s"""res$s AS (
+  SELECT vec_id, ${sub("v", s)} AS v FROM rsd
+), rc0_$s AS (
+  SELECT vec_id AS cid, v AS cv FROM res$s WHERE vec_id < $PqK
+), ra1_$s AS (${assignSql(s"res$s", s"rc0_$s")}
+), rc1_$s AS (${updateSql(s"ra1_$s")}
+), ra2_$s AS (${assignSql(s"res$s", s"rc1_$s")}
+), rc2_$s AS (${updateSql(s"ra2_$s")}
+)"""
+    }.mkString(", ")
+    val rows = (0 until PqM).map { s =>
+      s"""SELECT $s AS sub, cid, generate_subscripts(cv, 1) AS dim,
+    unnest(cv) AS x FROM rc2_$s"""
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ${residualChainSql("e")}, $trainCtes
+SELECT CAST(sub AS INT) AS sub, CAST(cid AS INT) AS cid,
+  CAST(dim AS INT) AS dim, round(x, 6) AS x FROM ($rows)
+ORDER BY sub, cid, dim"""
+  }
+
+  private lazy val pqrcModelStoreSql = {
+    def sub(v: String, s: Int) = s"$v[${s * PqW + 1}:${(s + 1) * PqW}]"
+    val trainCtes = (0 until PqM).map { s =>
+      s"""res$s AS (
+  SELECT vec_id, cid, ${sub("v", s)} AS v FROM rsd
+), rc0_$s AS (
+  SELECT cid, CAST(rn - 1 AS INT) AS code, v AS cv FROM (
+    SELECT cid, v, row_number() OVER (PARTITION BY cid ORDER BY vec_id) AS rn
+    FROM res$s) WHERE rn <= $PqK
+), ra1_$s AS (${assignGroupSql(s"res$s", s"rc0_$s")}
+), rc1_$s AS (${updateGroupSql(s"ra1_$s")}
+), ra2_$s AS (${assignGroupSql(s"res$s", s"rc1_$s")}
+), rc2_$s AS (${updateGroupSql(s"ra2_$s")}
+)"""
+    }.mkString(", ")
+    val rows = (0 until PqM).map { s =>
+      s"""SELECT $s AS sub, cid AS cell, code, generate_subscripts(cv, 1) AS dim,
+    unnest(cv) AS x FROM rc2_$s"""
+    }.mkString("\n  UNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), ${residualChainSql("e")}, $trainCtes
+SELECT CAST(sub AS INT) AS sub, CAST(cell AS INT) AS cell,
+  CAST(code AS INT) AS code, CAST(dim AS INT) AS dim,
+  round(x, 6) AS x FROM ($rows)
+ORDER BY sub, cell, code, dim"""
+  }
+
   /** The full RESIDUAL IVF-PQ serving oracle over an arbitrary corpus
     * relation `rel` (declared by the CTEs in `head`) — the residual
     * analog of [[ivfPqServeSqlOver]], shared by the in-plan, stored,
@@ -3551,6 +3629,8 @@ ORDER BY e.query_id"""
     "ann_topk_ivfpq_residual_stored" -> topkIvfPqrStored,
     "ann_topk_ivfpq_residual_cell" -> topkIvfPqrCell,
     "ann_topk_ivfpq_residual_cell_stored" -> topkIvfPqrCellStored,
+    "ann_pqr_model_store" -> pqrModelStore,
+    "ann_pqrc_model_store" -> pqrcModelStore,
     "ann_ivfpqr_recluster_cycle" -> topkIvfPqrCycle,
     "ann_pq_model_store" -> pqModelStore,
     "dedup_embedding" -> embedDedup,
@@ -3604,6 +3684,8 @@ ORDER BY e.query_id"""
     "ann_topk_ivfpq_residual_stored" -> topkIvfPqResidualSql,
     "ann_topk_ivfpq_residual_cell" -> topkIvfPqrCellSql,
     "ann_topk_ivfpq_residual_cell_stored" -> topkIvfPqrCellSql,
+    "ann_pqr_model_store" -> pqrModelStoreSql,
+    "ann_pqrc_model_store" -> pqrcModelStoreSql,
     "ann_ivfpqr_recluster_cycle" -> ivfPqrCycleSql,
     "dedup_embedding" -> embedDedupSql,
     "dedup_semantic" -> semDedupSql,
