@@ -2639,6 +2639,57 @@ ORDER BY query_id, rank"""
       pqAdcResidualCell(cents, groups, pqEvalQueries(s, e), probePairs))
   }
 
+  /** The per-cell residual tier served for an ARBITRARY query
+    * relation — the deployable batch shape (the eval faces build the
+    * ADC as a driver-literal CASE keyed on (query, probed-cell)
+    * pairs, which is model state only while |Q|·nprobe stays tiny):
+    * probe selection, the query residual (`graft_cell_vec` +
+    * `graft_sub`), and each subspace's 16-slot table
+    * (`graft_group_adc` over the one-broadcast family) are all
+    * per-row PROJECTIONS, candidates come from the probed buckets of
+    * the stored code table, and ranking is m `element_at` lookups —
+    * the plan is O(1) in nlist AND in |Q|, the exact shape
+    * [[graft.streaming.StreamingEvents.annServePqrCellStream]]
+    * streams. The probed side (|Q|·nprobe rows of 4 slot arrays) is
+    * broadcast here; at millions of queries the same plan drops the
+    * hint and shuffles both sides on cid. Oracle: the in-plan
+    * per-cell text verbatim — the first oracle gate that exercises
+    * `graft_group_adc`/`graft_cell_vec` directly. */
+  private val topkIvfPqrCellBatch: Q = (s, d) => {
+    val e = embDouble(s, d).select(col("vec_id"), col("v"))
+    val (cents, _) = storedPqModels(s, d)
+    val (booksT, codesT) = pqrcTables(s, d)
+    val groups = cellBooksFrom(s, booksT)
+    graft.functions.VectorExpressions.register(s)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(graft.functions.CentroidModels.probes(
+          s, cents, col("v"), KmProbe)).as("probe_cid"))
+    val qb = call_function("graft_sub", col("qv"),
+      graft.functions.CentroidModels.cellVec(s, cents, col("probe_cid")))
+    val adts = (0 until PqM).map { sub =>
+      graft.functions.GroupedCentroidModels.adcTable(s, groups(sub),
+        slice(col("qb"), sub * PqW + 1, PqW), col("probe_cid"), PqK)
+        .as(s"adt$sub")
+    }
+    val probed = probes.withColumn("qb", qb)
+      .select(col("query_id") +: col("probe_cid") +: adts: _*)
+    val adc = (0 until PqM).map(sub =>
+      element_at(col(s"adt$sub"), col(s"code$sub") + 1)).reduce(_ + _)
+    val sims = graft.sources.BucketedStore.read(s, codesT)
+      .join(broadcast(probed),
+        col("cid") === col("probe_cid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adc.as("adc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc"), col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("adc"), 6).as("adc"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Round-trip readout of the persisted residual codebooks
     * ([[pqrTables]]) — the [[pqModelStore]] discipline for the
     * residual family: the oracle replays coarse Lloyd → residuals →
@@ -3631,6 +3682,7 @@ ORDER BY e.query_id"""
     "ann_topk_ivfpq_residual_cell_stored" -> topkIvfPqrCellStored,
     "ann_pqr_model_store" -> pqrModelStore,
     "ann_pqrc_model_store" -> pqrcModelStore,
+    "ann_topk_ivfpq_residual_cell_batch" -> topkIvfPqrCellBatch,
     "ann_ivfpqr_recluster_cycle" -> topkIvfPqrCycle,
     "ann_pq_model_store" -> pqModelStore,
     "dedup_embedding" -> embedDedup,
@@ -3686,6 +3738,7 @@ ORDER BY e.query_id"""
     "ann_topk_ivfpq_residual_cell_stored" -> topkIvfPqrCellSql,
     "ann_pqr_model_store" -> pqrModelStoreSql,
     "ann_pqrc_model_store" -> pqrcModelStoreSql,
+    "ann_topk_ivfpq_residual_cell_batch" -> topkIvfPqrCellSql,
     "ann_ivfpqr_recluster_cycle" -> ivfPqrCycleSql,
     "dedup_embedding" -> embedDedupSql,
     "dedup_semantic" -> semDedupSql,
