@@ -2674,9 +2674,17 @@ ORDER BY query_id, rank"""
     }
     val probed = probes.withColumn("qb", qb)
       .select(col("query_id") +: col("probe_cid") +: adts: _*)
+    // bucket pruning: the DISTINCT probed cids are bounded by
+    // nlist = O(√N) regardless of |Q| (31k ints at 10⁹ vectors — a
+    // model-sized collect), and the isin reaches the bucketed scan;
+    // at large |Q| the set approaches all cells and the filter
+    // naturally degrades to the full scan every bucket then needs
+    val probeCids = probed.select("probe_cid").distinct()
+      .collect().map(_.getInt(0)).sorted
     val adc = (0 until PqM).map(sub =>
       element_at(col(s"adt$sub"), col(s"code$sub") + 1)).reduce(_ + _)
     val sims = graft.sources.BucketedStore.read(s, codesT)
+      .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
       .join(broadcast(probed),
         col("cid") === col("probe_cid") && col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
