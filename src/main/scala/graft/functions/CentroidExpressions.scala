@@ -120,7 +120,13 @@ case class NearestCentroid(child: Expression, modelId: Long,
       var i = 0
       while (i < lim) { acc += m.flat(base + i) * v.getDouble(i); i += 1 }
       val d = m.norms(c) - 2.0 * acc
-      if (d < bestD) { bestD = d; bestC = m.cids(c); fired = true }
+      if (d < bestD) { bestD = d; bestC = m.cids(c) }
+      // ADVICE r15 (via NearestInGroup, same contract): `fired` marks
+      // "a comparison happened" (any non-NaN d), not "the strict <
+      // improved" — all-+Inf distances (overflowing inputs) must
+      // report +Inf like least()-over-structs would keep it, and only
+      // all-NaN inputs yield the NaN sentinel
+      if (d == d) fired = true
       c += 1
     }
     // d-parity with the least()-over-structs form (ADVICE r13): when
@@ -164,7 +170,8 @@ case class NearestCentroid(child: Expression, modelId: Long,
             $acc += $flat[$base + $i] * $v.getDouble($i);
           }
           final double $d = $norms[$c] - 2.0 * $acc;
-          if ($d < $bestD) { $bestD = $d; $bestC = $cids[$c]; $fired = true; }
+          if ($d < $bestD) { $bestD = $d; $bestC = $cids[$c]; }
+          if ($d == $d) { $fired = true; }
         }
         if (!$fired) $bestD = Double.NaN;
         ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -368,15 +375,43 @@ final class GroupedCentroidModel(
     val cids: Array[Int],
     val flat: Array[Double],
     val dim: Int,
-    val norms: Array[Double]) extends Serializable {
+    val norms: Array[Double],
+    /** Precomputed content digest (ADVICE r15): the registry keys on
+      * this instead of a deep boxed Seq hashCode — idFor is called
+      * PqM times per plan build and per Lloyd iteration, and the
+      * grouped families grow O(√N·dim·PqK). */
+    val digest: Long) extends Serializable {
   def nGroups: Int = groupKeys.length
+
+  override def hashCode: Int = (digest ^ (digest >>> 32)).toInt
+
+  /** Digest first; the primitive array comparison runs only on a
+    * digest match, as collision verification. */
+  override def equals(o: Any): Boolean = o match {
+    case m: GroupedCentroidModel => (m eq this) ||
+      (m.digest == digest && m.dim == dim &&
+        java.util.Arrays.equals(m.groupKeys, groupKeys) &&
+        java.util.Arrays.equals(m.starts, starts) &&
+        java.util.Arrays.equals(m.cids, cids) &&
+        java.util.Arrays.equals(m.flat, flat))
+    case _ => false
+  }
 }
 
 object GroupedCentroidModel {
+  /** xxHash-style 64-bit mixing step for the content digest. */
+  private def mix(h: Long, x: Long): Long =
+    (h ^ java.lang.Long.rotateLeft(x * 0x9E3779B97F4A7C15L, 31)) *
+      0xC2B2AE3D27D4EB4FL + 0x165667B19E3779F9L
+
   /** Build from (groupKey → (cid, centroid) rows). Within each group
     * the caller's order is preserved (cid-ascending by contract): the
     * argmin scans in this order with a strict `<`, so equal distances
-    * keep the smaller cid — the same tie-break as [[CentroidModel]]. */
+    * keep the smaller cid — the same tie-break as [[CentroidModel]].
+    * Contract violations fail HERE, loudly (ADVICE r15): a ragged
+    * family (mismatched vector lengths) or a duplicate cid within a
+    * group would otherwise surface as a far-away ArrayIndexOutOfBounds
+    * mid-fill or a silently overwritten ADC slot. */
   def of(groups: Seq[(Int, Seq[(Int, Seq[Double])])]): GroupedCentroidModel = {
     require(groups.nonEmpty, "grouped centroid model needs at least one group")
     require(groups.forall(_._2.nonEmpty),
@@ -390,19 +425,33 @@ object GroupedCentroidModel {
     val flat = new Array[Double](total * dim)
     val norms = new Array[Double](total)
     var g = 0; var c = 0
+    var h = mix(0x27D4EB2F165667C5L, dim.toLong)
+    val seen = new java.util.HashSet[Int]()
     sorted.foreach { case (gid, cents) =>
       groupKeys(g) = gid; starts(g) = c
+      h = mix(h, gid.toLong)
+      seen.clear()
       cents.foreach { case (cid, cv) =>
+        require(cv.length == dim,
+          s"grouped centroid model: gid $gid cid $cid has " +
+            s"dim ${cv.length}, expected $dim")
+        require(seen.add(cid),
+          s"grouped centroid model: duplicate cid $cid in gid $gid")
         cids(c) = cid
+        h = mix(h, cid.toLong)
         var i = 0
-        cv.foreach { x => flat(c * dim + i) = x; i += 1 }
+        cv.foreach { x =>
+          flat(c * dim + i) = x
+          h = mix(h, java.lang.Double.doubleToLongBits(x))
+          i += 1
+        }
         norms(c) = cv.foldLeft(0.0)((a, x) => a + x * x)
         c += 1
       }
       g += 1
     }
     starts(g) = c
-    new GroupedCentroidModel(groupKeys, starts, cids, flat, dim, norms)
+    new GroupedCentroidModel(groupKeys, starts, cids, flat, dim, norms, h)
   }
 }
 
@@ -455,7 +504,13 @@ case class NearestInGroup(vec: Expression, gid: Expression, modelId: Long,
       var i = 0
       while (i < lim) { acc += m.flat(base + i) * v.getDouble(i); i += 1 }
       val d = m.norms(c) - 2.0 * acc
-      if (d < bestD) { bestD = d; bestC = m.cids(c); fired = true }
+      if (d < bestD) { bestD = d; bestC = m.cids(c) }
+      // ADVICE r15: `fired` marks "a comparison happened" (any non-NaN
+      // d), not "the strict < improved" — all-+Infinity distances
+      // (overflowing inputs) must report +Inf like the oracle's ORDER
+      // BY would rank them, and only all-NaN inputs yield the NaN
+      // sentinel
+      if (d == d) fired = true
       c += 1
     }
     if (!fired) bestD = Double.NaN
@@ -500,7 +555,8 @@ case class NearestInGroup(vec: Expression, gid: Expression, modelId: Long,
             $acc += $flat[$base + $i] * $v.getDouble($i);
           }
           final double $d = $norms[$c] - 2.0 * $acc;
-          if ($d < $bestD) { $bestD = $d; $bestC = $cids[$c]; $fired = true; }
+          if ($d < $bestD) { $bestD = $d; $bestC = $cids[$c]; }
+          if ($d == $d) { $fired = true; }
         }
         if (!$fired) $bestD = Double.NaN;
         ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -616,7 +672,8 @@ case class GroupAdcTable(vec: Expression, gid: Expression, modelId: Long,
           final int $code = $mv.cids()[$c];
           if ($code < 0 || $code >= $nslots) {
             throw new IllegalArgumentException(
-              "graft_group_adc: code " + $code + " outside $nslots slots");
+              "graft_group_adc: code " + $code
+                + " outside $nslots slots for gid " + $g);
           }
           double $dot = 0.0; final int $base = $c * $mv.dim();
           for (int $i = 0; $i < $lim; $i++) {
@@ -788,12 +845,20 @@ object CentroidModels {
   * spaces are independent, which is why `graft_group_nearest` resolves
   * through this object and never through CentroidModels. */
 object GroupedCentroidModels {
+  // keyed on the BUILT model, not the nested Seq (ADVICE r15): the
+  // grouped families grow O(√N·dim·PqK), and structural Seq equality
+  // paid a deep boxed hashCode/equals per idFor call — PqM calls per
+  // plan build and per Lloyd iteration. GroupedCentroidModel hashes by
+  // its precomputed digest and verifies collisions with primitive
+  // Arrays.equals; building the flat model per call is the same O(model)
+  // walk the digest needs anyway, with no boxing.
   private val reg = new BroadcastModelRegistry[
-      Seq[(Int, Seq[(Int, Seq[Double])])], GroupedCentroidModel](
-    "grouped-centroid", GroupedCentroidModel.of)
+      GroupedCentroidModel, GroupedCentroidModel](
+    "grouped-centroid", identity)
 
   private[graft] def idFor(s: SparkSession,
-      groups: Seq[(Int, Seq[(Int, Seq[Double])])]): Long = reg.idFor(s, groups)
+      groups: Seq[(Int, Seq[(Int, Seq[Double])])]): Long =
+    reg.idFor(s, GroupedCentroidModel.of(groups))
 
   private[graft] def registrySize: Int = reg.registrySize
 

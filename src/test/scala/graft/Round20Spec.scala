@@ -1,0 +1,141 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-20 pins: recover wired into the read/boot path (VERDICT r15
+  * top item), the grouped-model contract checks and digest-keyed
+  * registry (ADVICE r15), and the NaN-vs-+Inf argmin distinction. */
+class Round20Spec extends SparkSpec {
+
+  private def locOf(table: String) = new org.apache.hadoop.fs.Path(
+    spark.sessionState.conf.warehousePath, table.toLowerCase)
+  private def fs = locOf("x").getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+  private def parkMidSwap(table: String): Unit = {
+    val loc = locOf(table)
+    val old = new org.apache.hadoop.fs.Path(
+      loc.getParent, "." + loc.getName + ".bkt-old")
+    assert(fs.rename(loc, old), s"crash simulation: park $table")
+    spark.catalog.refreshTable(table) // drop the cached healthy FileIndex
+  }
+
+  test("BucketedStore.read recovers a crashed mid-swap replace: a FRESH boot path serves with no explicit recover and no replace") {
+    // VERDICT r15 top item: recover's docstring promised every boot
+    // path calls it, but only replace() did — a process that died
+    // between the two swap renames left a fresh serving session
+    // failing at boot until a maintenance replace happened to run.
+    import spark.implicits._
+    val t = "graft_r20_boot_t"
+    Seq(t, t + "__stage").foreach(x =>
+      graft.sources.BucketedStore.clearTable(spark, x))
+    val a = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "x")
+    graft.sources.BucketedStore.write(a, t, "doc_id", 2)
+    graft.sources.BucketedStore.replace(
+      spark.table(t).unionByName(Seq((3L, "c")).toDF("doc_id", "x")),
+      t, Seq("doc_id"), 2)
+    parkMidSwap(t)
+    // the boot path: read only — no recover call, no replace
+    assert(graft.sources.BucketedStore.read(spark, t).count() == 3,
+      "read must roll the half-swap forward and serve the full store")
+    // and the store is healthy again: a plain read sees it too
+    assert(spark.table(t).count() == 3)
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+  }
+
+  test("ingest sink boots over a mid-swap-crashed history store: the batch probes and lands with no manual recovery") {
+    // consumer-level proof: dedupIngestBatch's base reads go through
+    // BucketedStore.read, so a serving session that inherits a
+    // half-swapped sketch store just works.
+    requireFixture(SfMid)
+    import graft.pipeline.{DedupQueries, DupCorpus}
+    import graft.streaming.StreamingEvents
+    val ns = "_rb20"
+    DedupQueries.historyStoresExecute(spark, SfMid, ns)
+    val (dB, dSk, pT) = DedupQueries.ingestTables(SfMid, ns)
+    Seq(dB, dSk, pT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    val (bandsT, skT) = DedupQueries.historyStores(SfMid, ns)
+    // make both history stores replace-maintained, then crash each
+    // mid-swap: the catalog entries survive, the locations are parked
+    graft.sources.BucketedStore.replace(
+      spark.table(bandsT), bandsT, Seq("band_idx", "k1", "k2"), 8)
+    graft.sources.BucketedStore.replace(
+      spark.table(skT), skT, Seq("doc_id"), 8)
+    val skBefore = spark.table(skT).count()
+    parkMidSwap(bandsT)
+    parkMidSwap(skT)
+    graft.pipeline.CachePool.memoDrop(("mhBaseBloom", SfMid, ns))
+    val newSlice = DupCorpus.corpus(spark, SfMid)
+      .filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+    StreamingEvents.dedupIngestBatch(spark, SfMid, ns)(newSlice, 0L)
+    assert(spark.table(pT).count() > 0, "the parked history must probe")
+    assert(spark.table(skT).count() == skBefore, "history intact")
+    Seq(dB, dSk, pT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
+  test("grouped model contract checks fail at build: ragged dims and duplicate codes name the offender (ADVICE r15)") {
+    val ragged = Seq(
+      (1, Seq((0, Seq(0.0, 1.0)), (1, Seq(1.0, 0.0)))),
+      (5, Seq((0, Seq(2.0, 2.0)), (1, Seq(-1.0)))))
+    val e1 = intercept[IllegalArgumentException] {
+      graft.functions.GroupedCentroidModel.of(ragged)
+    }
+    assert(e1.getMessage.contains("gid 5 cid 1") &&
+      e1.getMessage.contains("dim 1, expected 2"))
+    val dup = Seq((1, Seq((0, Seq(0.0, 1.0)), (0, Seq(1.0, 0.0)))))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.functions.GroupedCentroidModel.of(dup)
+    }
+    assert(e2.getMessage.contains("duplicate cid 0 in gid 1"))
+  }
+
+  test("grouped registry: digest-keyed idFor is stable for equal families and distinguishes different ones") {
+    val fam1 = Seq(
+      (1, Seq((0, Seq(0.0, 1.0)), (1, Seq(1.0, 0.0)))),
+      (5, Seq((0, Seq(2.0, 2.0)), (1, Seq(-1.0, -1.0)))))
+    // a structurally-equal but distinct Seq instance: same id (the
+    // broadcast is shared, not re-minted per plan build)
+    val fam1b = fam1.map { case (g, cs) => (g, cs.map(identity)) }
+    val fam2 = Seq((1, Seq((0, Seq(0.0, 1.0)), (1, Seq(1.0, 0.125)))))
+    val id1 = graft.functions.GroupedCentroidModels.idFor(spark, fam1)
+    val id1b = graft.functions.GroupedCentroidModels.idFor(spark, fam1b)
+    val id2 = graft.functions.GroupedCentroidModels.idFor(spark, fam2)
+    assert(id1 == id1b, "equal families must share one broadcast id")
+    assert(id1 != id2, "different families must not alias")
+    val m1 = graft.functions.GroupedCentroidModel.of(fam1)
+    val m1b = graft.functions.GroupedCentroidModel.of(fam1b)
+    val m2 = graft.functions.GroupedCentroidModel.of(fam2)
+    assert(m1.digest == m1b.digest && m1 == m1b)
+    assert(m1.digest != m2.digest && m1 != m2)
+  }
+
+  test("graft_group_nearest distinguishes all-+Inf distances from the all-NaN sentinel (ADVICE r15)") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val groups = Seq((1, Seq((0, Seq(1.0e300, 1.0e300)),
+      (1, Seq(-1.0e300, -1.0e300)))))
+    val bc = spark.sparkContext.broadcast(
+      graft.functions.GroupedCentroidModel.of(groups))
+    def evalOn(v: Seq[Double]) = graft.functions.NearestInGroup(
+        Literal.create(v, ArrayType(DoubleType)), Literal(1), 0L, bc)
+      .eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    // ‖c‖² overflows to +Inf for both codes and the dot can't pull it
+    // back: every d = +Inf. The oracle's ORDER BY ranks +Inf normally,
+    // so the expression must report (+Inf, first code), not NaN.
+    val inf = evalOn(Seq(0.0, 0.0))
+    assert(inf.getDouble(0).isPosInfinity && inf.getInt(1) == 0)
+    // the NaN sentinel stays reserved for vectors with NaN components
+    val nan = evalOn(Seq(Double.NaN, Double.NaN))
+    assert(nan.getDouble(0).isNaN && nan.getInt(1) == 0)
+    // codegen path agrees
+    import spark.implicits._
+    val df = Seq((1L, Seq(0.0, 0.0), 1), (2L, Seq(Double.NaN, Double.NaN), 1))
+      .toDF("id", "v", "gid")
+    val rows = df.select(col("id"),
+        graft.functions.GroupedCentroidModels.nearestInGroup(
+          spark, groups, col("v"), col("gid")).getField("d").as("d"))
+      .orderBy("id").collect()
+    assert(rows(0).getDouble(1).isPosInfinity)
+    assert(rows(1).getDouble(1).isNaN)
+  }
+}
