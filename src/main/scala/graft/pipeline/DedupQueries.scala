@@ -284,6 +284,21 @@ ORDER BY doc_a, doc_b"""
       s"graft_mh_ingest_pairs$ns" + s"_$h")
   }
 
+  /** Catalog name of the FOLDED half of the emitted-pairs log
+    * (VERDICT r15 #3: the pairs table previously grew one small
+    * parquet file per batch FOREVER and the read side paid a full
+    * `distinct()` per read over the whole history). [[ingestTables]]'s
+    * pairs table is now the append-shaped DELTA only;
+    * [[compactIngestHistory]] periodically folds it into this
+    * bucketed, distinct base — the same staged-swap discipline and the
+    * same self-driving trigger as the band/sketch deltas — after which
+    * the read side ([[graft.streaming.StreamingEvents
+    * .dedupIngestPairs]]) is a plain bucketed scan. */
+  private[graft] def pairsBaseTable(d: String, ns: String = ""): String = {
+    val h = d.hashCode & 0x7fffffff
+    s"graft_mh_pairs_base$ns" + s"_$h"
+  }
+
   /** MAINTENANCE: fold the ingest delta into the bucketed history and
     * truncate it — the dedup analog of the ANN re-cluster fold. The
     * append-shaped delta grows per accepted batch and joins without
@@ -315,8 +330,9 @@ ORDER BY doc_a, doc_b"""
   private[graft] def compactIngestHistory(s: SparkSession, d: String,
       ns: String = ""): Unit = {
     val (bandsT, skT) = historyStores(d, ns)
-    val (dB, dSk, _) = ingestTables(d, ns)
-    if (!s.catalog.tableExists(dB) && !s.catalog.tableExists(dSk)) return
+    val (dB, dSk, pairsT) = ingestTables(d, ns)
+    if (!s.catalog.tableExists(dB) && !s.catalog.tableExists(dSk) &&
+        !s.catalog.tableExists(pairsT)) return
     if (s.catalog.tableExists(dB)) {
       val novel = s.table(dB).join(
         s.table(bandsT).select("doc_id").distinct(), Seq("doc_id"),
@@ -332,7 +348,26 @@ ORDER BY doc_a, doc_b"""
         s.table(skT).unionByName(novel), skT, Seq("doc_id"), 8)
     }
     Seq(dB, dSk).foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+    // pairs-log retention (VERDICT r15 #3): fold the append-shaped
+    // pairs delta into the bucketed distinct base — distinct over the
+    // union absorbs both crash-replay duplicates within the delta AND
+    // a delta left behind by a crash between this replace and the drop
+    // below (its rows are already in the base; re-folding adds nothing
+    // twice). Post-fold reads are a plain bucketed scan.
+    if (s.catalog.tableExists(pairsT)) {
+      val pb = pairsBaseTable(d, ns)
+      val base =
+        if (s.catalog.tableExists(pb)) graft.sources.BucketedStore.read(s, pb)
+        else s.table(pairsT).limit(0)
+      graft.sources.BucketedStore.replace(
+        base.unionByName(s.table(pairsT)).distinct(), pb,
+        Seq("doc_a", "doc_b"), 8)
+      s.sql(s"DROP TABLE IF EXISTS `$pairsT`")
+    }
     CachePool.memoDrop(("mhBaseBloom", d, ns))
+    // reset the sink's running delta-size counter (VERDICT r15 #7) so
+    // an externally-triggered fold never leaves it stale-high
+    CachePool.memoDrop(("mhDeltaDocs", d, ns))
   }
 
   /** The ingest-history LIFECYCLE as one oracle-gated face, in its own
@@ -352,7 +387,8 @@ ORDER BY doc_a, doc_b"""
     VectorExpressions.register(s)
     CachePool.memoized(("mhCompactFace", d)) {
       val (dB, dSk, pT) = ingestTables(d, "_lc")
-      Seq(dB, dSk, pT).foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
+      Seq(dB, dSk, pT, pairsBaseTable(d, "_lc"))
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
       historyStoresExecute(s, d, "_lc")
       graft.streaming.StreamingEvents.dedupIngestBatch(s, d, "_lc")(
         DupCorpus.corpus(s, d)

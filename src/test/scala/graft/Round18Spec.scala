@@ -132,7 +132,8 @@ class Round18Spec extends SparkSpec {
     requireFixture(SfMid)
     graft.pipeline.DedupQueries.historyStoresExecute(spark, SfMid)
     val (dB, dSk, pT) = graft.pipeline.DedupQueries.ingestTables(SfMid)
-    Seq(dB, dSk, pT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    Seq(dB, dSk, pT, graft.pipeline.DedupQueries.pairsBaseTable(SfMid))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     def row(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), r.getDouble(2))
     val want = SparkEntry.queries("dedup_minhash_incremental")(spark, SfMid)
@@ -253,7 +254,8 @@ class Round18Spec extends SparkSpec {
     import graft.streaming.StreamingEvents
     DedupQueries.historyStoresExecute(spark, Sf)
     val (dB, dSk, pT) = DedupQueries.ingestTables(Sf)
-    Seq(dB, dSk, pT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    Seq(dB, dSk, pT, DedupQueries.pairsBaseTable(Sf))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     val newSlice = DupCorpus.corpus(spark, Sf)
       .filter(col("doc_id") % 5 === 0).select("doc_id", "text")
     // land one accepted batch through the real sink, then compact
@@ -279,7 +281,8 @@ class Round18Spec extends SparkSpec {
     if (spark.catalog.tableExists(dB))
       assert(spark.table(dB).count() == 0, "redelivered ids must not re-land")
     // restore a clean slate for other suites sharing the Sf namespace
-    Seq(dB, dSk, pT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    Seq(dB, dSk, pT, DedupQueries.pairsBaseTable(Sf))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     graft.pipeline.CachePool.memoDrop(("mhHistory", Sf, ""))
     DedupQueries.historyStoresExecute(spark, Sf)
   }

@@ -59,7 +59,8 @@ class Round19Spec extends SparkSpec {
     val ns = "_cc19"
     DedupQueries.historyStoresExecute(spark, SfMid, ns)
     val (dB, dSk, pT) = DedupQueries.ingestTables(SfMid, ns)
-    Seq(dB, dSk, pT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    Seq(dB, dSk, pT, DedupQueries.pairsBaseTable(SfMid, ns))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     val newSlice = DupCorpus.corpus(spark, SfMid)
       .filter(col("doc_id") % 5 === 0).select("doc_id", "text")
     StreamingEvents.dedupIngestBatch(spark, SfMid, ns)(newSlice, 0L)
@@ -83,7 +84,8 @@ class Round19Spec extends SparkSpec {
     assert(spark.table(skT).select("doc_id").distinct().count() ==
       spark.table(skT).count(), "one sketch per doc")
     assert(!spark.catalog.tableExists(dB) && !spark.catalog.tableExists(dSk))
-    Seq(dB, dSk, pT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    Seq(dB, dSk, pT, DedupQueries.pairsBaseTable(SfMid, ns))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
   test("mid-stream compaction with NO manual cache invalidation: post-fold batches still yield exactly the incremental relation") {
@@ -99,7 +101,8 @@ class Round19Spec extends SparkSpec {
     val ns = "_mc19"
     DedupQueries.historyStoresExecute(spark, SfMid, ns)
     val (dB, dSk, pT) = DedupQueries.ingestTables(SfMid, ns)
-    Seq(dB, dSk, pT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    Seq(dB, dSk, pT, DedupQueries.pairsBaseTable(SfMid, ns))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     def row(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), r.getDouble(2))
     val want = SparkEntry.queries("dedup_minhash_incremental")(spark, SfMid)
@@ -116,7 +119,10 @@ class Round19Spec extends SparkSpec {
     val redeliveredId = b1.agg(min("doc_id")).collect()(0).getLong(0)
     StreamingEvents.dedupIngestBatch(spark, SfMid, ns)(
       b2.unionByName(b1.filter(col("doc_id") === redeliveredId)), 1L)
-    val got = spark.table(pT).distinct().collect().map(row).toSet
+    // batch 1's pairs were folded into the bucketed pairs base at the
+    // mid-stream compaction; the read face unions base ∪ delta
+    val got = StreamingEvents.dedupIngestPairs(spark, SfMid, ns)
+      .collect().map(row).toSet
     assert(got.forall { case (a, b, _) => a < b }, "no self-pairs")
     assert(got == want,
       s"streamed ${got.size} vs batch ${want.size}; " +
@@ -124,7 +130,8 @@ class Round19Spec extends SparkSpec {
     // the folded-then-redelivered doc must not re-land in the delta
     assert(spark.table(dSk).filter(col("doc_id") === redeliveredId)
       .count() == 0, "folded doc re-landed: stale known-id caches")
-    Seq(dB, dSk, pT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    Seq(dB, dSk, pT, DedupQueries.pairsBaseTable(SfMid, ns))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
   test("ingest replay after a crash BETWEEN the two delta appends: no self-pair, no double-append (ADVICE r14)") {
@@ -177,7 +184,8 @@ class Round19Spec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     DedupQueries.historyStoresExecute(spark, SfMid)
     val (dB, dSk, pT) = DedupQueries.ingestTables(SfMid)
-    Seq(dB, dSk, pT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    Seq(dB, dSk, pT, DedupQueries.pairsBaseTable(SfMid))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     graft.pipeline.CachePool.memoDrop(("mhBaseBloom", SfMid, ""))
     def row(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getLong(1), r.getDouble(2))
@@ -218,7 +226,8 @@ class Round19Spec extends SparkSpec {
     assert(spark.table(skT).count() == totalSk,
       "compacted base must hold one sketch per corpus doc")
     // restore the boot layout for suites sharing the default namespace
-    Seq(dB, dSk, pT).foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    Seq(dB, dSk, pT, DedupQueries.pairsBaseTable(SfMid))
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS `$t`"))
     graft.pipeline.CachePool.memoDrop(("mhHistory", SfMid, ""))
     DedupQueries.historyStoresExecute(spark, SfMid)
   }
