@@ -2698,6 +2698,62 @@ ORDER BY query_id, rank"""
       .orderBy("query_id", "rank")
   }
 
+  /** The SHARED-family residual tier served for an ARBITRARY query
+    * relation — [[topkIvfPqrCellBatch]]'s deployable batch shape
+    * ported to the shared codebooks (VERDICT r15 #4: the batch shape
+    * with a direct oracle gate existed only for the per-cell tier).
+    * Identical plan: probes, the query residual (`graft_cell_vec` +
+    * `graft_sub`), and each subspace's 16-slot table are per-row
+    * PROJECTIONS — the shared book rides the same codegen'd
+    * `graft_group_adc` as a singleton-group family (gid 0), so the
+    * slot arithmetic is the proven IEEE sequence and the plan stays
+    * O(1) in nlist AND |Q|. Candidates come from the probed buckets
+    * of the stored residual-code table; ranking is m `element_at`
+    * lookups + one window top-k. The probed side (|Q|·nprobe rows of
+    * 4 slot arrays) is broadcast here; at millions of queries the
+    * same plan drops the hint and shuffles both sides on cid.
+    * Oracle: the shared-residual text verbatim. */
+  private val topkIvfPqrBatch: Q = (s, d) => {
+    val e = embDouble(s, d).select(col("vec_id"), col("v"))
+    val (cents, _) = storedPqModels(s, d)
+    val (booksT, codesT) = pqrTables(s, d)
+    val books = booksFrom(s, booksT)
+    graft.functions.VectorExpressions.register(s)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(graft.functions.CentroidModels.probes(
+          s, cents, col("v"), KmProbe)).as("probe_cid"))
+    val qb = call_function("graft_sub", col("qv"),
+      graft.functions.CentroidModels.cellVec(s, cents, col("probe_cid")))
+    val adts = (0 until PqM).map { sub =>
+      graft.functions.GroupedCentroidModels.adcTable(s,
+        Seq((0, books(sub))),
+        slice(col("qb"), sub * PqW + 1, PqW), lit(0), PqK)
+        .as(s"adt$sub")
+    }
+    val probed = probes.withColumn("qb", qb)
+      .select(col("query_id") +: col("probe_cid") +: adts: _*)
+    // bucket pruning: distinct probed cids are bounded by nlist =
+    // O(√N) regardless of |Q| (see topkIvfPqrCellBatch)
+    val probeCids = probed.select("probe_cid").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val adc = (0 until PqM).map(sub =>
+      element_at(col(s"adt$sub"), col(s"code$sub") + 1)).reduce(_ + _)
+    val sims = graft.sources.BucketedStore.read(s, codesT)
+      .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*))
+      .join(broadcast(probed),
+        col("cid") === col("probe_cid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adc.as("adc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc"), col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("adc"), 6).as("adc"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Round-trip readout of the persisted residual codebooks
     * ([[pqrTables]]) — the [[pqModelStore]] discipline for the
     * residual family: the oracle replays coarse Lloyd → residuals →
@@ -3691,6 +3747,7 @@ ORDER BY e.query_id"""
     "ann_pqr_model_store" -> pqrModelStore,
     "ann_pqrc_model_store" -> pqrcModelStore,
     "ann_topk_ivfpq_residual_cell_batch" -> topkIvfPqrCellBatch,
+    "ann_topk_ivfpq_residual_batch" -> topkIvfPqrBatch,
     "ann_ivfpqr_recluster_cycle" -> topkIvfPqrCycle,
     "ann_pq_model_store" -> pqModelStore,
     "dedup_embedding" -> embedDedup,
@@ -3747,6 +3804,7 @@ ORDER BY e.query_id"""
     "ann_pqr_model_store" -> pqrModelStoreSql,
     "ann_pqrc_model_store" -> pqrcModelStoreSql,
     "ann_topk_ivfpq_residual_cell_batch" -> topkIvfPqrCellSql,
+    "ann_topk_ivfpq_residual_batch" -> topkIvfPqResidualSql,
     "ann_ivfpqr_recluster_cycle" -> ivfPqrCycleSql,
     "dedup_embedding" -> embedDedupSql,
     "dedup_semantic" -> semDedupSql,

@@ -132,6 +132,21 @@ class Round20Spec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS `$t`"))
   }
 
+  test("shared-residual batch face: the arbitrary-|Q| column shape is bit-equal to the stored eval face") {
+    // VERDICT r15 #4: both residual tiers now have the deployable
+    // batch shape. The per-(query, probe) slot tables ride the same
+    // codegen'd graft_group_adc as the per-cell tier (singleton-group
+    // family), so every (query, neighbor, rank, adc) must match the
+    // driver-literal eval face exactly.
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    val batch = SparkEntry.queries("ann_topk_ivfpq_residual_batch")(
+      spark, Sf).collect().map(row).toSeq
+    val stored = SparkEntry.queries("ann_topk_ivfpq_residual_stored")(
+      spark, Sf).collect().map(row).toSeq
+    assert(batch == stored && batch.nonEmpty)
+  }
+
   test("grouped model contract checks fail at build: ragged dims and duplicate codes name the offender (ADVICE r15)") {
     val ragged = Seq(
       (1, Seq((0, Seq(0.0, 1.0)), (1, Seq(1.0, 0.0)))),
