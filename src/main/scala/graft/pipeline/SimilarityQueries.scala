@@ -1334,6 +1334,18 @@ FROM (
       s"graft_ivfcyc_rbooks_${h}_g$g")
   }
 
+  /** Per-generation PER-CELL residual-PQ tables (VERDICT r15 #2: the
+    * per-cell tier — the one that wins when cells are populous — had
+    * stored/streaming/batch faces but NO generation cycle, so a
+    * production per-cell deployment could not retrain without a
+    * serving gap): base/delta per-cell code tables plus the
+    * generation-trained per-cell family model. */
+  private[graft] def cyclePqrcNames(d: String, g: Int): (String, String, String) = {
+    val h = d.hashCode & 0x7fffffff
+    (s"graft_ivfcyc_pqrcb_${h}_g$g", s"graft_ivfcyc_pqrcd_${h}_g$g",
+      s"graft_ivfcyc_cbooks_${h}_g$g")
+  }
+
   /** The m subspace codebooks as one unpivoted (sub, cid, dim, x)
     * model relation — the [[centDf]] of the PQ family, shared by
     * [[pqModelTables]] and the generation stores. */
@@ -1411,10 +1423,12 @@ FROM (
       def stage(g: Int, cents: Seq[(Int, Seq[Double])],
                 books: Seq[Seq[(Int, Seq[Double])]],
                 rbooks: Seq[Seq[(Int, Seq[Double])]],
+                cgroups: Seq[Seq[(Int, Seq[(Int, Seq[Double])])]],
                 base: DataFrame, delta: DataFrame): Unit = {
         val (b, dl, c) = cycleNames(d, g)
         val (pqb, pqd, bk) = cyclePqNames(d, g)
         val (pqrb, pqrd, rbk) = cyclePqrNames(d, g)
+        val (pqrcb, pqrcd, cbk) = cyclePqrcNames(d, g)
         graft.sources.BucketedStore.write(
           assignCells(base, cents), b, "cid", cents.length)
         graft.sources.BucketedStore.write(
@@ -1433,20 +1447,40 @@ FROM (
         graft.sources.BucketedStore.write(
           encodePqr(delta, cents, rbooks), pqrd, "cid", cents.length)
         graft.sources.ModelStore.write(booksDf(s, rbooks), rbk)
+        // the PER-CELL tier stages WITH its generation too (VERDICT
+        // r15 #2): per-cell codes against this generation's families
+        graft.sources.BucketedStore.write(
+          encodePqrCell(base, cents, cgroups), pqrcb, "cid", cents.length)
+        graft.sources.BucketedStore.write(
+          encodePqrCell(delta, cents, cgroups), pqrcd, "cid", cents.length)
+        graft.sources.ModelStore.write(cellBooksDf(s, cgroups), cbk)
       }
       def publish(g: Int): Unit = {
         val (b, dl, c) = cycleNames(d, g)
         val (pqb, pqd, bk) = cyclePqNames(d, g)
         val (pqrb, pqrd, rbk) = cyclePqrNames(d, g)
+        val (pqrcb, pqrcd, cbk) = cyclePqrcNames(d, g)
         graft.sources.ModelStore.write(
-          Seq((g, b, dl, c, pqb, pqd, bk, pqrb, pqrd, rbk))
+          Seq((g, b, dl, c, pqb, pqd, bk, pqrb, pqrd, rbk,
+              pqrcb, pqrcd, cbk))
             .toDF("gen", "t_base", "t_delta", "t_cents",
               "t_pqb", "t_pqd", "t_books",
-              "t_pqrb", "t_pqrd", "t_rbooks"),
+              "t_pqrb", "t_pqrd", "t_rbooks",
+              "t_pqrcb", "t_pqrcd", "t_cbooks"),
           ptrT)
       }
       def rTrain(rel: DataFrame, cents: Seq[(Int, Seq[Double])]) =
         pqTrain(s, residualOf(rel, cents).select(col("vec_id"), col("v")))
+      // per-cell families train on the generation's FULL staged
+      // relation (base ∪ delta), not the base alone like the shared
+      // tiers: a per-cell encode needs a family for EVERY cell the
+      // staged rows occupy, and a delta row may land in a cell no base
+      // row reached — the shared books have no such totality
+      // requirement. Day-2 rows encode through the pointer against
+      // the live generation's corpus-trained families (their cells are
+      // occupied by construction).
+      def cTrain(rel: DataFrame, cents: Seq[(Int, Seq[Double])]) =
+        pqrCellTrain(s, CachePool.cached(residualOf(rel, cents)))
       val e = embDouble(s, d).select(col("vec_id"), col("v"))
       val n = e.count()
       // cycle 1, day 1: the base-trained upserted tier, pointer-addressed
@@ -1454,24 +1488,28 @@ FROM (
         e.filter(pmod(col("vec_id"), lit(10L)) =!= 9L))
       val cents1 = baseCentroids(s, d)
       stage(1, cents1, pqTrain(s, base1), rTrain(base1, cents1),
+        cTrain(e, cents1),
         base1, e.filter(pmod(col("vec_id"), lit(10L)) === 9L))
       publish(1)
       // recluster #1: retrain on base ∪ delta = the corpus; fold in
       // (the corpus-wide residual books ARE the pqrBooks memo — same
-      // relation, same trajectory)
+      // relation, same trajectory; likewise the per-cell families ARE
+      // the pqrCellBooks memo)
       stage(2, corpusCentroids(s, d), pqCodebooks(s, d), pqrBooks(s, d),
-        e, e.limit(0))
+        pqrCellBooks(s, d), e, e.limit(0))
       require(graft.sources.BucketedStore.read(s, cycleNames(d, 2)._1)
         .count() == n, "cycle audit: g2 must hold the corpus")
       publish(2)
       // day 2: upsert THROUGH THE POINTER — frozen live-generation
       // cells + codebooks (all read back from the published catalog
       // tables, the serving job's own upsert path), pointer-named
-      // delta tables for cells AND codes AND residual codes
+      // delta tables for cells AND codes AND residual codes AND
+      // per-cell codes
       val ptr = graft.sources.ModelStore.read(s, ptrT).collect()(0)
       val (gCents, gBase, gDelta) = ptrModelAt(s, ptrT)
       val (gPqd, gBooksT) = (ptr.getString(5), ptr.getString(6))
       val (gPqrd, gRBooksT) = (ptr.getString(8), ptr.getString(9))
+      val (gPqrcd, gCBooksT) = (ptr.getString(11), ptr.getString(12))
       val day2 = CachePool.cached(day2Batch(s, d, n))
       graft.sources.BucketedStore.write(
         assignCells(day2, gCents), gDelta, "cid", gCents.length)
@@ -1481,6 +1519,9 @@ FROM (
       graft.sources.BucketedStore.write(
         encodePqr(day2, gCents, booksFrom(s, gRBooksT)), gPqrd, "cid",
         gCents.length)
+      graft.sources.BucketedStore.write(
+        encodePqrCell(day2, gCents, cellBooksFrom(s, gCBooksT)), gPqrcd,
+        "cid", gCents.length)
       // recluster #2: base ∪ delta read back from the SERVING tier
       val corpus2 = CachePool.cached(
         graft.sources.BucketedStore.read(s, gBase)
@@ -1490,7 +1531,7 @@ FROM (
       val n2 = corpus2.count()
       val cents3 = kmeansCentroids(s, corpus2)
       stage(3, cents3, pqTrain(s, corpus2), rTrain(corpus2, cents3),
-        corpus2, corpus2.limit(0))
+        cTrain(corpus2, cents3), corpus2, corpus2.limit(0))
       require(graft.sources.BucketedStore.read(s, cycleNames(d, 3)._1)
         .count() == n2, "cycle audit: g3 must hold corpus + day-2")
       publish(3)
@@ -1507,7 +1548,8 @@ FROM (
       val (b, dl, c) = cycleNames(d, g)
       val (pqb, pqd, bk) = cyclePqNames(d, g)
       val (pqrb, pqrd, rbk) = cyclePqrNames(d, g)
-      Seq(b, dl, c, pqb, pqd, bk, pqrb, pqrd, rbk)
+      val (pqrcb, pqrcd, cbk) = cyclePqrcNames(d, g)
+      Seq(b, dl, c, pqb, pqd, bk, pqrb, pqrd, rbk, pqrcb, pqrcd, cbk)
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS `$t`"))
     }
 
@@ -2322,6 +2364,61 @@ ORDER BY query_id, rank"""
     pqServe(encoded, probes,
       pqAdcResidual(cents, books, pqEvalQueries(s, e), probePairs))
   }
+
+  /** PER-CELL residual serving AFTER TWO MAINTENANCE CYCLES (VERDICT
+    * r15 #2): the per-cell tier walked through the same pointer
+    * lifecycle as the shared tiers — coarse quantizer, per-cell
+    * families, and base ∪ delta per-cell code tables (day-2 encoded
+    * THROUGH the pointer, g1 reaped) all resolve through the CYCLE
+    * POINTER — and serving runs the deployable batch plan shape
+    * ([[topkIvfPqrCellBatch]]: per-row probes, `graft_cell_vec` +
+    * `graft_sub` query residual, `graft_group_adc` slot tables over
+    * the one-broadcast family; never a driver-literal CASE). The
+    * answer must equal full-relation PER-CELL residual IVF-PQ over
+    * corpus ∪ day-2 — [[ivfPqrCellServeSqlOver]] over the unioned
+    * relation; a stale pointer serves pre-fold codes or the wrong
+    * generation's families and hash-mismatches. */
+  private val topkIvfPqrcCycle: Q = (s, d) => {
+    reclusterCycleExecute(s, d)
+    val e = embDouble(s, d).select(col("vec_id"), col("v"))
+    val ptr = graft.sources.ModelStore.read(s, cyclePtr(d)).collect()(0)
+    val (cents, _, _) = ptrModelAt(s, cyclePtr(d))
+    val (pqrcbT, pqrcdT) = (ptr.getString(10), ptr.getString(11))
+    val groups = cellBooksFrom(s, ptr.getString(12))
+    graft.functions.VectorExpressions.register(s)
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        explode(graft.functions.CentroidModels.probes(
+          s, cents, col("v"), KmProbe)).as("probe_cid"))
+    val qb = call_function("graft_sub", col("qv"),
+      graft.functions.CentroidModels.cellVec(s, cents, col("probe_cid")))
+    val adts = (0 until PqM).map { sub =>
+      graft.functions.GroupedCentroidModels.adcTable(s, groups(sub),
+        slice(col("qb"), sub * PqW + 1, PqW), col("probe_cid"), PqK)
+        .as(s"adt$sub")
+    }
+    val probed = probes.withColumn("qb", qb)
+      .select(col("query_id") +: col("probe_cid") +: adts: _*)
+    val probeCids = probed.select("probe_cid").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val adc = (0 until PqM).map(sub =>
+      element_at(col(s"adt$sub"), col(s"code$sub") + 1)).reduce(_ + _)
+    val sims = Seq(pqrcbT, pqrcdT)
+      .map(t => graft.sources.BucketedStore.read(s, t)
+        .filter(col("cid").isin(probeCids.map(Integer.valueOf): _*)))
+      .reduce(_.unionByName(_))
+      .join(broadcast(probed),
+        col("cid") === col("probe_cid") && col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adc.as("adc"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc"), col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("adc"), 6).as("adc"))
+      .orderBy("query_id", "rank")
+  }
   /** RESIDUAL product quantization — closing [[topkIvfPq]]'s declared
     * simplification ("codes quantize the raw vectors with one shared
     * codebook rather than per-cell residuals"): codes quantize
@@ -3006,6 +3103,8 @@ ORDER BY e.query_id"""
 
   private val ivfPqCycleSql = ivfPqServeSqlOver(cycleCorpusHead, "ive2")
   private lazy val ivfPqrCycleSql = ivfPqrServeSqlOver(cycleCorpusHead, "ive2")
+  private lazy val ivfPqrcCycleSql =
+    ivfPqrCellServeSqlOver(cycleCorpusHead, "ive2")
 
   /** Random-hyperplane LSH ANN — the second scale path next to IVF:
     * 12 sign-of-dot bits per vector (hyperplane components are a
@@ -3749,6 +3848,7 @@ ORDER BY e.query_id"""
     "ann_topk_ivfpq_residual_cell_batch" -> topkIvfPqrCellBatch,
     "ann_topk_ivfpq_residual_batch" -> topkIvfPqrBatch,
     "ann_ivfpqr_recluster_cycle" -> topkIvfPqrCycle,
+    "ann_ivfpqrc_recluster_cycle" -> topkIvfPqrcCycle,
     "ann_pq_model_store" -> pqModelStore,
     "dedup_embedding" -> embedDedup,
     "dedup_semantic" -> semDedup,
@@ -3806,6 +3906,7 @@ ORDER BY e.query_id"""
     "ann_topk_ivfpq_residual_cell_batch" -> topkIvfPqrCellSql,
     "ann_topk_ivfpq_residual_batch" -> topkIvfPqResidualSql,
     "ann_ivfpqr_recluster_cycle" -> ivfPqrCycleSql,
+    "ann_ivfpqrc_recluster_cycle" -> ivfPqrcCycleSql,
     "dedup_embedding" -> embedDedupSql,
     "dedup_semantic" -> semDedupSql,
     "embed_quantize" -> quantizeSql,

@@ -147,6 +147,36 @@ class Round20Spec extends SparkSpec {
     assert(batch == stored && batch.nonEmpty)
   }
 
+  test("per-cell residual lifecycle: generation-scoped per-cell tables — g1 reaped, g2 drain, g3 live; pointer names them; day-2 encoded through the pointer") {
+    // VERDICT r15 #2: the per-cell tier joins the maintenance cycle
+    // exactly like the shared residual tier.
+    import graft.pipeline.SimilarityQueries
+    SimilarityQueries.reclusterCycleExecute(spark, Sf)
+    val g1 = SimilarityQueries.cyclePqrcNames(Sf, 1)
+    val g2 = SimilarityQueries.cyclePqrcNames(Sf, 2)
+    val g3 = SimilarityQueries.cyclePqrcNames(Sf, 3)
+    Seq(g1._1, g1._2, g1._3).foreach(t =>
+      assert(!spark.catalog.tableExists(t), s"g1 table $t must be reaped"))
+    (Seq(g2._1, g2._2, g2._3) ++ Seq(g3._1, g3._2, g3._3)).foreach(t =>
+      assert(spark.catalog.tableExists(t), s"$t must survive"))
+    val ptr = graft.sources.ModelStore
+      .read(spark, SimilarityQueries.cyclePtr(Sf)).collect()(0)
+    assert((ptr.getString(10), ptr.getString(11), ptr.getString(12)) == g3)
+    // g3's base per-cell code table holds corpus + day-2 (the day-2
+    // batch was encoded THROUGH the g2 pointer, then folded)
+    val n = Tables.embeddings(spark, Sf).count()
+    val n2 = n + Tables.embeddings(spark, Sf)
+      .filter(col("vec_id") % 7 === 3).count()
+    val codes = spark.table(g3._1)
+    assert(codes.count() == n2, "g3 per-cell codes must cover corpus + day-2")
+    assert(codes.filter(col("code0") < 0 || col("code0") > 15).count() == 0)
+    assert(codes.filter(col("vec_id") >= n).count() == n2 - n)
+    // the g2 DELTA per-cell table holds exactly the day-2 batch — the
+    // through-the-pointer upsert the serving tier ran on day 2
+    assert(spark.table(g2._2).count() == n2 - n,
+      "day-2 per-cell codes must have landed in the pointer-named delta")
+  }
+
   test("grouped model contract checks fail at build: ragged dims and duplicate codes name the offender (ADVICE r15)") {
     val ragged = Seq(
       (1, Seq((0, Seq(0.0, 1.0)), (1, Seq(1.0, 0.0)))),
