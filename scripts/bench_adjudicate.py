@@ -1,0 +1,190 @@
+#!/usr/bin/env python3
+"""Mechanical bench-drift adjudication (VERDICT r15 #5).
+
+Two rounds in a row closed on a narrative "host drift" thesis. This
+script makes the call mechanical:
+
+  * `record` stamps a Bench window (the full per-query JSON line) with
+    uptime/loadavg and saves it under bench/windows/.
+  * `report` takes a round's windows, computes each query's BEST
+    (min) time across them, and compares against the committed
+    all-time per-query reference (bench/reference.json). A query
+    moved if best > max(ref * 1.25, ref + 0.1). Movers on queries the
+    round TOUCHED are expected and listed separately; movers on
+    untouched queries are flagged, and a query flagged in two
+    CONSECUTIVE rounds is marked PROFILE — profile it, don't narrate.
+    `--update-ref` folds the round's new minima and flag history back
+    into the reference.
+
+Usage:
+  bench_adjudicate.py record --label r16_w1 --bench-json /tmp/bench.out
+  bench_adjudicate.py report --round 16 --touched ann_,dedup_ \\
+      bench/windows/r16_*.json [--update-ref]
+"""
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF = os.path.join(REPO, "bench", "reference.json")
+WINDOWS = os.path.join(REPO, "bench", "windows")
+
+
+def parse_bench_line(text):
+    """The Bench main prints two JSON lines; take the one with the
+    per-query map (stderr noise and sbt banners are skipped)."""
+    for line in text.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"queries"' in line:
+            return json.loads(line)
+    raise SystemExit("no Bench JSON line with a queries map found")
+
+
+def cmd_record(args):
+    text = (open(args.bench_json).read() if args.bench_json
+            else sys.stdin.read())
+    bench = parse_bench_line(text)
+    with open("/proc/loadavg") as f:
+        load = f.read().split()[:3]
+    with open("/proc/uptime") as f:
+        uptime_s = float(f.read().split()[0])
+    out = {
+        "label": args.label,
+        "total": bench["value"],
+        "sf": bench.get("sf"),
+        "passes": bench.get("passes"),
+        "loadavg": [float(x) for x in load],
+        "uptime_s": uptime_s,
+        "queries": bench["queries"],
+    }
+    os.makedirs(WINDOWS, exist_ok=True)
+    path = os.path.join(WINDOWS, args.label + ".json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(f"recorded {path}: total={out['total']}s "
+          f"load={','.join(load)} n={len(out['queries'])}")
+
+
+def load_ref():
+    if os.path.exists(REF):
+        with open(REF) as f:
+            return json.load(f)
+    return {"queries": {}, "flags": {}, "updated_round": None}
+
+
+def moved(best, ref):
+    return best > max(ref * 1.25, ref + 0.1)
+
+
+def cmd_report(args):
+    ref = load_ref()
+    touched = [t for t in (args.touched or "").split(",") if t]
+    wins = []
+    for path in args.windows:
+        with open(path) as f:
+            wins.append(json.load(f))
+    if not wins:
+        raise SystemExit("no windows given")
+    names = sorted(set().union(*[w["queries"].keys() for w in wins]))
+    best = {n: min(w["queries"][n] for w in wins if n in w["queries"])
+            for n in names}
+
+    print(f"## Bench adjudication — round {args.round}")
+    print()
+    print("| window | total s | queries | loadavg | uptime h |")
+    print("|---|---|---|---|---|")
+    for w in wins:
+        print(f"| {w['label']} | {w['total']:.1f} | {len(w['queries'])} "
+              f"| {'/'.join(str(x) for x in w['loadavg'])} "
+              f"| {w['uptime_s']/3600:.1f} |")
+    print()
+
+    movers, expected, new_queries = [], [], []
+    for n in names:
+        if n not in ref["queries"]:
+            new_queries.append(n)
+            continue
+        r = ref["queries"][n]
+        if not moved(best[n], r):
+            continue
+        if any(n.startswith(t) or t in n for t in touched):
+            expected.append((n, r, best[n]))
+        else:
+            movers.append((n, r, best[n]))
+
+    flags = dict(ref.get("flags", {}))
+    if movers:
+        print("### Movers on UNTOUCHED queries (best window vs all-time min)")
+        print()
+        print("| query | ref s | best s | delta | flagged rounds | status |")
+        print("|---|---|---|---|---|---|")
+        for n, r, b in sorted(movers, key=lambda x: x[2] - x[1],
+                              reverse=True):
+            hist = flags.get(n, [])
+            status = ("PROFILE" if hist and hist[-1] == args.round - 1
+                      else "watch")
+            print(f"| {n} | {r:.3f} | {b:.3f} | +{(b/r-1)*100:.0f}% "
+                  f"| {hist + [args.round]} | {status} |")
+        print()
+    else:
+        print("### No movers on untouched queries — drift gate clean")
+        print()
+    if expected:
+        print("### Movers on TOUCHED queries (expected — new/changed faces)")
+        print()
+        print("| query | ref s | best s | delta |")
+        print("|---|---|---|---|")
+        for n, r, b in sorted(expected):
+            print(f"| {n} | {r:.3f} | {b:.3f} | +{(b/r-1)*100:.0f}% |")
+        print()
+    if new_queries:
+        print(f"### New queries entering the reference: "
+              f"{len(new_queries)}")
+        print()
+
+    if args.update_ref:
+        for n in names:
+            prev = ref["queries"].get(n)
+            ref["queries"][n] = round(min(best[n], prev)
+                                      if prev is not None else best[n], 3)
+        for n, _, _ in movers:
+            flags.setdefault(n, [])
+            if args.round not in flags[n]:
+                flags[n].append(args.round)
+        # a query that did NOT move this round clears its streak
+        for n in list(flags):
+            if n in ref["queries"] and n in best and \
+                    not moved(best[n], ref["queries"][n]):
+                del flags[n]
+        ref["flags"] = flags
+        ref["updated_round"] = args.round
+        os.makedirs(os.path.dirname(REF), exist_ok=True)
+        with open(REF, "w") as f:
+            json.dump(ref, f, indent=1, sort_keys=True)
+        print(f"reference updated: {len(ref['queries'])} queries, "
+              f"{len(flags)} active flags")
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pr = sub.add_parser("record")
+    pr.add_argument("--label", required=True)
+    pr.add_argument("--bench-json",
+                    help="file with Bench stdout (default: stdin)")
+    pr.set_defaults(fn=cmd_record)
+    pp = sub.add_parser("report")
+    pp.add_argument("--round", type=int, required=True)
+    pp.add_argument("--touched", default="",
+                    help="comma list of query names/prefixes the round's "
+                         "diff touched (their movers are expected)")
+    pp.add_argument("--update-ref", action="store_true")
+    pp.add_argument("windows", nargs="+")
+    pp.set_defaults(fn=cmd_report)
+    args = p.parse_args()
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -573,6 +573,26 @@ object StreamingEvents {
       residual = true, cellBooks = sq.cellBooksFrom(s, booksT))
   }
 
+  /** Streaming PER-CELL residual ADC through the cycled GENERATION
+    * POINTER — the per-cell analog of [[annServePqrPtrStreamAt]],
+    * completing the tier's lifecycle online face (VERDICT r15 #2):
+    * resolve the pointer at boot, load the published generation's
+    * coarse quantizer and per-cell families from their catalog
+    * tables, and serve from ITS base ∪ delta per-cell code tables.
+    * A reaped generation is unreachable because the pointer no longer
+    * names it; a maintenance publish is picked up at the next
+    * restart. */
+  def annServePqrcPtrStreamAt(queries: DataFrame,
+      s: org.apache.spark.sql.SparkSession, ptrTable: String,
+      k: Int = 5, delayMs: Long = 7200000L): Dataset[PqHit] = {
+    val sq = graft.pipeline.SimilarityQueries
+    val (cents, cellBooks, pqrcbT, pqrcdT) = sq.ptrPqrcModelAt(s, ptrTable)
+    annServePqCore(queries, s, cents, Nil,
+      graft.sources.BucketedStore.read(s, pqrcbT)
+        .unionByName(graft.sources.BucketedStore.read(s, pqrcdT)),
+      k, delayMs, residual = true, cellBooks = cellBooks)
+  }
+
   private def annServePqCore(queries: DataFrame,
       s: org.apache.spark.sql.SparkSession,
       cents: Seq[(Int, Seq[Double])],

@@ -177,6 +177,40 @@ class Round20Spec extends SparkSpec {
       "day-2 per-cell codes must have landed in the pointer-named delta")
   }
 
+  test("streaming PER-CELL residual ADC through the CYCLED pointer: serves generation 3's per-cell codes after the reap") {
+    import spark.implicits._
+    import graft.streaming.StreamingEvents
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))
+    val want = SparkEntry.queries("ann_ivfpqrc_recluster_cycle")(spark, Sf)
+      .filter(col("query_id").isin(2L, 3L, 7L))
+      .collect().map(row).toSet
+    val qvs = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id").isin(2L, 3L, 7L))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, Seq[Double])]
+    val typed = mem.toDF().toDF("ts_ms", "query_id", "qv")
+      .select(timestamp_millis(col("ts_ms")).as("ts"),
+        col("query_id"), col("qv"))
+    val q = StreamingEvents.annServePqrcPtrStreamAt(typed, spark,
+        graft.pipeline.SimilarityQueries.cyclePtr(Sf),
+        k = 5, delayMs = 3600000L)
+      .writeStream.format("memory").queryName("ann_serve_pqrc_cyc")
+      .outputMode("append").start()
+    try {
+      mem.addData(qvs.map { case (id, v) => (1000L, id, v) }: _*)
+      q.processAllAvailable()
+      mem.addData((1000L + 3600000L * 3, 999L, qvs.head._2))
+      q.processAllAvailable()
+      val got = spark.table("ann_serve_pqrc_cyc").collect().map(row).toSet
+      assert(got == want, s"streamed $got vs batch $want")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("grouped model contract checks fail at build: ragged dims and duplicate codes name the offender (ADVICE r15)") {
     val ragged = Seq(
       (1, Seq((0, Seq(0.0, 1.0)), (1, Seq(1.0, 0.0)))),
