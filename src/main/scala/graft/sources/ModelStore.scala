@@ -60,7 +60,7 @@ object ModelStore {
       // complete model — roll it forward before anything is deleted.
       // Deleting `old` as a "stale leftover" here destroyed that last
       // copy and made every retry fail on rename(loc, old).
-      if (!fs.exists(loc) && fs.exists(old)) fs.rename(old, loc)
+      recover(spark, table)
       fs.delete(tmp, true) // a half-written stage IS safe to discard
       df.write.mode("overwrite").parquet(tmp.toString)
       val swapped =
@@ -83,5 +83,32 @@ object ModelStore {
     }
   }
 
-  def read(spark: SparkSession, table: String): DataFrame = spark.table(table)
+  /** Crash roll-forward for a retrain swap: a process that died
+    * between the two swap renames left the model's location missing
+    * and the only complete copy parked at the dot-prefixed old path —
+    * promote it back. Idempotent; called by [[write]] before it
+    * touches anything and by [[read]], the boot path of every
+    * model-table consumer (the same round-15-top-item gap
+    * [[BucketedStore.read]] closed: recovery that only a maintenance
+    * write runs leaves a FRESH serving session failing at boot).
+    * The healthy fast path costs one `fs.exists`. */
+  private[graft] def recover(spark: SparkSession, table: String): Unit = {
+    val loc = new Path(
+      spark.sessionState.conf.warehousePath, table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = new Path(loc.getParent, "." + loc.getName + ".model-old")
+    if (!fs.exists(loc) && fs.exists(old)) {
+      fs.rename(old, loc)
+      if (spark.catalog.tableExists(table)) spark.catalog.refreshTable(table)
+    }
+  }
+
+  /** THE read/boot path for model tables: rolls a crashed mid-swap
+    * retrain forward before resolving the table, so a fresh serving
+    * session never scans a missing location while the sole complete
+    * model sits parked at the dot-prefixed old path. */
+  def read(spark: SparkSession, table: String): DataFrame = {
+    recover(spark, table)
+    spark.table(table)
+  }
 }

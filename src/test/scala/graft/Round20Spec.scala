@@ -42,6 +42,31 @@ class Round20Spec extends SparkSpec {
     spark.sql(s"DROP TABLE IF EXISTS `$t`")
   }
 
+  test("ModelStore.read recovers a crashed mid-swap retrain: a FRESH boot path serves with no explicit recover and no retrain") {
+    // the same gap BucketedStore.read closed this round, one module
+    // over: write() rolled a crashed swap forward, but a process that
+    // died between the two renames left every FRESH serving session
+    // failing at boot until the next retrain ran.
+    import spark.implicits._
+    val t = "graft_r20_model_t"
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+    graft.sources.ModelStore.write(
+      Seq((1, 0.5), (2, 1.5)).toDF("cid", "x"), t)
+    // same-schema retrain takes the swap path
+    graft.sources.ModelStore.write(
+      Seq((1, 0.25), (2, 1.25), (3, 2.25)).toDF("cid", "x"), t)
+    val loc = locOf(t)
+    val old = new org.apache.hadoop.fs.Path(
+      loc.getParent, "." + loc.getName + ".model-old")
+    assert(fs.rename(loc, old), "crash simulation: park the live model")
+    spark.catalog.refreshTable(t)
+    // the boot path: read only — no recover call, no retrain
+    assert(graft.sources.ModelStore.read(spark, t).count() == 3,
+      "read must roll the half-swap forward and serve the full model")
+    assert(spark.table(t).count() == 3)
+    spark.sql(s"DROP TABLE IF EXISTS `$t`")
+  }
+
   test("ingest sink boots over a mid-swap-crashed history store: the batch probes and lands with no manual recovery") {
     // consumer-level proof: dedupIngestBatch's base reads go through
     // BucketedStore.read, so a serving session that inherits a
