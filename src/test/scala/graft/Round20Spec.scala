@@ -236,6 +236,44 @@ class Round20Spec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("pairs fold crash window: a delta stranded between the replace and its drop double-counts nothing — reads stay exact, the next fold converges") {
+    requireFixture(SfMid)
+    import spark.implicits._
+    import graft.pipeline.{DedupQueries, DupCorpus}
+    import graft.streaming.StreamingEvents
+    val ns = "_pc20"
+    DedupQueries.historyStoresExecute(spark, SfMid, ns)
+    val (dB, dSk, pT) = DedupQueries.ingestTables(SfMid, ns)
+    val pb = DedupQueries.pairsBaseTable(SfMid, ns)
+    Seq(dB, dSk, pT, pb).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+    def row(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val want = SparkEntry.queries("dedup_minhash_incremental")(spark, SfMid)
+      .collect().map(row).toSet
+    val newSlice = DupCorpus.corpus(spark, SfMid)
+      .filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+    StreamingEvents.dedupIngestBatch(spark, SfMid, ns)(newSlice, 0L)
+    // crash simulation: the pairs REPLACE committed (fold into the
+    // bucketed base) but the process died before the delta drop —
+    // every delta row is now ALSO in the base
+    graft.sources.BucketedStore.replace(
+      spark.table(pT).distinct(), pb, Seq("doc_a", "doc_b"), 8)
+    assert(spark.catalog.tableExists(pT), "delta must survive the crash")
+    // reads in the crash window: distinct over base ∪ delta — exact
+    assert(StreamingEvents.dedupIngestPairs(spark, SfMid, ns)
+      .collect().map(row).toSet == want, "crash-window read must be exact")
+    // the replayed fold converges: distinct over the union adds
+    // nothing twice, the delta drops, post-fold reads are exact
+    DedupQueries.compactIngestHistory(spark, SfMid, ns)
+    assert(!spark.catalog.tableExists(pT))
+    assert(StreamingEvents.dedupIngestPairs(spark, SfMid, ns)
+      .collect().map(row).toSet == want, "post-fold read must be exact")
+    assert(spark.table(pb).count() == want.size, "no double-fold")
+    Seq(dB, dSk, pT, pb).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS `$t`"))
+  }
+
   test("grouped model contract checks fail at build: ragged dims and duplicate codes name the offender (ADVICE r15)") {
     val ragged = Seq(
       (1, Seq((0, Seq(0.0, 1.0)), (1, Seq(1.0, 0.0)))),
