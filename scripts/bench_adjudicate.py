@@ -90,59 +90,26 @@ def cmd_report(args):
     best = {n: min(w["queries"][n] for w in wins if n in w["queries"])
             for n in names}
 
-    print(f"## Bench adjudication — round {args.round}")
-    print()
-    print("| window | total s | queries | loadavg | uptime h |")
-    print("|---|---|---|---|---|")
-    for w in wins:
-        print(f"| {w['label']} | {w['total']:.1f} | {len(w['queries'])} "
-              f"| {'/'.join(str(x) for x in w['loadavg'])} "
-              f"| {w['uptime_s']/3600:.1f} |")
-    print()
-
+    # classify BEFORE any update mutates the reference
+    pre_queries = dict(ref["queries"])
     movers, expected, new_queries = [], [], []
     for n in names:
-        if n not in ref["queries"]:
+        if n not in pre_queries:
             new_queries.append(n)
             continue
-        r = ref["queries"][n]
+        r = pre_queries[n]
         if not moved(best[n], r):
             continue
         if any(n.startswith(t) or t in n for t in touched):
             expected.append((n, r, best[n]))
         else:
             movers.append((n, r, best[n]))
-
     flags = dict(ref.get("flags", {}))
-    if movers:
-        print("### Movers on UNTOUCHED queries (best window vs all-time min)")
-        print()
-        print("| query | ref s | best s | delta | flagged rounds | status |")
-        print("|---|---|---|---|---|---|")
-        for n, r, b in sorted(movers, key=lambda x: x[2] - x[1],
-                              reverse=True):
-            hist = flags.get(n, [])
-            status = ("PROFILE" if hist and hist[-1] == args.round - 1
-                      else "watch")
-            print(f"| {n} | {r:.3f} | {b:.3f} | +{(b/r-1)*100:.0f}% "
-                  f"| {hist + [args.round]} | {status} |")
-        print()
-    else:
-        print("### No movers on untouched queries — drift gate clean")
-        print()
-    if expected:
-        print("### Movers on TOUCHED queries (expected — new/changed faces)")
-        print()
-        print("| query | ref s | best s | delta |")
-        print("|---|---|---|---|")
-        for n, r, b in sorted(expected):
-            print(f"| {n} | {r:.3f} | {b:.3f} | +{(b/r-1)*100:.0f}% |")
-        print()
-    if new_queries:
-        print(f"### New queries entering the reference: "
-              f"{len(new_queries)}")
-        print()
+    pre_flags = {n: list(v) for n, v in flags.items()}
 
+    # update the reference FIRST: a piped stdout (| head) may close
+    # before the report finishes printing, and the write must not be
+    # lost to a BrokenPipeError raised mid-report
     if args.update_ref:
         for n in names:
             prev = ref["queries"].get(n)
@@ -162,6 +129,46 @@ def cmd_report(args):
         os.makedirs(os.path.dirname(REF), exist_ok=True)
         with open(REF, "w") as f:
             json.dump(ref, f, indent=1, sort_keys=True)
+
+    print(f"## Bench adjudication — round {args.round}")
+    print()
+    print("| window | total s | queries | loadavg | uptime h |")
+    print("|---|---|---|---|---|")
+    for w in wins:
+        print(f"| {w['label']} | {w['total']:.1f} | {len(w['queries'])} "
+              f"| {'/'.join(str(x) for x in w['loadavg'])} "
+              f"| {w['uptime_s']/3600:.1f} |")
+    print()
+
+    if movers:
+        print("### Movers on UNTOUCHED queries (best window vs all-time min)")
+        print()
+        print("| query | ref s | best s | delta | flagged rounds | status |")
+        print("|---|---|---|---|---|---|")
+        for n, r, b in sorted(movers, key=lambda x: x[2] - x[1],
+                              reverse=True):
+            hist = pre_flags.get(n, [])
+            status = "PROFILE" if args.round - 1 in hist else "watch"
+            shown = hist if args.round in hist else hist + [args.round]
+            print(f"| {n} | {r:.3f} | {b:.3f} | +{(b/r-1)*100:.0f}% "
+                  f"| {shown} | {status} |")
+        print()
+    else:
+        print("### No movers on untouched queries — drift gate clean")
+        print()
+    if expected:
+        print("### Movers on TOUCHED queries (expected — new/changed faces)")
+        print()
+        print("| query | ref s | best s | delta |")
+        print("|---|---|---|---|")
+        for n, r, b in sorted(expected):
+            print(f"| {n} | {r:.3f} | {b:.3f} | +{(b/r-1)*100:.0f}% |")
+        print()
+    if new_queries:
+        print(f"### New queries entering the reference: "
+              f"{len(new_queries)}")
+        print()
+    if args.update_ref:
         print(f"reference updated: {len(ref['queries'])} queries, "
               f"{len(flags)} active flags")
 
@@ -187,4 +194,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:
+        # stdout piped into head: the reference write (if any) already
+        # happened before the report printing; exit quietly
+        os._exit(0)
