@@ -34,17 +34,32 @@ object Profile {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.CacheManager",
       org.apache.logging.log4j.Level.ERROR)
-    names.foreach { name =>
+    val timed = names.flatMap { name =>
       val fn = SparkEntry.queries(name)
       if (reps == 0) { // explain mode: dump the formatted physical plan
         println(s"===== $name =====")
         println(fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
-      } else (1 to reps).foreach { r =>
+        None
+      } else Some(name -> (1 to reps).map { r =>
         val t0 = System.nanoTime()
         val n = fn(spark, sfDir).count()
-        println(f"[profile] $name rep$r ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
-      }
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[profile] $name rep$r $dt%.2fs rows=$n")
+        dt
+      })
+    }
+    // machine-readable tail for scripts/profile_flags.py and
+    // scripts/residency_probe.py: this is the COLD-session half of
+    // the residency measurement (fresh JVM, only the probed queries'
+    // state resident), same line shape as Bench's resident probe
+    if (timed.nonEmpty) {
+      def fmt(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+      val qobj = timed.map { case (n, ts) =>
+        "\"" + n + "\":[" + ts.map(fmt).mkString(",") + "]"
+      }.mkString("{", ",", "}")
+      println(Bench.residencyLine("cold", qobj, spark, sfDir))
     }
     spark.stop()
   }

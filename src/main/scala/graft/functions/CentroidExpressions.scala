@@ -120,13 +120,16 @@ case class NearestCentroid(child: Expression, modelId: Long,
       var i = 0
       while (i < lim) { acc += m.flat(base + i) * v.getDouble(i); i += 1 }
       val d = m.norms(c) - 2.0 * acc
-      if (d < bestD) { bestD = d; bestC = m.cids(c) }
-      // ADVICE r15 (via NearestInGroup, same contract): `fired` marks
-      // "a comparison happened" (any non-NaN d), not "the strict <
-      // improved" — all-+Inf distances (overflowing inputs) must
+      // ADVICE r15/r16 (via NearestInGroup, same contract): `fired`
+      // marks "a comparison happened" (any non-NaN d), not "the strict
+      // < improved" — all-+Inf distances (overflowing inputs) must
       // report +Inf like least()-over-structs would keep it, and only
-      // all-NaN inputs yield the NaN sentinel
-      if (d == d) fired = true
+      // all-NaN inputs yield the NaN sentinel. The FIRST non-NaN entry
+      // also claims bestC even when the strict < never fires (its d is
+      // the +Inf seed): the struct-sort tie-break keeps the first +Inf
+      // entry's cid, not the NaN-seeded cids(0) (ADVICE r16).
+      if (d < bestD) { bestD = d; bestC = m.cids(c); fired = true }
+      else if (!fired && d == d) { bestC = m.cids(c); fired = true }
       c += 1
     }
     // d-parity with the least()-over-structs form (ADVICE r13): when
@@ -170,8 +173,11 @@ case class NearestCentroid(child: Expression, modelId: Long,
             $acc += $flat[$base + $i] * $v.getDouble($i);
           }
           final double $d = $norms[$c] - 2.0 * $acc;
-          if ($d < $bestD) { $bestD = $d; $bestC = $cids[$c]; }
-          if ($d == $d) { $fired = true; }
+          // first non-NaN entry claims $bestC even on +Inf ties
+          // (ADVICE r16: struct-sort tie-break), and the !$fired
+          // guard short-circuits the steady state
+          if ($d < $bestD) { $bestD = $d; $bestC = $cids[$c]; $fired = true; }
+          else if (!$fired && $d == $d) { $bestC = $cids[$c]; $fired = true; }
         }
         if (!$fired) $bestD = Double.NaN;
         ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -504,13 +510,16 @@ case class NearestInGroup(vec: Expression, gid: Expression, modelId: Long,
       var i = 0
       while (i < lim) { acc += m.flat(base + i) * v.getDouble(i); i += 1 }
       val d = m.norms(c) - 2.0 * acc
-      if (d < bestD) { bestD = d; bestC = m.cids(c) }
       // ADVICE r15: `fired` marks "a comparison happened" (any non-NaN
       // d), not "the strict < improved" — all-+Infinity distances
       // (overflowing inputs) must report +Inf like the oracle's ORDER
       // BY would rank them, and only all-NaN inputs yield the NaN
-      // sentinel
-      if (d == d) fired = true
+      // sentinel. ADVICE r16: the FIRST non-NaN entry also claims
+      // bestC when the strict < never fires (all non-NaN d are the
+      // +Inf seed), matching the struct-sort tie-break — never the
+      // NaN-seeded cids(from).
+      if (d < bestD) { bestD = d; bestC = m.cids(c); fired = true }
+      else if (!fired && d == d) { bestC = m.cids(c); fired = true }
       c += 1
     }
     if (!fired) bestD = Double.NaN
@@ -555,8 +564,11 @@ case class NearestInGroup(vec: Expression, gid: Expression, modelId: Long,
             $acc += $flat[$base + $i] * $v.getDouble($i);
           }
           final double $d = $norms[$c] - 2.0 * $acc;
-          if ($d < $bestD) { $bestD = $d; $bestC = $cids[$c]; }
-          if ($d == $d) { $fired = true; }
+          // first non-NaN entry claims $bestC even on +Inf ties
+          // (ADVICE r16: struct-sort tie-break), and the !$fired
+          // guard short-circuits the steady state
+          if ($d < $bestD) { $bestD = $d; $bestC = $cids[$c]; $fired = true; }
+          else if (!$fired && $d == $d) { $bestC = $cids[$c]; $fired = true; }
         }
         if (!$fired) $bestD = Double.NaN;
         ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

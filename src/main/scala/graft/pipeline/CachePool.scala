@@ -125,4 +125,12 @@ object CachePool {
     * for (e.g. the ingest-history compaction), where a full
     * [[release]] would needlessly drop every other trained model. */
   def memoDrop(key: Any): Unit = synchronized { memo.remove(key); () }
+
+  /** Diagnostic counts for the suite-residency probe (VERDICT r16
+    * #4): how much pooled/memoized state a long-lived session has
+    * accreted — recorded as covariates next to end-of-suite vs
+    * cold-session timings so residency cost is a measurement, not a
+    * hypothesis. */
+  def poolSize: Int = synchronized { pool.size }
+  def memoSize: Int = synchronized { memo.size }
 }

@@ -365,8 +365,15 @@ ORDER BY doc_a, doc_b"""
       s.sql(s"DROP TABLE IF EXISTS `$pairsT`")
     }
     CachePool.memoDrop(("mhBaseBloom", d, ns))
-    // reset the sink's running delta-size counter (VERDICT r15 #7) so
-    // an externally-triggered fold never leaves it stale-high
+    // reset the sink's running delta-size counter (VERDICT r15 #7).
+    // Scope (ADVICE r16): this drop only reaches THIS JVM's memo — a
+    // fold run by this process (the sink's own trigger or an
+    // in-process maintenance call) never leaves the counter
+    // stale-high. A fold run by a SEPARATE maintenance process leaves
+    // the streaming process's counter high until its next batch
+    // triggers one spurious compaction — idempotent and harmless (the
+    // delta it folds is just small), after which the re-seeded
+    // counter is accurate again.
     CachePool.memoDrop(("mhDeltaDocs", d, ns))
   }
 

@@ -1261,14 +1261,28 @@ FROM (
     * upserted tier's pointer and the lifecycle-cycle namespace. */
   private[graft] def ptrModelAt(s: SparkSession, ptrTable: String)
       : (Seq[(Int, Seq[Double])], String, String) = {
-    import s.implicits._
     val p = graft.sources.ModelStore.read(s, ptrTable).collect()(0)
-    val (tb, td, tc) = (p.getString(1), p.getString(2), p.getString(3))
-    val cents = graft.sources.ModelStore.read(s, tc)
+    (centsFromPtrRow(s, p), p.getString(1), p.getString(2))
+  }
+
+  /** Load the coarse quantizer named by an ALREADY-READ pointer row —
+    * the single-read discipline (ADVICE r16): a tier resolver that
+    * collects the pointer for its own columns and then calls
+    * [[ptrModelAt]] reads the pointer TWICE, and a maintenance
+    * publish landing between the two reads hands back the new
+    * generation's centroids with the old generation's table names —
+    * mixed generations at boot. Every pointer-walking resolver reads
+    * the pointer row once and resolves the quantizer from that row's
+    * centroid-table name here; the generation-named centroid table
+    * itself is immutable once published, so this second catalog read
+    * cannot mix generations. */
+  private def centsFromPtrRow(s: SparkSession,
+      p: org.apache.spark.sql.Row): Seq[(Int, Seq[Double])] = {
+    import s.implicits._
+    graft.sources.ModelStore.read(s, p.getString(3))
       .as[(Int, Int, Double)].collect().toSeq
       .groupBy(_._1).map { case (cid, xs) =>
         (cid, xs.sortBy(_._2).map(_._3).toSeq) }.toSeq.sortBy(_._1)
-    (cents, tb, td)
   }
 
   private[graft] def serveFromPtr(s: SparkSession, d: String): DataFrame =
@@ -1477,8 +1491,16 @@ FROM (
       // staged rows occupy, and a delta row may land in a cell no base
       // row reached — the shared books have no such totality
       // requirement. Day-2 rows encode through the pointer against
-      // the live generation's corpus-trained families (their cells are
-      // occupied by construction).
+      // the live generation's corpus-trained families — and that is
+      // an explicit LOUD-FAIL contract of the per-cell tier's upsert
+      // path (ADVICE r16), not a guarantee: a day-2 vector whose
+      // nearest coarse cell had no training member hits
+      // graft_group_nearest's unknown-gid IllegalArgumentException
+      // (naming the cell) rather than encoding against a wrong family
+      // or silently dropping; the remediation is the recluster, whose
+      // cTrain covers every cell the staged base ∪ delta occupies.
+      // (In THIS face day-2 is a slice of the same corpus the live
+      // generation trained on, so the upsert happens to succeed.)
       def cTrain(rel: DataFrame, cents: Seq[(Int, Seq[Double])]) =
         pqrCellTrain(s, CachePool.cached(residualOf(rel, cents)))
       val e = embDouble(s, d).select(col("vec_id"), col("v"))
@@ -2304,8 +2326,7 @@ ORDER BY query_id, rank"""
       : (Seq[(Int, Seq[Double])], Seq[Seq[(Int, Seq[Double])]],
          String, String) = {
     val ptr = graft.sources.ModelStore.read(s, ptrTable).collect()(0)
-    val (cents, _, _) = ptrModelAt(s, ptrTable)
-    (cents, booksFrom(s, ptr.getString(6)),
+    (centsFromPtrRow(s, ptr), booksFrom(s, ptr.getString(6)),
       ptr.getString(4), ptr.getString(5))
   }
 
@@ -2333,8 +2354,7 @@ ORDER BY query_id, rank"""
       : (Seq[(Int, Seq[Double])], Seq[Seq[(Int, Seq[Double])]],
          String, String) = {
     val ptr = graft.sources.ModelStore.read(s, ptrTable).collect()(0)
-    val (cents, _, _) = ptrModelAt(s, ptrTable)
-    (cents, booksFrom(s, ptr.getString(9)),
+    (centsFromPtrRow(s, ptr), booksFrom(s, ptr.getString(9)),
       ptr.getString(7), ptr.getString(8))
   }
 
@@ -2348,8 +2368,7 @@ ORDER BY query_id, rank"""
       : (Seq[(Int, Seq[Double])],
          Seq[Seq[(Int, Seq[(Int, Seq[Double])])]], String, String) = {
     val ptr = graft.sources.ModelStore.read(s, ptrTable).collect()(0)
-    val (cents, _, _) = ptrModelAt(s, ptrTable)
-    (cents, cellBooksFrom(s, ptr.getString(12)),
+    (centsFromPtrRow(s, ptr), cellBooksFrom(s, ptr.getString(12)),
       ptr.getString(10), ptr.getString(11))
   }
 
@@ -2645,7 +2664,13 @@ ORDER BY query_id, rank"""
     }
 
   /** (vec_id, cid, code0..m−1) against the PER-CELL families — each
-    * code an argmin over the row's own cell's book. */
+    * code an argmin over the row's own cell's book. Contract (ADVICE
+    * r16): a row whose cell has NO trained family fails loudly with
+    * graft_group_nearest's unknown-gid IllegalArgumentException — the
+    * per-cell tier never encodes against a wrong family or drops the
+    * row; callers encoding rows the families were not trained over
+    * (the upsert path) inherit that loud-fail and remediate by
+    * reclustering. */
   private def encodePqrCell(e: DataFrame, cents: Seq[(Int, Seq[Double])],
       groups: Seq[Seq[(Int, Seq[(Int, Seq[Double])])]]): DataFrame = {
     val s = e.sparkSession

@@ -23,8 +23,7 @@ object BucketedStore {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
   /** The pre-swap copy's parking path during a [[replace]] swap. */
   private def oldOf(loc: org.apache.hadoop.fs.Path) =
-    new org.apache.hadoop.fs.Path(
-      loc.getParent, "." + loc.getName + ".bkt-old")
+    SwapStore.parkedOf(loc, ".bkt-old")
 
   /** THE one table-clearing preamble (VERDICT r14 #5 — previously
     * copied with slight drift into the streaming append path): drop
@@ -146,15 +145,13 @@ object BucketedStore {
     * FRESH serving session failing at boot until the next maintenance
     * fold happened to run — the data was safe at the parked path but
     * no read path promoted it). The healthy fast path costs one
-    * `fs.exists`. */
+    * `fs.exists`. Delegates to [[SwapStore.recover]], the one
+    * roll-forward shared by every two-rename swap module. */
   private[graft] def recover(spark: SparkSession, table: String): Unit = {
     val loc = locOf(spark, table)
-    val old = oldOf(loc)
-    val fs = fsOf(spark, loc)
-    if (!fs.exists(loc) && fs.exists(old)) {
-      fs.rename(old, loc)
-      if (spark.catalog.tableExists(table)) spark.catalog.refreshTable(table)
-    }
+    if (SwapStore.recover(fsOf(spark, loc), loc, ".bkt-old") &&
+        spark.catalog.tableExists(table))
+      spark.catalog.refreshTable(table)
   }
 
   /** Repartition onto the bucket hash so each task holds exactly one

@@ -18,14 +18,57 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * S3A-style object store. The swap is two directory renames
   * (root → .old, tmp → root): at every instant the data exists intact
   * in exactly one directory, so a crash mid-swap can lose at most the
-  * directory NAME (recoverable from `.compact-old`/`.compact-tmp`),
-  * never the rows — unlike a delete-then-move-files sequence, which
-  * has a window where the originals are gone and the rewrite is not
-  * yet in place. The tmp/old siblings are dot-prefixed so partition
-  * discovery over an enclosing store (e.g. a `pid=N` parent) ignores
-  * them.
+  * directory NAME — never the rows — unlike a delete-then-move-files
+  * sequence, which has a window where the originals are gone and the
+  * rewrite is not yet in place. The tmp/old siblings are dot-prefixed
+  * so partition discovery over an enclosing store (e.g. a `pid=N`
+  * parent) ignores them — which is exactly why the missing NAME must
+  * be rolled forward by [[recover]] on every read/maintenance path
+  * (VERDICT r16 top item): a consumer that lists the parent while the
+  * only copy sits parked would SILENTLY serve without those rows, and
+  * a partition-overwrite would then orphan them permanently.
   */
 object Compactor {
+
+  private val TmpSuffix = ".compact-tmp"
+  private val OldSuffix = ".compact-old"
+
+  /** Crash roll-forward for a [[compact]] swap: a process that died
+    * between the two renames left `dir` missing and the only complete
+    * copy parked at the dot-prefixed old path — promote it back (and
+    * discard the staged rewrite, whose rows the promoted copy already
+    * carries). Idempotent; healthy fast path is one `fs.exists`.
+    * Called by [[compact]] itself before it touches anything and by
+    * every consumer's read/boot path (the [[BucketedStore.read]] /
+    * [[ModelStore.read]] discipline — recovery only a maintenance
+    * writer runs leaves fresh readers serving a hole). Delegates to
+    * [[SwapStore.recover]], the one roll-forward shared by every
+    * two-rename swap module. */
+  def recover(spark: SparkSession, dir: String): Unit = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (SwapStore.recover(fs, root, OldSuffix))
+      fs.delete(SwapStore.parkedOf(root, TmpSuffix), true)
+  }
+
+  /** Roll forward every crashed CHILD-directory compaction under
+    * `parent` with ONE listing: promote each `.X.compact-old` whose
+    * `X` is missing. The boot/merge guard for partitioned stores
+    * whose partition directories are compacted individually (the K2
+    * metadata store's `pid=N` dirs): per-child [[recover]] probes
+    * would cost one RPC per partition per micro-batch, this costs one
+    * listing — and only acts when a parked name actually appears. */
+  def recoverAll(spark: SparkSession, parent: String): Unit = {
+    val p = new Path(parent)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).map(_.getPath.getName)
+      .filter(n => n.startsWith(".") && n.endsWith(OldSuffix))
+      .foreach { n =>
+        val child = n.drop(1).dropRight(OldSuffix.length)
+        recover(spark, new Path(p, child).toString)
+      }
+  }
 
   /** Compact `dir` (flat parquet) toward `targetBytes` per file.
     * Returns (filesBefore, filesAfter). */
@@ -33,6 +76,12 @@ object Compactor {
               targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
     val root = new Path(dir)
     val fs: FileSystem = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash recovery FIRST: a crash between a prior run's two renames
+    // left the only copy parked — promote it before anything is
+    // listed or deleted (without this, the listStatus below fails on
+    // the missing root, and deleting `old` as a stale leftover would
+    // destroy the last copy — the ModelStore r12 lesson)
+    recover(spark, dir)
     def parquetCount(p: Path): Int =
       fs.listStatus(p).count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val before = fs.listStatus(root)
@@ -43,14 +92,20 @@ object Compactor {
     val out =
       if (n <= df.rdd.getNumPartitions) df.coalesce(n) // no shuffle
       else df.repartition(n)
-    val parent = root.getParent
-    val tmp = new Path(parent, "." + root.getName + ".compact-tmp")
-    val old = new Path(parent, "." + root.getName + ".compact-old")
-    fs.delete(tmp, true); fs.delete(old, true) // stale leftovers of a crash
+    val tmp = SwapStore.parkedOf(root, TmpSuffix)
+    val old = SwapStore.parkedOf(root, OldSuffix)
+    // `old` can only be a leftover of a COMPLETED prior swap here
+    // (root exists — recover() above would otherwise have promoted
+    // it), so clearing both stale siblings never removes the sole copy
+    fs.delete(tmp, true); fs.delete(old, true)
     out.write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(root, old) || !fs.rename(tmp, root))
+    if (!fs.rename(root, old) || !fs.rename(tmp, root)) {
+      // restore the pre-swap store before failing: a failed compaction
+      // leaves the previous content served, not a hole
+      if (!fs.exists(root) && fs.exists(old)) fs.rename(old, root)
       throw new java.io.IOException(s"compaction swap failed for $dir")
-    fs.delete(old, true)
+    }
+    fs.delete(old, true) // only after BOTH renames succeeded
     (before.length, parquetCount(root))
   }
 }

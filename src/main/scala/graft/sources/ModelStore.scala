@@ -52,9 +52,8 @@ object ModelStore {
       // two renames has no directory at `loc` — a reader that LISTS
       // the location right then sees it missing; the roll-forward
       // below makes that window recoverable, not invisible.)
-      val parent = loc.getParent
-      val tmp = new Path(parent, "." + loc.getName + ".model-tmp")
-      val old = new Path(parent, "." + loc.getName + ".model-old")
+      val tmp = SwapStore.parkedOf(loc, ".model-tmp")
+      val old = SwapStore.parkedOf(loc, ".model-old")
       // crash recovery FIRST (ADVICE r12): a crash between the two
       // swap renames leaves `loc` missing and `old` holding the only
       // complete model — roll it forward before anything is deleted.
@@ -91,16 +90,16 @@ object ModelStore {
     * model-table consumer (the same round-15-top-item gap
     * [[BucketedStore.read]] closed: recovery that only a maintenance
     * write runs leaves a FRESH serving session failing at boot).
-    * The healthy fast path costs one `fs.exists`. */
+    * The healthy fast path costs one `fs.exists`. Delegates to
+    * [[SwapStore.recover]], the one roll-forward shared by every
+    * two-rename swap module. */
   private[graft] def recover(spark: SparkSession, table: String): Unit = {
     val loc = new Path(
       spark.sessionState.conf.warehousePath, table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val old = new Path(loc.getParent, "." + loc.getName + ".model-old")
-    if (!fs.exists(loc) && fs.exists(old)) {
-      fs.rename(old, loc)
-      if (spark.catalog.tableExists(table)) spark.catalog.refreshTable(table)
-    }
+    if (SwapStore.recover(fs, loc, ".model-old") &&
+        spark.catalog.tableExists(table))
+      spark.catalog.refreshTable(table)
   }
 
   /** THE read/boot path for model tables: rolls a crashed mid-swap

@@ -876,10 +876,18 @@ object StreamingEvents {
     * unioned with the append-shaped delta when one exists. The delta
     * side still needs distinct, because crash replays may append a
     * batch's pairs twice (the probe is re-run so the VALUES are
-    * identical) and a crash between the fold's replace and its
-    * delta-drop leaves rows in both halves; post-fold — the steady
-    * state [[graft.pipeline.DedupQueries.compactIngestHistory]]
-    * restores — the read is just the bucketed scan. */
+    * identical); rows stranded in BOTH halves by a crash between the
+    * fold's replace and its delta-drop are removed by anti-joining
+    * the (small) delta against the base on the pair key — never by a
+    * distinct over the union, which would re-aggregate the FULL base
+    * on every crash-window read (VERDICT r16 #6). The base side
+    * therefore stays aggregate-free in EVERY state: the anti-join
+    * probes the bucketed (doc_a, doc_b) layout without exchanging
+    * the base, and the jaccard value is deterministic per pair (the
+    * replayed probe recomputes it bit-equal), so key-based removal
+    * loses nothing. Post-fold — the steady state
+    * [[graft.pipeline.DedupQueries.compactIngestHistory]] restores —
+    * the read is just the bucketed scan. */
   def dedupIngestPairs(s: org.apache.spark.sql.SparkSession,
       d: String, ns: String = ""): DataFrame = {
     import graft.pipeline.DedupQueries
@@ -887,9 +895,13 @@ object StreamingEvents {
     val pb = DedupQueries.pairsBaseTable(d, ns)
     val hasBase = s.catalog.tableExists(pb)
     val hasDelta = s.catalog.tableExists(pairsT)
-    if (hasBase && hasDelta)
-      graft.sources.BucketedStore.read(s, pb)
-        .unionByName(s.table(pairsT)).distinct()
+    if (hasBase && hasDelta) {
+      val base = graft.sources.BucketedStore.read(s, pb)
+      base.unionByName(
+        s.table(pairsT).distinct()
+          .join(base.select("doc_a", "doc_b"),
+            Seq("doc_a", "doc_b"), "left_anti"))
+    }
     else if (hasBase) graft.sources.BucketedStore.read(s, pb)
     else s.table(pairsT).distinct()
   }

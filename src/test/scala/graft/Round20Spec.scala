@@ -260,9 +260,38 @@ class Round20Spec extends SparkSpec {
     graft.sources.BucketedStore.replace(
       spark.table(pT).distinct(), pb, Seq("doc_a", "doc_b"), 8)
     assert(spark.catalog.tableExists(pT), "delta must survive the crash")
-    // reads in the crash window: distinct over base ∪ delta — exact
-    assert(StreamingEvents.dedupIngestPairs(spark, SfMid, ns)
-      .collect().map(row).toSet == want, "crash-window read must be exact")
+    // reads in the crash window: base ∪ (delta anti-joined against
+    // the base) — exact, and the BASE side stays aggregate-free even
+    // here (VERDICT r16 #6: the old distinct-over-union re-aggregated
+    // the full base on every crash-window read)
+    val cw = StreamingEvents.dedupIngestPairs(spark, SfMid, ns)
+    assert(cw.collect().map(row).toSet == want,
+      "crash-window read must be exact")
+    def scansBase(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collectLeaves().exists {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.catalogTable.exists(_.identifier.table.equalsIgnoreCase(pb))
+        case _ => false
+      }
+    def aggs(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        case d: org.apache.spark.sql.catalyst.plans.logical.Deduplicate => d
+      }
+    val union = cw.queryExecution.optimizedPlan.collectFirst {
+      case u: org.apache.spark.sql.catalyst.plans.logical.Union => u
+    }.getOrElse(fail("crash-window read must union base and delta"))
+    // the branch SERVING base rows is a plain scan: base rows reach
+    // the output through zero aggregates. (The delta branch may carry
+    // the base as its anti-join's build side — Catalyst pushes the
+    // anti join below the delta's distinct, which only shrinks the
+    // aggregate's delta-sized input further.)
+    val baseBranch = union.children.head
+    assert(scansBase(baseBranch), "first union branch serves the base")
+    assert(aggs(baseBranch).isEmpty,
+      "crash-window read must keep the base-serving branch aggregate-free")
+    assert(aggs(cw.queryExecution.optimizedPlan).nonEmpty,
+      "the small delta side still dedups")
     // the replayed fold converges: distinct over the union adds
     // nothing twice, the delta drops, post-fold reads are exact
     DedupQueries.compactIngestHistory(spark, SfMid, ns)
