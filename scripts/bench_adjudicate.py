@@ -16,10 +16,23 @@ script makes the call mechanical:
     `--update-ref` folds the round's new minima and flag history back
     into the reference.
 
+  * `resolve` closes a PROFILE escalation AGAINST A RECORDED ARTIFACT
+    (round 17: an isolated-JVM profile or an A/B against the prior
+    round's commit proving the mover is environmental, not a plan
+    change). It clears the query's flag streak and records
+    {round, artifact, isolated steady} under reference.json's
+    `resolved` map, so the escalation doesn't re-fire every round on
+    a host whose baseline has shifted — while a FUTURE mover starts a
+    fresh streak and gets compared against the recorded isolated
+    steady state. A resolve without an existing artifact file is
+    refused: the artifact IS the exoneration.
+
 Usage:
   bench_adjudicate.py record --label r16_w1 --bench-json /tmp/bench.out
   bench_adjudicate.py report --round 16 --touched ann_,dedup_ \\
       bench/windows/r16_*.json [--update-ref]
+  bench_adjudicate.py resolve --round 17 \\
+      --artifact bench/profiles/r17_flags.json [names...]
 """
 import argparse
 import json
@@ -173,6 +186,43 @@ def cmd_report(args):
               f"{len(flags)} active flags")
 
 
+def cmd_resolve(args):
+    ref = load_ref()
+    art_abs = os.path.join(REPO, args.artifact) \
+        if not os.path.isabs(args.artifact) else args.artifact
+    if not os.path.exists(art_abs):
+        raise SystemExit(f"artifact {args.artifact} does not exist — "
+                         "a resolve needs a recorded measurement")
+    with open(art_abs) as f:
+        art = json.load(f)
+    art_qs = art.get("queries", {})
+    names = args.names or sorted(n for n in ref.get("flags", {})
+                                 if n in art_qs)
+    flags = ref.setdefault("flags", {})
+    resolved = ref.setdefault("resolved", {})
+    closed = []
+    for n in names:
+        if n not in flags:
+            print(f"{n}: no active flag — skipped")
+            continue
+        if n not in art_qs:
+            print(f"{n}: not covered by the artifact — NOT resolved")
+            continue
+        entry = {"round": args.round,
+                 "artifact": os.path.relpath(art_abs, REPO),
+                 "flag_history": flags.pop(n)}
+        steady = art_qs[n].get("steady") or art_qs[n].get("r17_steady")
+        if steady is not None:
+            entry["isolated_steady"] = steady
+        resolved[n] = entry
+        closed.append(n)
+    with open(REF, "w") as f:
+        json.dump(ref, f, indent=1, sort_keys=True)
+    print(f"resolved {len(closed)} flags against "
+          f"{os.path.relpath(art_abs, REPO)}: {', '.join(closed)}")
+    print(f"{len(flags)} flags remain active")
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -189,6 +239,15 @@ def main():
     pp.add_argument("--update-ref", action="store_true")
     pp.add_argument("windows", nargs="+")
     pp.set_defaults(fn=cmd_report)
+    pv = sub.add_parser("resolve")
+    pv.add_argument("--round", type=int, required=True)
+    pv.add_argument("--artifact", required=True,
+                    help="recorded measurement justifying the resolve "
+                         "(profile_flags/residency/A-B artifact)")
+    pv.add_argument("names", nargs="*",
+                    help="flags to close (default: every active flag "
+                         "the artifact covers)")
+    pv.set_defaults(fn=cmd_resolve)
     args = p.parse_args()
     args.fn(args)
 

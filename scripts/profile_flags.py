@@ -115,7 +115,13 @@ def main():
         "queries": queries,
     }
     os.makedirs(PROFILES, exist_ok=True)
+    # never overwrite an earlier run's artifact — each profiling pass
+    # is its own record
     path = os.path.join(PROFILES, f"r{args.round}_flags.json")
+    k = 2
+    while os.path.exists(path):
+        path = os.path.join(PROFILES, f"r{args.round}_flags_{k}.json")
+        k += 1
     with open(path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)
 
