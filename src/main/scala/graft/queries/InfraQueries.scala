@@ -371,6 +371,77 @@ GROUP BY user_id ORDER BY user_id"""
   TRUE AS compacted
 FROM events GROUP BY event_type ORDER BY event_type"""
 
+  /** The K2 metadata store's FULL LIFECYCLE as one oracle-gated face
+    * (round 17): five sequential last-writer-wins merge batches
+    * through the REAL [[graft.streaming.StreamingEtl
+    * .ParquetMetadataStore]] — with maintenance bounds tight enough
+    * that the SELF-DRIVING fold (`maybeCompact`, the trigger
+    * `runStream` fires at every foreachBatch boundary) runs
+    * mid-sequence — then a crash simulated BETWEEN a pid compaction's
+    * two renames (the pid's only copy parked at the dot-prefixed path
+    * partition discovery deliberately ignores), then the read through
+    * a FRESH store instance. The oracle derives last-writer-wins
+    * independently (per (id, mkey): the latest batch containing the
+    * id wins), so the hash match proves merge ∪ self-driving folds ∪
+    * crash roll-forward lost and invented nothing — the silent-data-
+    * loss window VERDICT r16 called out, now under the driver's
+    * correctness gate, not just an sbt pin. Materialized once per
+    * (app, dataset); repeat constructions re-read the recovered
+    * store (recovery is idempotent). */
+  private val storeLifecycle: Q = (s, d) => {
+    import graft.streaming.StreamingEtl
+    val root = materialize(s, "store-lifecycle", d) { p =>
+      val store = new StreamingEtl.ParquetMetadataStore(s, s"$p/meta",
+        compactEveryMerges = 2, maxFilesPerPid = 4)
+      val orders = Tables(s, d, "orders")
+      (0 until 5).foreach { b =>
+        val kv = orders
+          .filter(pmod(col("o_orderkey"), lit(5)) === b)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("cnt"),
+            min(col("o_orderkey")).as("first_ok"))
+          .select(col("o_custkey").cast("string").as("id"),
+            explode(map(
+              lit("order_cnt"), col("cnt").cast("string"),
+              lit("first_order"), col("first_ok").cast("string")))
+              .as(Seq("mkey", "mvalue")))
+        store.merge(kv)
+        store.maybeCompact(targetBytes = 8L * 1024 * 1024)
+      }
+      // crash simulation between a pid compaction's two renames: the
+      // only copy of pid=3 moves to the dot-prefixed parked path —
+      // invisible to partition discovery until recover promotes it
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val pid = new org.apache.hadoop.fs.Path(s"$p/meta/pid=3")
+      if (fs.exists(pid))
+        fs.rename(pid,
+          new org.apache.hadoop.fs.Path(s"$p/meta/.pid=3.compact-old"))
+    }
+    // the FRESH boot path: a new store instance must roll the parked
+    // pid forward and serve every row — silently dropping it would
+    // hash-mismatch on ~1/16 of the ids
+    new StreamingEtl.ParquetMetadataStore(s, s"$root/meta")
+      .read()
+      .select(col("id").cast("long").as("id"), col("mkey"), col("mvalue"))
+      .orderBy("id", "mkey")
+  }
+  private val storeLifecycleSql =
+    """WITH perb AS (
+  SELECT o_custkey, CAST(o_orderkey % 5 AS INT) AS b,
+         count(*) AS cnt, min(o_orderkey) AS first_ok
+  FROM orders GROUP BY 1, 2
+), last AS (
+  SELECT o_custkey, max(b) AS b FROM perb GROUP BY 1
+), fin AS (
+  SELECT p.o_custkey AS id, p.cnt, p.first_ok
+  FROM perb p JOIN last l ON p.o_custkey = l.o_custkey AND p.b = l.b
+)
+SELECT id, 'first_order' AS mkey, CAST(first_ok AS VARCHAR) AS mvalue FROM fin
+UNION ALL
+SELECT id, 'order_cnt' AS mkey, CAST(cnt AS VARCHAR) AS mvalue FROM fin
+ORDER BY id, mkey"""
+
   /** CSV source round trip with an EXPLICIT schema — the format-breadth
     * face: integer/string columns survive text serialization losslessly,
     * and the declared schema means no inference pass (schema inference
@@ -703,15 +774,22 @@ ORDER BY lang"""
       Seq((1L, "v1"), (2L, "v2")).toDF("version", "path")
         .coalesce(1).write.mode("overwrite").parquet(s"$p/_log")
       // vacuum: retain the latest 1 version — log rewrite FIRST, then
-      // the directory delete (reader-safe ordering)
+      // the directory delete (reader-safe ordering). The log swap is
+      // the two-rename discipline (park old, promote new, drop the
+      // park), never delete-then-rename, which has an instant with NO
+      // log on disk — the anti-pattern the SwapStore modules exist to
+      // prevent; scratch is per-app so no cross-session recover
+      // wiring is needed here.
       val keep = s.read.parquet(s"$p/_log")
         .orderBy(col("version").desc).limit(1)
       keep.coalesce(1).write.mode("overwrite").parquet(s"$p/_log_new")
       val fs = new org.apache.hadoop.fs.Path(p)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      fs.delete(new org.apache.hadoop.fs.Path(s"$p/_log"), true)
-      fs.rename(new org.apache.hadoop.fs.Path(s"$p/_log_new"),
-        new org.apache.hadoop.fs.Path(s"$p/_log"))
+      val logP = new org.apache.hadoop.fs.Path(s"$p/_log")
+      val logOld = new org.apache.hadoop.fs.Path(s"$p/._log.vacuum-old")
+      fs.rename(logP, logOld)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$p/_log_new"), logP)
+      fs.delete(logOld, true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$p/v1"), true)
     }
   private val vacuum: Q = (s, d) => {
@@ -1173,6 +1251,7 @@ FROM lineitem"""
     "infra_bloom_skipping" -> bloomSkipping,
     "infra_time_travel" -> timeTravel,
     "infra_compaction" -> compaction,
+    "infra_store_lifecycle" -> storeLifecycle,
     "infra_two_level_pruning" -> twoLevelPruning,
     "infra_vacuum" -> vacuum)
 
@@ -1198,6 +1277,7 @@ FROM lineitem"""
     "infra_bloom_skipping" -> bloomSkippingSql,
     "infra_time_travel" -> timeTravelSql,
     "infra_compaction" -> compactionSql,
+    "infra_store_lifecycle" -> storeLifecycleSql,
     "infra_two_level_pruning" -> twoLevelPruningSql,
     "infra_vacuum" -> vacuumSql)
 }
