@@ -41,7 +41,12 @@ private[graft] object SwapStore {
   def recover(fs: FileSystem, root: Path, suffix: String): Boolean = {
     val parked = parkedOf(root, suffix)
     if (!fs.exists(root) && fs.exists(parked)) {
-      fs.rename(parked, root)
+      // loud-fail on a promotion the filesystem refuses: silently
+      // proceeding would surface later as a missing-table error with
+      // no hint that the data sits intact at the parked path
+      if (!fs.rename(parked, root))
+        throw new java.io.IOException(
+          s"swap recover failed: cannot promote $parked back to $root")
       true
     } else false
   }
