@@ -150,6 +150,7 @@ object StreamingEtl {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("pid").parquet(path)
       mergesSinceCompact.incrementAndGet()
+      synchronized { touched.foreach(pidsToCheck.add) }
     }
     /** Housekeeping: collapse each pid directory's shuffle-width file
       * fan-out (every overwrite leaves one file per writing task)
@@ -171,6 +172,15 @@ object StreamingEtl {
     // its predecessor instead of waiting out another full window
     private val mergesSinceCompact =
       new java.util.concurrent.atomic.AtomicLong(compactEveryMerges.toLong)
+    // pids worth probing at the next fold check: only pids a merge
+    // touched since the last fold can have NEW fragmentation, so the
+    // threshold crossing lists |touched| dirs, not numPartitions — at
+    // a production pid count (1024+) probing every pid per fold check
+    // is the difference between O(hot set) and O(store width) RPCs.
+    // Seeded with EVERY pid so a fresh boot's first check still probes
+    // fragmentation inherited from a predecessor process.
+    private val pidsToCheck =
+      scala.collection.mutable.Set[Int](0 until numPartitions: _*)
     private def parquetCount(p: String): Int = {
       val hp = new org.apache.hadoop.fs.Path(p)
       val f = fs
@@ -184,7 +194,8 @@ object StreamingEtl {
       * file count exceeds `maxFilesPerPid` — fragmentation-targeted,
       * so a 16-pid store where a hot pid took every merge rewrites
       * one directory, not sixteen. Between thresholds the cost is one
-      * counter read; at the threshold, one listing per pid. Called by
+      * counter read; at the threshold, one listing per pid TOUCHED
+      * since the last check (the boot check probes all). Called by
       * [[runStream]] at the `foreachBatch` boundary (the safe point —
       * no merge is in flight), and safe to call from a maintenance
       * job too: the per-dir swap keeps a complete copy on disk at
@@ -192,8 +203,11 @@ object StreamingEtl {
     def maybeCompact(targetBytes: Long = 128L * 1024 * 1024): Seq[Int] = {
       if (mergesSinceCompact.get() < compactEveryMerges) return Nil
       mergesSinceCompact.set(0)
+      val probe = synchronized {
+        val p = pidsToCheck.toSeq.sorted; pidsToCheck.clear(); p
+      }
       graft.sources.Compactor.recoverAll(spark, path)
-      (0 until numPartitions).flatMap { i =>
+      probe.flatMap { i =>
         val d = s"$path/pid=$i"
         if (parquetCount(d) > maxFilesPerPid) {
           graft.sources.Compactor.compact(spark, d, targetBytes)
