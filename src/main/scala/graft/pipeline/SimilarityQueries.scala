@@ -3324,6 +3324,120 @@ SELECT vec_id, CAST(len(q) AS INT) AS n_dims,
   round((hi - lo) / 255.0, 9) AS scale
 FROM qv ORDER BY vec_id"""
 
+  /** The stored int8 corpus for [[topkSq8]]: (vec_id, scale,
+    * codes array<tinyint>) as a bucketed table, built once per
+    * (session, dataset). Unlike [[quantize]]'s affine min/max map,
+    * the SERVING quantizer is SYMMETRIC max-abs
+    * (q = floor(x·127/mx + 0.5), zero-preserving, no offset) — the
+    * scheme vector stores use for cosine/inner-product metrics,
+    * because cosine is invariant to the per-vector scale and the
+    * codes ALONE then carry the ranking signal: serving never
+    * rebuilds a float vector. floor(+0.5) instead of round() for the
+    * cross-engine round-half agreement [[quantize]] documents. The
+    * quantization lambdas run once per row at BUILD time (never in
+    * the serving join); the table scan is the 4×-smaller int8 read —
+    * at 100 TB of float32 embeddings, a 25 TB corpus scan. */
+  private def sq8Table(s: SparkSession, d: String): String =
+    CachePool.memoized(("sq8Table", d)) {
+      val t = s"graft_sq8_${d.hashCode & 0x7fffffff}"
+      val e = embDouble(s, d)
+      val mx = array_max(transform(col("v"), x => abs(x)))
+      val withMx = e.withColumn("mx", mx)
+      val codes = when(col("mx") === 0.0,
+          transform(col("v"), _ => lit(0).cast("tinyint")))
+        .otherwise(transform(col("v"), x =>
+          floor(x * lit(127.0) / col("mx") + lit(0.5)).cast("tinyint")))
+      graft.sources.BucketedStore.write(
+        withMx.select(col("vec_id"),
+          (col("mx") / lit(127.0)).as("scale"), codes.as("codes")),
+        t, "vec_id", 8)
+      t
+    }
+
+  /** Top-k=5 cosine served FROM THE INT8 CODES — the scalar-quantized
+    * (faiss-SQ8-style) serving tier between full-precision brute
+    * force and PQ: 4× less scan than float32 at full dimensionality,
+    * no codebook training, and because max-abs quantization is
+    * zero-preserving, cosine over the dequantized vectors EQUALS
+    * cosine over the raw codes (the per-vector scale cancels in both
+    * norms) — so the plan is exactly [[topkBrute]]'s broadcast-query
+    * one-pass shape with the int8 table swapped in: stored-table scan
+    * → codegen'd graft_cosine per (query, candidate) → one window
+    * top-k. No shuffle on the corpus side, no float reconstruction.
+    * The oracle quantizes independently in DuckDB with the identical
+    * floor(x·127/mx + 0.5) formulation, so the hash match pins the
+    * quantizer AND the ranking bit-for-bit. */
+  private val topkSq8: Q = (s, d) => {
+    val t = sq8Table(s, d)
+    val sq = graft.sources.BucketedStore.read(s, t)
+      .select(col("vec_id"), col("codes").cast("array<double>").as("cd"))
+    val q = embDouble(s, d).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val sims = sq.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cosine(col("qv"), col("cd")).as("sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 6).as("sim"))
+      .orderBy("query_id", "rank")
+  }
+  private val topkSq8Sql =
+    """WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+), b AS (
+  SELECT vec_id, v, list_max(list_transform(v, y -> abs(y))) AS mx FROM e
+), sq AS (
+  SELECT vec_id,
+    CASE WHEN mx = 0 THEN list_transform(v, x -> 0.0)
+         ELSE list_transform(v, x ->
+           CAST(CAST(floor(x * 127.0 / mx + 0.5) AS TINYINT) AS DOUBLE))
+    END AS cd
+  FROM b
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+), sims AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+    list_dot_product(q.qv, s.cd) /
+      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(s.cd, s.cd))) AS sim
+  FROM q JOIN sq s ON s.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, CAST(row_number() OVER w AS INT) AS rank, round(sim, 6) AS sim
+FROM sims
+WINDOW w AS (PARTITION BY query_id ORDER BY sim DESC, neighbor_id)
+QUALIFY row_number() OVER w <= 5
+ORDER BY query_id, rank"""
+
+  /** Recall of the int8 tier against exact brute force — the price
+    * tag next to the 4× scan saving, same eval contract as the PQ
+    * tiers' recall faces: |approx top-5 ∩ exact top-5| / |exact|. */
+  private val recallSq8: Q = (s, d) => {
+    val exact = topkBrute(s, d).select(col("query_id"), col("neighbor_id"))
+    val approx = topkSq8(s, d).select(col("query_id"), col("neighbor_id"))
+    val hit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(broadcast(hit))
+      .select(col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+  }
+  private lazy val recallSq8Sql =
+    s"""WITH exact AS (
+  SELECT query_id, neighbor_id FROM ($topkBruteSql)
+), appr AS (
+  SELECT query_id, neighbor_id FROM ($topkSq8Sql)
+), ne AS (SELECT count(*) AS n_exact FROM exact),
+nh AS (
+  SELECT count(*) AS n_hit FROM exact x
+  WHERE EXISTS (SELECT 1 FROM appr a
+    WHERE a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id)
+)
+SELECT ne.n_exact, nh.n_hit,
+  round(CAST(nh.n_hit AS DOUBLE) / ne.n_exact, 6) AS recall
+FROM ne, nh"""
+
   // ----------------------------------------------------- k-NN self-join
   /** All-pairs k-NN join (k=3) over the corpus, blocked by IVF cell —
     * the similarity-join face next to the query-driven top-k: every
@@ -3906,6 +4020,8 @@ ORDER BY e.query_id"""
     "ann_ivfpqr_recluster_cycle" -> topkIvfPqrCycle,
     "ann_ivfpqrc_recluster_cycle" -> topkIvfPqrcCycle,
     "ann_pq_model_store" -> pqModelStore,
+    "ann_topk_sq8" -> topkSq8,
+    "ann_recall_eval_sq8" -> recallSq8,
     "dedup_embedding" -> embedDedup,
     "dedup_semantic" -> semDedup,
     "embed_quantize" -> quantize,
@@ -3945,6 +4061,8 @@ ORDER BY e.query_id"""
     "ann_topk_pq" -> topkPqSql,
     "ann_topk_ivfpq" -> topkIvfPqSql,
     "ann_pq_model_store" -> pqModelStoreSql,
+    "ann_topk_sq8" -> topkSq8Sql,
+    "ann_recall_eval_sq8" -> recallSq8Sql,
     // stored-codes serving shares the in-plan face's oracle verbatim
     "ann_topk_ivfpq_stored" -> topkIvfPqSql,
     // pointer-resolved quantizer ≡ the PQ trainer's coarse quantizer
