@@ -41,12 +41,20 @@ private[graft] object SwapStore {
   def recover(fs: FileSystem, root: Path, suffix: String): Boolean = {
     val parked = parkedOf(root, suffix)
     if (!fs.exists(root) && fs.exists(parked)) {
-      // loud-fail on a promotion the filesystem refuses: silently
-      // proceeding would surface later as a missing-table error with
-      // no hint that the data sits intact at the parked path
-      if (!fs.rename(parked, root))
+      if (!fs.rename(parked, root)) {
+        // exists→rename is not atomic: a concurrent writer (another
+        // recovering reader, or a maintenance job re-publishing) may
+        // have recreated root between the check and the rename, and
+        // the filesystem then rightly refuses the promotion. Root now
+        // present = the store is healthy and someone else recovered
+        // or republished it — not a failure. Only a root STILL
+        // missing is loud-failed: silently proceeding would surface
+        // later as a missing-table error with no hint that the data
+        // sits intact at the parked path.
+        if (fs.exists(root)) return false
         throw new java.io.IOException(
           s"swap recover failed: cannot promote $parked back to $root")
+      }
       true
     } else false
   }
