@@ -12,6 +12,10 @@ import org.apache.spark.sql.SparkSession
   * is a per-process constant, not a per-byte cost.
   */
 object Bench {
+  /** Sink for the contention canary's result, so the JIT cannot
+    * dead-code-eliminate the fixed-work loop. */
+  @volatile private var canaryBlackhole: Long = 0L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
@@ -86,15 +90,96 @@ object Bench {
     // dedup_simhash at 78.6 s vs 2-3 s profiled steady-state on
     // byte-identical code); with interleaved sweeps a window must span
     // the entire suite twice to poison any single query's min.
-    val mins = Array.fill(qs.size)(Double.MaxValue)
-    for (p <- 1 to 2; ((name, fn), i) <- qs.zipWithIndex) {
-      boundary(name) // outside the timer: the release is lifecycle, not query cost
+    // Contamination instrumentation (VERDICT r17 #1): the host bursts
+    // to load 10-19 every ~10 minutes INSIDE bench windows, and a
+    // window stamped with one record-time loadavg cannot distinguish a
+    // clean sweep from a burst-hit one — so r17 carried 29 all-family
+    // watch flags that were pure environment. Two in-run signals:
+    //  (a) a daemon samples /proc/loadavg every 10 s across the timed
+    //      sweeps (min/mean/max tell the adjudicator whether a burst
+    //      landed mid-window at all);
+    //  (b) an ALL-CORE fixed-work CPU canary timed immediately before
+    //      EVERY per-query measurement: one thread of pure ALU work
+    //      per processor, wall = time to get every core at once. The
+    //      suite is sequential, so nothing of ours competes with the
+    //      canary — its inflation over the cross-window floor measures
+    //      EXTERNAL contention at that instant. All-core, not
+    //      single-thread, deliberately (measured on this host,
+    //      r18_w1): a co-tenant burst to load 19 on 32 cpus leaves 13
+    //      cores free, so a lone canary thread never queues (max
+    //      20 ms vs 15 ms floor) while the 32-thread Spark queries it
+    //      is supposed to vouch for ARE starved — the canary must
+    //      demand what a query demands. The canary co-located with
+    //      the pass that produced each query's min tells the
+    //      adjudicator whether that specific number is trustworthy.
+    val loadSamples = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+    val sampler = new Thread(() => {
+      try while (true) {
+        val src = scala.io.Source.fromFile("/proc/loadavg")
+        try loadSamples.add(src.mkString.split(" ")(0).toDouble)
+        finally src.close()
+        Thread.sleep(10000)
+      } catch { case _: InterruptedException => () }
+    })
+    sampler.setDaemon(true); sampler.start()
+    // The canary's work is a MEMORY STREAM, not a register-only ALU
+    // loop (measured r18_w1-w3 in sequence: a pure-LCG canary — all
+    // state in registers, zero memory traffic — stayed within 1.5× of
+    // its floor through co-tenant episodes that inflated scan-heavy
+    // queries 60-120%, because this host's contention is bandwidth/
+    // cache pressure, not CPU-queue depth). One thread per core, each
+    // streaming read+write passes over a private 4 MB buffer (well
+    // past LLC share), wall = time to get every core AND its memory
+    // lane at once — the resource mix a Spark scan actually demands.
+    val canaryThreads = Runtime.getRuntime.availableProcessors
+    val canaryBufs = Array.fill(canaryThreads)(new Array[Long](512 * 1024))
+    def canarySecs(): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench sweep$p] $name $dt%.1fs")
-      mins(i) = math.min(mins(i), dt)
+      val ts = (0 until canaryThreads).map { t =>
+        val th = new Thread(() => {
+          val buf = canaryBufs(t)
+          var s = 0x9E3779B97F4A7C15L + t
+          var p = 0
+          while (p < 4) { // 4 passes × 4 MB read+write per core
+            var i = 0
+            while (i < buf.length) {
+              s += buf(i); buf(i) = s ^ (s >>> 7); i += 1
+            }
+            p += 1
+          }
+          Bench.canaryBlackhole = s // defeat DCE
+        })
+        th.start(); th
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
     }
+    // Each measurement is BRACKETED by canaries (the after-canary of
+    // query i doubles as the before-canary of query i+1 — one extra
+    // canary per pass, not two per query) and carries the PAIR MAX: a
+    // burst arriving mid-query is invisible to a single leading probe
+    // (measured r18_w1: broad +30-100% movers whose leading canary was
+    // clean) but lands on the trailing one for anything shorter than
+    // the burst itself.
+    val mins = Array.fill(qs.size)(Double.MaxValue)
+    val canaryAtMin = Array.fill(qs.size)(0.0)
+    for (p <- 1 to 2) {
+      var prevCanary = canarySecs()
+      for (((name, fn), i) <- qs.zipWithIndex) {
+        boundary(name) // outside the timer: the release is lifecycle, not query cost
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        val after = canarySecs()
+        System.err.println(f"[bench sweep$p] $name $dt%.1fs")
+        if (dt < mins(i)) {
+          mins(i) = dt
+          canaryAtMin(i) = math.max(prevCanary, after)
+        }
+        prevCanary = after
+      }
+    }
+    sampler.interrupt()
     val results = qs.map(_._1).zip(mins)
     // 3-decimal rounding halves the per-query line (~96 queries × full-
     // precision doubles overflowed the driver's ~2 KB tail window in a
@@ -107,6 +192,20 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qjson,"sf":"$sfDir","passes":2}""")
+    // The contamination line (parsed by bench_adjudicate.py record):
+    // mid-run loadavg stats + the per-query canary co-located with
+    // each query's min. 5-decimal canary format — the ~12 ms canary
+    // needs sub-ms resolution for the 1.5× clean threshold.
+    def fmt5(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.5f", Double.box(v))
+    val ls = loadSamples.toArray(Array.empty[java.lang.Double]).map(_.doubleValue)
+    val loadJson =
+      if (ls.isEmpty) """{"n":0}"""
+      else s"""{"min":${fmt(ls.min)},"mean":${fmt(ls.sum / ls.length)},"max":${fmt(ls.max)},"n":${ls.length}}"""
+    val canaryJson = qs.map(_._1).zip(canaryAtMin)
+      .map { case (k, v) => "\"" + k + "\":" + fmt5(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"load_probe","loadavg":$loadJson,"canary":$canaryJson,"sf":"$sfDir"}""")
     // Suite-residency probe (VERDICT r16 #4): re-time the named
     // queries HERE — end of suite, full pooled/memo/registry/catalog
     // state resident — with the state counts as covariates. The
