@@ -101,6 +101,11 @@ def cmd_record(args):
         # the per-(window, query) contamination evidence report uses
         out["loadavg_run"] = probe.get("loadavg")
         out["canary"] = probe.get("canary")
+        if probe.get("retry") is not None:
+            # clean-retry provenance (round 18): how many queries had to
+            # be re-measured in quiet gaps, how many recovered a clean
+            # bracket, and how long the bench waited for quiet
+            out["retry"] = probe["retry"]
     os.makedirs(WINDOWS, exist_ok=True)
     path = os.path.join(WINDOWS, args.label + ".json")
     with open(path, "w") as f:

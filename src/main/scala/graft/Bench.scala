@@ -161,8 +161,47 @@ object Bench {
     // (measured r18_w1: broad +30-100% movers whose leading canary was
     // clean) but lands on the trailing one for anything shorter than
     // the burst itself.
+    // Clean-retry mode (round 18). The window-level contamination gate
+    // is honest but starved: the host bursts every ~10 min, a 2-pass
+    // sweep takes ~25 min wall, so every r18 window self-identified
+    // CONTAMINATED (median canary 1.6-2.3x the committed floor) and the
+    // adjudicator correctly refused to adjudicate — flags neither
+    // cleared nor confirmed. The fix is better SAMPLING, not looser
+    // policy: with SPARK_GRAFT_CLEAN_RETRY=<wall-budget-seconds> set,
+    // after the two standard sweeps every query whose best sample was
+    // burst-bracketed is re-measured inside quiet gaps (probe the
+    // canary; sleep while dirty; when quiet, burn through the dirty
+    // list until the trailing canary goes dirty again), and the
+    // reported number PREFERS the query's best CLEAN-bracketed sample
+    // over a faster-but-dirty one. Every kept number then genuinely ran
+    // on a quiet host, the recorded canary map reflects the kept
+    // samples, and the adjudicator's existing median gate passes on its
+    // own terms — no adjudicator change, no threshold loosening. The
+    // clean threshold is the adjudicator's own: canary <= max(1.5x
+    // floor, floor+5ms) against the COMMITTED cross-round floor
+    // (SPARK_GRAFT_CANARY_FLOOR, else bench/reference.json, else this
+    // run's own canary min). Default OFF: the driver's unattended runs
+    // are byte-identical to the pre-retry behavior.
+    val retryBudget = sys.env.getOrElse("SPARK_GRAFT_CLEAN_RETRY", "0").toInt
+    val floorOpt: Option[Double] =
+      sys.env.get("SPARK_GRAFT_CANARY_FLOOR").map(_.toDouble)
+        .orElse {
+          val f = new java.io.File("bench/reference.json")
+          if (f.exists) {
+            val src = scala.io.Source.fromFile(f)
+            val txt = try src.mkString finally src.close()
+            "\"canary_floor\":\\s*([0-9.eE+-]+)".r
+              .findFirstMatchIn(txt).map(_.group(1).toDouble)
+          } else None
+        }
+    val cleanMode = retryBudget > 0 && floorOpt.isDefined
+    def cleanThr: Double = {
+      val fl = floorOpt.get; math.max(fl * 1.5, fl + 0.005)
+    }
     val mins = Array.fill(qs.size)(Double.MaxValue)
     val canaryAtMin = Array.fill(qs.size)(0.0)
+    val cleanMins = Array.fill(qs.size)(Double.MaxValue)
+    val cleanCanary = Array.fill(qs.size)(0.0)
     for (p <- 1 to 2) {
       var prevCanary = canarySecs()
       for (((name, fn), i) <- qs.zipWithIndex) {
@@ -172,15 +211,82 @@ object Bench {
         val dt = (System.nanoTime() - t0) / 1e9
         val after = canarySecs()
         System.err.println(f"[bench sweep$p] $name $dt%.1fs")
+        val pair = math.max(prevCanary, after)
         if (dt < mins(i)) {
           mins(i) = dt
-          canaryAtMin(i) = math.max(prevCanary, after)
+          canaryAtMin(i) = pair
+        }
+        if (cleanMode && pair <= cleanThr && dt < cleanMins(i)) {
+          cleanMins(i) = dt
+          cleanCanary(i) = pair
         }
         prevCanary = after
       }
     }
+    var retryStatsJson = ""
+    if (cleanMode) {
+      val thr = cleanThr
+      val deadline = System.nanoTime() + retryBudget * 1000000000L
+      var dirty = qs.indices.filter(i => cleanMins(i) == Double.MaxValue).toList
+      val dirtyAfterSweeps = dirty.size
+      var waitedS = 0
+      System.err.println(
+        f"[bench retry] $dirtyAfterSweeps queries lack a clean sample; " +
+          f"budget ${retryBudget}s, threshold ${thr * 1000}%.1f ms")
+      while (dirty.nonEmpty && System.nanoTime() < deadline) {
+        var c = canarySecs()
+        if (c > thr) { Thread.sleep(5000); waitedS += 5 }
+        else {
+          // the host is quiet NOW: re-measure until a trailing canary
+          // reports the next burst, then go back to waiting
+          var remaining = dirty
+          var stillDirty = List.empty[Int]
+          var burst = false
+          while (remaining.nonEmpty && !burst && System.nanoTime() < deadline) {
+            val i = remaining.head; remaining = remaining.tail
+            val (name, fn) = qs(i)
+            boundary(name)
+            val t0 = System.nanoTime()
+            try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+            val dt = (System.nanoTime() - t0) / 1e9
+            val after = canarySecs()
+            val pair = math.max(c, after)
+            if (dt < mins(i)) { mins(i) = dt; canaryAtMin(i) = pair }
+            if (pair <= thr) {
+              if (dt < cleanMins(i)) { cleanMins(i) = dt; cleanCanary(i) = pair }
+              System.err.println(f"[bench retry] $name $dt%.1fs clean")
+            } else {
+              stillDirty ::= i
+              burst = after > thr
+              System.err.println(
+                f"[bench retry] $name $dt%.1fs dirty (canary ${pair * 1000}%.1f ms)")
+            }
+            c = after
+          }
+          dirty = stillDirty.reverse ++ remaining
+        }
+      }
+      val recovered = dirtyAfterSweeps - dirty.size
+      System.err.println(
+        s"[bench retry] recovered $recovered/$dirtyAfterSweeps, " +
+          s"still dirty ${dirty.size}, waited ${waitedS}s")
+      retryStatsJson =
+        s""","retry":{"budget_s":$retryBudget,"dirty_after_sweeps":$dirtyAfterSweeps,""" +
+          s""""recovered":$recovered,"still_dirty":${dirty.size},"waited_s":$waitedS}"""
+    }
     sampler.interrupt()
-    val results = qs.map(_._1).zip(mins)
+    // In clean mode each query reports its best CLEAN sample when one
+    // exists (even if a burst-bracketed sample was numerically smaller:
+    // trustworthy beats lucky); queries that never got a clean bracket
+    // fall back to the dirty min, and their dirty canary marks them
+    // UNADJUDICATED downstream exactly as before.
+    val outMins = Array.tabulate(qs.size) { i =>
+      if (cleanMode && cleanMins(i) != Double.MaxValue) cleanMins(i) else mins(i)
+    }
+    val outCanary = Array.tabulate(qs.size) { i =>
+      if (cleanMode && cleanMins(i) != Double.MaxValue) cleanCanary(i) else canaryAtMin(i)
+    }
+    val results = qs.map(_._1).zip(outMins)
     // 3-decimal rounding halves the per-query line (~96 queries × full-
     // precision doubles overflowed the driver's ~2 KB tail window in a
     // prior run and the official total came back unparseable).
@@ -202,10 +308,10 @@ object Bench {
     val loadJson =
       if (ls.isEmpty) """{"n":0}"""
       else s"""{"min":${fmt(ls.min)},"mean":${fmt(ls.sum / ls.length)},"max":${fmt(ls.max)},"n":${ls.length}}"""
-    val canaryJson = qs.map(_._1).zip(canaryAtMin)
+    val canaryJson = qs.map(_._1).zip(outCanary)
       .map { case (k, v) => "\"" + k + "\":" + fmt5(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"load_probe","loadavg":$loadJson,"canary":$canaryJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"load_probe","loadavg":$loadJson,"canary":$canaryJson$retryStatsJson,"sf":"$sfDir"}""")
     // Suite-residency probe (VERDICT r16 #4): re-time the named
     // queries HERE — end of suite, full pooled/memo/registry/catalog
     // state resident — with the state counts as covariates. The
