@@ -227,8 +227,17 @@ FROM r ORDER BY doc_id, row_idx"""
       .select(col("doc_id"), col("frame_id"),
         energy.cast("long").as("energy"))
   }
+  /** The framed-energy relation over the documents media set, pooled
+    * (round 18): the energy readout, the VAD segmentation and the
+    * scene-cut detector all consume exactly this relation — before
+    * pooling each re-ran the frame fan-out + 16-term energy extraction
+    * per invocation (and the VAD/scene faces additionally paid the
+    * readout face's output ORDER BY for an input their own windows
+    * re-sort anyway). */
+  private[graft] def energyFrames(s: SparkSession, d: String): DataFrame =
+    CachePool.cached(energyFramesOf(Tables.documents(s, d)))
   private val audioEnergy: Q = (s, d) =>
-    energyFramesOf(Tables.documents(s, d)).orderBy("doc_id", "frame_id")
+    energyFrames(s, d).orderBy("doc_id", "frame_id")
   /** The frames CTE body over a named source relation — shared by the
     * energy readout's oracle (src = documents) and the audio
     * fingerprint chain (src = the dup-corpus media). */
@@ -273,7 +282,7 @@ FROM energy_frames ORDER BY doc_id, frame_id"""
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("frame_id")
     val ws = Window.partitionBy("doc_id").orderBy("start_frame")
-    audioEnergy(s, d)
+    energyFrames(s, d)
       .filter(col("energy") >= SilenceThresh)
       .withColumn("grp", col("frame_id") - row_number().over(w))
       .groupBy(col("doc_id"), col("grp"))
@@ -321,7 +330,7 @@ FROM seg ORDER BY doc_id, seg_id"""
   private val sceneCut: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("doc_id").orderBy("frame_id")
-    audioEnergy(s, d)
+    energyFrames(s, d)
       .withColumn("prev", lag(col("energy"), 1).over(w))
       .filter(col("prev").isNotNull &&
         abs(col("energy") - col("prev")) >= SceneThresh)
@@ -416,10 +425,15 @@ FROM cuts ORDER BY doc_id, cut_id"""
   }
   private[graft] def phashCandidates(s: SparkSession, d: String): DataFrame =
     phashCandidatesOf(phashSignatures(s, d))
+  /** The Hamming-verified phash pair relation before output ordering —
+    * pooled like [[DedupQueries.minhashPairs]] (round 18): the dedup
+    * face and the cluster face both consume it, and the relation is
+    * pair-sized (≪ corpus), so the banded self-join runs once per
+    * corpus, not once per consuming face. */
+  private[graft] def phashPairs(s: SparkSession, d: String): DataFrame =
+    CachePool.cached(phashCandidates(s, d).filter(col("hamming") <= 10))
   private val phashDedup: Q = (s, d) =>
-    phashCandidates(s, d)
-      .filter(col("hamming") <= 10)
-      .orderBy("doc_a", "doc_b")
+    phashPairs(s, d).orderBy("doc_a", "doc_b")
   /** The phash CTE chain from a `media(doc_id, text)` relation to the
     * verified pair relation `ppairs` — shared by [[phashDedup]]'s
     * oracle (media = the dup corpus), the cluster face, and the
@@ -598,7 +612,13 @@ WHERE hamming <= 10 ORDER BY doc_a, doc_b"""
   private val crossmodalDup: Q = (s, d) => {
     val media = CachePool.cached(crossmodalMedia(s, d))
     val caps = media.select("doc_id", "caption")
-    phashCandidatesOf(phashSignaturesOf(media))
+    // cache the SIGNATURES, not just the media (round 18): the banded
+    // candidate machinery reads the signature relation three times
+    // (bucket-size agg + both self-join sides), and the 144-substr
+    // dHash extraction is the expensive part — uncached it ran 3× per
+    // invocation over the cached media (the [[phashSignatures]]
+    // discipline, applied to this face's own media set)
+    phashCandidatesOf(CachePool.cached(phashSignaturesOf(media)))
       .filter(col("hamming") <= 10)
       .join(caps.toDF("doc_a", "ca"), "doc_a")
       .join(caps.toDF("doc_b", "cb"), "doc_b")
@@ -635,8 +655,8 @@ ORDER BY doc_a, doc_b"""
     * doc_id. The label relation is |near-dup images| ≪ corpus; the
     * oracle walks the same graph with a recursive CTE. */
   private val phashCluster: Q = (s, d) =>
-    DedupQueries.connectedComponents(
-      phashDedup(s, d).select("doc_a", "doc_b"))
+    DedupQueries.ccLabelsMemo("phash", d)(
+      phashPairs(s, d).select("doc_a", "doc_b"))
   private val phashClusterSql =
     s"""WITH RECURSIVE pp AS (
   SELECT doc_a, doc_b FROM ($phashDedupSql)

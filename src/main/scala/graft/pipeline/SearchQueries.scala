@@ -30,11 +30,30 @@ object SearchQueries {
   private val ToksSql = "string_split(lower(text), ' ')"
 
   /** Per-(doc, token) term frequencies — the single tokenize every face
-    * below derives from (same discipline as TextQueries.tfidfTop). */
+    * below derives from (same discipline as TextQueries.tfidfTop).
+    * Pooled via [[CachePool]] (round 18): before pooling, every lexical
+    * arm re-ran the corpus explode + (doc, token) aggregate per face —
+    * the in-plan BM25 faces need the FULL tf (doc lengths aggregate
+    * over all tokens, not just query terms), so each of the ~6 search
+    * faces paid a corpus tokenize per invocation. The relation is
+    * (doc, distinct-token)-sized, the same scale the persisted postings
+    * index stores; the index build already pooled this exact plan, so
+    * this only moves the pooling from "first stored-face build" to
+    * "first lexical touch" and every face shares one copy. */
   private def tf(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(toks).as("token"))
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    CachePool.cached(
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf")))
+
+  /** Per-doc token lengths (doc_id, dl) — the BM25 normalizer every
+    * lexical arm joins against, and literally one of the persisted
+    * index's four tables. Pooled like [[tf]] (round 18): doc-sized,
+    * derived once, consumed by bm25/prf/batch arms and the index
+    * build. */
+  private def docLens(s: SparkSession, d: String): DataFrame =
+    CachePool.cached(
+      tf(s, d).groupBy("doc_id").agg(sum("tf").as("dl")))
   private val TfSql = s"""tf AS (
   SELECT doc_id, token, count(*) AS tf
   FROM (SELECT doc_id, unnest($ToksSql) AS token FROM documents)
@@ -107,7 +126,7 @@ ORDER BY score DESC, doc_id LIMIT 20"""
     * the IN-filtered tf slice, not the full index. */
   private[graft] val bm25: Q = (s, d) => {
     val t = tf(s, d)
-    val dl = t.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dl = docLens(s, d)
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
     val dfRel = t.filter(col("token").isin(Terms: _*))
@@ -274,7 +293,7 @@ GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
   private val hybridRrfPrf: Q = (s, d) => {
     val expanded = Terms ++ prfExpansion(s, d)
     val t = tf(s, d)
-    val dl = t.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dl = docLens(s, d)
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
     val dfRel = t.filter(col("token").isin(expanded: _*))
@@ -560,7 +579,7 @@ ORDER BY rrf DESC, doc_id LIMIT 10"""
     val qt = broadcast(QueryTerms.flatMap { case (q, ts) => ts.map((q, _)) }
       .toDF("query_id", "token"))
     val t = tf(s, d)
-    val dl = t.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dl = docLens(s, d)
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
     val dfRel = t.filter(col("token").isin(AllQTerms: _*))
@@ -628,9 +647,9 @@ ORDER BY rrf DESC, doc_id LIMIT 10"""
   private[graft] def searchIndexExecute(s: SparkSession, d: String): Unit =
     CachePool.memoized(("searchIndex", d)) {
       val (tfT, dlT, dfT, statsT) = searchIndexTables(d)
-      val t = CachePool.cached(tf(s, d))
+      val t = tf(s, d) // pooled at the definition (round 18)
       graft.sources.BucketedStore.write(t, tfT, "token", 8)
-      val dl = t.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val dl = docLens(s, d)
       graft.sources.BucketedStore.write(dl, dlT, "doc_id", 8)
       graft.sources.BucketedStore.write(
         t.groupBy("token").agg(count(lit(1)).as("df")), dfT, "token", 8)

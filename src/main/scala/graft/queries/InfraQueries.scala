@@ -988,11 +988,30 @@ GROUP BY c_nationkey ORDER BY c_nationkey"""
   private val qualityChecks: Q = (s, d) => {
     val li = Tables.lineitem(s, d)
     val ord = Tables.orders(s, d)
-    val liScan = li.agg(
-      count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)).as("v0"),
-      count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1)).as("v1"))
-      .select(expr("stack(2, 'lineitem_qty_range', v0, " +
-        "'lineitem_discount_range', v1) as (check_name, violations)"))
+    // Four lineitem checks in ONE pass (round 18, guide §2.4/§1.2):
+    // the range checks, the FK check, and the ship-after-order check
+    // previously cost three separate lineitem scans (one agg scan, one
+    // left_anti join, one inner join); a single LEFT join against the
+    // orders PK computes all four. Row-identical because o_orderkey is
+    // the orders PRIMARY KEY (unique — the TPC-H schema contract this
+    // face's own `orders_*` checks sit on): every lineitem row appears
+    // exactly once in the join output, an unmatched FK surfaces as a
+    // NULL o_orderkey (= the left_anti count), and the ship comparison
+    // is NULL (uncounted) exactly where the inner join dropped the row.
+    val liJoin = li
+      .select(col("l_orderkey"), col("l_quantity"), col("l_discount"),
+        col("l_shipdate"))
+      .join(ord.select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(
+        count(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1)).as("v0"),
+        count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1)).as("v1"),
+        count(when(col("o_orderkey").isNull, 1)).as("v2"),
+        count(when(col("l_shipdate") < col("o_orderdate"), 1)).as("v3"))
+      .select(expr("stack(4, 'lineitem_qty_range', v0, " +
+        "'lineitem_discount_range', v1, " +
+        "'lineitem_fk_orders', v2, " +
+        "'lineitem_ship_after_order', v3) as (check_name, violations)"))
     val ordScan = ord.agg(
       count(when(!col("o_orderstatus").isin("O", "F", "P"), 1)).as("v0"),
       count(when(col("o_orderdate").isNull, 1)).as("v1"))
@@ -1010,20 +1029,12 @@ GROUP BY c_nationkey ORDER BY c_nationkey"""
       .agg(count(lit(1)).as("n")).filter(col("n") > 1)
       .agg(count(lit(1)).as("violations"))
       .select(lit("lineitem_pk_unique").as("check_name"), col("violations"))
-    val fkLi = li.join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")
-      .agg(count(lit(1)).as("violations"))
-      .select(lit("lineitem_fk_orders").as("check_name"), col("violations"))
     val fkOrd = ord.join(Tables.customer(s, d),
         col("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("violations"))
       .select(lit("orders_fk_customer").as("check_name"), col("violations"))
-    val ship = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .filter(col("l_shipdate") < col("o_orderdate"))
-      .agg(count(lit(1)).as("violations"))
-      .select(lit("lineitem_ship_after_order").as("check_name"),
-        col("violations"))
-    liScan.unionAll(ordScan).unionAll(evScan).unionAll(docScan)
-      .unionAll(pkDup).unionAll(fkLi).unionAll(fkOrd).unionAll(ship)
+    liJoin.unionAll(ordScan).unionAll(evScan).unionAll(docScan)
+      .unionAll(pkDup).unionAll(fkOrd)
       .withColumn("pass", col("violations") === 0)
       .orderBy("check_name")
   }

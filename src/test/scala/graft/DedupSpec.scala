@@ -141,8 +141,8 @@ class DedupSpec extends SparkSpec {
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       spark.conf.set("spark.sql.adaptive.enabled", "false")
-      val cand = DedupQueries.bandPairs(
-        BucketedStore.read(spark, "graft_minhash_bands"))
+      val cand = DedupQueries.bandPairs(BucketedStore.read(spark,
+        s"graft_minhash_bands_${Sf.hashCode & 0x7fffffff}"))
       val plan = cand.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
       assert(plan.contains("Bucketed: true"), s"scan must use buckets:\n$plan")
