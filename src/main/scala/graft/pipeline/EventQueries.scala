@@ -3293,19 +3293,36 @@ ORDER BY event_type"""
         col("valid_from_ms"), col("valid_to_ms"),
         col("restate_ms").as("tx_ms"))
     val versions = originals.unionByName(corrections)
-    def snapAt(txCut: Column): DataFrame = {
-      val wVer = Window.partitionBy("user_id", "island")
-        .orderBy(col("tx_ms").desc)
-      versions.crossJoin(mid)
-        .filter(txCut)
-        .withColumn("rn", row_number().over(wVer))
-        .filter(col("rn") === 1 &&
-          col("valid_from_ms") <= col("v_ms") &&
-          (col("valid_to_ms").isNull || col("v_ms") < col("valid_to_ms")))
+    // Both snapshots in ONE pass over the version relation (round 18,
+    // guide §2.4): the T₁ and T₂ latest-belief selections previously
+    // each paid a (user, island) window (exchange + sort) plus a state
+    // aggregate — two scans, four shuffles, two sorts. The latest
+    // version at a tx cut is just max_by over tx_ms, and a conditional
+    // ordering key (NULL where tx > cut, which max_by skips like any
+    // null) computes the T₁ winner in the same aggregate; a group whose
+    // versions all postdate the cut yields NULL and drops exactly as
+    // the windowed form emitted no rn=1 row. tx_ms is unique per
+    // (user, island) by construction (originals carry distinct
+    // valid_from_ms per island; the one correction lands at the
+    // restatement instant), so the argmax is deterministic.
+    val ver = struct(col("state"), col("valid_from_ms"),
+      col("valid_to_ms"), col("v_ms"))
+    val snaps = versions.crossJoin(mid)
+      .groupBy("user_id", "island")
+      .agg(
+        max_by(ver, when(col("tx_ms") <= col("v_ms"), col("tx_ms")))
+          .as("b"),
+        max_by(ver, col("tx_ms")).as("a"))
+    def snapCounts(side: String): DataFrame =
+      snaps.select(col(s"$side.state").as("state"),
+          col(s"$side.valid_from_ms").as("vf"),
+          col(s"$side.valid_to_ms").as("vt"),
+          col(s"$side.v_ms").as("v"))
+        .filter(col("vf") <= col("v") &&
+          (col("vt").isNull || col("v") < col("vt")))
         .groupBy("state").agg(count(lit(1)).as("n"))
-    }
-    val before = snapAt(col("tx_ms") <= col("v_ms"))
-    val after = snapAt(lit(true))
+    val before = snapCounts("b")
+    val after = snapCounts("a")
     before.toDF("state", "n_before")
       .join(after.toDF("state", "n_after"), Seq("state"), "full_outer")
       .select(col("state"),
