@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Shared per-row token-frequency kernels, called from both the
@@ -62,6 +62,69 @@ object TokenStats {
     }
     dup
   }
+
+  private val emptyLongs = new GenericArrayData(Array.emptyLongArray)
+
+  /** 60-bit hashes of all token k-grams, in position order: for each
+    * i in 0..n-k, md5 of the space-joined k tokens starting at i,
+    * upper 60 bits of the digest — BIT-IDENTICAL to the relational
+    * `conv(substring(md5(concat_ws(' ', tok, lead1..lead(k-1))), 1,
+    * 15), 16, 10)` build ([[graft.pipeline.DupCorpus.h60]]: the first
+    * 15 hex chars of the digest are its first 60 bits, and a 15-digit
+    * hex parse is exactly (first-8-bytes-as-big-endian) >>> 4), and to
+    * the oracle's `list_transform(range(...), i -> h60(t[i] || ' ' ||
+    * ...))`. One pass per row riding the scan — the relational build
+    * pays a posexplode + window sort (a full exchange of the token
+    * stream) per side just to line up the leads. Empty for n < k. */
+  def gramH60(a: ArrayData, k: Int): ArrayData = {
+    val n = a.numElements()
+    if (n < k) return emptyLongs
+    val toks = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { toks(i) = a.getUTF8String(i).getBytes; i += 1 }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Long](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(toks(i + j))
+        j += 1
+      }
+      val dg = md.digest()
+      var v = 0L
+      var b = 0
+      while (b < 8) { v = (v << 8) | (dg(b) & 0xffL); b += 1 }
+      out(i) = v >>> 4
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Minimum of every length-w sliding window over a long array, in
+    * position order (n-w+1 minima; empty for n < w). Monotonic-deque,
+    * O(n) — the per-window `list_min(list_slice(...))` HOF is O(n·w)
+    * AND interpreted; the relational frame-min pays a window sort. */
+  def winMin(a: ArrayData, w: Int): ArrayData = {
+    val n = a.numElements()
+    if (n < w) return emptyLongs
+    val vals = a.toLongArray()
+    val out = new Array[Long](n - w + 1)
+    val deque = new Array[Int](n) // indices, increasing value order
+    var head = 0
+    var tail = 0 // exclusive
+    var i = 0
+    while (i < n) {
+      if (head < tail && deque(head) <= i - w) head += 1
+      while (head < tail && vals(deque(tail - 1)) >= vals(i)) tail -= 1
+      deque(tail) = i; tail += 1
+      if (i >= w - 1) out(i - w + 1) = vals(deque(head))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 private[functions] trait TokenArrayInput { self: UnaryExpression =>
@@ -98,4 +161,50 @@ case class DupBigramCount(child: Expression)
   override protected def withNewChildInternal(c: Expression): DupBigramCount =
     copy(child = c)
   override def prettyName: String = "graft_dup_bigrams"
+}
+
+/** `graft_gram_h60(array<string>, k) -> array<bigint>` — see
+  * [[TokenStats.gramH60]]; k must be a foldable positive int. */
+case class GramHash60(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<string>, int literal), got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any, k: Any): Any =
+    TokenStats.gramH60(a.asInstanceOf[ArrayData], k.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      (a, k) => s"${ev.value} = graft.functions.TokenStats.gramH60($a, $k);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): GramHash60 = copy(left = l, right = r)
+  override def prettyName: String = "graft_gram_h60"
+}
+
+/** `graft_win_min(array<bigint>, w) -> array<bigint>` — see
+  * [[TokenStats.winMin]]; w must be a foldable positive int. */
+case class WindowMin(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, false), IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects (array<bigint>, int literal), got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(a: Any, w: Any): Any =
+    TokenStats.winMin(a.asInstanceOf[ArrayData], w.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      (a, w) => s"${ev.value} = graft.functions.TokenStats.winMin($a, $w);")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): WindowMin = copy(left = l, right = r)
+  override def prettyName: String = "graft_win_min"
 }

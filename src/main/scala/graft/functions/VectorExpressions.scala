@@ -422,6 +422,16 @@ object VectorExpressions {
       (children: Seq[Expression]) => DupBigramCount(children(0)): Expression,
       "internal")
     spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_gram_h60"),
+      (children: Seq[Expression]) =>
+        GramHash60(children(0), children(1)): Expression,
+      "internal")
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_win_min"),
+      (children: Seq[Expression]) =>
+        WindowMin(children(0), children(1)): Expression,
+      "internal")
+    spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_cell_nearest"),
       (children: Seq[Expression]) => {
         val id = CentroidModels.litId(children(1))
@@ -493,6 +503,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("graft_dup_bigrams"),
       new ExpressionInfo(classOf[DupBigramCount].getCanonicalName, "graft_dup_bigrams"),
       (children: Seq[Expression]) => DupBigramCount(children(0))))
+    ext.injectFunction((FunctionIdentifier("graft_gram_h60"),
+      new ExpressionInfo(classOf[GramHash60].getCanonicalName, "graft_gram_h60"),
+      (children: Seq[Expression]) => GramHash60(children(0), children(1))))
+    ext.injectFunction((FunctionIdentifier("graft_win_min"),
+      new ExpressionInfo(classOf[WindowMin].getCanonicalName, "graft_win_min"),
+      (children: Seq[Expression]) => WindowMin(children(0), children(1))))
     ext.injectFunction((FunctionIdentifier("graft_cell_nearest"),
       new ExpressionInfo(classOf[NearestCentroid].getCanonicalName, "graft_cell_nearest"),
       (children: Seq[Expression]) => {

@@ -601,21 +601,35 @@ $clusterSql
       .select(col("doc_id"), lit(0).as("hops")).localCheckpoint()
     var frontier = dist
     var level = 0
+    // Doubled step (round 19; guide §2.4 — job count dominates on
+    // pair-scale relations): each iteration relaxes TWO BFS levels and
+    // checkpoints their union once, halving the materialization-job
+    // count of the loop. Layering stays exact: level L+2 expands only
+    // the just-found L+1 frontier and anti-joins both the settled set
+    // and that frontier, so every node still gets its true minimum hop
+    // count. dist remains a union of ALREADY-checkpointed layers
+    // (≤ BfsMaxHops of them — constant-depth lineage, round 18).
     while (level < BfsMaxHops && !frontier.isEmpty) {
-      val next = frontier.join(sym, frontier("doc_id") === sym("doc_a"))
+      val n1 = frontier.join(sym, frontier("doc_id") === sym("doc_a"))
         .select(sym("doc_b").as("doc_id"))
         .distinct()
         .join(dist, Seq("doc_id"), "left_anti")
         .withColumn("hops", lit(level + 1))
-        .localCheckpoint()
-      // dist is a union of ALREADY-checkpointed levels (≤ BfsMaxHops of
-      // them) — re-checkpointing the union each level was one whole
-      // materialization job per level for a lineage that is already
-      // constant-depth (round 18; guide §2.4: job count dominates on
-      // pair-scale relations)
+      // fresh column names for the second hop: n1 already embeds sym,
+      // so re-joining sym by attribute would be an ambiguous self-join
+      val sym2 = sym.select(col("doc_a").as("a2"), col("doc_b").as("b2"))
+      val n2 = n1.select(col("doc_id").as("f1"))
+        .join(sym2, col("f1") === col("a2"))
+        .select(col("b2").as("doc_id"))
+        .distinct()
+        .join(dist.select("doc_id").unionAll(n1.select("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .withColumn("hops", lit(level + 2))
+      val next = n1.unionAll(n2).localCheckpoint()
       dist = dist.unionAll(next)
-      frontier = next
-      level += 1
+      // only the deepest just-settled layer can still reach new nodes
+      frontier = next.filter(col("hops") === level + 2)
+      level += 2
     }
     labels.select("doc_id", "cluster_id").join(dist, "doc_id")
       .select(col("doc_id"), col("cluster_id"), col("hops").cast("int").as("hops"))

@@ -313,9 +313,8 @@ GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20"""
       .withColumn("lex_rank", row_number().over(
         Window.orderBy(col("s").desc, col("doc_id"))))
       .select(col("doc_id"), col("lex_rank"))
-    val q0 = Tables.embeddings(s, d).filter(col("vec_id") === 0)
-      .select(col("vec_id").as("query_id"),
-        col("embedding").cast("array<double>").as("qv"))
+    val q0 = SimilarityQueries.embDouble(s, d).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val vec = SimilarityQueries.ivfProbeRanks(s, d, q0, 20)
       .select(col("doc_id"), col("vec_rank"))
     lex.join(vec, Seq("doc_id"), "full_outer")
@@ -487,8 +486,7 @@ ORDER BY doc_a, doc_b"""
     graft.functions.VectorExpressions.register(s)
     val lexR = bm25(s, d).withColumn("lex_rank", row_number().over(
       Window.orderBy(col("bm25").desc, col("doc_id"))))
-    val e = Tables.embeddings(s, d).select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
+    val e = SimilarityQueries.embDouble(s, d).select(col("vec_id"), col("v"))
     val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
     val vec = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"),
@@ -679,10 +677,9 @@ ORDER BY rrf DESC, doc_id LIMIT 10"""
     * embedding vec_id = query_id, the ANN faces' evaluation-set
     * convention — in production this arrives with the request batch. */
   private def batchQueryVecs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+    SimilarityQueries.embDouble(s, d)
       .filter(col("vec_id") < QueryTerms.size)
-      .select(col("vec_id").as("query_id"),
-        col("embedding").cast("array<double>").as("qv"))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
 
   /** Shared RRF fusion finish: full outer join of the two ranked arms
     * (≤ N·40 rows), NULL absent-arm ranks, per-query top-10. */
@@ -702,8 +699,7 @@ ORDER BY rrf DESC, doc_id LIMIT 10"""
 
   private val hybridRrfBatch: Q = (s, d) => {
     graft.functions.VectorExpressions.register(s)
-    val e = Tables.embeddings(s, d).select(col("vec_id"),
-      col("embedding").cast("array<double>").as("v"))
+    val e = SimilarityQueries.embDouble(s, d).select(col("vec_id"), col("v"))
     val q = batchQueryVecs(s, d)
     val wVec = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("doc_id"))

@@ -34,11 +34,25 @@ object SimilarityQueries {
   private def cosine(a: Column, b: Column): Column =
     call_function("graft_cosine", a, b)
 
-  private def embDouble(s: SparkSession, d: String): DataFrame = {
+  /** The cast-embedding relation (vec_id, label, v) every ANN face and
+    * the search vector arms read — pooled: one parquet scan + cast per
+    * corpus per session instead of one per face invocation (~40 faces
+    * re-ran it). MB-scale (|corpus| × dim doubles), the same lifecycle
+    * as the pooled dedup shingle/pair relations. */
+  private[pipeline] def embDouble(s: SparkSession, d: String): DataFrame = {
     VectorExpressions.register(s)
-    Tables.embeddings(s, d).select(col("vec_id"), col("label"),
-      col("embedding").cast("array<double>").as("v"))
+    CachePool.cached(
+      Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v")))
   }
+
+  /** The exact brute-force truth set (query_id, neighbor_id) all seven
+    * recall/eval faces measure against — pooled: |queries|·k rows,
+    * previously recomputed (broadcast join + window over the corpus)
+    * once per eval face. */
+  private def bruteTruth(s: SparkSession, d: String): DataFrame =
+    CachePool.cached(
+      topkBrute(s, d).select(col("query_id"), col("neighbor_id")))
 
   /** Brute-force cosine top-k=5 for queries vec_id < 10: the exact
     * baseline every ANN variant is measured against. */
@@ -206,7 +220,7 @@ FROM pairs ORDER BY batch_from"""
   private val MatryoshkaDims = Seq(8, 16, 32)
   private val matryoshkaEval: Q = (s, d) => {
     val e = embDouble(s, d)
-    val exact = topkBrute(s, d).select(col("query_id"), col("neighbor_id"))
+    val exact = bruteTruth(s, d)
     val perDim = MatryoshkaDims.map { dim =>
       val t = e.select(col("vec_id"), slice(col("v"), 1, dim).as("v"))
       val q = t.filter(col("vec_id") < 10)
@@ -957,8 +971,7 @@ GROUP BY query_id ORDER BY query_id"""
     val e = embDouble(s, d).select(col("vec_id"), col("v"))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val exact = CachePool.cached(
-      topkBrute(s, d).select(col("query_id"), col("neighbor_id")))
+    val exact = bruteTruth(s, d)
     val nExact = exact.count()
     val store = graft.sources.BucketedStore.read(s, table)
     val nTot = store.count()
@@ -1644,8 +1657,7 @@ ORDER BY query_id, rank"""
     import s.implicits._
     val served = CachePool.cached(
       topkIvfUpserted(s, d).select(col("query_id"), col("neighbor_id")))
-    val exact = CachePool.cached(
-      topkBrute(s, d).select(col("query_id"), col("neighbor_id")))
+    val exact = bruteTruth(s, d)
     exact.join(served.withColumn("hit", lit(1L)),
         Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
@@ -2715,7 +2727,7 @@ ORDER BY query_id, rank"""
     * model-size-vs-recall trade the Scaladoc above describes). */
   private val pqrcRecallEval: Q = (s, d) =>
     recallAgainstBrute(
-      topkBrute(s, d).select(col("query_id"), col("neighbor_id")),
+      bruteTruth(s, d),
       topkIvfPqrCell(s, d))
 
   /** The per-cell families as one unpivoted (sub, cell, code, dim, x)
@@ -3423,7 +3435,7 @@ ORDER BY query_id, rank"""
     * tag next to the 4× scan saving, same eval contract as the PQ
     * tiers' recall faces: |approx top-5 ∩ exact top-5| / |exact|. */
   private val recallSq8: Q = (s, d) => {
-    val exact = topkBrute(s, d).select(col("query_id"), col("neighbor_id"))
+    val exact = bruteTruth(s, d)
     val approx = topkSq8(s, d).select(col("query_id"), col("neighbor_id"))
     val hit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
       .agg(count(lit(1)).as("n_hit"))
@@ -4064,7 +4076,7 @@ FROM ex GROUP BY vec_id ORDER BY vec_id"""
   }
   private val recallEval: Q = (s, d) =>
     recallAgainstBrute(
-      topkBrute(s, d).select(col("query_id"), col("neighbor_id")),
+      bruteTruth(s, d),
       topkIvf(s, d))
 
   // ------------------------------------------------- PQ recall eval
@@ -4078,7 +4090,7 @@ FROM ex GROUP BY vec_id ORDER BY vec_id"""
     * (IVF) vs how distances are approximated (PQ). */
   private val pqRecallEval: Q = (s, d) =>
     recallAgainstBrute(
-      topkBrute(s, d).select(col("query_id"), col("neighbor_id")),
+      bruteTruth(s, d),
       topkPq(s, d))
   private val recallEvalSql =
     s"""WITH exact AS (
@@ -4099,7 +4111,7 @@ ORDER BY e.query_id"""
     * the same candidate set. */
   private val pqrRecallEval: Q = (s, d) =>
     recallAgainstBrute(
-      topkBrute(s, d).select(col("query_id"), col("neighbor_id")),
+      bruteTruth(s, d),
       topkIvfPqResidual(s, d))
   private lazy val pqrRecallEvalSql =
     s"""WITH exact AS (
@@ -4144,7 +4156,7 @@ ORDER BY e.query_id"""
     * ranking comes from its REGISTERED face, so the numbers price what
     * a user actually serves. */
   private val tierEval: Q = (s, d) => {
-    val exact = topkBrute(s, d).select(col("query_id"), col("neighbor_id"))
+    val exact = bruteTruth(s, d)
     val nDims = embDouble(s, d).select(size(col("v"))).head.getInt(0)
     def tierRow(tier: String, bytes: Int, approx: DataFrame): DataFrame = {
       val hit = exact.join(

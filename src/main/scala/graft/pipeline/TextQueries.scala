@@ -159,29 +159,28 @@ ORDER BY d.doc_id"""
   /** Winnowing fingerprint (MOSS-style): 60-bit hashes of token
     * 4-grams, min per sliding window of 4, distinct + sorted → md5.
     * The per-doc fingerprint set that plagiarism/near-dup pipelines
-    * index at scale. Built relationally (posexplode + window lead +
-    * frame min) — the nested transform/slice HOF formulation is
-    * interpreted at O(n²) per doc; this stays codegen'd with one
-    * window sort per doc. */
+    * index at scale. Both per-doc passes are codegen'd one-pass
+    * kernels riding the scan ([[graft.functions.TokenStats.gramH60]]
+    * for the gram hashes, [[graft.functions.TokenStats.winMin]]'s
+    * monotonic deque for the window minima) — ZERO shuffle before the
+    * output sort. The two rejected shapes both paid more: the nested
+    * transform/slice HOF is interpreted at O(n·w) per doc (Spark never
+    * compiles lambdas), and the relational build (posexplode + window
+    * lead + frame min, rounds 5-18) paid an exchange + two sorts of
+    * the exploded token stream. Docs with no complete window (< w+k-1
+    * = 7 tokens) are excluded by contract, exactly as the relational
+    * build's groupBy never saw them. */
   private val fingerprint: Q = (s, d) => {
-    val w = Window.partitionBy("doc_id").orderBy("idx")
-    val grams = Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(toks).as(Seq("idx", "tok")))
-      .withColumn("t1", lead("tok", 1).over(w))
-      .withColumn("t2", lead("tok", 2).over(w))
-      .withColumn("t3", lead("tok", 3).over(w))
-      .filter(col("t3").isNotNull)
-      .select(col("doc_id"), col("idx"),
-        DupCorpus.h60(concat_ws(" ", col("tok"), col("t1"), col("t2"), col("t3")))
-          .as("gh"))
-    val wf = Window.partitionBy("doc_id").orderBy("idx")
-      .rowsBetween(Window.currentRow, 3)
-    val wins = grams
-      .withColumn("complete", lead("gh", 3).over(w).isNotNull)
-      .withColumn("wmin", min("gh").over(wf))
-      .filter(col("complete"))
-    wins.groupBy("doc_id")
-      .agg(sort_array(collect_set(col("wmin"))).as("fps"))
+    graft.functions.VectorExpressions.register(s)
+    val wins = call_function("graft_win_min",
+      call_function("graft_gram_h60", toks, lit(4)), lit(4))
+    Tables.documents(s, d)
+      // ≥ k+w−1 = 7 tokens ⟺ ≥1 complete window: the cheap equivalent
+      // of size(fps) > 0 that keeps the kernels out of the pushed-down
+      // filter (Catalyst duplicates a filtered projection's expression
+      // above and below the filter — guide §4.4's trap, Scala edition)
+      .filter(size(toks) >= 7)
+      .select(col("doc_id"), array_sort(array_distinct(wins)).as("fps"))
       .select(col("doc_id"),
         size(col("fps")).cast("long").as("n_fingerprints"),
         md5(array_join(transform(col("fps"), x => x.cast("string")), ","))
@@ -695,19 +694,20 @@ FROM docs GROUP BY split, lang ORDER BY split, lang"""
     * no corpus shuffle before the per-doc count. Output: contaminated
     * doc → how many distinct grams leaked and from how many eval docs. */
   private val GramLen = 8
-  private def grams8(df: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("idx")
-    val leads = (1 until GramLen).map(i => lead("tok", i).over(w).as(s"t$i"))
-    df.select(col("doc_id"), posexplode(toks).as(Seq("idx", "tok")))
-      .select(Seq(col("doc_id"), col("tok")) ++ leads: _*)
-      .filter(col(s"t${GramLen - 1}").isNotNull)
-      .select(col("doc_id"), DupCorpus.h60(concat_ws(" ",
-        Seq(col("tok")) ++ (1 until GramLen).map(i => col(s"t$i")): _*)).as("gh"))
-  }
+  /** Per-doc 8-gram hashes via the codegen'd [[
+    * graft.functions.TokenStats.gramH60]] kernel (bit-identical h60 of
+    * the space-joined gram) riding the scan — the relational build
+    * (posexplode + 7 window leads) paid a full exchange + sort of the
+    * exploded token stream per side just to line up the leads
+    * (round 19; guide §2.4). */
+  private def grams8(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      explode(call_function("graft_gram_h60", toks, lit(GramLen))).as("gh"))
   /** Core contamination check over any (doc_id, text) relation — the
     * registered query binds it to `documents` with a doc_id-slice eval
     * set; specs bind it to planted fixtures. */
   def contamination(docs: DataFrame, isEval: Column): DataFrame = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
     val evalGrams = grams8(docs.filter(isEval))
       .select(col("doc_id").as("eval_id"), col("gh")).distinct()
     grams8(docs.filter(!isEval))

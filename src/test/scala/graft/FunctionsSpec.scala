@@ -105,4 +105,60 @@ class FunctionsSpec extends SparkSpec {
         s"dup_bigrams mismatch at id=${r.getAs[Int]("id")}")
     }
   }
+
+  test("graft_gram_h60 matches the relational h60 gram build bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(19)
+    import spark.implicits._
+    val words = Vector("alpha", "b", "cc", "ddd", "él", "München", "", "x")
+    // degenerate shapes: empty, shorter-than-k, exactly-k
+    val rows = (Seq(Seq.empty[String], Seq("a", "b"), Seq("a", "b", "c")) ++
+      Seq.fill(60)(Seq.fill(rnd.nextInt(30))(words(rnd.nextInt(words.size)))))
+      .zipWithIndex.map(_.swap).toDF("id", "a")
+    val k = 3
+    // oracle: the pre-round-19 relational formulation — h60 (md5 hex
+    // prefix, base-16 parse) of the space-joined k-gram at every start
+    val slow = rows.select(col("id"),
+      when(size(col("a")) < k, array().cast("array<long>")).otherwise(
+        transform(sequence(lit(0), size(col("a")) - k),
+          i => graft.pipeline.DupCorpus.h60(concat_ws(" ",
+            element_at(col("a"), i + 1),
+            element_at(col("a"), i + 2),
+            element_at(col("a"), i + 3)))))
+        .as("slow"))
+    val fast = rows.select(col("id"),
+      call_function("graft_gram_h60", col("a"), lit(k)).as("fast"))
+    val cmp = fast.join(slow, "id").collect()
+    assert(cmp.length === 63)
+    cmp.foreach { r =>
+      assert(r.getSeq[Long](1).toList === r.getSeq[Long](2).toList,
+        s"gram_h60 mismatch at id=${r.getAs[Int]("id")}")
+    }
+  }
+
+  test("graft_win_min matches the per-window slice-min HOF") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    import spark.implicits._
+    // adversarial shapes for the deque: empty, shorter-than-w,
+    // exactly-w, strictly increasing, strictly decreasing, ties
+    val rows = (Seq(Seq.empty[Long], Seq(5L), Seq(1L, 2L, 3L, 4L),
+      Seq(4L, 3L, 2L, 1L), Seq(7L, 7L, 7L, 7L, 7L)) ++
+      Seq.fill(60)(Seq.fill(rnd.nextInt(25))(rnd.nextLong().abs)))
+      .zipWithIndex.map(_.swap).toDF("id", "a")
+    val w = 4
+    val slow = rows.select(col("id"),
+      when(size(col("a")) < w, array().cast("array<long>")).otherwise(
+        transform(sequence(lit(1), size(col("a")) - w + 1),
+          j => array_min(slice(col("a"), j, lit(w)))))
+        .as("slow"))
+    val fast = rows.select(col("id"),
+      call_function("graft_win_min", col("a"), lit(w)).as("fast"))
+    val cmp = fast.join(slow, "id").collect()
+    assert(cmp.length === 65)
+    cmp.foreach { r =>
+      assert(r.getSeq[Long](1).toList === r.getSeq[Long](2).toList,
+        s"win_min mismatch at id=${r.getAs[Int]("id")}")
+    }
+  }
 }
