@@ -3313,21 +3313,25 @@ ORDER BY event_type"""
         max_by(ver, when(col("tx_ms") <= col("v_ms"), col("tx_ms")))
           .as("b"),
         max_by(ver, col("tx_ms")).as("a"))
-    def snapCounts(side: String): DataFrame =
-      snaps.select(col(s"$side.state").as("state"),
-          col(s"$side.valid_from_ms").as("vf"),
-          col(s"$side.valid_to_ms").as("vt"),
-          col(s"$side.v_ms").as("v"))
-        .filter(col("vf") <= col("v") &&
-          (col("vt").isNull || col("v") < col("vt")))
-        .groupBy("state").agg(count(lit(1)).as("n"))
-    val before = snapCounts("b")
-    val after = snapCounts("a")
-    before.toDF("state", "n_before")
-      .join(after.toDF("state", "n_after"), Seq("state"), "full_outer")
-      .select(col("state"),
-        coalesce(col("n_before"), lit(0L)).as("n_before"),
-        coalesce(col("n_after"), lit(0L)).as("n_after"))
+    // Both per-state counts in ONE pass over snaps (round 19, guide
+    // §2.4): the two snapCounts branches each re-ran the whole snaps
+    // aggregate (the plan carried every subtree twice — 8 scans).
+    // Unpivot the two winner structs and count conditionally; a NULL
+    // winner (all versions postdate the cut) drops at the validity
+    // filter exactly as its branch emitted no row, and a state seen on
+    // one side only counts 0 on the other — the full_outer + coalesce
+    // semantics, one aggregate.
+    snaps.select(explode(array(
+        struct(lit(false).as("hind"), col("b").as("w")),
+        struct(lit(true).as("hind"), col("a").as("w")))).as("x"))
+      .select(col("x.hind").as("hind"), col("x.w.state").as("state"),
+        col("x.w.valid_from_ms").as("vf"), col("x.w.valid_to_ms").as("vt"),
+        col("x.w.v_ms").as("v"))
+      .filter(col("vf") <= col("v") &&
+        (col("vt").isNull || col("v") < col("vt")))
+      .groupBy("state").agg(
+        sum(when(!col("hind"), 1L).otherwise(0L)).as("n_before"),
+        sum(when(col("hind"), 1L).otherwise(0L)).as("n_after"))
       .orderBy("state")
   }
   private val bitemporalSql =

@@ -744,19 +744,24 @@ GROUP BY c.doc_id ORDER BY c.doc_id"""
   // --------------------------------------------------------- ngram top-k
   /** Per-language top-3 bigrams by corpus frequency — the n-gram
     * statistics pass (vocabulary drift, boilerplate detection) a corpus
-    * pipeline runs per snapshot. Same posexplode + window-lead bigram
-    * build as [[fingerprint]] (codegen'd; one sort per doc partition),
-    * then ONE shuffle on (lang, bigram) with map-side partial counts —
-    * the aggregate sees |distinct bigrams| rows, not |tokens| — and a
+    * pipeline runs per snapshot. The bigram build is the codegen'd
+    * arrays_zip-of-shifted-slices from [[collocations]] riding the
+    * scan (round 19 — the posexplode + window-lead build paid an
+    * exchange + sort of the exploded token stream per face), then ONE
+    * shuffle on (lang, bigram) with map-side partial counts — the
+    * aggregate sees |distinct bigrams| rows, not |tokens| — and a
     * tiny per-language top-k window over the counted relation. */
+  private def langBigrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), toks.as("tk"))
+      .select(col("lang"), explode(arrays_zip(
+        expr("slice(tk, 1, size(tk) - 1)"),
+        expr("slice(tk, 2, size(tk) - 1)")).cast(
+        "array<struct<a:string,b:string>>")).as("p"))
+      .select(col("lang"), concat_ws(" ", col("p.a"), col("p.b")).as("bigram"))
   private val ngramTopk: Q = (s, d) => {
-    val w = Window.partitionBy("doc_id").orderBy("idx")
-    val bigrams = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), posexplode(toks).as(Seq("idx", "tok")))
-      .withColumn("nxt", lead("tok", 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .select(col("lang"), concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
-    val counts = bigrams.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+    val counts = langBigrams(s, d)
+      .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
     val rank = Window.partitionBy("lang").orderBy(col("n").desc, col("bigram"))
     counts.withColumn("rank", row_number().over(rank))
       .filter(col("rank") <= 3)
@@ -793,13 +798,8 @@ ORDER BY lang, rank"""
     * no-Window plan assertion). */
   private val ngramTopkAgg: Q = (s, d) => {
     import org.apache.spark.sql.functions.udaf
-    val w = Window.partitionBy("doc_id").orderBy("idx")
-    val bigrams = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), posexplode(toks).as(Seq("idx", "tok")))
-      .withColumn("nxt", lead("tok", 1).over(w))
-      .filter(col("nxt").isNotNull)
-      .select(col("lang"), concat_ws(" ", col("tok"), col("nxt")).as("bigram"))
-    val counts = bigrams.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+    val counts = langBigrams(s, d)
+      .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
     val top3 = udaf(new graft.operators.TopKAgg(3))
     counts.groupBy("lang").agg(top3(col("bigram"), col("n")).as("top"))
       .select(col("lang"), posexplode(col("top")).as(Seq("pos", "kv")))
