@@ -145,8 +145,12 @@ FROM dup GROUP BY md5(text) ORDER BY keeper_doc_id"""
       .distinct()
   }
 
+  /** Pooled (round 19): the band self-join + distinct ran once inside
+    * the pooled verified-pairs build AND once per [[containment]]
+    * invocation — two consumers, one dup-graph-sized relation (2.4 k
+    * rows at sf0.1), same lifecycle as the pairs it feeds. */
   private[graft] def minhashCandidates(s: SparkSession, d: String): DataFrame =
-    bandPairs(bandRows(shingleRows(DupCorpus.corpus(s, d))))
+    CachePool.cached(bandPairs(bandRows(shingleRows(DupCorpus.corpus(s, d)))))
 
   /** The verified minhash pair relation before output ordering — the
     * DUP GRAPH every downstream face consumes: the registered face and
