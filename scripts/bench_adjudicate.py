@@ -196,6 +196,38 @@ def cmd_report(args):
             best[n] = min(w["queries"][n] for w in wins if n in w["queries"])
             unadjudicated.append(n)
 
+    # Canary-normalized adjudication (round 19; the r17 verdict's
+    # option (b)). The clean/dirty gate is binary and razor-edged: a
+    # 0.2 ms canary-floor move can flip a whole window's verdict and
+    # discard its minima (observed r19: w5's quietest samples lowered
+    # the floor 9.1 -> 8.9 ms, turning the baseline window — canary
+    # median exactly at the new threshold — from 54% clean to
+    # CONTAMINATED and manufacturing a 40-flag all-family cohort).
+    # Normalization uses the SAME co-located canary as a continuous
+    # covariate instead: each sample's bracketing canary measures how
+    # much slower than its quiet floor the host was at that instant
+    # (an all-core memory-stream workload — the resource mix a scan
+    # pays), so dt / (canary/floor) estimates the quiet-host time and
+    # a flag means "moved relative to the host's speed that minute".
+    # Approximate by design (per-query contention sensitivity varies),
+    # so it is an ADJUDICATION covariate behind --canary-normalize —
+    # reported times, committed floors and the default gate are
+    # untouched; under the flag nothing is UNADJUDICATED because every
+    # sample carries its own covariate.
+    adj = best
+    if getattr(args, "canary_normalize", False) and canary_floor:
+        adj = {}
+        for n in names:
+            cands = []
+            for w in wins:
+                if n not in w["queries"]:
+                    continue
+                c = (w.get("canary") or {}).get(n)
+                f = max(1.0, c / canary_floor) if c and c > 0 else 1.0
+                cands.append(w["queries"][n] / f)
+            adj[n] = min(cands)
+        unadjudicated = []
+
     # classify BEFORE any update mutates the reference
     pre_queries = dict(ref["queries"])
     movers, expected, new_queries, contaminated = [], [], [], []
@@ -204,14 +236,14 @@ def cmd_report(args):
             new_queries.append(n)
             continue
         r = pre_queries[n]
-        if not moved(best[n], r):
+        if not moved(adj[n], r):
             continue
         if n in unadjudicated:
             contaminated.append((n, r, best[n]))
         elif any(n.startswith(t) or t in n for t in touched):
-            expected.append((n, r, best[n]))
+            expected.append((n, r, adj[n]))
         else:
-            movers.append((n, r, best[n]))
+            movers.append((n, r, adj[n]))
     flags = dict(ref.get("flags", {}))
     pre_flags = {n: list(v) for n, v in flags.items()}
 
@@ -229,8 +261,8 @@ def cmd_report(args):
                 flags[n].append(args.round)
         # a query that did NOT move this round clears its streak
         for n in list(flags):
-            if n in ref["queries"] and n in best and \
-                    not moved(best[n], ref["queries"][n]):
+            if n in ref["queries"] and n in adj and \
+                    not moved(adj[n], ref["queries"][n]):
                 del flags[n]
         ref["flags"] = flags
         ref["updated_round"] = args.round
@@ -244,6 +276,11 @@ def cmd_report(args):
 
     print(f"## Bench adjudication — round {args.round}")
     print()
+    if getattr(args, "canary_normalize", False) and canary_floor:
+        print("Mode: CANARY-NORMALIZED — movers evaluated on "
+              "dt / max(1, canary/floor) (quiet-host estimate); "
+              "reference query floors still fold RAW minima.")
+        print()
     if canary_floor is not None:
         print(f"Canary floor {canary_floor*1000:.1f} ms; clean = "
               f"canary <= max(1.5x floor, floor+5ms). "
@@ -371,6 +408,10 @@ def main():
                     help="comma list of query names/prefixes the round's "
                          "diff touched (their movers are expected)")
     pp.add_argument("--update-ref", action="store_true")
+    pp.add_argument("--canary-normalize", action="store_true",
+                    help="evaluate movers on canary-normalized times "
+                         "(quiet-host estimates) instead of the binary "
+                         "clean/dirty sample gate")
     pp.add_argument("windows", nargs="+")
     pp.set_defaults(fn=cmd_report)
     pv = sub.add_parser("resolve")
